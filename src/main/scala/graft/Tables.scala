@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loaders over the driver testdata layout (`$dir/<name>.parquet`).
+  *
+  * All engine queries read through here so the scan path is a single
+  * choke-point: when the `pufs://` FileSystem layer is active the same
+  * loader resolves paths through it (SURVEY §1.4 — byte-stream payloads read
+  * via `spark.read` over the lazily-caching filesystem).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one testdata table. Parquet scan → Catalyst handles column
+    * pruning + predicate pushdown; callers must NOT cache or collect. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (for SQL-only surfaces such as
+    * GROUPING SETS — Spark SQL shares the same Catalyst plans). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Scan / projection / filter / sort / set-op / scalar-function inventory
+  * (SURVEY §2.3 "Projection / filter / scalar", "Sorts / limits", "Set ops",
+  * "Scalar function families"; queries Q-S1..S3, Q-O1..O3, Q-F1..F7).
+  *
+  * Design notes for 100 TB: every query here is a narrow scan→filter→project
+  * pipeline (no shuffle except the declared sorts/aggregations); filters and
+  * column selections are plain Catalyst expressions so parquet predicate
+  * pushdown + column pruning apply (verify via .explain: PushedFilters /
+  * ReadSchema).
+  */
+object ScanOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q-S1: project + filter; pushes l_quantity > 30 into the parquet scan.
+    "s1_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q-S2: IN / BETWEEN / LIKE / RLIKE predicate suite.
+    "s2_predicates" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(
+          (col("p_name").like("%ring%") || col("p_name").rlike("^(red|blue)")) &&
+          col("p_size").isin(1, 5, 11, 28, 42) &&
+          col("p_retailprice").between(900, 1050))
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey")
+    }),
+
+    // Q-S3: CASE WHEN buckets + nullif/coalesce null handling.
+    "s3_case_null" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_bucket"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q-O1: multi-key order + limit (top-k by price; deterministic tiebreak).
+    "o1_sort_limit" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // Q-O2: union / except / intersect (all set-distinct semantics).
+    "o2_set_ops" -> ((s, d) => {
+      val c = t(s, d, "customer").select("c_custkey")
+      val a = c.filter(col("c_custkey") < 800)
+      val b = c.filter(col("c_custkey").between(500, 1200))
+      val x = c.filter(col("c_custkey") % 10 === 0)
+      val y = c.filter(col("c_custkey") < 1000)
+      a.union(b).distinct().except(x).intersect(y).orderBy("c_custkey")
+    }),
+
+    // Q-O3: distinct over a projection.
+    "o3_distinct" -> ((s, d) => {
+      t(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    // Q-F1: string function suite (regexp_extract, concat, substring, upper,
+    // length, instr, printf-style formatting).
+    "f1_strings" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          substring(col("p_name"), 1, 4).as("name4"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).cast("long").as("name_len"),
+          instr(col("p_name"), "e").cast("long").as("e_pos"),
+          format_string("%s#%03d", col("p_brand"), col("p_size")).as("brand_size"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q-F2: date/time suite (date_trunc, year, epoch, datediff, dow).
+    "f2_dates" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("order_month"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q-F3: math suite (round, floor/ceil, exp∘ln, pmod, greatest/least).
+    "f3_math" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 2).as("gross"),
+          floor(col("l_quantity")).as("qty_floor"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          round(exp(log(col("l_quantity") + 1)), 2).as("exp_ln"),
+          pmod(col("l_orderkey"), lit(7L)).as("key_mod"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q-F4: sha2 + base64 — the CAS BlockID rendering pair
+    // (reference: core/freezer.go:386-404 sha256; pufs/cmd/ls.go:44-46 base64).
+    "f4_hash" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          sha2(col("c_name"), 256).as("name_sha"),
+          base64(encode(col("c_name"), "UTF-8")).as("name_b64"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q-F5: array suite — split → explode → aggregate token counts.
+    "f5_array_explode" -> ((s, d) => {
+      t(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }),
+
+    // Q-F6: JSON access over events.props.
+    "f6_json" -> ((s, d) => {
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .orderBy("event_id")
+    }),
+
+    // Q-F7: higher-order functions — norm² of embedding via aggregate()
+    // over the float array (cast to double elementwise; sequential fold gives
+    // deterministic summation order, mirrored by DuckDB list_sum).
+    "f7_higher_order" -> ((s, d) => {
+      val sq = aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), round(sq, 2).as("norm2"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s2_predicates" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+        |WHERE (p_name LIKE '%ring%' OR regexp_matches(p_name, '^(red|blue)'))
+        |  AND p_size IN (1, 5, 11, 28, 42)
+        |  AND p_retailprice BETWEEN 900 AND 1050
+        |ORDER BY p_partkey""".stripMargin,
+
+    "s3_case_null" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bal_bucket,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "o1_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "o2_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM (
+        |    SELECT c_custkey FROM customer WHERE c_custkey < 800
+        |    UNION
+        |    SELECT c_custkey FROM customer WHERE c_custkey BETWEEN 500 AND 1200
+        |  ) EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
+        |) INTERSECT SELECT c_custkey FROM customer WHERE c_custkey < 1000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "o3_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "f1_strings" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  substring(p_name, 1, 4) AS name4,
+        |  upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  CAST(instr(p_name, 'e') AS BIGINT) AS e_pos,
+        |  printf('%s#%03d', p_brand, p_size) AS brand_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f2_dates" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f3_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 + l_tax), 2) AS gross,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  round(exp(ln(l_quantity + 1)), 2) AS exp_ln,
+        |  l_orderkey % 7 AS key_mod,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f4_hash" ->
+      """SELECT c_custkey,
+        |  sha256(c_name) AS name_sha,
+        |  to_base64(encode(c_name)) AS name_b64
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f5_array_explode" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+        |) GROUP BY token ORDER BY token""".stripMargin,
+
+    "f6_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "f7_higher_order" ->
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 2) AS norm2
+        |FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+        |WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
+  )
+}
