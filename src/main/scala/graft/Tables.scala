@@ -15,9 +15,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Load one testdata table. Parquet scan → Catalyst handles column
-    * pruning + predicate pushdown; callers must NOT cache or collect. */
+    * pruning + predicate pushdown; callers must NOT cache or collect.
+    *
+    * `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; we read nanos as long (legacy conf) and convert to a
+    * microsecond TimestampType column (lossless for this data — the
+    * generator emits whole microseconds). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Register every table as a temp view (for SQL-only surfaces such as
     * GROUPING SETS — Spark SQL shares the same Catalyst plans). */

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables => T}
+import graft.Tables.t
+
+/** Aggregation inventory (SURVEY §2.3 "Aggregations"; queries Q-A1..A7).
+  *
+  * The reference's own query surface is stats aggregation over metadata
+  * (`ls` block stats — reference core/datastore.go:445-466,
+  * core/freezer.go:249-263 GetBlockStats); here the same shape runs over the
+  * star schema.
+  *
+  * Determinism contract (cross-engine hash-match vs DuckDB): every monetary
+  * SUM goes double→round(2)→DECIMAL(18,2)→SUM→DOUBLE so both engines do
+  * exact decimal addition (order-independent) and convert the identical
+  * value back; AVG is computed as exact-decimal-sum / count. Plain
+  * SUM(double) would differ in the last bits between engines because
+  * summation order differs.
+  *
+  * 100 TB notes: groupBy gets map-side partial aggregation for free
+  * (hash agg partial+final); rollup/cube/grouping-sets expand the grouping
+  * keys before the shuffle, so cost scales with |groups|·|sets|, not rows.
+  * approx_count_distinct is the HLL sketch — the only sane distinct-count at
+  * 100 TB (exact countDistinct shuffles every distinct value).
+  */
+object AggOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared SQL for the grouping-analytics queries — the exact same text is
+    * the DuckDB oracle, so any divergence is an engine bug, not a dialect
+    * skew. */
+  private val a3Sql =
+    """SELECT CAST(GROUPING(r_name) AS INT) AS g_r,
+      |  CAST(GROUPING(n_name) AS INT) AS g_n,
+      |  r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust
+      |FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  private val a4Sql =
+    """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+      |  o_orderstatus, o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  private val a5Sql =
+    """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+      |  o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Q-A1: TPC-H Q1-shape — the canonical scan→filter→hash-agg pipeline.
+    "a1_tpch_q1" -> ((s, d) => {
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          // raw division of identical exact operands — no round() (engines
+          // disagree on rounding doubles within 1 ULP of a boundary)
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q-A2: exact distinct counts per nation (two distinct aggs in one
+    // grouping — Catalyst plans an expand + two-phase distinct agg).
+    "a2_count_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_sup"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Q-A3: ROLLUP (region, nation) customer counts.
+    "a3_rollup" -> ((s, d) => { T.registerViews(s, d); s.sql(a3Sql) }),
+
+    // Q-A4: CUBE (orderstatus, orderpriority).
+    "a4_cube" -> ((s, d) => { T.registerViews(s, d); s.sql(a4Sql) }),
+
+    // Q-A5: GROUPING SETS.
+    "a5_grouping_sets" -> ((s, d) => { T.registerViews(s, d); s.sql(a5Sql) }),
+
+    // Q-A6: pivot orderstatus × year counts (fixed value list so the output
+    // schema is static — required both for the oracle and at scale, where
+    // an unbounded pivot would need a driver-side distinct pass).
+    "a6_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("yr"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("yr")
+    }),
+
+    // Q-A7: approx_count_distinct (HLL++). No DuckDB oracle — sketch
+    // estimates are engine-specific; bounds asserted in QueriesSpec.
+    "a7_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_count_distinct" ->
+      """SELECT s_nationkey,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_sup,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "a3_rollup" -> a3Sql,
+    "a4_cube" -> a4Sql,
+    "a5_grouping_sets" -> a5Sql,
+
+    "a6_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+    // a7_approx_distinct: intentionally no oracle (sketch ≠ exact).
+  )
+}

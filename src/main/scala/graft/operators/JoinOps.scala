@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Join inventory (SURVEY §2.3 "Joins"; queries Q-J1..J9).
+  *
+  * The reference's workload model is share-nothing batch over a star schema
+  * (reference README.md:5-8); every TPC-H-like user query is join-shaped.
+  *
+  * 100 TB design notes:
+  *  - Dim tables (region/nation/supplier/part at star scale) are broadcast
+  *    (`broadcast(dim)`) so the fact scan never shuffles for them (Q-J5).
+  *  - Equi joins (Q-J1..J4, J8) shuffle both sides on the join key once;
+  *    Catalyst + AQE pick shuffle-hash vs sort-merge and handle skew.
+  *  - The theta/range join (Q-J6) keeps its LEFT side bounded by a selective
+  *    filter so the broadcast-nested-loop stays O(|small| * |orders|), never
+  *    O(n^2) on the fact table.
+  *  - The as-of join (Q-J7) is the union+window formulation: one shuffle on
+  *    the partition key, a single sort, NO row multiplication — unlike
+  *    join-then-max which inflates by the match count per key.
+  */
+object JoinOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q-J1: inner equi join customer ⋈ orders (row-level).
+    "j1_inner" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Q-J2: left outer — every customer keeps a row; customers without
+    // orders count 0 (count over the null-extended column skips nulls).
+    "j2_left_outer" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q-J3: left semi — customers having at least one high-value order.
+    "j3_semi" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Q-J4: left anti — parts never ordered in large quantity (>45). The
+    // filter lands on the join's build side BEFORE the anti join, so
+    // selectivity is pushed into the scan.
+    "j4_anti" -> ((s, d) => {
+      t(s, d, "part")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") > 45),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    // Q-J5: 5-way star join — all four dims explicitly broadcast so the
+    // lineitem scan is a single pass with no shuffle until the final agg.
+    // Revenue uses round→decimal→sum→double for exact cross-engine parity.
+    "j5_star_broadcast" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Q-J6: theta/range join — for a bounded set of probe orders, count
+    // orders strictly within the following 7 days. Left side is small by
+    // construction, so Spark broadcasts it into a nested-loop join that
+    // stays linear in |orders| at any scale factor.
+    "j6_range" -> ((s, d) => {
+      val o1 = t(s, d, "orders").filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("d1"))
+      val o2 = t(s, d, "orders")
+        .select(col("o_orderkey").as("k2"), col("o_orderdate").as("d2"))
+      broadcast(o1)
+        .join(o2,
+          col("d2") > col("d1") &&
+          col("d2") <= col("d1") + expr("INTERVAL 7 DAYS") &&
+          col("k2") =!= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // Q-J7: as-of join — for every click event, the latest error event of
+    // the same user at ts <= click ts. Union+window: tag rows, sort once per
+    // user, carry the last error ts forward. One shuffle, no fan-out.
+    "j7_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "error").as("is_err"))
+      // errors sort before clicks at equal ts so the as-of is inclusive
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_err").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_err_ts", max(when(col("is_err"), col("ts"))).over(w))
+        .filter(!col("is_err"))
+        .select("event_id", "user_id", "ts", "last_err_ts")
+        .orderBy("event_id")
+    }),
+
+    // Q-J8: full outer — nations vs per-nation supplier counts; nations
+    // without suppliers survive with count 0.
+    "j8_full_outer" -> ((s, d) => {
+      val sup = t(s, d, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+      t(s, d, "nation")
+        .join(sup, col("n_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("n_nationkey"), col("s_nationkey")).as("nk"),
+          col("n_name"),
+          coalesce(col("cnt"), lit(0L)).as("n_sup"))
+        .orderBy("nk")
+    }),
+
+    // Q-J9: cross join nation × region (both tiny; Spark broadcasts).
+    "j9_cross" -> ((s, d) => {
+      t(s, d, "nation").crossJoin(t(s, d, "region"))
+        .select("n_name", "r_name")
+        .orderBy("n_name", "r_name")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "j1_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j2_left_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "j3_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j5_star_broadcast" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j6_range" ->
+      """SELECT o1.o_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o1 JOIN orders o2
+        |  ON o2.o_orderdate > o1.o_orderdate
+        | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+        | AND o2.o_orderkey <> o1.o_orderkey
+        |WHERE o1.o_orderkey % 1000 = 0
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "j7_asof" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  CAST((SELECT max(e2.ts) FROM events e2
+        |        WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
+        |          AND e2.ts <= e.ts) AS TIMESTAMP) AS last_err_ts
+        |FROM events e WHERE e.event_type = 'click'
+        |ORDER BY e.event_id""".stripMargin,
+
+    "j8_full_outer" ->
+      """SELECT coalesce(n_nationkey, s_nationkey) AS nk, n_name,
+        |  CAST(coalesce(cnt, 0) AS BIGINT) AS n_sup
+        |FROM nation FULL OUTER JOIN
+        |  (SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY 1) sup
+        |  ON n_nationkey = s_nationkey
+        |ORDER BY nk""".stripMargin,
+
+    "j9_cross" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin
+  )
+}

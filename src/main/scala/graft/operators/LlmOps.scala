@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** LLM-training-data pipeline operators (SURVEY §2.3 "LLM-data-pipeline
+  * extension"; queries Q-L1..L4 + text-analysis/similarity extensions).
+  * Q-L5 (pufs-meta aggregation) lives with the DSv2 source in MetaOps.
+  *
+  * The exact-dedup operator is the reference's CAS idea applied to rows:
+  * content-addressed identity via sha256 (reference core/freezer.go:386-404).
+  *
+  * 100 TB design rules enforced here:
+  *  - Near-dup discovery is BANDED (MinHash-LSH): candidates come from a
+  *    shuffle-join on (band, signature) buckets — never an O(n²) cross join.
+  *  - kNN keeps the probe side tiny and broadcast; ranking is a window per
+  *    probe (per-partition top-k), no driver-side collect.
+  *  - Embedding near-dup uses sign-random-projection LSH buckets, then
+  *    exact cosine only within buckets.
+  *  - All hashes are md5/sha2 built-ins (codegen'd, mirrored in DuckDB).
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential left fold — identical FP op order to DuckDB list_reduce. */
+  private def foldSum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  private def dotCols(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  private def norm(a: Column): Column =
+    sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** 8 deterministic ±1 hyperplanes over 64 dims, derived from md5 so the
+    * signature is reproducible across runs and languages. */
+  private[operators] val lshPlanes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { p =>
+      (0 until 64).map { j =>
+        val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Q-L1: exact dedup by content hash (CAS for rows). Keeps the smallest
+    // doc_id per hash group — a deterministic survivor, unlike
+    // dropDuplicates' arbitrary pick.
+    "l1_exact_dedup" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(sha2(col("text"), 256).as("text_sha"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("text_sha")
+    }),
+
+    // Q-L2: near-dup candidates via MinHash-LSH: 5-gram word shingles,
+    // 4 bands, signature = min md5 per band; candidate pair = same
+    // (band, signature) bucket. The join is on the bucket key — at 100 TB
+    // this shuffles |docs|·|bands| signature rows, never pairs.
+    "l2_minhash_lsh" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+      val shingles = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+      val sigs = shingles
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("sh"))
+        .groupBy("doc_id", "b")
+        .agg(min(md5(concat(col("b").cast("string"), lit(":"), col("sh")))).as("sig"))
+      val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
+      val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
+      x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
+        .select(col("a"), col("bid").as("b"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
+    // Q-L3: brute-force cosine top-5 for 10 probe vectors. Probe side is
+    // broadcast (10 rows); similarity ranks via a window per probe — the
+    // per-partition top-k pattern, no collect. Cosine is computed with a
+    // sequential fold so DuckDB's list_reduce reproduces the exact double.
+    "l3_knn_cosine" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      broadcast(probes)
+        .join(e, col("probe_id") =!= col("vec_id"))
+        .withColumn("cos",
+          dotCols(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cos").as("sim"))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Q-L4: token statistics per language.
+    "l4_token_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    // L6: language-ID heuristic — stopword-marker scoring. Deterministic
+    // argmax with fixed precedence; 'und' when no marker hits.
+    "l6_langid" -> ((s, d) => {
+      def score(tk: Column, words: Seq[String]): Column =
+        size(filter(tk, w => w.isin(words: _*))).cast("long")
+      val base = t(s, d, "documents")
+        .withColumn("tk", split(lower(col("text")), " "))
+        .withColumn("en_s", score(col("tk"), Seq("the", "a", "of")))
+        .withColumn("de_s", score(col("tk"), Seq("der", "die", "das")))
+        .withColumn("fr_s", score(col("tk"), Seq("le", "la", "et")))
+        .withColumn("es_s", score(col("tk"), Seq("el", "los", "y")))
+      base.select(
+          col("doc_id"),
+          when(col("en_s") >= col("de_s") && col("en_s") >= col("fr_s") &&
+               col("en_s") >= col("es_s") && col("en_s") > 0, "en")
+            .when(col("de_s") >= col("fr_s") && col("de_s") >= col("es_s") &&
+                  col("de_s") > 0, "de")
+            .when(col("fr_s") >= col("es_s") && col("fr_s") > 0, "fr")
+            .when(col("es_s") > 0, "es")
+            .otherwise("und").as("pred_lang"),
+          col("en_s"), col("de_s"), col("fr_s"), col("es_s"))
+        .orderBy("doc_id")
+    }),
+
+    // L7: quality scoring — length / punctuation / stopword-ratio heuristics.
+    "l7_quality" -> ((s, d) => {
+      val tk = split(lower(col("text")), " ")
+      val nTok = size(tk).cast("long")
+      val stops = size(filter(tk, w => w.isin("the", "a", "of", "and", "to"))).cast("long")
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+      val stopRatio = stops.cast("double") / nTok
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+          punct.as("punct_cnt"), stopRatio.as("stop_ratio"),
+          when(col("n_chars").between(100, 5000) && nTok >= 20, "keep")
+            .otherwise("drop").as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // L8: document fingerprinting — md5 over whitespace-normalized text;
+    // groups share a fingerprint iff normalized content matches.
+    "l8_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .orderBy("fp")
+    }),
+
+    // L9: SimHash (32-bit) — per-token md5-derived hash, per-bit majority
+    // vote. Expressed relationally (explode bits) for oracle parity; the
+    // scale path is the same plan with partial aggregation per (doc, bit).
+    "l9_simhash" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      toks
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("k"))
+        .withColumn("contrib",
+          when(expr("shiftright(h, k) % 2") === 1, 1).otherwise(-1))
+        .groupBy("doc_id", "k")
+        .agg(sum(col("contrib")).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), k)"))
+          .otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // L10: embedding near-dup via sign-random-projection LSH — bucket by the
+    // 8-bit sign signature, exact cosine only within buckets. No DuckDB
+    // oracle (plan-specific recall); NearDupSpec checks candidates against
+    // brute force at sf0.001.
+    "l10_embed_neardup" -> ((s, d) => {
+      val planes = typedlit(lshPlanes)
+      val sig = (0 until 8).map { p =>
+        when(dotCols(element_at(planes, p + 1), col("embedding")) > 0,
+          lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          sig.as("sig"))
+      val l = e.select(col("sig"), col("vec_id").as("a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val r = e.select(col("sig").as("sig2"), col("vec_id").as("b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      l.join(r, col("sig") === col("sig2") && col("a") < col("b"))
+        .withColumn("cos", dotCols(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") > 0.35)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("sim"))
+        .orderBy("a", "b")
+    }),
+
+    // L11: multimodal column plumbing — text payloads as opaque binary with
+    // typed metadata (the puFS blob model, SURVEY §1.4). The "decode" here
+    // is a deterministic md5-derived fake (no image libs in-env); the
+    // Spark-side schema/partitioning is the real contract.
+    "l11_multimodal_meta" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1024)
+            .as("fake_w"),
+          (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1024)
+            .as("fake_h"),
+          sha2(col("text"), 256).as("payload_sha"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY text_sha""".stripMargin,
+
+    "l2_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 5),
+        |bs AS (
+        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+        |  GROUP BY doc_id, b)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bs x JOIN bs y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    "l3_knn_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(generate_series(1, len(a.v)),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+        |  FROM p)
+        |SELECT probe_id, rnk, neighbor_id, cos AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "l4_token_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        |    AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "l6_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS en_s,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('der', 'die', 'das'))) AS BIGINT) AS de_s,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('le', 'la', 'et'))) AS BIGINT) AS fr_s,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('el', 'los', 'y'))) AS BIGINT) AS es_s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en_s >= de_s AND en_s >= fr_s AND en_s >= es_s AND en_s > 0
+        |         THEN 'en'
+        |       WHEN de_s >= fr_s AND de_s >= es_s AND de_s > 0 THEN 'de'
+        |       WHEN fr_s >= es_s AND fr_s > 0 THEN 'fr'
+        |       WHEN es_s > 0 THEN 'es'
+        |       ELSE 'und' END AS pred_lang,
+        |  en_s, de_s, fr_s, es_s
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "l7_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |    AS BIGINT) AS punct_cnt,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' ')) AS stop_ratio,
+        |  CASE WHEN n_chars BETWEEN 100 AND 5000
+        |         AND len(string_split(lower(text), ' ')) >= 20
+        |       THEN 'keep' ELSE 'drop' END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l8_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "l9_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN (h >> k) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)
+        |  GROUP BY doc_id, k)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+        |    AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l11_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024 AS fake_w,
+        |  CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024 AS fake_h,
+        |  sha256(text) AS payload_sha
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // l10_embed_neardup: no oracle (LSH recall is plan-specific) — NearDupSpec
+    // verifies candidates ⊆ brute-force pairs and measures recall.
+  )
+}

@@ -97,7 +97,7 @@ object ScanOps {
       t(s, d, "orders")
         .select(
           col("o_orderkey"),
-          date_trunc("month", col("o_orderdate")).as("order_month"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
           year(col("o_orderdate")).cast("long").as("yr"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
@@ -110,7 +110,12 @@ object ScanOps {
       t(s, d, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 2).as("gross"),
+          // decimal arithmetic, not round-on-double: Spark rounds the
+          // shortest decimal repr while DuckDB scales by 10^s — they disagree
+          // within 1 ULP of a half-cent. Exact decimal ops agree always.
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)")))
+            .cast("double").as("gross"),
           floor(col("l_quantity")).as("qty_floor"),
           ceil(col("l_quantity")).as("qty_ceil"),
           round(exp(log(col("l_quantity") + 1)), 2).as("exp_ln"),
@@ -217,7 +222,7 @@ object ScanOps {
 
     "f2_dates" ->
       """SELECT o_orderkey,
-        |  date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
         |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
@@ -226,7 +231,9 @@ object ScanOps {
 
     "f3_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1.0 + l_tax), 2) AS gross,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
+        |       AS DOUBLE) AS gross,
         |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
         |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
         |  round(exp(ln(l_quantity + 1)), 2) AS exp_ln,
@@ -255,7 +262,7 @@ object ScanOps {
     "f7_higher_order" ->
       """SELECT vec_id,
         |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 2) AS norm2
-        |FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+        |FROM embeddings
         |WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
   )
 }

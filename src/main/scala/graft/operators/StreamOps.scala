@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Event-time windowing inventory (SURVEY §2.3 "Streaming"; Q-T1..T5).
+  *
+  * Each query here is the BATCH frame of the corresponding Structured
+  * Streaming computation — same `window()`/`session_window()` expressions,
+  * same results — so it is DuckDB-oracle-checkable. The streaming-mode
+  * equivalents (readStream over MemoryStream + watermark + append/update
+  * output) are exercised in StreamingSpec; graft.streaming.StreamJobs holds
+  * the readStream builders.
+  *
+  * The lease-expiry arithmetic of the reference (timestamp comparison,
+  * reference core/datastore.go:240-253) is the watermark shape of Q-T5.
+  *
+  * 100 TB notes: tumbling/sliding windows are plain hash aggs on
+  * (window, keys) — partial agg before the shuffle; the sliding window
+  * multiplies rows by |window|/|slide| (4× here) BEFORE partial agg, which
+  * is the standard cost. Session windows shuffle once on user_id then merge
+  * sorted runs per key. Streaming state (dedup set, open sessions) is
+  * bounded by the watermark horizon — without it state grows unboundedly.
+  */
+object StreamOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q-T1: tumbling 1-hour window counts.
+    "t1_tumbling" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("ws"), col("cnt"))
+        .orderBy("ws")
+    }),
+
+    // Q-T2: sliding window 1 h / 15 min — avg event value per window.
+    // round→decimal→sum→double keeps the avg exact across engines.
+    "t2_sliding" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(
+          (sum(col("value").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("avg_value"),
+          count(lit(1)).as("cnt"))
+        .select(col("w.start").as("ws"), col("avg_value"), col("cnt"))
+        .orderBy("ws")
+    }),
+
+    // Q-T3: session windows per user, 30-minute gap. Session start = min ts
+    // of the run; a gap of exactly 30 min starts a NEW session (window end
+    // is exclusive), mirrored by `>=` in the oracle's island SQL.
+    "t3_session" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("cnt"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Q-T4: deterministic dedup — earliest event per (user_id, event_type)
+    // by (ts, event_id). The streaming twin is dropDuplicates within a
+    // watermark (StreamingSpec); batch uses row_number so the kept row is
+    // well-defined, unlike dropDuplicates' arbitrary pick.
+    "t4_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Q-T5: watermark analog — only events within 1 h of the stream's max
+    // ts ("on time") are aggregated into 15-min tumbling counts. The real
+    // late-data drop (withWatermark) is asserted in StreamingSpec; this is
+    // the on-time subset the oracle can check.
+    "t5_watermark_ontime" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 1 HOUR"))
+        .groupBy(window(col("ts"), "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("ws"), col("cnt"))
+        .orderBy("ws")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+
+    "t2_sliding" ->
+      """SELECT make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k)
+        |         * 900 * 1000000) AS ws,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_value,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |GROUP BY 1 ORDER BY ws""".stripMargin,
+
+    "t3_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "t4_dedup" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "t5_watermark_ontime" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT)
+        |         * 900 * 1000000) AS ws,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY ws""".stripMargin
+  )
+}

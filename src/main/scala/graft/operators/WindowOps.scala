@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Window-function inventory (SURVEY §2.3 "Windows"; queries Q-W1..W6).
+  *
+  * The reference's region-mask "running coverage" computation
+  * (reference region/region.go:28-124) is exactly a window frame: sorted
+  * intervals folded with a running max — Q-W3/Q-W4 are that shape over the
+  * star schema; Q-U2 (UdfOps) is the literal interval-union as a UDAF.
+  *
+  * 100 TB notes: every window below is partitioned by a high-cardinality key
+  * (custkey/suppkey/date), so the sort is per-partition after one hash
+  * shuffle — no global sort. The only global windows (W2/W4/W5) run over
+  * already-aggregated frames (≤ thousands of rows at any SF) or bounded
+  * dimensions. Running sums use exact decimal arithmetic cast back to double
+  * so prefix sums hash-match DuckDB bit-for-bit.
+  */
+object WindowOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q-W1: row_number / rank / dense_rank per customer by order value.
+    // rank/dense_rank rank a coarsened bucket so ties actually occur;
+    // row_number gets a total order (unique tiebreak) for determinism.
+    "w1_ranking" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("price_k", floor(col("o_totalprice") / 10000).cast("long"))
+      val total = Window.partitionBy("o_custkey")
+        .orderBy(col("price_k").desc, col("o_orderkey"))
+      val ties = Window.partitionBy("o_custkey").orderBy(col("price_k").desc)
+      o.select(
+          col("o_custkey"), col("o_orderkey"), col("price_k"),
+          row_number().over(total).as("rn"),
+          rank().over(ties).as("rk"),
+          dense_rank().over(ties).as("drk"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Q-W2: lag/lead day-over-day daily order totals.
+    "w2_lag_lead" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      val w = Window.orderBy("day")
+      daily.select(
+          col("day"), col("total"),
+          lag("total", 1).over(w).as("prev_total"),
+          lead("total", 1).over(w).as("next_total"))
+        .orderBy("day")
+    }),
+
+    // Q-W3: running sum per customer (rowsBetween unboundedPreceding..0).
+    "w3_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Q-W4: 7-day moving average over rangeBetween on a day-number axis
+    // (the B6 running-coverage shape, reference region/region.go:28-124).
+    "w4_moving_avg" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .withColumn("dnum", datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+      val w = Window.orderBy("dnum").rangeBetween(-6, 0)
+      daily.select(
+          col("day"),
+          (sum(col("total").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("avg_7d"))
+        .orderBy("day")
+    }),
+
+    // Q-W5: ntile(4) quartiles of customer balance.
+    "w5_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q-W6: per-supplier top-3 line items by extended price.
+    "w6_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("l_suppkey", "rn")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w1_ranking" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_k,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY floor(o_totalprice / 10000) DESC, o_orderkey) AS INT) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY floor(o_totalprice / 10000) DESC) AS INT) AS rk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY floor(o_totalprice / 10000) DESC) AS INT) AS drk
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
+    "w2_lag_lead" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT day, total,
+        |  lag(total, 1) OVER (ORDER BY day) AS prev_total,
+        |  lead(total, 1) OVER (ORDER BY day) AS next_total
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "w3_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w4_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dnum
+        |  FROM orders GROUP BY 1, 3)
+        |SELECT day,
+        |  CAST(SUM(CAST(total AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg_7d
+        |FROM daily
+        |WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
+    "w5_ntile" ->
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "w6_topk_per_group" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+  )
+}
