@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every registered query runs at sf0.001 and yields a sane frame.
+  * Mirrors the reference's functional layer (whole-surface smoke,
+  * reference core/functional_test.go:174-214) for the query inventory. */
+class QueriesSpec extends SparkSpec {
+
+  // Legitimately empty at sf0.001 (tiny data, selective predicates):
+  private val mayBeEmpty = Set("l2_minhash_lsh", "l10_embed_neardup", "j4_anti")
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name: returned 0 rows")
+    }
+  }
+
+  test("a7 approx_count_distinct within 10% of exact") {
+    val rows = AggAccuracy.bounds(spark, sfDir)
+    rows.foreach { case (flag, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+        s"flag=$flag approx=$approx exact=$exact")
+    }
+  }
+}
+
+object AggAccuracy {
+  def bounds(spark: org.apache.spark.sql.SparkSession, d: String): Seq[(String, Long, Long)] =
+    graft.operators.AggOps.queries("a7_approx_distinct")(spark, d)
+      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+}

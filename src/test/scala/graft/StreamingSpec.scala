@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamJobs
+
+/** Streaming semantics via MemoryStream micro-batches (Q-T1..T5 streaming
+  * side): streaming results equal the batch frame; watermark bounds state
+  * and drops late data; dedup holds within the watermark. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("streaming tumbling counts equal batch frame") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(ts(5) -> 1L, ts(20) -> 2L, ts(65) -> 3L, ts(70) -> 4L, ts(130) -> 5L)
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sdf = mem.toDF().toDF("ts", "event_id")
+    val q = StreamJobs.tumblingCounts(sdf, watermark = true)
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode("complete").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumble").orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    q.stop()
+    val batch = StreamJobs.tumblingCounts(data.toDF("ts", "event_id")).orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum == data.size)
+  }
+
+  test("dropDuplicates within watermark dedups by event_id") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = StreamJobs.dedupWithinWatermark(mem.toDF().toDF("ts", "event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(ts(1) -> 1L, ts(2) -> 1L, ts(3) -> 2L)
+    q.processAllAvailable()
+    mem.addData(ts(4) -> 2L, ts(5) -> 3L)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("late data past the watermark is dropped from append output") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = StreamJobs.tumblingCounts(mem.toDF().toDF("ts", "event_id"), watermark = true)
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    // batch 1: events in hour 0; advance watermark far past hour 0
+    mem.addData(ts(5) -> 1L, ts(10) -> 2L)
+    q.processAllAvailable()
+    mem.addData(ts(300) -> 3L) // event time 05:00 -> watermark 04:50
+    q.processAllAvailable()
+    // batch 3: a LATE event for hour 0 — must be dropped
+    mem.addData(ts(15) -> 4L)
+    q.processAllAvailable()
+    mem.addData(ts(600) -> 5L) // push watermark so hour-5 window finalizes
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late").orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    // hour-0 window finalized with 2 events only (the late 4th dropped)
+    assert(rows.contains((ts(0), 2L)), s"got $rows")
+    assert(!rows.exists { case (w, c) => w == ts(0) && c != 2L })
+  }
+
+  test("session windows merge runs and split on gap > 30min") {
+    import graft.SparkSpec.spark.implicits._
+    val data = Seq(
+      (ts(0), 1L), (ts(10), 1L), (ts(25), 1L),  // one session (gaps < 30)
+      (ts(70), 1L),                              // new session (gap 45)
+      (ts(0), 2L), (ts(30), 2L),                 // user 2: exact 30 gap MERGES
+      (ts(61), 2L))                              // 31-min gap -> new session
+    val out = StreamJobs.sessionCounts(data.toDF("ts", "user_id"))
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, ts(0), 3L), (1L, ts(70), 1L),
+      (2L, ts(0), 2L), (2L, ts(61), 1L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LSH-based similarity operators: sign-projection buckets must (a) never
+  * produce a candidate the brute-force pass wouldn't confirm — enforced by
+  * the in-query exact-cosine filter — and (b) find all EXACT duplicates
+  * (identical vectors always share every bucket). */
+class NearDupSpec extends SparkSpec {
+
+  test("identical vectors always land in the same LSH bucket") {
+    import graft.SparkSpec.spark.implicits._
+    val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
+    val vecs = Seq(
+      (1L, base), (2L, base),                       // exact dup pair
+      (3L, base.map(x => -x)),                      // opposite
+      (4L, (0 until 64).map(i => math.cos(i * 0.9).toFloat).toArray))
+    val df = vecs.toDF("vec_id", "embedding")
+    df.createOrReplaceTempView("embtest")
+    val planes = typedlit(LlmOps.lshPlanes)
+    def fold(c: org.apache.spark.sql.Column) = aggregate(c, lit(0.0), (a, x) => a + x)
+    val sig = (0 until 8).map { p =>
+      when(fold(zip_with(element_at(planes, p + 1), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double"))) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val sigs = df.select(col("vec_id"), sig.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "exact dups must share signature")
+    assert(sigs(1L) != sigs(3L), "opposite vector flips every sign bit")
+  }
+
+  test("l10 candidates are a subset of brute-force pairs above threshold") {
+    val cands = LlmOps.queries("l10_embed_neardup")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force at sf0.001 (500 vectors -> 125k pairs, fine in-test)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def fold(c: org.apache.spark.sql.Column) = aggregate(c, lit(0.0), (a, x) => a + x)
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      sqrt(fold(transform(col("embedding"), x => x.cast("double") * x.cast("double")))).as("nrm"))
+    val l = withNorm.select(col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na"))
+    val r = withNorm.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val brute = l.join(r, col("a") < col("b"))
+      .withColumn("cos",
+        fold(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")))
+          / (col("na") * col("nb")))
+      .filter(col("cos") > 0.35)
+      .select("a", "b").collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(cands.subsetOf(brute), s"false positives: ${cands -- brute}")
+  }
+}
