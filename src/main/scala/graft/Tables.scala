@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Table loaders over the driver testdata layout (`$dir/<name>.parquet`).
   *
   * All engine queries read through here so the scan path is a single
-  * choke-point: when the `pufs://` FileSystem layer is active the same
-  * loader resolves paths through it (SURVEY §1.4 — byte-stream payloads read
-  * via `spark.read` over the lazily-caching filesystem).
+  * choke-point. Default: plain parquet over the local filesystem. Set
+  * SPARK_GRAFT_PUFS=1 to route every table read through the `pufs://`
+  * lazily-caching FileSystem (graft.sources.PufsFileSystem) with the
+  * testdata dir as backing store — same results, byte-range-lazy IO
+  * (verified by PufsFsSpec's differential test).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,15 +23,23 @@ object Tables {
     * reader rejects; we read nanos as long (legacy conf) and convert to a
     * microsecond TimestampType column (lossless for this data — the
     * generator emits whole microseconds). */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path =
+      if (sys.env.get("SPARK_GRAFT_PUFS").contains("1")) {
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.pufs.impl", "graft.sources.PufsFileSystem")
+        hc.set("fs.pufs.backing", dir)
+        s"pufs:///$name.parquet"
+      } else s"$dir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      spark.read.parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      spark.read.parquet(path)
     }
+  }
 
   /** Register every table as a temp view (for SQL-only surfaces such as
     * GROUPING SETS — Spark SQL shares the same Catalyst plans). */

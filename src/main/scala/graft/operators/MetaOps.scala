@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata-table queries over the `pufs-meta` DSv2 source (Q-L5; the
+  * reference's `ls` aggregation surface — M2 block stats,
+  * reference core/datastore.go:445-466).
+  *
+  * No DuckDB oracle: a filesystem listing isn't SQL-expressible over the
+  * parquet tables (driver records the rows-only check); MetaSourceSpec
+  * asserts exact listings over a generated fixture tree instead. */
+object MetaOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // per-extension file count + total size over the testdata dir itself
+    "l5_meta_agg" -> ((s, d) => {
+      s.read.format("pufs-meta").load(d)
+        .filter(!col("isDir"))
+        .groupBy("ext")
+        .agg(count(lit(1)).as("n_files"), sum("size").as("total_size"))
+        .orderBy("ext")
+    }),
+    // the catalog listing itself (paths + sizes, stable order)
+    "l5b_meta_listing" -> ((s, d) => {
+      s.read.format("pufs-meta").load(d)
+        .select("path", "isDir", "size", "depth", "ext")
+        .orderBy("path")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

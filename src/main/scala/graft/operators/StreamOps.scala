@@ -52,8 +52,9 @@ object StreamOps {
     }),
 
     // Q-T3: session windows per user, 30-minute gap. Session start = min ts
-    // of the run; a gap of exactly 30 min starts a NEW session (window end
-    // is exclusive), mirrored by `>=` in the oracle's island SQL.
+    // of the run; a gap of exactly 30 min still MERGES (session end is
+    // inclusive: [ts, ts+gap]), mirrored by strict `>` in the oracle's
+    // island SQL (verified by StreamingSpec's exact-boundary case).
     "t3_session" -> ((s, d) => {
       t(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -113,7 +114,7 @@ object StreamOps {
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |           IS NULL
         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |           >= INTERVAL 30 MINUTE
+        |           > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |sess AS (

@@ -1,0 +1,302 @@
+package graft.sources
+
+import java.io.{File, FileNotFoundException, RandomAccessFile}
+import java.net.URI
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** `pufs://` — a lazily-populating, content-addressed, write-once overlay
+  * FileSystem (the reference's core idea re-expressed for Spark: reads pull
+  * only the byte ranges actually requested into a local cache arena;
+  * writes stage locally and freeze into CAS on close).
+  *
+  * Reference mapping:
+  *  - lazy range pull + chunk alignment: ensurePulled
+  *    (reference core/freezer.go:125-183; 200 KiB chunk,
+  *    core/datastore.go:106)
+  *  - region mask bookkeeping: RegionMask (region/region.go:9-124)
+  *  - concurrent-reader IO dedup: join-or-start on an in-flight chunk fetch
+  *    (reference region/pending.go:267-360) — here a
+  *    ConcurrentHashMap[chunk, CompletableFuture] (far simpler with JVM
+  *    futures than the goroutine/cancel dance)
+  *  - readahead: fetches extend to `readahead` bytes beyond the request
+  *    (reference DefaultMaxBackgroundTransfer 5 MiB, core/freezer.go:226)
+  *  - CAS freeze on close: sha256 → arena (reference core/freezer.go:672-711
+  *    AddFile, hash 386-404)
+  *
+  * The "remote" is a plain local directory (`fs.pufs.backing`) standing in
+  * for an object store — this container has zero egress; the seam where a
+  * GCS/S3 range-GET would plug in is `RemoteStore.read`.
+  *
+  * Spark integration: set
+  *   spark.hadoop.fs.pufs.impl = graft.sources.PufsFileSystem
+  *   spark.hadoop.fs.pufs.backing = /path/to/backing/root
+  *   spark.hadoop.fs.pufs.cache = /path/to/cache/arena
+  * then `spark.read.parquet("pufs:///table.parquet")` reads through the
+  * lazy cache — Spark's vectorized Parquet reader issues ranged reads
+  * (footer + needed column chunks), so column pruning directly reduces
+  * bytes pulled, which PufsFileSystem.stats makes observable.
+  */
+class PufsFileSystem extends FileSystem {
+
+  private var uri: URI = _
+  private var backingRoot: String = _
+  private var cacheRoot: String = _
+  private var chunkSize: Long = PufsFileSystem.DefaultChunkSize
+  private var readahead: Long = PufsFileSystem.DefaultReadahead
+  private var workDir: Path = new Path("/")
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    uri = URI.create(s"${name.getScheme}://${Option(name.getAuthority).getOrElse("")}/")
+    backingRoot = conf.get("fs.pufs.backing")
+    require(backingRoot != null, "fs.pufs.backing must point at the backing store dir")
+    cacheRoot = conf.get("fs.pufs.cache",
+      Files.createTempDirectory("pufs-cache").toString)
+    chunkSize = conf.getLong("fs.pufs.chunk.size", PufsFileSystem.DefaultChunkSize)
+    readahead = conf.getLong("fs.pufs.readahead", PufsFileSystem.DefaultReadahead)
+    new File(cacheRoot, "chunks").mkdirs()
+    new File(cacheRoot, "staging").mkdirs()
+  }
+
+  override def getScheme: String = "pufs"
+  override def getUri: URI = uri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(dir: Path): Unit = { workDir = dir }
+
+  private def rel(p: Path): String = {
+    val s = p.toUri.getPath
+    if (s.startsWith("/")) s.drop(1) else s
+  }
+  private def backingFile(p: Path): File = new File(backingRoot, rel(p))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val bf = backingFile(f)
+    if (!bf.exists()) throw new FileNotFoundException(f.toString)
+    new FileStatus(bf.length(), bf.isDirectory, 1, chunkSize, bf.lastModified(),
+      makeQualified(f))
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val bf = backingFile(f)
+    if (!bf.exists()) throw new FileNotFoundException(f.toString)
+    if (bf.isFile) Array(getFileStatus(f))
+    else bf.listFiles().map { c =>
+      new FileStatus(c.length(), c.isDirectory, 1, chunkSize, c.lastModified(),
+        makeQualified(new Path(f, c.getName)))
+    }
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val bf = backingFile(f)
+    if (!bf.exists()) throw new FileNotFoundException(f.toString)
+    val blockId = PufsFileSystem.syntheticBlockId(rel(f), bf.length(), bf.lastModified())
+    val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, bf.length())
+    new FSDataInputStream(
+      new LazyPullInputStream(entry, new RemoteStore(bf), bf.length(), chunkSize, readahead))
+  }
+
+  /** Write-once create: stage locally; on close, sha256-freeze into the CAS
+    * arena and copy through to the backing store (M8 + M12/B1 analog). */
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val bf = backingFile(f)
+    if (bf.exists() && !overwrite)
+      throw new FileAlreadyExistsException(f.toString)
+    bf.getParentFile.mkdirs()
+    val staging = File.createTempFile("stage", ".part", new File(cacheRoot, "staging"))
+    val fileOut = new java.io.FileOutputStream(staging)
+    new FSDataOutputStream(new java.io.FilterOutputStream(fileOut) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = fileOut.write(b, off, len)
+      override def close(): Unit = {
+        super.close()
+        val sha = PufsFileSystem.sha256File(staging)
+        val cas = new File(new File(cacheRoot, "chunks"), sha)
+        if (!cas.exists()) // idempotent CAS add (B12 DoesNotExist analog)
+          Files.copy(staging.toPath, cas.toPath, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(staging.toPath, bf.toPath, StandardCopyOption.REPLACE_EXISTING)
+        // fully populated by definition
+        PufsFileSystem.maskFor(PufsFileSystem.syntheticBlockId(rel(f), bf.length(), bf.lastModified()))
+          .add(0, bf.length())
+      }
+    }, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("pufs is write-once (reference NotWritableErr)")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val s = backingFile(src); val d = backingFile(dst)
+    d.getParentFile.mkdirs()
+    s.renameTo(d)
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val bf = backingFile(f)
+    if (!bf.exists()) false
+    else if (bf.isFile) bf.delete()
+    else if (recursive) { org.apache.commons.io.FileUtils.deleteDirectory(bf); true }
+    else if (bf.list().isEmpty) bf.delete()
+    else throw new java.io.IOException(s"dir not empty: $f (reference DirNotEmptyErr)")
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    backingFile(f).mkdirs() || backingFile(f).isDirectory
+}
+
+object PufsFileSystem {
+  /** Reference operating points: 200 KiB chunk (core/datastore.go:106),
+    * 5 MiB readahead (core/freezer.go:226). */
+  val DefaultChunkSize: Long = 200L * 1024
+  val DefaultReadahead: Long = 5L * 1024 * 1024
+
+  // --- observable cache state (per-JVM; local[*] == one executor) ---
+  private val masks = new ConcurrentHashMap[String, RegionMask]()
+  private val entries = new ConcurrentHashMap[String, CacheEntry]()
+  val bytesPulled = new AtomicLong(0)
+  val fetchCount = new AtomicInteger(0)
+
+  def resetStats(): Unit = { bytesPulled.set(0); fetchCount.set(0) }
+
+  def maskFor(blockId: String): RegionMask =
+    masks.computeIfAbsent(blockId, _ => new RegionMask)
+
+  /** Synthetic block identity for remote-backed objects — the reference
+    * hashes (bucket/key:generation) rather than content
+    * (reference core/nodedb.go:557-572). */
+  def syntheticBlockId(path: String, size: Long, mtime: Long): String =
+    sha256Bytes(s"$path:$size:$mtime".getBytes("UTF-8"))
+
+  def sha256Bytes(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  def sha256File(f: File): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(f.toPath)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private[sources] def cacheEntry(cacheRoot: String, blockId: String, size: Long): CacheEntry =
+    entries.computeIfAbsent(blockId, _ => {
+      val f = new File(new File(cacheRoot, "chunks"), blockId)
+      if (!f.exists()) {
+        val raf = new RandomAccessFile(f, "rw")
+        try raf.setLength(size) finally raf.close() // sparse local file (B2)
+      }
+      CacheEntry(f, maskFor(blockId), new ConcurrentHashMap[Long, CompletableFuture[Void]]())
+    })
+}
+
+/** One cached block: sparse local file + populated-region mask + in-flight
+  * chunk fetches (for concurrent-reader dedup). */
+case class CacheEntry(file: File, mask: RegionMask,
+    inflight: ConcurrentHashMap[Long, CompletableFuture[Void]])
+
+/** The "remote" seam — a range read against the backing store. A GCS/S3
+  * connector would implement exactly this signature with a ranged GET
+  * (reference remote/gcs.go:302-331 NewRangeReader). */
+final class RemoteStore(src: File) {
+  def read(start: Long, len: Int): Array[Byte] = {
+    val raf = new RandomAccessFile(src, "r")
+    try {
+      raf.seek(start)
+      val buf = new Array[Byte](len)
+      raf.readFully(buf)
+      buf
+    } finally raf.close()
+  }
+}
+
+/** Seekable stream that materializes chunk-aligned ranges on demand.
+  * ensurePulled (reference core/freezer.go:125-183): align the request to
+  * chunk boundaries, compute missing regions from the mask, fetch each —
+  * joining an in-flight fetch when another reader already started it
+  * (reference region/pending.go:281-299). */
+final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
+    size: Long, chunkSize: Long, readahead: Long)
+    extends java.io.InputStream with Seekable with PositionedReadable {
+
+  private var pos: Long = 0
+
+  private def ensurePulled(start: Long, end: Long): Unit = {
+    val e = math.min(size, end)
+    if (e <= start) return
+    // chunk-align; extend the tail by readahead (sequential scans hit the
+    // cache on their next request instead of issuing another RPC)
+    val aStart = (start / chunkSize) * chunkSize
+    val aEnd = math.min(size, ((e + chunkSize - 1) / chunkSize) * chunkSize + readahead)
+    entry.mask.missing(aStart, aEnd).foreach { case (ms, me) =>
+      var c = (ms / chunkSize) * chunkSize
+      while (c < me) {
+        pullChunk(c)
+        c += chunkSize
+      }
+    }
+  }
+
+  private def pullChunk(chunkStart: Long): Unit = {
+    val end = math.min(size, chunkStart + chunkSize)
+    if (entry.mask.contains(chunkStart, end)) return
+    val fresh = new CompletableFuture[Void]()
+    val existing = entry.inflight.putIfAbsent(chunkStart, fresh)
+    if (existing != null) { existing.join(); return } // join-or-start (B7)
+    try {
+      val buf = remote.read(chunkStart, (end - chunkStart).toInt)
+      val raf = new RandomAccessFile(entry.file, "rw")
+      try { raf.seek(chunkStart); raf.write(buf) } finally raf.close()
+      entry.mask.add(chunkStart, end)
+      PufsFileSystem.bytesPulled.addAndGet(end - chunkStart)
+      PufsFileSystem.fetchCount.incrementAndGet()
+      fresh.complete(null)
+    } catch {
+      case t: Throwable => fresh.completeExceptionally(t); throw t
+    } finally entry.inflight.remove(chunkStart)
+  }
+
+  // --- PositionedReadable (what Parquet's reader actually calls) ---
+  override def read(position: Long, buffer: Array[Byte], offset: Int, length: Int): Int = {
+    if (position >= size) return -1
+    val n = math.min(length.toLong, size - position).toInt
+    ensurePulled(position, position + n)
+    val raf = new RandomAccessFile(entry.file, "r")
+    try { raf.seek(position); raf.readFully(buffer, offset, n); n } finally raf.close()
+  }
+  override def readFully(position: Long, buffer: Array[Byte], offset: Int, length: Int): Unit = {
+    if (read(position, buffer, offset, length) < length)
+      throw new java.io.EOFException(s"read past end: $position+$length > $size")
+  }
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
+
+  // --- Seekable / InputStream ---
+  override def seek(p: Long): Unit = { pos = p }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+  override def read(): Int = {
+    if (pos >= size) return -1
+    val b = new Array[Byte](1)
+    val n = read(pos, b, 0, 1)
+    if (n <= 0) -1 else { pos += 1; b(0) & 0xff }
+  }
+  override def read(buffer: Array[Byte], offset: Int, length: Int): Int = {
+    if (pos >= size) return -1
+    val n = read(pos, buffer, offset, length)
+    if (n > 0) pos += n
+    n
+  }
+  override def available(): Int = math.min(Int.MaxValue.toLong, size - pos).toInt
+}

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `pufs-meta` — DataSource V2 read-only table exposing a directory tree as
+  * the catalog/metadata DataFrame of SURVEY §1.4 (the reference's `ls`
+  * surface: GetDirContents/GetExtendedDirContents,
+  * reference core/datastore.go:445-482, walk 391-443; Entry row shape
+  * api/api.proto:9-24).
+  *
+  * Usage: `spark.read.format("pufs-meta").load("/some/dir")`.
+  *
+  * Scale design: one InputPartition per top-level child → listing
+  * parallelizes across executors instead of a driver-side walk (the
+  * reference defers child listing the same way — IsDeferredChildFetch,
+  * core/datastore.go:498-735). Column pruning is pushed down
+  * (SupportsPushDownRequiredColumns), so `SELECT ext, size` never
+  * materializes paths or block ids.
+  */
+class PufsMetaSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pufs-meta"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PufsMetaTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "pufs-meta requires .load(<directory>)")
+    new PufsMetaTable(path)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object PufsMetaTable {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("parent", StringType, nullable = false),
+    StructField("isDir", BooleanType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("modTime", TimestampType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("blockId", StringType, nullable = false)))
+}
+
+class PufsMetaTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"pufs-meta:$root"
+  override def schema(): StructType = PufsMetaTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PufsMetaScanBuilder(root)
+}
+
+class PufsMetaScanBuilder(root: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PufsMetaTable.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+  override def build(): Scan = new PufsMetaScan(root, required)
+}
+
+class PufsMetaScan(root: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rootFile = new File(root)
+    require(rootFile.isDirectory, s"not a directory: $root")
+    val children = Option(rootFile.listFiles()).getOrElse(Array.empty)
+    // one partition per top-level child subtree + one for root's own files;
+    // at object-store scale each partition is an independent prefix listing
+    val subs = children.filter(_.isDirectory).map(c =>
+      PufsMetaPartition(root, c.getName): InputPartition)
+    subs :+ PufsMetaPartition(root, "")
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PufsMetaReaderFactory(required)
+}
+
+case class PufsMetaPartition(root: String, sub: String) extends InputPartition
+
+class PufsMetaReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PufsMetaPartition]
+    new PufsMetaReader(p.root, p.sub, required)
+  }
+}
+
+class PufsMetaReader(root: String, sub: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val rootFile = new File(root)
+
+  private def walk(f: File, depth: Int): Iterator[(File, Int)] = {
+    val self = Iterator.single((f, depth))
+    if (f.isDirectory)
+      self ++ Option(f.listFiles()).getOrElse(Array.empty).iterator
+        .flatMap(c => walk(c, depth + 1))
+    else self
+  }
+
+  private val iter: Iterator[(File, Int)] =
+    if (sub.isEmpty) {
+      // root partition: root itself + its top-level FILES only (subdirs are
+      // covered by their own partitions)
+      Iterator.single((rootFile, 0)) ++
+        Option(rootFile.listFiles()).getOrElse(Array.empty).iterator
+          .filter(_.isFile).map(f => (f, 1))
+    } else walk(new File(rootFile, sub), 1)
+
+  private var cur: (File, Int) = _
+
+  override def next(): Boolean = {
+    if (iter.hasNext) { cur = iter.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val (f, depth) = cur
+    val relPath = rootFile.toPath.relativize(f.toPath).toString
+    val name = if (relPath.isEmpty) "." else f.getName
+    val parent = Option(new File(relPath).getParent).getOrElse("")
+    val ext = {
+      val n = f.getName
+      val i = n.lastIndexOf('.')
+      if (!f.isFile || i <= 0) "" else n.substring(i + 1)
+    }
+    val size = if (f.isFile) f.length() else 0L
+    val blockId = PufsFileSystem.syntheticBlockId(relPath, size, f.lastModified())
+    val full = Map[String, Any](
+      "path" -> UTF8String.fromString(relPath),
+      "name" -> UTF8String.fromString(name),
+      "parent" -> UTF8String.fromString(parent),
+      "isDir" -> f.isDirectory,
+      "size" -> size,
+      "modTime" -> f.lastModified() * 1000L, // micros
+      "depth" -> depth,
+      "ext" -> UTF8String.fromString(ext),
+      "blockId" -> UTF8String.fromString(blockId))
+    InternalRow.fromSeq(required.fields.map(fd => full(fd.name)).toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Source/sink inventory (SURVEY §2.3 "Sources / sinks"): CSV and JSON
+  * scans round-trip against the parquet ground truth; binaryFile reads
+  * whole objects as opaque blocks (B4 analog); parquet/csv sinks write
+  * readable output; multimodal decode plumbing runs per-partition. */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val outRoot = Files.createTempDirectory("sources-spec").toString
+
+  test("csv sink + scan round-trips nation") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val p = s"$outRoot/nation_csv"
+    nation.write.mode("overwrite").option("header", "true").csv(p)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+    assert(back.count() == nation.count())
+    val a = back.select("n_nationkey", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val b = nation.select("n_nationkey", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(a == b)
+  }
+
+  test("json sink + scan round-trips region") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val p = s"$outRoot/region_json"
+    region.write.mode("overwrite").json(p)
+    val back = spark.read.json(p)
+    assert(back.count() == region.count())
+    assert(back.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq ==
+      region.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq)
+  }
+
+  test("parquet sink round-trips with schema") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100)
+    val p = s"$outRoot/li_pq"
+    li.write.mode("overwrite").parquet(p)
+    val back = spark.read.parquet(p)
+    assert(back.schema == li.schema)
+    assert(back.count() == 100)
+  }
+
+  test("binaryFile scan reads whole objects as opaque blocks") {
+    val dir = Files.createTempDirectory("binf").toString
+    Files.write(Paths.get(dir, "a.bin"), Array.tabulate(1000)(_.toByte))
+    Files.write(Paths.get(dir, "b.bin"), "hello".getBytes)
+    val df = spark.read.format("binaryFile").load(dir)
+    val rows = df.select("path", "length", "content")
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]]("content"))).sortBy(_._1).toSeq
+    assert(rows.map(x => (x._1, x._2)) == Seq(("a.bin", 1000L), ("b.bin", 5L)))
+    assert(new String(rows(1)._3) == "hello")
+  }
+
+  test("multimodal decodeMeta runs per partition with stable fake dims") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(4)
+    val out = graft.functions.Multimodal.decodeMeta(docs)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("id", "payload", "width", "height", "format", "ok"))
+    val n = out.count()
+    assert(n == docs.count())
+    assert(out.filter(col("ok")).count() == n, "all payloads decode")
+    assert(out.filter(col("width").between(1, 4096) &&
+      col("height").between(1, 4096)).count() == n)
+    // determinism: same payload -> same fake dims on a second run
+    val one = out.filter(col("id") === 0).select("width", "height").head()
+    val two = graft.functions.Multimodal.decodeMeta(docs)
+      .filter(col("id") === 0).select("width", "height").head()
+    assert(one == two)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** pufs:// FileSystem: stress differential (byte-equality vs ground truth,
+  * the reference's core correctness idea — benchmark/stress.go:44-152),
+  * laziness (partial reads pull less than the file), IO dedup, and
+  * Spark-read integration (parquet over pufs:// with column pruning). */
+class PufsFsSpec extends SparkSpec {
+
+  private def newFs(backing: String, cache: String,
+      chunk: Long = 8192, ra: Long = 0): FileSystem = {
+    val conf = new Configuration()
+    conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    conf.set("fs.pufs.backing", backing)
+    conf.set("fs.pufs.cache", cache)
+    conf.setLong("fs.pufs.chunk.size", chunk)
+    conf.setLong("fs.pufs.readahead", ra)
+    conf.setBoolean("fs.pufs.impl.disable.cache", true)
+    FileSystem.get(java.net.URI.create("pufs:///"), conf)
+  }
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("stress differential: random + sequential reads match ground truth") {
+    val backing = tmpDir("pufs-backing")
+    val rnd = new scala.util.Random(99) // reference seed (stress.go:144)
+    val data = new Array[Byte](700 * 1024)
+    rnd.nextBytes(data)
+    Files.write(Paths.get(backing, "blob.bin"), data)
+    val fs = newFs(backing, tmpDir("pufs-cache"))
+    val in = fs.open(new Path("/blob.bin"))
+    // log-uniform read sizes 1 B..64 KiB (stress.go:71 shape), random offsets
+    (1 to 200).foreach { i =>
+      val len = math.max(1, math.exp(rnd.nextDouble() * math.log(64 * 1024)).toInt)
+      val off = rnd.nextInt(data.length)
+      val n = math.min(len, data.length - off)
+      val buf = new Array[Byte](n)
+      in.readFully(off.toLong, buf, 0, n)
+      assert(java.util.Arrays.equals(buf, java.util.Arrays.copyOfRange(data, off, off + n)),
+        s"mismatch at read $i off=$off len=$n")
+    }
+    // sequential tail read across chunk boundaries
+    in.seek(data.length - 30000L)
+    val tail = new Array[Byte](30000)
+    var got = 0
+    while (got < tail.length) {
+      val n = in.read(tail, got, tail.length - got)
+      assert(n > 0); got += n
+    }
+    assert(java.util.Arrays.equals(tail,
+      java.util.Arrays.copyOfRange(data, data.length - 30000, data.length)))
+    in.close(); fs.close()
+  }
+
+  test("laziness: a small ranged read pulls only chunk-aligned bytes") {
+    val backing = tmpDir("pufs-backing2")
+    val data = new Array[Byte](1024 * 1024)
+    new scala.util.Random(7).nextBytes(data)
+    Files.write(Paths.get(backing, "big.bin"), data)
+    val fs = newFs(backing, tmpDir("pufs-cache2"), chunk = 8192)
+    PufsFileSystem.resetStats()
+    val in = fs.open(new Path("/big.bin"))
+    val buf = new Array[Byte](100)
+    in.readFully(500000L, buf, 0, 100) // 100 bytes mid-file
+    val pulled = PufsFileSystem.bytesPulled.get()
+    assert(pulled >= 100 && pulled <= 16384,
+      s"expected one-or-two 8 KiB chunks, pulled $pulled")
+    assert(pulled < data.length / 10, "pulled a large fraction — not lazy")
+    in.close(); fs.close()
+  }
+
+  test("IO dedup: concurrent readers of one range fetch each chunk once") {
+    val backing = tmpDir("pufs-backing3")
+    val data = new Array[Byte](256 * 1024)
+    new scala.util.Random(3).nextBytes(data)
+    Files.write(Paths.get(backing, "c.bin"), data)
+    val fs = newFs(backing, tmpDir("pufs-cache3"), chunk = 8192)
+    PufsFileSystem.resetStats()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val in = fs.open(new Path("/c.bin"))
+        val buf = new Array[Byte](data.length)
+        in.readFully(0L, buf, 0, data.length)
+        assert(java.util.Arrays.equals(buf, data))
+        in.close()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val chunks = (data.length + 8191) / 8192
+    assert(PufsFileSystem.fetchCount.get() == chunks,
+      s"expected exactly $chunks fetches, got ${PufsFileSystem.fetchCount.get()}")
+    fs.close()
+  }
+
+  test("write-once: create stages + freezes to CAS; append refused") {
+    val backing = tmpDir("pufs-backing4")
+    val cache = tmpDir("pufs-cache4")
+    val fs = newFs(backing, cache)
+    val out = fs.create(new Path("/out/hello.txt"))
+    out.write("hello pufs".getBytes("UTF-8"))
+    out.close()
+    assert(new String(Files.readAllBytes(Paths.get(backing, "out/hello.txt"))) == "hello pufs")
+    val sha = PufsFileSystem.sha256Bytes("hello pufs".getBytes("UTF-8"))
+    assert(new File(new File(cache, "chunks"), sha).exists(), "content not frozen to CAS")
+    intercept[UnsupportedOperationException] {
+      fs.append(new Path("/out/hello.txt"))
+    }
+    fs.close()
+  }
+
+  test("Spark reads parquet through pufs:// and pruning cuts bytes pulled") {
+    val backing = tmpDir("pufs-backing5")
+    Files.copy(Paths.get("/root/testdata/sf0.01/lineitem.parquet"),
+      Paths.get(backing, "lineitem.parquet"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    hc.set("fs.pufs.backing", backing)
+    hc.set("fs.pufs.cache", tmpDir("pufs-cache5"))
+    hc.setLong("fs.pufs.chunk.size", 64 * 1024)
+    hc.setLong("fs.pufs.readahead", 0)
+    val direct = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    PufsFileSystem.resetStats()
+    val viaPufs = spark.read.parquet("pufs:///lineitem.parquet")
+    val pruned = viaPufs.select("l_orderkey").count()
+    val prunedBytes = PufsFileSystem.bytesPulled.get()
+    assert(pruned == direct.count())
+    val fileSize = new File(backing, "lineitem.parquet").length()
+    assert(prunedBytes < fileSize,
+      s"single-column read pulled $prunedBytes of $fileSize — pruning not reaching IO")
+    // full-width read agrees row-for-row with the direct read
+    val a = viaPufs.orderBy("l_orderkey", "l_linenumber").collect()
+    val b = direct.orderBy("l_orderkey", "l_linenumber").collect()
+    assert(a.sameElements(b))
+  }
+}
