@@ -127,9 +127,9 @@ object Bench {
     headline.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
-    // min of 2 measured iterations — single-JVM local mode is noisy
+    // min of 3 measured iterations — single-JVM local mode is noisy
     val results = headline.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

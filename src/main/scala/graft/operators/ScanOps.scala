@@ -155,6 +155,42 @@ object ScanOps {
         .orderBy("event_id")
     }),
 
+    // Q-O4: multiset set ops — intersectAll / exceptAll keep duplicate
+    // cardinalities (bag semantics), checked via per-key counts.
+    "o4_multiset_ops" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val x = li.filter(col("l_quantity") > 25).select("l_suppkey")
+      val y = li.filter(col("l_extendedprice") > 30000).select("l_suppkey")
+      val z = li.filter(col("l_quantity") > 49).select("l_suppkey")
+      x.intersectAll(y).exceptAll(z)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    }),
+
+    // Q-F8: JSON → map: from_json into map<string,bigint>, exploded to
+    // key/value rows. (The events generator emits single-key objects
+    // {"k": n}; the oracle leans on that.)
+    "f8_map_json" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"), "map<string,bigint>", Map.empty[String, String])))
+        .select(col("event_id"), col("key"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // Q-F9: calendar arithmetic — add_months (end-of-month clamped the
+    // same way in both engines), last_day, quarter, date_add.
+    "f9_dates_calendar" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30d"))
+        .orderBy("o_orderkey")
+    }),
+
     // Q-F7: higher-order functions — norm² of embedding via aggregate()
     // over the float array (cast to double elementwise; sequential fold gives
     // deterministic summation order, mirrored by DuckDB list_sum).
@@ -258,6 +294,31 @@ object ScanOps {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |ORDER BY event_id""".stripMargin,
+
+    "o4_multiset_ops" ->
+      """WITH xy AS (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_extendedprice > 30000),
+        |r AS (
+        |  SELECT l_suppkey FROM xy
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "f8_map_json" ->
+      """SELECT event_id, 'k' AS key,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f9_dates_calendar" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f7_higher_order" ->
       """SELECT vec_id,

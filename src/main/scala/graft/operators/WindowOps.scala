@@ -90,6 +90,18 @@ object WindowOps {
         .orderBy("c_custkey")
     }),
 
+    // Q-W7: first/last analytic functions over a running frame.
+    "w7_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Q-W6: per-supplier top-3 line items by extended price.
     "w6_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
@@ -149,6 +161,15 @@ object WindowOps {
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "w7_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "w6_topk_per_group" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
