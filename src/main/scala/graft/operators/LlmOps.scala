@@ -209,6 +209,75 @@ object LlmOps {
         .orderBy("a", "b")
     }),
 
+    // L12: n-gram Jaccard verification of the banding candidates — the
+    // standard two-phase near-dup pipeline: LSH banding proposes (cheap,
+    // bucket-join), exact Jaccard over distinct 5-gram shingle sets
+    // disposes (computed ONLY for candidate pairs, never all pairs).
+    "l12_jaccard_verify" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+      val sh = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+        .distinct()
+      val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val sigs = sh
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("sh"))
+        .groupBy("doc_id", "b")
+        .agg(min(md5(concat(col("b").cast("string"), lit(":"), col("sh")))).as("sig"))
+      val cands = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
+        .join(sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid")),
+          col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
+        .select(col("a"), col("bid").as("b")).distinct()
+      val inter = cands
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .filter(col("sha") === col("shb"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(nsh.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+        .join(nsh.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+        .withColumn("jac",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.2)
+        .select("a", "b", "inter", "na", "nb", "jac")
+        .orderBy("a", "b")
+    }),
+
+    // L13: LSH-probed approximate kNN (the IVF-style scale path of Q-L3):
+    // each probe searches only vectors whose 8-bit sign signature is within
+    // Hamming distance 1 of its own — 9 buckets of ~n/256 vectors instead
+    // of the full table. Approximate by design (no oracle); NearDupSpec
+    // measures recall against the exact brute force.
+    "l13_ann_lsh" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val planes = typedlit(lshPlanes)
+      val sig = (0 until 8).map { p =>
+        when(dotCols(element_at(planes, p + 1), col("embedding")) > 0,
+          lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          sig.as("sig"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"), col("sig").as("psig"))
+      val buckets = probes.withColumn("bsig",
+        explode(array(col("psig") +: (0 until 8).map(k =>
+          col("psig").bitwiseXOR(lit(1L << k))): _*)))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      buckets
+        .join(e, col("bsig") === col("sig") && col("probe_id") =!= col("vec_id"))
+        .withColumn("cos", expr("dot_f32(pv, embedding)") / (col("pnrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("sim"))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // L11: multimodal column plumbing — text payloads as opaque binary with
     // typed metadata (the puFS blob model, SURVEY §1.4). The "decode" here
     // is a deterministic md5-derived fake (no image libs in-env); the
@@ -334,6 +403,37 @@ object LlmOps {
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
         |    AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l12_jaccard_verify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 5),
+        |nsh AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |bs AS (
+        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+        |  GROUP BY doc_id, b),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bs x JOIN bs y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS inter
+        |  FROM cands c
+        |    JOIN sh sa ON sa.doc_id = c.a
+        |    JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b)
+        |SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(nA.nsh AS BIGINT) AS na, CAST(nB.nsh AS BIGINT) AS nb,
+        |  CAST(i.inter AS DOUBLE) / (nA.nsh + nB.nsh - i.inter) AS jac
+        |FROM inter i
+        |  JOIN nsh nA ON nA.doc_id = i.a
+        |  JOIN nsh nB ON nB.doc_id = i.b
+        |WHERE CAST(i.inter AS DOUBLE) / (nA.nsh + nB.nsh - i.inter) >= 0.2
+        |ORDER BY a, b""".stripMargin,
 
     "l11_multimodal_meta" ->
       """SELECT doc_id,

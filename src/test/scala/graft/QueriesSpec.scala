@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 class QueriesSpec extends SparkSpec {
 
   // Legitimately empty at sf0.001 (tiny data, selective predicates):
-  private val mayBeEmpty = Set("l2_minhash_lsh", "l10_embed_neardup", "j4_anti")
+  private val mayBeEmpty =
+    Set("l2_minhash_lsh", "l10_embed_neardup", "j4_anti", "l12_jaccard_verify")
 
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -30,6 +30,21 @@ class NearDupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L), "opposite vector flips every sign bit")
   }
 
+  test("l13 ANN returns bucket-local neighbors and overlaps exact top-5") {
+    val approx = LlmOps.queries("l13_ann_lsh")(spark, sfDir)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = LlmOps.queries("l3_knn_cosine")(spark, sfDir)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "ANN returned no candidates")
+    val probes = approx.map(_._1)
+    probes.foreach(p => assert(approx.count(_._1 == p) <= 5))
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"ANN recall@5 vs exact: $recall%.2f (sign-LSH, Hamming<=1 probe)")
+    assert(recall > 0.0, "ANN found none of the exact neighbors")
+  }
+
   test("l10 candidates are a subset of brute-force pairs above threshold") {
     val cands = LlmOps.queries("l10_embed_neardup")(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
