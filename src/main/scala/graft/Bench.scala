@@ -105,7 +105,30 @@ object Bench {
     "t3_session" -> ((s: SparkSession, d: String) =>
       t(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("cnt")))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // running sum — per-key window sort after one hash shuffle (Q-W3 class)
+    "w3_running_sum" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice")).over(w).as("running_total"))
+    }),
+
+    // custom Aggregator with partial aggregation (Q-U2 class)
+    "u2_interval_union" -> ((s: SparkSession, d: String) => {
+      val iu = org.apache.spark.sql.functions.udaf(
+        new graft.functions.IntervalUnion,
+        org.apache.spark.sql.Encoders.product[graft.functions.Interval])
+      t(s, d, "lineitem")
+        .select(col("l_suppkey").as("g"),
+          ((col("l_orderkey") * 7 + col("l_linenumber") * 3) % 1000).as("start"),
+          (((col("l_orderkey") * 7 + col("l_linenumber") * 3) % 1000) +
+            floor(col("l_quantity")).cast("long") % 50 + 1).as("end"))
+        .groupBy("g").agg(iu(col("start"), col("end")).as("covered"))
+    })
   )
 
   def main(args: Array[String]): Unit = {

@@ -45,4 +45,34 @@ object StreamJobs {
   /** Streaming dedup by event_id; state expires past the watermark. */
   def dedupWithinWatermark(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** Custom arbitrary state via flatMapGroupsWithState: per-user running
+    * event count + high-water timestamp, emitted on every update. This is
+    * the join/merge state-machine shape of the reference's pending-read
+    * scheduler (reference region/pending.go:267-360): per-key state that
+    * in-flight arrivals merge into, with timeout-based reclamation.
+    */
+  def runningUserStats(ev: DataFrame): org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.selectExpr("user_id", "CAST(ts AS LONG) AS ts_s")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, Long.MinValue))
+          val batch = rows.toSeq
+          val next = UserStat(user,
+            prev.n + batch.size,
+            math.max(prev.maxTs, if (batch.isEmpty) Long.MinValue else batch.map(_._2).max))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }
+
+/** Per-user streaming state: event count + max event-time seconds. */
+case class UserStat(user_id: Long, n: Long, maxTs: Long)

@@ -74,6 +74,44 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists { case (w, c) => w == ts(0) && c != 2L })
   }
 
+  test("file-source streaming: readStream over parquet equals batch") {
+    import graft.SparkSpec.spark.implicits._
+    // stage a parquet dir (events with micros ts, via Tables' converter)
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    val ev = Tables.t(spark, sfDir, "events").select("ts", "event_id", "user_id")
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = StreamJobs.tumblingCounts(stream, watermark = true)
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("filesrc").agg(sum("cnt")).head().getLong(0)
+    assert(streamed == ev.count())
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val ev = mem.toDF().toDF("ts", "user_id")
+    val q = StreamJobs.runningUserStats(ev)
+      .writeStream.format("memory").queryName("ustats")
+      .outputMode("append").start()
+    mem.addData(ts(1) -> 7L, ts(2) -> 7L, ts(3) -> 9L)
+    q.processAllAvailable()
+    mem.addData(ts(10) -> 7L)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ustats")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch 1 emissions: user 7 count 2, user 9 count 1; batch 2: user 7 count 3
+    assert(rows.contains((7L, 2L, ts(2).getTime / 1000)))
+    assert(rows.contains((9L, 1L, ts(3).getTime / 1000)))
+    assert(rows.contains((7L, 3L, ts(10).getTime / 1000)), s"state not carried: $rows")
+  }
+
   test("session windows merge runs and split on gap > 30min") {
     import graft.SparkSpec.spark.implicits._
     val data = Seq(
