@@ -18,6 +18,13 @@ object ScanOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val o5Sql =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |                               AS DOUBLE) / count(*)
+      |                   FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Q-S1: project + filter; pushes l_quantity > 30 into the parquet scan.
     "s1_filter_project" -> ((s, d) => {
@@ -153,6 +160,14 @@ object ScanOps {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k") > 50)
         .orderBy("event_id")
+    }),
+
+    // Q-O5: scalar subquery in a filter (same SQL text runs in both
+    // engines; the threshold uses exact decimal arithmetic so the
+    // boundary row set is identical).
+    "o5_scalar_subquery" -> ((s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql(o5Sql)
     }),
 
     // Q-O4: multiset set ops — intersectAll / exceptAll keep duplicate
@@ -294,6 +309,8 @@ object ScanOps {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |ORDER BY event_id""".stripMargin,
+
+    "o5_scalar_subquery" -> o5Sql,
 
     "o4_multiset_ops" ->
       """WITH xy AS (

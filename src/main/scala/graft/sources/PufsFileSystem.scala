@@ -123,9 +123,9 @@ class PufsFileSystem extends FileSystem {
         if (!cas.exists()) // idempotent CAS add (B12 DoesNotExist analog)
           Files.copy(staging.toPath, cas.toPath, StandardCopyOption.REPLACE_EXISTING)
         Files.move(staging.toPath, bf.toPath, StandardCopyOption.REPLACE_EXISTING)
-        // fully populated by definition
-        PufsFileSystem.maskFor(PufsFileSystem.syntheticBlockId(rel(f), bf.length(), bf.lastModified()))
-          .add(0, bf.length())
+        // NOTE: the arena entry is NOT pre-marked populated — a later open()
+        // lazily pulls from the backing file it can now see. Pre-marking the
+        // mask without arena content would serve zeros.
       }
     }, statistics)
   }
@@ -197,14 +197,49 @@ object PufsFileSystem {
         val raf = new RandomAccessFile(f, "rw")
         try raf.setLength(size) finally raf.close() // sparse local file (B2)
       }
-      CacheEntry(f, maskFor(blockId), new ConcurrentHashMap[Long, CompletableFuture[Void]]())
+      val mask = maskFor(blockId)
+      val log = new File(new File(cacheRoot, "chunks"), blockId + ".regions")
+      // replay the append-only region log so partial population survives a
+      // process restart with ZERO re-fetches (reference core/freezer.go:
+      // 420-469 load replay; persisted 481-509; asserted by the reference's
+      // freezer restart test and our PufsFsSpec restart case)
+      if (log.exists() && mask.populatedBytes == 0) {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(Files.newInputStream(log.toPath)))
+        try {
+          while (in.available() >= 16) mask.add(in.readLong(), in.readLong())
+        } finally in.close()
+      }
+      CacheEntry(f, mask, new ConcurrentHashMap[Long, CompletableFuture[Void]](), log)
     })
+
+  /** Populated-bytes stats per cached block (reference GetBlockStats,
+    * core/freezer.go:249-263 — the M2 extended-listing surface). */
+  def blockStats: Seq[(String, Long, Int)] = {
+    import scala.jdk.CollectionConverters._
+    masks.asScala.toSeq.map { case (id, m) => (id, m.populatedBytes, m.regionCount) }
+  }
+
+  /** Test hook: simulate a process restart — drop all in-memory cache
+    * state (masks + entries + stats); on-disk arena and region logs stay. */
+  def simulateRestart(): Unit = {
+    masks.clear(); entries.clear(); resetStats()
+  }
 }
 
 /** One cached block: sparse local file + populated-region mask + in-flight
-  * chunk fetches (for concurrent-reader dedup). */
+  * chunk fetches (for concurrent-reader dedup) + append-only region log. */
 case class CacheEntry(file: File, mask: RegionMask,
-    inflight: ConcurrentHashMap[Long, CompletableFuture[Void]])
+    inflight: ConcurrentHashMap[Long, CompletableFuture[Void]],
+    regionLog: File) {
+  /** Append a committed region to the on-disk log (reference
+    * core/freezer.go:481-509 appendToRegionFile). */
+  def logRegion(start: Long, end: Long): Unit = synchronized {
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(regionLog, true))
+    try { out.writeLong(start); out.writeLong(end) } finally out.close()
+  }
+}
 
 /** The "remote" seam — a range read against the backing store. A GCS/S3
   * connector would implement exactly this signature with a ranged GET
@@ -259,6 +294,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
       val raf = new RandomAccessFile(entry.file, "rw")
       try { raf.seek(chunkStart); raf.write(buf) } finally raf.close()
       entry.mask.add(chunkStart, end)
+      entry.logRegion(chunkStart, end)
       PufsFileSystem.bytesPulled.addAndGet(end - chunkStart)
       PufsFileSystem.fetchCount.incrementAndGet()
       fresh.complete(null)

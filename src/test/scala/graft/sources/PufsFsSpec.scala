@@ -99,6 +99,61 @@ class PufsFsSpec extends SparkSpec {
     fs.close()
   }
 
+  test("region log replay: partial population survives restart, zero re-fetches") {
+    val backing = tmpDir("pufs-backing6")
+    val cache = tmpDir("pufs-cache6")
+    val data = new Array[Byte](512 * 1024)
+    new scala.util.Random(11).nextBytes(data)
+    Files.write(Paths.get(backing, "r.bin"), data)
+    val fs = newFs(backing, cache, chunk = 8192)
+    val in = fs.open(new Path("/r.bin"))
+    val buf = new Array[Byte](20000)
+    in.readFully(100000L, buf, 0, 20000)
+    in.close(); fs.close()
+    val before = PufsFileSystem.bytesPulled.get()
+    assert(before > 0)
+    // "restart": wipe all in-memory state; arena + region logs stay on disk
+    PufsFileSystem.simulateRestart()
+    val fs2 = newFs(backing, cache, chunk = 8192)
+    val in2 = fs2.open(new Path("/r.bin"))
+    val buf2 = new Array[Byte](20000)
+    in2.readFully(100000L, buf2, 0, 20000)
+    assert(java.util.Arrays.equals(buf2,
+      java.util.Arrays.copyOfRange(data, 100000, 120000)))
+    assert(PufsFileSystem.bytesPulled.get() == 0,
+      s"re-fetched ${PufsFileSystem.bytesPulled.get()} bytes after restart (log replay failed)")
+    in2.close(); fs2.close()
+  }
+
+  test("read-after-create through pufs:// returns the written bytes") {
+    val backing = tmpDir("pufs-backing7")
+    val fs = newFs(backing, tmpDir("pufs-cache7"))
+    val out = fs.create(new Path("/w/x.bin"))
+    val payload = Array.tabulate[Byte](10000)(i => (i * 13).toByte)
+    out.write(payload); out.close()
+    val in = fs.open(new Path("/w/x.bin"))
+    val back = new Array[Byte](10000)
+    in.readFully(0L, back, 0, 10000)
+    assert(java.util.Arrays.equals(back, payload),
+      "create->open round trip corrupted (mask/arena inconsistency)")
+    in.close(); fs.close()
+  }
+
+  test("blockStats exposes populated bytes per block (M2 surface)") {
+    val backing = tmpDir("pufs-backing8")
+    val data = new Array[Byte](100 * 1024)
+    Files.write(Paths.get(backing, "s.bin"), data)
+    PufsFileSystem.simulateRestart()
+    val fs = newFs(backing, tmpDir("pufs-cache8"), chunk = 8192)
+    val in = fs.open(new Path("/s.bin"))
+    in.readFully(0L, new Array[Byte](10), 0, 10)
+    val stats = PufsFileSystem.blockStats
+    assert(stats.nonEmpty)
+    val (_, pop, rc) = stats.maxBy(_._2)
+    assert(pop == 8192 && rc == 1, s"expected one 8KiB region, got $stats")
+    in.close(); fs.close()
+  }
+
   test("write-once: create stages + freezes to CAS; append refused") {
     val backing = tmpDir("pufs-backing4")
     val cache = tmpDir("pufs-cache4")
