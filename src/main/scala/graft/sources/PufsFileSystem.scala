@@ -164,7 +164,34 @@ object PufsFileSystem {
   val bytesPulled = new AtomicLong(0)
   val fetchCount = new AtomicInteger(0)
 
-  def resetStats(): Unit = { bytesPulled.set(0); fetchCount.set(0) }
+  /** Shared daemon pool for background readahead copies (the goroutine
+    * fabric of reference region/pending.go:330-357, bounded). */
+  private[sources] val readaheadPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(2, (r: Runnable) => {
+      val t = new Thread(r, "pufs-readahead")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Reservoir samples of fetch latency (µs) and size (bytes) — the
+    * reference's Population reservoir + p50/p90/p99 report
+    * (core/samples.go:109-170; PrintStats freezer.go:272-287). */
+  val latencySamples = new Reservoir(1000)
+  val sizeSamples = new Reservoir(1000)
+
+  def resetStats(): Unit = {
+    bytesPulled.set(0); fetchCount.set(0)
+    latencySamples.reset(); sizeSamples.reset()
+  }
+
+  /** One-line transfer stats report (PrintStats analog). */
+  def statsReport: String = {
+    val l = latencySamples.percentiles(Seq(0.5, 0.9, 0.99))
+    val s = sizeSamples.percentiles(Seq(0.5, 0.9, 0.99))
+    s"fetches=${fetchCount.get()} bytes=${bytesPulled.get()} " +
+      s"latency_us(p50/p90/p99)=${l.mkString("/")} " +
+      s"size_b(p50/p90/p99)=${s.mkString("/")}"
+  }
 
   def maskFor(blockId: String): RegionMask =
     masks.computeIfAbsent(blockId, _ => new RegionMask)
@@ -270,15 +297,34 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
   private def ensurePulled(start: Long, end: Long): Unit = {
     val e = math.min(size, end)
     if (e <= start) return
-    // chunk-align; extend the tail by readahead (sequential scans hit the
-    // cache on their next request instead of issuing another RPC)
+    // chunk-align the synchronous part: only what the caller needs
     val aStart = (start / chunkSize) * chunkSize
-    val aEnd = math.min(size, ((e + chunkSize - 1) / chunkSize) * chunkSize + readahead)
+    val aEnd = math.min(size, ((e + chunkSize - 1) / chunkSize) * chunkSize)
     entry.mask.missing(aStart, aEnd).foreach { case (ms, me) =>
       var c = (ms / chunkSize) * chunkSize
       while (c < me) {
         pullChunk(c)
         c += chunkSize
+      }
+    }
+    // background readahead (reference StartBackgroundCopy,
+    // region/pending.go:267-360): schedule the window after the request on
+    // the shared pool; self-cancels at the first already-populated chunk
+    // (an overlapping reader got there — stop, don't leapfrog)
+    if (readahead > 0 && aEnd < size) {
+      val raEnd = math.min(size, aEnd + readahead)
+      PufsFileSystem.readaheadPool.execute { () =>
+        var c = aEnd
+        var cancelled = false
+        while (c < raEnd && !cancelled) {
+          val ce = math.min(size, c + chunkSize)
+          if (entry.mask.contains(c, ce)) cancelled = true // self-cancel
+          else {
+            try pullChunk(c)
+            catch { case _: Throwable => cancelled = true }
+          }
+          c += chunkSize
+        }
       }
     }
   }
@@ -289,6 +335,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
     val fresh = new CompletableFuture[Void]()
     val existing = entry.inflight.putIfAbsent(chunkStart, fresh)
     if (existing != null) { existing.join(); return } // join-or-start (B7)
+    val t0 = System.nanoTime()
     try {
       val buf = remote.read(chunkStart, (end - chunkStart).toInt)
       val raf = new RandomAccessFile(entry.file, "rw")
@@ -297,6 +344,8 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
       entry.logRegion(chunkStart, end)
       PufsFileSystem.bytesPulled.addAndGet(end - chunkStart)
       PufsFileSystem.fetchCount.incrementAndGet()
+      PufsFileSystem.latencySamples.record((System.nanoTime() - t0) / 1000)
+      PufsFileSystem.sizeSamples.record(end - chunkStart)
       fresh.complete(null)
     } catch {
       case t: Throwable => fresh.completeExceptionally(t); throw t

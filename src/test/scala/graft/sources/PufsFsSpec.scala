@@ -154,6 +154,45 @@ class PufsFsSpec extends SparkSpec {
     in.close(); fs.close()
   }
 
+  test("background readahead populates ahead of the request and self-cancels") {
+    val backing = tmpDir("pufs-backing9")
+    val data = new Array[Byte](256 * 1024)
+    new scala.util.Random(5).nextBytes(data)
+    Files.write(Paths.get(backing, "ra.bin"), data)
+    PufsFileSystem.simulateRestart()
+    val fs = newFs(backing, tmpDir("pufs-cache9"), chunk = 8192, ra = 64 * 1024)
+    val in = fs.open(new Path("/ra.bin"))
+    val buf = new Array[Byte](100)
+    in.readFully(0L, buf, 0, 100) // sync: first 8 KiB chunk only
+    // poll: background window should extend population to ~8KiB+64KiB
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (PufsFileSystem.bytesPulled.get() < 8192 + 64 * 1024 &&
+           System.nanoTime() < deadline) Thread.sleep(20)
+    val pulled = PufsFileSystem.bytesPulled.get()
+    assert(pulled >= 8192 + 64 * 1024, s"readahead did not run: pulled=$pulled")
+    assert(pulled < data.length, s"readahead overran its window: pulled=$pulled")
+    // and the readahead bytes are genuinely populated (next read: no fetch)
+    val before = PufsFileSystem.fetchCount.get()
+    in.readFully(8192L + 1000, new Array[Byte](4000), 0, 4000)
+    assert(PufsFileSystem.fetchCount.get() == before, "read within window re-fetched")
+    in.close(); fs.close()
+  }
+
+  test("fetch stats report percentiles (B15 surface)") {
+    val backing = tmpDir("pufs-backing10")
+    Files.write(Paths.get(backing, "p.bin"), new Array[Byte](64 * 1024))
+    PufsFileSystem.simulateRestart()
+    val fs = newFs(backing, tmpDir("pufs-cache10"), chunk = 8192)
+    val in = fs.open(new Path("/p.bin"))
+    in.readFully(0L, new Array[Byte](40000), 0, 40000)
+    in.close(); fs.close()
+    assert(PufsFileSystem.latencySamples.count >= 5)
+    val report = PufsFileSystem.statsReport
+    assert(report.contains("fetches=") && report.contains("latency_us"), report)
+    val Seq(p50, p90, p99) = PufsFileSystem.sizeSamples.percentiles(Seq(0.5, 0.9, 0.99))
+    assert(p50 == 8192 && p99 == 8192, s"unexpected size percentiles $p50/$p90/$p99")
+  }
+
   test("write-once: create stages + freezes to CAS; append refused") {
     val backing = tmpDir("pufs-backing4")
     val cache = tmpDir("pufs-cache4")
