@@ -278,6 +278,25 @@ object LlmOps {
         .orderBy("probe_id", "rnk")
     }),
 
+    // L14: TF-IDF via spark.ml (HashingTF → IDF) — the classic sparse text
+    // featurization (SURVEY §2.3 "text analysis"). Output is a stable
+    // scalar per doc (sum of TF-IDF weights, rounded) so the rows-only
+    // check has content; TfIdfSpec asserts the vector-level invariants.
+    "l14_tfidf" -> ((s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+      val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+        .setNumFeatures(1 << 12)
+      val words = tf.transform(tok.transform(docs))
+      val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(words)
+      val sumUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        BigDecimal(v.toArray.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      idf.transform(words)
+        .select(col("doc_id"), sumUdf(col("tfidf")).as("tfidf_sum"))
+        .orderBy("doc_id")
+    }),
+
     // L11: multimodal column plumbing — text payloads as opaque binary with
     // typed metadata (the puFS blob model, SURVEY §1.4). The "decode" here
     // is a deterministic md5-derived fake (no image libs in-env); the
