@@ -126,6 +126,21 @@ object AggOps {
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .orderBy("l_returnflag")
+    }),
+
+    // A8: approx_percentile sketch (quantile digest) next to the exact
+    // percentile for the bounds check — the other sketch family every
+    // 100 TB engine needs (exact percentiles require a global sort).
+    // No oracle: sketch values are engine-specific; QueriesSpec bounds it.
+    "a8_approx_percentile" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90_approx"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_exact"))
+        .orderBy("o_orderstatus")
     })
   )
 

@@ -278,6 +278,20 @@ object LlmOps {
         .orderBy("probe_id", "rnk")
     }),
 
+    // L15: per-source corpus stats — the dashboard query of a dedup
+    // pipeline: docs, distinct contents, dup rate, volume per source.
+    "l15_source_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(sha2(col("text"), 256)).as("n_distinct"),
+          (lit(1.0) - countDistinct(sha2(col("text"), 256)).cast("double")
+            / count(lit(1))).as("dup_rate"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    }),
+
     // L14: TF-IDF via spark.ml (HashingTF → IDF) — the classic sparse text
     // featurization (SURVEY §2.3 "text analysis"). Output is a stable
     // scalar per doc (sum of TF-IDF weights, rounded) so the rows-only
@@ -453,6 +467,14 @@ object LlmOps {
         |  JOIN nsh nB ON nB.doc_id = i.b
         |WHERE CAST(i.inter AS DOUBLE) / (nA.nsh + nB.nsh - i.inter) >= 0.2
         |ORDER BY a, b""".stripMargin,
+
+    "l15_source_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*)
+        |    AS dup_rate,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "l11_multimodal_meta" ->
       """SELECT doc_id,

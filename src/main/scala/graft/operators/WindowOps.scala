@@ -90,6 +90,16 @@ object WindowOps {
         .orderBy("c_custkey")
     }),
 
+    // Q-W8: distribution functions — percent_rank / cume_dist.
+    "w8_distribution" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
     // Q-W7: first/last analytic functions over a running frame.
     "w7_first_last" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -160,6 +170,12 @@ object WindowOps {
     "w5_ntile" ->
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "w8_distribution" ->
+      """SELECT c_custkey,
+        |  percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr,
+        |  cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cd
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "w7_first_last" ->

@@ -36,6 +36,16 @@ class QueriesSpec extends SparkSpec {
         s"flag=$flag approx=$approx exact=$exact")
     }
   }
+
+  test("a8 approx_percentile within 10% of exact") {
+    graft.operators.AggOps.queries("a8_approx_percentile")(spark, sfDir)
+      .collect().foreach { r =>
+        val (p50a, p50e) = (r.getDouble(1), r.getDouble(2))
+        val (p90a, p90e) = (r.getDouble(3), r.getDouble(4))
+        assert(math.abs(p50a - p50e) / p50e <= 0.10, s"p50 $p50a vs $p50e")
+        assert(math.abs(p90a - p90e) / p90e <= 0.10, s"p90 $p90a vs $p90e")
+      }
+  }
 }
 
 object AggAccuracy {

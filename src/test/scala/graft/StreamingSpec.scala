@@ -112,6 +112,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((7L, 3L, ts(10).getTime / 1000)), s"state not carried: $rows")
   }
 
+  test("stream-static join enriches streaming rows with dimension data") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (9L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val joined = mem.toDF().toDF("ts", "user_id")
+      .join(dim, Seq("user_id"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(ts(1) -> 7L, ts(2) -> 9L, ts(3) -> 11L)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").select("user_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((7L, Some("gold")), (9L, Some("silver")), (11L, None)))
+  }
+
   test("session windows merge runs and split on gap > 30min") {
     import graft.SparkSpec.spark.implicits._
     val data = Seq(
