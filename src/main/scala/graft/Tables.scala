@@ -29,6 +29,11 @@ object Tables {
         val hc = spark.sparkContext.hadoopConfiguration
         hc.set("fs.pufs.impl", "graft.sources.PufsFileSystem")
         hc.set("fs.pufs.backing", dir)
+        // Hadoop caches FileSystem instances by scheme+authority, which
+        // would pin the FIRST dir's backing store for the whole session —
+        // reading a second sf dir would silently resolve against the first
+        // (ADVICE r2). Disable the cache so each access re-reads the conf.
+        hc.set("fs.pufs.impl.disable.cache", "true")
         s"pufs:///$name.parquet"
       } else s"$dir/$name.parquet"
     if (name == "events") {

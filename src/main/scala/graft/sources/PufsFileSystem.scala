@@ -97,7 +97,7 @@ class PufsFileSystem extends FileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val bf = backingFile(f)
     if (!bf.exists()) throw new FileNotFoundException(f.toString)
-    val blockId = PufsFileSystem.syntheticBlockId(rel(f), bf.length(), bf.lastModified())
+    val blockId = PufsFileSystem.syntheticBlockId(backingRoot, rel(f), bf.length(), bf.lastModified())
     val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, bf.length())
     new FSDataInputStream(
       new LazyPullInputStream(entry, new RemoteStore(bf), bf.length(), chunkSize, readahead))
@@ -198,9 +198,12 @@ object PufsFileSystem {
 
   /** Synthetic block identity for remote-backed objects — the reference
     * hashes (bucket/key:generation) rather than content
-    * (reference core/nodedb.go:557-572). */
-  def syntheticBlockId(path: String, size: Long, mtime: Long): String =
-    sha256Bytes(s"$path:$size:$mtime".getBytes("UTF-8"))
+    * (reference core/nodedb.go:557-572). The backing root is the "bucket"
+    * analog: without it, equal relative paths with equal size+mtime in two
+    * different backing stores would collide and serve stale cached bytes
+    * (ADVICE r2). */
+  def syntheticBlockId(backingRoot: String, path: String, size: Long, mtime: Long): String =
+    sha256Bytes(s"$backingRoot/$path:$size:$mtime".getBytes("UTF-8"))
 
   def sha256Bytes(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
@@ -218,23 +221,27 @@ object PufsFileSystem {
   }
 
   private[sources] def cacheEntry(cacheRoot: String, blockId: String, size: Long): CacheEntry =
-    entries.computeIfAbsent(blockId, _ => {
+    // keyed on (cacheRoot, blockId): two FS instances with different cache
+    // arenas must not share an entry that pins the first arena (ADVICE r2)
+    entries.computeIfAbsent(s"$cacheRoot|$blockId", _ => {
       val f = new File(new File(cacheRoot, "chunks"), blockId)
       if (!f.exists()) {
         val raf = new RandomAccessFile(f, "rw")
         try raf.setLength(size) finally raf.close() // sparse local file (B2)
       }
-      val mask = maskFor(blockId)
+      val mask = maskFor(s"$cacheRoot|$blockId")
       val log = new File(new File(cacheRoot, "chunks"), blockId + ".regions")
       // replay the append-only region log so partial population survives a
       // process restart with ZERO re-fetches (reference core/freezer.go:
       // 420-469 load replay; persisted 481-509; asserted by the reference's
-      // freezer restart test and our PufsFsSpec restart case)
+      // freezer restart test and our PufsFsSpec restart case). Loop on the
+      // record count — available() is not a contractual EOF signal.
       if (log.exists() && mask.populatedBytes == 0) {
         val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(Files.newInputStream(log.toPath)))
         try {
-          while (in.available() >= 16) mask.add(in.readLong(), in.readLong())
+          var remaining = log.length() / 16
+          while (remaining > 0) { mask.add(in.readLong(), in.readLong()); remaining -= 1 }
         } finally in.close()
       }
       CacheEntry(f, mask, new ConcurrentHashMap[Long, CompletableFuture[Void]](), log)
@@ -335,6 +342,13 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
     val fresh = new CompletableFuture[Void]()
     val existing = entry.inflight.putIfAbsent(chunkStart, fresh)
     if (existing != null) { existing.join(); return } // join-or-start (B7)
+    // re-check after winning the slot: a concurrent fetcher may have
+    // completed (mask.add + inflight.remove) between our mask check and
+    // putIfAbsent — refetching would be harmless but double-counts stats
+    // and breaks the exactly-N-fetches IO-dedup invariant (ADVICE r2)
+    if (entry.mask.contains(chunkStart, end)) {
+      fresh.complete(null); entry.inflight.remove(chunkStart); return
+    }
     val t0 = System.nanoTime()
     try {
       val buf = remote.read(chunkStart, (end - chunkStart).toInt)
@@ -383,5 +397,6 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
     if (n > 0) pos += n
     n
   }
-  override def available(): Int = math.min(Int.MaxValue.toLong, size - pos).toInt
+  override def available(): Int =
+    math.min(Int.MaxValue.toLong, math.max(0L, size - pos)).toInt
 }

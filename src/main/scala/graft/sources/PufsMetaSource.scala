@@ -138,7 +138,7 @@ class PufsMetaReader(root: String, sub: String, required: StructType)
       if (!f.isFile || i <= 0) "" else n.substring(i + 1)
     }
     val size = if (f.isFile) f.length() else 0L
-    val blockId = PufsFileSystem.syntheticBlockId(relPath, size, f.lastModified())
+    val blockId = PufsFileSystem.syntheticBlockId(root, relPath, size, f.lastModified())
     val full = Map[String, Any](
       "path" -> UTF8String.fromString(relPath),
       "name" -> UTF8String.fromString(name),

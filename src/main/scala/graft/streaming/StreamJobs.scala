@@ -56,20 +56,38 @@ object StreamJobs {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = ev.sparkSession
     import spark.implicits._
-    ev.selectExpr("user_id", "CAST(ts AS LONG) AS ts_s")
-      .as[(Long, Long)]
+    // State is reclaimed by event-time timeout: a user idle for 30 minutes
+    // past the watermark has its state dropped — per-key state is bounded
+    // by the active-user set within the horizon, not all users ever seen.
+    // NOTE: the watermarked `ts` column must flow into the stateful op
+    // unchanged — casting it would strip the event-time tag and fail the
+    // "watermark must be specified" streaming check. Convert inside the
+    // state function instead.
+    ev.withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserStat, UserStat](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
          state: GroupState[UserStat]) =>
-          val prev = state.getOption.getOrElse(UserStat(user, 0L, Long.MinValue))
-          val batch = rows.toSeq
-          val next = UserStat(user,
-            prev.n + batch.size,
-            math.max(prev.maxTs, if (batch.isEmpty) Long.MinValue else batch.map(_._2).max))
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserStat(user, 0L, Long.MinValue))
+            val secs = rows.map(_._2.getTime / 1000).toSeq
+            val next = UserStat(user,
+              prev.n + secs.size,
+              math.max(prev.maxTs, if (secs.isEmpty) Long.MinValue else secs.max))
+            state.update(next)
+            // expire 30 min of EVENT time after the user's last event (but
+            // never at-or-before the current watermark, which would throw)
+            state.setTimeoutTimestamp(math.max(
+              next.maxTs * 1000L + 30L * 60 * 1000,
+              state.getCurrentWatermarkMs() + 60L * 1000))
+            Iterator.single(next)
+          }
       }
   }
 }
