@@ -23,6 +23,32 @@ object WindowOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Global dense rank over a total order WITHOUT a single-partition window
+    * (VERDICT r2 #4): two-pass — (1) range-repartition on the sort key so
+    * partitions hold disjoint key ranges, rank locally per partition;
+    * (2) compute per-partition row counts, prefix-sum them into offsets
+    * (a window over ≤numParts rows — bounded, not data-sized), broadcast
+    * the offsets back, and add. `grn` = exact global row_number; `n_total`
+    * = total rows. The sort keys must form a total order (no ties), so
+    * equal-key splits across range boundaries cannot occur.
+    * Scale shape: one range shuffle + per-partition sort; the only global
+    * structure is the numParts-row offset table. */
+  private def withGlobalRank(df: DataFrame, numParts: Int,
+      sort: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val parted = df.repartitionByRange(numParts, sort: _*)
+      .withColumn("pid", spark_partition_id())
+    val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"), coalesce(sum("cnt").over(offW), lit(0L)).as("off"),
+        sum("cnt").over(totW).as("n_total"))
+    val localW = Window.partitionBy("pid").orderBy(sort: _*)
+    parted.withColumn("lrn", row_number().over(localW))
+      .join(broadcast(offsets), "pid")
+      .withColumn("grn", col("off") + col("lrn"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Q-W1: row_number / rank / dense_rank per customer by order value.
     // rank/dense_rank rank a coarsened bucket so ties actually occur;
@@ -82,21 +108,34 @@ object WindowOps {
         .orderBy("day")
     }),
 
-    // Q-W5: ntile(4) quartiles of customer balance.
+    // Q-W5: ntile(4) quartiles of customer balance — two-pass global rank
+    // (no single-partition window), then ntile's bucket arithmetic applied
+    // to the exact global row number: the first (n mod 4) buckets take
+    // floor(n/4)+1 rows, the rest floor(n/4).
     "w5_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, d, "customer")
-        .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+      withGlobalRank(t(s, d, "customer"), 32,
+          Seq(col("c_acctbal"), col("c_custkey")))
+        .withColumn("base", expr("n_total div 4"))
+        .withColumn("rem", expr("n_total % 4"))
+        .withColumn("cut", expr("rem * (base + 1)"))
+        .select(col("c_custkey"),
+          expr("""CAST(CASE WHEN grn <= cut THEN (grn + base) div (base + 1)
+                 |ELSE rem + (grn - cut + base - 1) div base END AS INT)"""
+            .stripMargin).as("quartile"))
         .orderBy("c_custkey")
     }),
 
-    // Q-W8: distribution functions — percent_rank / cume_dist.
+    // Q-W8: distribution functions — percent_rank / cume_dist from the
+    // two-pass global rank. The sort key (acctbal, custkey) is a total
+    // order, so rank == row_number and cume_dist counts exactly grn rows;
+    // both are the same integer-ratio doubles DuckDB computes.
     "w8_distribution" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, d, "customer")
+      withGlobalRank(t(s, d, "customer"), 32,
+          Seq(col("c_acctbal"), col("c_custkey")))
         .select(col("c_custkey"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          ((col("grn") - 1).cast("double") /
+            (col("n_total") - 1).cast("double")).as("pr"),
+          (col("grn").cast("double") / col("n_total").cast("double")).as("cd"))
         .orderBy("c_custkey")
     }),
 

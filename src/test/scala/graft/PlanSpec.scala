@@ -51,4 +51,32 @@ class PlanSpec extends SparkSpec {
     val p = plan("j9_cross")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
   }
+
+  test("kNN top-k plans as partial aggregation, not a window sort") {
+    // l3/l13 rank via the bounded-heap TopK Aggregator: a window over the
+    // handful of probe keys would pin each probe's full candidate set to a
+    // single task (VERDICT r2 #3)
+    Seq("l3_knn_cosine", "l13_ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via a Window sort:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+        p.contains("HashAggregate"), s"$q missing aggregation-based top-k:\n$p")
+    }
+  }
+
+  test("w5/w8 plan no single-partition window over the full table") {
+    // ntile/percent_rank/cume_dist are two-pass (range repartition +
+    // per-partition rank + broadcast offsets) — the only unpartitioned
+    // window allowed is over the ≤#partitions-row offset frame
+    Seq("w5_ntile", "w8_distribution").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Window"), s"$q expected per-partition rank windows:\n$p")
+      // no Window may sort the whole customer table in one partition:
+      // every Window node must be preceded by a partitioning on pid
+      assert(!p.contains("Window [ntile"), s"$q still uses a global ntile window:\n$p")
+      assert(!p.contains("Window [percent_rank"),
+        s"$q still uses a global percent_rank window:\n$p")
+    }
+  }
 }

@@ -41,8 +41,39 @@ class NearDupSpec extends SparkSpec {
     val probes = approx.map(_._1)
     probes.foreach(p => assert(approx.count(_._1 == p) <= 5))
     val recall = (approx & exact).size.toDouble / exact.size
-    info(f"ANN recall@5 vs exact: $recall%.2f (sign-LSH, Hamming<=1 probe)")
-    assert(recall > 0.0, "ANN found none of the exact neighbors")
+    info(f"ANN recall@5 vs exact: $recall%.2f (24-table sign-LSH, Hamming<=1 probe)")
+    // the fitness floor: an ANN index that misses most true neighbors is
+    // not an index (VERDICT r2 #1 — the old single-table probe sat at 0.14)
+    assert(recall >= 0.8, f"ANN recall@5 $recall%.2f below the 0.8 floor")
+  }
+
+  test("l10 bucket-size histogram stays sub-quadratic on a skewed corpus") {
+    import graft.SparkSpec.spark.implicits._
+    // 1000 vectors: a 100-vector identical cluster (worst-case skew — every
+    // member co-buckets in every band by construction) + 900 near-random
+    val rnd = new scala.util.Random(42)
+    val dup = (0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray
+    val vecs = (0 until 100).map(i => (i.toLong, dup)) ++
+      (100 until 1000).map { i =>
+        (i.toLong, (0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray)
+      }
+    val df = vecs.toDF("vec_id", "embedding")
+    val n = vecs.size
+    val bits = math.max(8, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+    val hist = LlmOps.embedBands(df, bands = 2, bits = bits)
+      .groupBy("band", "sig").count()
+      .collect().map(_.getLong(2))
+    // candidate pairs = sum over buckets of C(c,2); the dup cluster owes
+    // 2 * C(100,2) of them — everything else must stay ~linear in n,
+    // i.e. the random mass may not collapse into few buckets
+    val totalPairs = hist.map(c => c * (c - 1) / 2).sum
+    val clusterPairs = 2L * (100L * 99 / 2)
+    val randomPairs = totalPairs - clusterPairs
+    info(s"bands=2 bits=$bits buckets=${hist.length} " +
+      s"candidatePairs=$totalPairs (cluster=$clusterPairs random=$randomPairs)")
+    assert(randomPairs <= 16L * n,
+      s"random collision mass $randomPairs exceeds linear bound ${16L * n} " +
+        "— signature width not scaling with corpus size")
   }
 
   test("l10 candidates are a subset of brute-force pairs above threshold") {
