@@ -77,30 +77,64 @@ class PufsFileSystem extends FileSystem {
   }
   private def backingFile(p: Path): File = new File(backingRoot, rel(p))
 
-  override def getFileStatus(f: Path): FileStatus = {
-    val bf = backingFile(f)
-    if (!bf.exists()) throw new FileNotFoundException(f.toString)
-    new FileStatus(bf.length(), bf.isDirectory, 1, chunkSize, bf.lastModified(),
-      makeQualified(f))
+  /** (mount, path-inside-mount) when `p` falls under a snapshot mount. */
+  private def resolveMount(p: Path): Option[(PufsFileSystem.SnapMount, String)] =
+    PufsFileSystem.resolveMount(rel(p))
+
+  override def getFileStatus(f: Path): FileStatus = resolveMount(f) match {
+    case Some((m, sub)) =>
+      m.entries.get(sub) match {
+        case Some(e) =>
+          new FileStatus(e.size, false, 1, chunkSize, 0L, makeQualified(f))
+        case None if sub.isEmpty || m.dirs.contains(sub) =>
+          new FileStatus(0, true, 1, chunkSize, 0L, makeQualified(f))
+        case None => throw new FileNotFoundException(s"$f (not in snapshot manifest)")
+      }
+    case None =>
+      val bf = backingFile(f)
+      if (!bf.exists()) throw new FileNotFoundException(f.toString)
+      new FileStatus(bf.length(), bf.isDirectory, 1, chunkSize, bf.lastModified(),
+        makeQualified(f))
   }
 
-  override def listStatus(f: Path): Array[FileStatus] = {
-    val bf = backingFile(f)
-    if (!bf.exists()) throw new FileNotFoundException(f.toString)
-    if (bf.isFile) Array(getFileStatus(f))
-    else bf.listFiles().map { c =>
-      new FileStatus(c.length(), c.isDirectory, 1, chunkSize, c.lastModified(),
-        makeQualified(new Path(f, c.getName)))
-    }
+  override def listStatus(f: Path): Array[FileStatus] = resolveMount(f) match {
+    case Some((m, sub)) =>
+      if (m.entries.contains(sub)) Array(getFileStatus(f))
+      else if (sub.isEmpty || m.dirs.contains(sub)) {
+        m.childrenOf(sub).map { name =>
+          getFileStatus(new Path(f, name))
+        }.toArray
+      } else throw new FileNotFoundException(s"$f (not in snapshot manifest)")
+    case None =>
+      val bf = backingFile(f)
+      if (!bf.exists()) throw new FileNotFoundException(f.toString)
+      if (bf.isFile) Array(getFileStatus(f))
+      else bf.listFiles().map { c =>
+        new FileStatus(c.length(), c.isDirectory, 1, chunkSize, c.lastModified(),
+          makeQualified(new Path(f, c.getName)))
+      }
   }
 
-  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    val bf = backingFile(f)
-    if (!bf.exists()) throw new FileNotFoundException(f.toString)
-    val blockId = PufsFileSystem.syntheticBlockId(backingRoot, rel(f), bf.length(), bf.lastModified())
-    val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, bf.length())
-    new FSDataInputStream(
-      new LazyPullInputStream(entry, new RemoteStore(bf), bf.length(), chunkSize, readahead))
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = resolveMount(f) match {
+    case Some((m, sub)) =>
+      val e = m.entries.getOrElse(sub,
+        throw new FileNotFoundException(s"$f (not in snapshot manifest)"))
+      // the block id IS the content hash — a mounted block is shared across
+      // mounts/labels in the cache arena by construction (CAS dedup), and a
+      // republished object can never serve stale bytes because new content
+      // means a new id (the Merkle property, reference core/types.go:10)
+      val blockId = "cas-" + e.sha256
+      val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, e.size)
+      val remote = new LocalStore(new java.io.File(new java.io.File(m.repo, "CAS"), e.sha256))
+      new FSDataInputStream(
+        new LazyPullInputStream(entry, remote, e.size, chunkSize, readahead))
+    case None =>
+      val bf = backingFile(f)
+      if (!bf.exists()) throw new FileNotFoundException(f.toString)
+      val blockId = PufsFileSystem.syntheticBlockId(backingRoot, rel(f), bf.length(), bf.lastModified())
+      val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, bf.length())
+      new FSDataInputStream(
+        new LazyPullInputStream(entry, new LocalStore(bf), bf.length(), chunkSize, readahead))
   }
 
   /** Write-once create: stage locally; on close, sha256-freeze into the CAS
@@ -108,6 +142,9 @@ class PufsFileSystem extends FileSystem {
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
+    if (resolveMount(f).isDefined)
+      throw new java.io.IOException(
+        s"$f is inside a read-only snapshot mount (reference NotWritableErr)")
     val bf = backingFile(f)
     if (bf.exists() && !overwrite)
       throw new FileAlreadyExistsException(f.toString)
@@ -134,12 +171,16 @@ class PufsFileSystem extends FileSystem {
     throw new UnsupportedOperationException("pufs is write-once (reference NotWritableErr)")
 
   override def rename(src: Path, dst: Path): Boolean = {
+    if (resolveMount(src).isDefined || resolveMount(dst).isDefined)
+      throw new java.io.IOException("snapshot mounts are read-only")
     val s = backingFile(src); val d = backingFile(dst)
     d.getParentFile.mkdirs()
     s.renameTo(d)
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
+    if (resolveMount(f).isDefined)
+      throw new java.io.IOException("snapshot mounts are read-only")
     val bf = backingFile(f)
     if (!bf.exists()) false
     else if (bf.isFile) bf.delete()
@@ -148,8 +189,11 @@ class PufsFileSystem extends FileSystem {
     else throw new java.io.IOException(s"dir not empty: $f (reference DirNotEmptyErr)")
   }
 
-  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    if (resolveMount(f).isDefined)
+      throw new java.io.IOException("snapshot mounts are read-only")
     backingFile(f).mkdirs() || backingFile(f).isDirectory
+  }
 }
 
 object PufsFileSystem {
@@ -225,6 +269,7 @@ object PufsFileSystem {
     // arenas must not share an entry that pins the first arena (ADVICE r2)
     entries.computeIfAbsent(s"$cacheRoot|$blockId", _ => {
       val f = new File(new File(cacheRoot, "chunks"), blockId)
+      f.getParentFile.mkdirs()
       if (!f.exists()) {
         val raf = new RandomAccessFile(f, "rw")
         try raf.setLength(size) finally raf.close() // sparse local file (B2)
@@ -259,6 +304,56 @@ object PufsFileSystem {
   def simulateRestart(): Unit = {
     masks.clear(); entries.clear(); resetStats()
   }
+
+  // --- snapshot mounts (reference Mount/MountByLabel,
+  //     core/datastore.go:214-227: graft a published root as a lazy
+  //     subtree; reads resolve manifest → CAS block → ranged pull) ---
+
+  /** One mounted snapshot: manifest entries by path + the implied dir set. */
+  private[sources] case class SnapMount(repo: String, label: String,
+      entries: Map[String, SnapshotStore.ManifestEntry], dirs: Set[String]) {
+    /** Immediate child names of `sub` ("" = mount root). */
+    def childrenOf(sub: String): Seq[String] = {
+      val prefix = if (sub.isEmpty) "" else sub + "/"
+      (entries.keysIterator ++ dirs.iterator)
+        .filter(p => p.nonEmpty && p.startsWith(prefix) && p != sub)
+        .map(p => p.drop(prefix.length).takeWhile(_ != '/'))
+        .toSeq.distinct.sorted
+    }
+  }
+
+  private val mounts = new ConcurrentHashMap[String, SnapMount]()
+
+  private def cleanMountPath(p: String): String =
+    p.stripPrefix("/").stripSuffix("/")
+
+  /** Mount a published label at `mountPath` (a path under the pufs root):
+    * after this, `pufs:///<mountPath>/...` resolves through the manifest to
+    * CAS blocks served by the lazy-pull machinery — the reference's
+    * create→push→mount→lazy-read round trip (core/functional_test.go:174-214).
+    * The mount table is JVM-global, like the cache arena state. */
+  def mountSnapshot(mountPath: String, repo: String, label: String): Unit = {
+    val es = SnapshotStore.mount(repo, label)
+    val byPath = es.map(e => e.path -> e).toMap
+    val dirs = es.flatMap { e =>
+      val parts = e.path.split('/').dropRight(1)
+      parts.indices.map(i => parts.take(i + 1).mkString("/"))
+    }.toSet
+    mounts.put(cleanMountPath(mountPath), SnapMount(repo, label, byPath, dirs))
+  }
+
+  def unmountSnapshot(mountPath: String): Unit =
+    mounts.remove(cleanMountPath(mountPath))
+
+  private[sources] def resolveMount(relPath: String): Option[(SnapMount, String)] = {
+    import scala.jdk.CollectionConverters._
+    mounts.asScala.collectFirst {
+      case (prefix, m) if relPath == prefix =>
+        (m, "")
+      case (prefix, m) if relPath.startsWith(prefix + "/") =>
+        (m, relPath.drop(prefix.length + 1))
+    }
+  }
 }
 
 /** One cached block: sparse local file + populated-region mask + in-flight
@@ -272,21 +367,6 @@ case class CacheEntry(file: File, mask: RegionMask,
     val out = new java.io.DataOutputStream(
       new java.io.FileOutputStream(regionLog, true))
     try { out.writeLong(start); out.writeLong(end) } finally out.close()
-  }
-}
-
-/** The "remote" seam — a range read against the backing store. A GCS/S3
-  * connector would implement exactly this signature with a ranged GET
-  * (reference remote/gcs.go:302-331 NewRangeReader). */
-final class RemoteStore(src: File) {
-  def read(start: Long, len: Int): Array[Byte] = {
-    val raf = new RandomAccessFile(src, "r")
-    try {
-      raf.seek(start)
-      val buf = new Array[Byte](len)
-      raf.readFully(buf)
-      buf
-    } finally raf.close()
   }
 }
 

@@ -29,11 +29,16 @@ object SnapshotStore {
 
   case class ManifestEntry(path: String, size: Long, sha256: String)
 
+  /** Per-publish accounting: blocks actually uploaded and files actually
+    * hashed — the observable difference between O(changed) and O(tree). */
+  case class PublishStats(manifestSha: String, uploaded: Int, hashed: Int)
+
   val LeaseDuration: java.time.Duration = java.time.Duration.ofHours(48)
 
   private def casDir(repo: String) = Paths.get(repo, "CAS")
   private def rootDir(repo: String) = Paths.get(repo, "root")
   private def leaseDir(repo: String) = Paths.get(repo, "lease")
+  private def statCacheDir(repo: String) = Paths.get(repo, "statcache")
 
   /** Idempotent CAS put (reference B12: conditional DoesNotExist upload).
     * Returns true if the block was actually written. */
@@ -50,35 +55,111 @@ object SnapshotStore {
   }
 
   /** Stage → hash → CAS → manifest → label pointer. Returns (manifest sha,
-    * number of blocks actually uploaded). */
+    * number of blocks actually uploaded). Driver-side hashing; prefer the
+    * SparkSession overload for large trees. */
   def publish(srcDir: String, repo: String, label: String): (String, Int) = {
+    val s = publishIncremental(srcDir, repo, label, None)
+    (s.manifestSha, s.uploaded)
+  }
+
+  /** Distributed publish: dirty files are hashed AND uploaded by Spark
+    * tasks (the reference leaves a "Could do this in parallel" note at its
+    * sequential upload loop, core/datastore.go:1032 — this is that fix). */
+  def publish(spark: SparkSession, srcDir: String, repo: String,
+      label: String): PublishStats =
+    publishIncremental(srcDir, repo, label, Some(spark))
+
+  /** Incremental commit (reference IsDirty dirty-subtree tracking,
+    * core/nodedb.go:286-315; collectUnpushed skipping clean files,
+    * core/datastore.go:1074-1114): a stat cache per label records
+    * (path, size, mtime) → sha of the last publish. A file whose size and
+    * mtime are unchanged (and whose block is still in the CAS) is clean —
+    * it contributes its cached sha to the manifest with ZERO hashing and
+    * ZERO upload, so a republish costs O(changed bytes), not O(tree).
+    * The manifest itself stays content-pure (path/size/sha only): touching
+    * mtimes without changing bytes re-hashes but yields the identical root.
+    */
+  private def publishIncremental(srcDir: String, repo: String, label: String,
+      spark: Option[SparkSession]): PublishStats = {
     Files.createDirectories(casDir(repo))
     Files.createDirectories(rootDir(repo))
     Files.createDirectories(leaseDir(repo))
+    Files.createDirectories(statCacheDir(repo))
     val root = Paths.get(srcDir)
-    val files = {
+    val files: Seq[(String, Long, Long)] = {
       val s = Files.walk(root)
       try s.filter(Files.isRegularFile(_)).toArray.map(_.asInstanceOf[JPath]).toSeq
+        .map { f =>
+          (root.relativize(f).toString.replace(File.separatorChar, '/'),
+            Files.size(f), Files.getLastModifiedTime(f).toMillis)
+        }
       finally s.close()
     }
-    var uploaded = 0
-    val entries = files.map { f =>
-      val sha = PufsFileSystem.sha256File(f.toFile)
-      if (casPut(repo, sha, f)) uploaded += 1
-      ManifestEntry(root.relativize(f).toString.replace(File.separatorChar, '/'),
-        Files.size(f), sha)
-    }.sortBy(_.path)
+    val prev = readStatCache(repo, label)
+    val (clean, dirty) = files.partition { case (p, sz, mt) =>
+      prev.get(p).exists { case (psz, pmt, psha) =>
+        psz == sz && pmt == mt && Files.exists(casDir(repo).resolve(psha))
+      }
+    }
+    // hash + conditional-upload each dirty file; Spark tasks when available
+    // (each task writes straight into the CAS — puts are idempotent
+    // tmp+ATOMIC_MOVE, so concurrent writers of one block are safe)
+    val hashUpload: ((String, Long, Long)) => (String, Long, Long, String, Boolean) = {
+      val srcRoot = srcDir
+      val repoDir = repo
+      tup => {
+        val (p, sz, mt) = tup
+        val f = new File(srcRoot, p)
+        val sha = PufsFileSystem.sha256File(f)
+        val up = casPut(repoDir, sha, f.toPath)
+        (p, sz, mt, sha, up)
+      }
+    }
+    val hashedResults: Seq[(String, Long, Long, String, Boolean)] = spark match {
+      case Some(s) if dirty.nonEmpty =>
+        val parts = math.max(1, math.min(dirty.size, s.sparkContext.defaultParallelism))
+        s.sparkContext.parallelize(dirty, parts).map(hashUpload).collect().toSeq
+      case _ => dirty.map(hashUpload)
+    }
+    val uploadedBlocks = hashedResults.count(_._5)
+    val entries = (
+      clean.map { case (p, sz, _) => ManifestEntry(p, sz, prev(p)._3) } ++
+        hashedResults.map { case (p, sz, _, sha, _) => ManifestEntry(p, sz, sha) }
+      ).sortBy(_.path)
     // the manifest is itself a CAS block — the snapshot's "root BID"
     val manifestBytes = entries
       .map(e => s"${e.path}\t${e.size}\t${e.sha256}").mkString("\n").getBytes("UTF-8")
     val manifestSha = PufsFileSystem.sha256Bytes(manifestBytes)
     val tmp = Files.createTempFile(casDir(repo), ".mf", ".part")
     Files.write(tmp, manifestBytes)
-    if (casPut(repo, manifestSha, tmp)) uploaded += 1
+    val manifestUploaded = casPut(repo, manifestSha, tmp)
     Files.deleteIfExists(tmp)
     setRoot(repo, label, manifestSha)
     renewLease(repo, label, manifestSha)
-    (manifestSha, uploaded)
+    val mtimes = files.map { case (p, _, mt) => p -> mt }.toMap
+    writeStatCache(repo, label,
+      entries.map(e => (e.path, e.size, mtimes(e.path), e.sha256)))
+    PublishStats(manifestSha,
+      uploadedBlocks + (if (manifestUploaded) 1 else 0), hashedResults.size)
+  }
+
+  private def readStatCache(repo: String, label: String): Map[String, (Long, Long, String)] = {
+    val p = statCacheDir(repo).resolve(label)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), "UTF-8").split("\n").iterator
+      .filter(_.nonEmpty).map { line =>
+        val Array(path, sz, mt, sha) = line.split("\t")
+        path -> ((sz.toLong, mt.toLong, sha))
+      }.toMap
+  }
+
+  private def writeStatCache(repo: String, label: String,
+      rows: Seq[(String, Long, Long, String)]): Unit = {
+    val tmp = Files.createTempFile(statCacheDir(repo), ".sc", ".part")
+    Files.write(tmp, rows.map { case (p, sz, mt, sha) => s"$p\t$sz\t$mt\t$sha" }
+      .mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, statCacheDir(repo).resolve(label),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Atomic label pointer swap (reference SetRoot, remote/gcs.go:114-127). */

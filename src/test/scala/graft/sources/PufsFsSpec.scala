@@ -209,6 +209,106 @@ class PufsFsSpec extends SparkSpec {
     fs.close()
   }
 
+  // --- HTTP remote connector (B10 analog: Range GET + If-Match + retry) ---
+
+  /** In-process HTTP object server: Range + If-Match semantics, injectable
+    * ETag flips and transient failures. */
+  private class ObjServer(data: Array[Byte]) {
+    @volatile var etag: String = "\"v1\""
+    val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/obj", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          ex.sendResponseHeaders(500, -1)
+        } else {
+          val ifMatch = ex.getRequestHeaders.getFirst("If-Match")
+          if (ifMatch != null && ifMatch != etag) {
+            ex.sendResponseHeaders(412, -1)
+          } else {
+            val range = Option(ex.getRequestHeaders.getFirst("Range"))
+            val (s, e) = range match {
+              case Some(r) =>
+                val Array(a, b) = r.stripPrefix("bytes=").split("-")
+                (a.toLong, math.min(b.toLong, data.length - 1L))
+              case None => (0L, data.length - 1L)
+            }
+            val slice = java.util.Arrays.copyOfRange(data, s.toInt, e.toInt + 1)
+            ex.getResponseHeaders.set("ETag", etag)
+            ex.sendResponseHeaders(206, slice.length)
+            ex.getResponseBody.write(slice)
+          }
+        }
+      } finally ex.close()
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/obj"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("HTTP remote: lazy pulls over Range GET match ground truth") {
+    val data = new Array[Byte](300 * 1024)
+    new scala.util.Random(17).nextBytes(data)
+    val srv = new ObjServer(data)
+    try {
+      val cache = tmpDir("pufs-http-cache")
+      val store = new HttpStore(srv.url, Some("\"v1\""))
+      val entry = PufsFileSystem.cacheEntry(cache, "http-diff-block", data.length)
+      val in = new LazyPullInputStream(entry, store, data.length, 8192, 0)
+      val rnd = new scala.util.Random(99)
+      (1 to 60).foreach { i =>
+        val len = math.max(1, math.exp(rnd.nextDouble() * math.log(32 * 1024)).toInt)
+        val off = rnd.nextInt(data.length)
+        val n = math.min(len, data.length - off)
+        val buf = new Array[Byte](n)
+        in.readFully(off.toLong, buf, 0, n)
+        assert(java.util.Arrays.equals(buf,
+          java.util.Arrays.copyOfRange(data, off, off + n)),
+          s"HTTP differential mismatch at read $i off=$off len=$n")
+      }
+    } finally srv.stop()
+  }
+
+  test("HTTP remote: transient failures retry within the <=10 budget") {
+    val data = new Array[Byte](64 * 1024)
+    new scala.util.Random(23).nextBytes(data)
+    val srv = new ObjServer(data)
+    try {
+      srv.failNext.set(3) // three 500s, then healthy
+      val store = new HttpStore(srv.url, Some("\"v1\""))
+      val got = store.read(1000, 500)
+      assert(java.util.Arrays.equals(got,
+        java.util.Arrays.copyOfRange(data, 1000, 1500)))
+      // a permanently failing object exhausts the budget with an IOException
+      srv.failNext.set(1000)
+      val t0 = intercept[java.io.IOException] {
+        new HttpStore(srv.url, Some("\"v1\""), maxRetries = 2).read(0, 10)
+      }
+      assert(t0.getMessage.contains("after 2 retries"), t0.getMessage)
+    } finally srv.stop()
+  }
+
+  test("HTTP remote: ETag flip under an open reader is a detected torn read") {
+    val data = new Array[Byte](128 * 1024)
+    new scala.util.Random(29).nextBytes(data)
+    val srv = new ObjServer(data)
+    try {
+      val cache = tmpDir("pufs-http-cache2")
+      val store = new HttpStore(srv.url, Some("\"v1\"")) // pinned at open
+      val entry = PufsFileSystem.cacheEntry(cache, "http-torn-block", data.length)
+      val in = new LazyPullInputStream(entry, store, data.length, 8192, 0)
+      in.readFully(0L, new Array[Byte](100), 0, 100) // healthy pull
+      srv.etag = "\"v2\"" // object replaced behind the reader
+      // already-cached region still serves (snapshot semantics)...
+      in.readFully(50L, new Array[Byte](10), 0, 10)
+      // ...but pulling an unpopulated region MUST fail loudly, not mix bytes
+      intercept[TornReadException] {
+        in.readFully(64 * 1024L, new Array[Byte](100), 0, 100)
+      }
+    } finally srv.stop()
+  }
+
   test("Spark reads parquet through pufs:// and pruning cuts bytes pulled") {
     val backing = tmpDir("pufs-backing5")
     Files.copy(Paths.get("/root/testdata/sf0.01/lineitem.parquet"),

@@ -65,4 +65,71 @@ class SnapshotSpec extends SparkSpec {
     assert(df.columns.sorted.toSeq == Seq("path", "sha256", "size"))
     assert(df.count() == 3)
   }
+
+  test("incremental republish: 0 hashes and 0 uploads on an unchanged tree") {
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-repo5").toString
+    val s1 = SnapshotStore.publish(spark, src, repo, "main")
+    assert(s1.hashed == 3 && s1.uploaded == 4)
+    val s2 = SnapshotStore.publish(spark, src, repo, "main")
+    assert(s2.manifestSha == s1.manifestSha)
+    assert(s2.hashed == 0, s"republish re-hashed ${s2.hashed} clean files")
+    assert(s2.uploaded == 0, s"republish re-uploaded ${s2.uploaded} blocks")
+    // touch ONE file: publish cost is O(changed), not O(tree)
+    Files.write(Paths.get(src, "a.txt"), "alpha-v3".getBytes)
+    val s3 = SnapshotStore.publish(spark, src, repo, "main")
+    assert(s3.hashed == 1, s"expected 1 re-hash, got ${s3.hashed}")
+    assert(s3.uploaded == 2, s"changed block + new manifest, got ${s3.uploaded}")
+  }
+
+  test("distributed publish (Spark-task hashing) matches driver-side publish") {
+    val src = mkTree()
+    val repoA = Files.createTempDirectory("snap-repoA").toString
+    val repoB = Files.createTempDirectory("snap-repoB").toString
+    val (shaSeq, _) = SnapshotStore.publish(src, repoA, "main")
+    val statsPar = SnapshotStore.publish(spark, src, repoB, "main")
+    assert(statsPar.manifestSha == shaSeq,
+      "task-hashed manifest differs from driver-hashed manifest")
+    assert(statsPar.uploaded == 4 && statsPar.hashed == 3)
+  }
+
+  test("mount through pufs://: published parquet reads back lazily") {
+    import org.apache.spark.sql.functions.col
+    // publish a real parquet table as a snapshot
+    val src = Files.createTempDirectory("snap-pq-src").toString
+    val orig = spark.read.parquet(s"$sfDir/customer.parquet")
+    orig.write.mode("overwrite").parquet(s"$src/customer.parquet")
+    val repo = Files.createTempDirectory("snap-pq-repo").toString
+    SnapshotStore.publish(spark, src, repo, "v1")
+    // mount the label and read THROUGH the lazy pufs:// machinery
+    PufsFileSystem.mountSnapshot("snap/v1", repo, "v1")
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+      hc.set("fs.pufs.backing", Files.createTempDirectory("snap-empty").toString)
+      hc.set("fs.pufs.cache", Files.createTempDirectory("snap-cache").toString)
+      hc.set("fs.pufs.impl.disable.cache", "true")
+      hc.setLong("fs.pufs.chunk.size", 16 * 1024)
+      hc.setLong("fs.pufs.readahead", 0)
+      PufsFileSystem.simulateRestart()
+      // measure from cold: schema-inference footer read + pruned column scan
+      val mounted = spark.read.parquet("pufs:///snap/v1/customer.parquet")
+      val cnt = mounted.select("c_custkey").count()
+      val pulled = PufsFileSystem.bytesPulled.get()
+      val totalSize = SnapshotStore.mount(repo, "v1").map(_.size).sum
+      assert(cnt == orig.count())
+      assert(pulled > 0 && pulled < totalSize,
+        s"pruned read pulled $pulled of $totalSize — mount not lazy")
+      // full-width read is row-identical to the original
+      val a = mounted.orderBy("c_custkey").collect()
+      val b = orig.orderBy("c_custkey").collect()
+      assert(a.sameElements(b), "mounted snapshot rows differ from source")
+      // mounts are write-once: no create/delete inside
+      intercept[java.io.IOException] {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create("pufs:///"), hc)
+        fs.delete(new org.apache.hadoop.fs.Path("/snap/v1/customer.parquet"), true)
+      }
+    } finally PufsFileSystem.unmountSnapshot("snap/v1")
+  }
 }
