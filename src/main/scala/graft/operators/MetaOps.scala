@@ -28,6 +28,18 @@ object MetaOps {
       s.read.format("pufs-meta").load(d)
         .select("path", "isDir", "size", "depth", "ext")
         .orderBy("path")
+    }),
+    // M2 extended listing: per-file cache-population state — how much of
+    // each file the lazy pufs:// FS has pulled (reference
+    // GetExtendedDirContents + BlockStats, core/freezer.go:249-263;
+    // populated fields api/api.proto:18-19)
+    "l5c_meta_cache_stats" -> ((s, d) => {
+      s.read.format("pufs-meta").load(d)
+        .filter(!col("isDir"))
+        .select(col("path"), col("size"), col("populatedBytes"),
+          col("regionCount"),
+          (col("populatedBytes").cast("double") / col("size")).as("cached_frac"))
+        .orderBy("path")
     })
   )
 

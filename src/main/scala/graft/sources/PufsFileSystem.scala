@@ -299,6 +299,17 @@ object PufsFileSystem {
     masks.asScala.toSeq.map { case (id, m) => (id, m.populatedBytes, m.regionCount) }
   }
 
+  /** Cache-population stats for one block id, summed across cache arenas
+    * (the per-file half of the reference's ExtendedDirEntry,
+    * api/api.proto:18-19: populatedRegionCount + populatedSize). */
+  def statsForBlock(blockId: String): (Long, Int) = {
+    import scala.jdk.CollectionConverters._
+    masks.asScala.iterator
+      .collect { case (k, m) if k.endsWith("|" + blockId) =>
+        (m.populatedBytes, m.regionCount) }
+      .foldLeft((0L, 0)) { case ((b, r), (b2, r2)) => (b + b2, r + r2) }
+  }
+
   /** Test hook: simulate a process restart — drop all in-memory cache
     * state (masks + entries + stats); on-disk arena and region logs stay. */
   def simulateRestart(): Unit = {

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.io.File
 import java.util
+import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -19,13 +20,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * api/api.proto:9-24).
   *
   * Usage: `spark.read.format("pufs-meta").load("/some/dir")`.
+  * Options:
+  *   maxDepth — listing-depth budget (reference M19 deferred child fetch,
+  *     core/datastore.go:498-735: don't explore what wasn't asked for).
+  *     Directories at the budget edge are listed as entries but NOT
+  *     descended into.
   *
   * Scale design: one InputPartition per top-level child → listing
-  * parallelizes across executors instead of a driver-side walk (the
-  * reference defers child listing the same way — IsDeferredChildFetch,
-  * core/datastore.go:498-735). Column pruning is pushed down
-  * (SupportsPushDownRequiredColumns), so `SELECT ext, size` never
-  * materializes paths or block ids.
+  * parallelizes across executors instead of a driver-side walk. Within a
+  * partition the walk is an explicit-stack lazy iterator: a directory's
+  * children are fetched only when the scan actually reaches it, so a
+  * LIMIT or an early-terminating consumer never materializes the full
+  * subtree (M19's IsDeferredChildFetch, observable via `dirsListed`).
+  * Column pruning is pushed down (SupportsPushDownRequiredColumns), so
+  * `SELECT ext, size` never materializes paths or block ids.
+  *
+  * The `populatedBytes`/`regionCount` columns surface the block cache's
+  * region masks per file (reference GetExtendedDirContents M2 +
+  * BlockStats, core/freezer.go:249-263) — how much of each file the lazy
+  * FS has actually pulled.
   */
 class PufsMetaSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pufs-meta"
@@ -35,7 +48,9 @@ class PufsMetaSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null, "pufs-meta requires .load(<directory>)")
-    new PufsMetaTable(path)
+    val maxDepth = Option(properties.get("maxdepth")).orElse(
+      Option(properties.get("maxDepth"))).map(_.toInt).getOrElse(Int.MaxValue)
+    new PufsMetaTable(path, maxDepth)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -50,28 +65,36 @@ object PufsMetaTable {
     StructField("modTime", TimestampType, nullable = false),
     StructField("depth", IntegerType, nullable = false),
     StructField("ext", StringType, nullable = false),
-    StructField("blockId", StringType, nullable = false)))
+    StructField("blockId", StringType, nullable = false),
+    StructField("populatedBytes", LongType, nullable = false),
+    StructField("regionCount", IntegerType, nullable = false)))
+
+  /** Observable count of directory listings performed by meta readers —
+    * lets tests pin the deferred-listing contract (a LIMIT must not walk
+    * the world). */
+  val dirsListed = new AtomicInteger(0)
 }
 
-class PufsMetaTable(root: String) extends Table with SupportsRead {
+class PufsMetaTable(root: String, maxDepth: Int) extends Table with SupportsRead {
   override def name(): String = s"pufs-meta:$root"
   override def schema(): StructType = PufsMetaTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PufsMetaScanBuilder(root)
+    new PufsMetaScanBuilder(root, maxDepth)
 }
 
-class PufsMetaScanBuilder(root: String)
+class PufsMetaScanBuilder(root: String, maxDepth: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PufsMetaTable.schema
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
-  override def build(): Scan = new PufsMetaScan(root, required)
+  override def build(): Scan = new PufsMetaScan(root, maxDepth, required)
 }
 
-class PufsMetaScan(root: String, required: StructType) extends Scan with Batch {
+class PufsMetaScan(root: String, maxDepth: Int, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -81,45 +104,61 @@ class PufsMetaScan(root: String, required: StructType) extends Scan with Batch {
     val children = Option(rootFile.listFiles()).getOrElse(Array.empty)
     // one partition per top-level child subtree + one for root's own files;
     // at object-store scale each partition is an independent prefix listing
-    val subs = children.filter(_.isDirectory).map(c =>
-      PufsMetaPartition(root, c.getName): InputPartition)
-    subs :+ PufsMetaPartition(root, "")
+    val subs = children.filter(_.isDirectory)
+      .filter(_ => maxDepth >= 1)
+      .map(c => PufsMetaPartition(root, c.getName, maxDepth): InputPartition)
+    subs :+ PufsMetaPartition(root, "", maxDepth)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PufsMetaReaderFactory(required)
 }
 
-case class PufsMetaPartition(root: String, sub: String) extends InputPartition
+case class PufsMetaPartition(root: String, sub: String, maxDepth: Int)
+    extends InputPartition
 
 class PufsMetaReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PufsMetaPartition]
-    new PufsMetaReader(p.root, p.sub, required)
+    new PufsMetaReader(p.root, p.sub, p.maxDepth, required)
   }
 }
 
-class PufsMetaReader(root: String, sub: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+class PufsMetaReader(root: String, sub: String, maxDepth: Int,
+    required: StructType) extends PartitionReader[InternalRow] {
 
   private val rootFile = new File(root)
 
-  private def walk(f: File, depth: Int): Iterator[(File, Int)] = {
-    val self = Iterator.single((f, depth))
-    if (f.isDirectory)
-      self ++ Option(f.listFiles()).getOrElse(Array.empty).iterator
-        .flatMap(c => walk(c, depth + 1))
-    else self
+  /** Explicit-stack DFS that lists a directory's children only when the
+    * consumer reaches it (M19 deferred child fetch) and never descends
+    * past the depth budget. Children are pushed name-sorted so listing
+    * order is deterministic. */
+  private final class LazyWalk(start: File, startDepth: Int)
+      extends Iterator[(File, Int)] {
+    private val stack = scala.collection.mutable.Stack((start, startDepth))
+    override def hasNext: Boolean = stack.nonEmpty
+    override def next(): (File, Int) = {
+      val cur @ (f, depth) = stack.pop()
+      if (f.isDirectory && depth < maxDepth) {
+        PufsMetaTable.dirsListed.incrementAndGet()
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName)(Ordering[String].reverse)
+          .foreach(c => stack.push((c, depth + 1)))
+      }
+      cur
+    }
   }
 
   private val iter: Iterator[(File, Int)] =
     if (sub.isEmpty) {
       // root partition: root itself + its top-level FILES only (subdirs are
-      // covered by their own partitions)
-      Iterator.single((rootFile, 0)) ++
+      // covered by their own partitions). The root's listing counts once.
+      Iterator.single((rootFile, 0)) ++ {
+        PufsMetaTable.dirsListed.incrementAndGet()
         Option(rootFile.listFiles()).getOrElse(Array.empty).iterator
-          .filter(_.isFile).map(f => (f, 1))
-    } else walk(new File(rootFile, sub), 1)
+          .filter(_.isFile).filter(_ => maxDepth >= 1).map(f => (f, 1))
+      }
+    } else new LazyWalk(new File(rootFile, sub), 1)
 
   private var cur: (File, Int) = _
 
@@ -139,17 +178,22 @@ class PufsMetaReader(root: String, sub: String, required: StructType)
     }
     val size = if (f.isFile) f.length() else 0L
     val blockId = PufsFileSystem.syntheticBlockId(root, relPath, size, f.lastModified())
-    val full = Map[String, Any](
-      "path" -> UTF8String.fromString(relPath),
-      "name" -> UTF8String.fromString(name),
-      "parent" -> UTF8String.fromString(parent),
-      "isDir" -> f.isDirectory,
-      "size" -> size,
-      "modTime" -> f.lastModified() * 1000L, // micros
-      "depth" -> depth,
-      "ext" -> UTF8String.fromString(ext),
-      "blockId" -> UTF8String.fromString(blockId))
-    InternalRow.fromSeq(required.fields.map(fd => full(fd.name)).toIndexedSeq)
+    // M2: join the block cache's population state into the listing row
+    lazy val (popBytes, regions) =
+      if (f.isFile) PufsFileSystem.statsForBlock(blockId) else (0L, 0)
+    val full = Map[String, () => Any](
+      "path" -> (() => UTF8String.fromString(relPath)),
+      "name" -> (() => UTF8String.fromString(name)),
+      "parent" -> (() => UTF8String.fromString(parent)),
+      "isDir" -> (() => f.isDirectory),
+      "size" -> (() => size),
+      "modTime" -> (() => f.lastModified() * 1000L), // micros
+      "depth" -> (() => depth),
+      "ext" -> (() => UTF8String.fromString(ext)),
+      "blockId" -> (() => UTF8String.fromString(blockId)),
+      "populatedBytes" -> (() => popBytes),
+      "regionCount" -> (() => regions))
+    InternalRow.fromSeq(required.fields.map(fd => full(fd.name)()).toIndexedSeq)
   }
 
   override def close(): Unit = ()

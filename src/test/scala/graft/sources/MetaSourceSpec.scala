@@ -54,4 +54,56 @@ class MetaSourceSpec extends SparkSpec {
     val listing = graft.operators.MetaOps.queries("l5b_meta_listing")(spark, sfDir)
     assert(listing.count() == 11) // root + 10 parquet files
   }
+
+  test("M2 extended listing surfaces cache population after a partial read") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val backing = Files.createTempDirectory("meta-m2").toString
+    val data = new Array[Byte](200 * 1024)
+    new scala.util.Random(31).nextBytes(data)
+    Files.write(Paths.get(backing, "hot.bin"), data)
+    Files.write(Paths.get(backing, "cold.bin"), data)
+    // pull a slice of hot.bin through pufs://
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    conf.set("fs.pufs.backing", backing)
+    conf.set("fs.pufs.cache", Files.createTempDirectory("meta-m2-cache").toString)
+    conf.setLong("fs.pufs.chunk.size", 8192)
+    conf.setLong("fs.pufs.readahead", 0)
+    conf.setBoolean("fs.pufs.impl.disable.cache", true)
+    val fs = FileSystem.get(java.net.URI.create("pufs:///"), conf)
+    val in = fs.open(new Path("/hot.bin"))
+    in.readFully(0L, new Array[Byte](10000), 0, 10000)
+    in.close(); fs.close()
+    // the listing row for hot.bin shows the pulled bytes; cold.bin shows 0
+    val rows = graft.operators.MetaOps.queries("l5c_meta_cache_stats")(spark, backing)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(rows("hot.bin")._1 == 16384 && rows("hot.bin")._2 == 1,
+      s"expected two pulled 8KiB chunks as one region, got ${rows("hot.bin")}")
+    assert(rows("cold.bin") == ((0L, 0)), s"unread file shows ${rows("cold.bin")}")
+  }
+
+  test("maxDepth budget lists the frontier without descending past it") {
+    val rows = spark.read.format("pufs-meta").option("maxDepth", "1")
+      .load(fixture).select("path", "isDir")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    // d1 appears as an entry (the frontier) but d1/* was never listed
+    assert(rows == Seq(("", true), ("d1", true), ("top.csv", false)))
+  }
+
+  test("deferred listing: a LIMIT over a wide tree doesn't walk the world") {
+    // 200 dirs x 5 files = 1200 entries; a limit(3) scan must list only a
+    // tiny fraction of the directories (M19: fetch children on touch)
+    val root = Files.createTempDirectory("meta-wide").toString
+    (0 until 200).foreach { i =>
+      val d = Paths.get(root, f"d$i%03d")
+      Files.createDirectories(d)
+      (0 until 5).foreach(j => Files.write(d.resolve(s"f$j.bin"), Array[Byte](1)))
+    }
+    PufsMetaTable.dirsListed.set(0)
+    val few = spark.read.format("pufs-meta").load(root).limit(3).collect()
+    assert(few.length == 3)
+    val listed = PufsMetaTable.dirsListed.get()
+    assert(listed < 40,
+      s"limit(3) listed $listed of 201 directories — listing is not deferred")
+  }
 }
