@@ -93,12 +93,13 @@ object Bench {
         sqrt(fold(transform(col("embedding"), x => x.cast("double") * x.cast("double")))).as("nrm"))
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("nrm").as("pnrm"))
-      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      graft.functions.VectorExpressions.register(s)
+      val topk = udaf(new graft.functions.TopK(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       broadcast(probes).join(e, col("probe_id") =!= col("vec_id"))
-        .withColumn("cos",
-          fold(zip_with(col("pv"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")))
-            / (col("pnrm") * col("nrm")))
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .withColumn("cos", expr("dot_f32(pv, embedding)") / (col("pnrm") * col("nrm")))
+        .groupBy("probe_id").agg(topk(col("cos"), col("vec_id")).as("nb"))
+        .select(col("probe_id"), posexplode(col("nb")))
     }),
 
     // session windows over the event stream frame
@@ -143,26 +144,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(fn: (SparkSession, String) => DataFrame): Unit =
+    def run(fn: (SparkSession, String) => DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // drop any persist() a query did so the next iteration re-pays the
+      // full materialization cost (fair per-iteration timing)
+      spark.catalog.clearCache()
+    }
 
     // warmup: JIT, codegen cache, parquet footers
     headline.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
-    // min of 3 measured iterations — single-JVM local mode is noisy
-    val results = headline.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    // 5 measured iterations per query; report min (engine capability on a
+    // quiet host) AND median (robustness to a noisy/contended host —
+    // VERDICT r2 flagged the driver's bench numbers as CPU-contention
+    // artifacts 7-18x off; per-iteration times make that diagnosable)
+    val iters = 5
+    val results: Seq[(String, Seq[Double])] = headline.map { case (name, fn) =>
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def jmap(f: Seq[Double] => Double): String = results
+      .map { case (k, ts) => "\"" + k + "\":" + f"${if (ts.isEmpty) -1.0 else f(ts)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val perIter = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => if (ts.isEmpty) 0.0 else ts.min }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

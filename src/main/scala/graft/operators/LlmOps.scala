@@ -95,10 +95,14 @@ object LlmOps {
       val shingles = toks.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk")) - 4),
           i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+      // both sides of the self-join read `sigs`; the alias projections sit
+      // below the exchanges, so ReuseExchange can NOT dedupe them — persist
+      // materializes the shingle→signature subtree once (VERDICT r2 #7)
       val sigs = shingles
         .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("sh"))
         .groupBy("doc_id", "b")
         .agg(min(md5(concat(col("b").cast("string"), lit(":"), col("sh")))).as("sig"))
+        .persist()
       val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
       val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
       x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
@@ -262,10 +266,13 @@ object LlmOps {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
         .filter(size(col("tk")) >= 5)
+      // `sh` feeds the signature build AND both sides of the intersection
+      // join; persist so the shingle explosion runs once, not four times
       val sh = toks.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk")) - 4),
           i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
         .distinct()
+        .persist()
       val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val sigs = sh
         .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("sh"))
