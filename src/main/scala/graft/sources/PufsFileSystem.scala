@@ -223,18 +223,52 @@ object PufsFileSystem {
   val latencySamples = new Reservoir(1000)
   val sizeSamples = new Reservoir(1000)
 
+  /** Ring buffer of recently completed fetches for live transfer-rate
+    * reporting (reference OffsetHistory, region/pending.go:179-222). */
+  final class RateRing(capacity: Int = 256) {
+    private val times = new Array[Long](capacity)
+    private val sizes = new Array[Long](capacity)
+    private var idx = 0
+    private var n = 0
+    def record(atNanos: Long, bytes: Long): Unit = synchronized {
+      times(idx) = atNanos; sizes(idx) = bytes
+      idx = (idx + 1) % capacity; n = math.min(n + 1, capacity)
+    }
+    /** Bytes/sec over the trailing window ending at `nowNanos`. */
+    def rate(windowNanos: Long, nowNanos: Long): Double = synchronized {
+      val cutoff = nowNanos - windowNanos
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val j = ((idx - 1 - i) % capacity + capacity) % capacity
+        if (times(j) >= cutoff) sum += sizes(j)
+        i += 1
+      }
+      sum.toDouble * 1e9 / windowNanos
+    }
+    def reset(): Unit = synchronized { idx = 0; n = 0 }
+  }
+  val transferRing = new RateRing()
+
+  /** In-flight chunk fetches right now (reference GetActiveTransferStatus,
+    * core/freezer.go:544-559). */
+  val activeTransfers = new AtomicInteger(0)
+
   def resetStats(): Unit = {
     bytesPulled.set(0); fetchCount.set(0)
-    latencySamples.reset(); sizeSamples.reset()
+    latencySamples.reset(); sizeSamples.reset(); transferRing.reset()
   }
 
-  /** One-line transfer stats report (PrintStats analog). */
+  /** One-line transfer stats report (PrintStats analog): totals,
+    * percentiles, live in-flight count and trailing-5s rate. */
   def statsReport: String = {
     val l = latencySamples.percentiles(Seq(0.5, 0.9, 0.99))
     val s = sizeSamples.percentiles(Seq(0.5, 0.9, 0.99))
+    val mbps = transferRing.rate(5L * 1000 * 1000 * 1000, System.nanoTime()) / 1e6
     s"fetches=${fetchCount.get()} bytes=${bytesPulled.get()} " +
       s"latency_us(p50/p90/p99)=${l.mkString("/")} " +
-      s"size_b(p50/p90/p99)=${s.mkString("/")}"
+      s"size_b(p50/p90/p99)=${s.mkString("/")} " +
+      f"active=${activeTransfers.get()} rate_5s=$mbps%.2f MB/s"
   }
 
   def maskFor(blockId: String): RegionMask =
@@ -392,6 +426,14 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
 
   private var pos: Long = 0
 
+  /** Set on close(): in-flight readahead scheduled by this stream observes
+    * it and stops — the cancellation propagation the reference does for
+    * FUSE Interrupt (fs/mount.go:834-844 → region/pending.go cancel paths).
+    * A task kill closes its streams, so its readahead dies with it. */
+  @volatile private var closed = false
+
+  override def close(): Unit = { closed = true; super.close() }
+
   private def ensurePulled(start: Long, end: Long): Unit = {
     val e = math.min(size, end)
     if (e <= start) return
@@ -414,7 +456,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
       PufsFileSystem.readaheadPool.execute { () =>
         var c = aEnd
         var cancelled = false
-        while (c < raEnd && !cancelled) {
+        while (c < raEnd && !cancelled && !closed) {
           val ce = math.min(size, c + chunkSize)
           if (entry.mask.contains(c, ce)) cancelled = true // self-cancel
           else {
@@ -441,6 +483,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
       fresh.complete(null); entry.inflight.remove(chunkStart); return
     }
     val t0 = System.nanoTime()
+    PufsFileSystem.activeTransfers.incrementAndGet()
     try {
       val buf = remote.read(chunkStart, (end - chunkStart).toInt)
       val raf = new RandomAccessFile(entry.file, "rw")
@@ -449,12 +492,17 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
       entry.logRegion(chunkStart, end)
       PufsFileSystem.bytesPulled.addAndGet(end - chunkStart)
       PufsFileSystem.fetchCount.incrementAndGet()
-      PufsFileSystem.latencySamples.record((System.nanoTime() - t0) / 1000)
+      val done = System.nanoTime()
+      PufsFileSystem.latencySamples.record((done - t0) / 1000)
       PufsFileSystem.sizeSamples.record(end - chunkStart)
+      PufsFileSystem.transferRing.record(done, end - chunkStart)
       fresh.complete(null)
     } catch {
       case t: Throwable => fresh.completeExceptionally(t); throw t
-    } finally entry.inflight.remove(chunkStart)
+    } finally {
+      PufsFileSystem.activeTransfers.decrementAndGet()
+      entry.inflight.remove(chunkStart)
+    }
   }
 
   // --- PositionedReadable (what Parquet's reader actually calls) ---

@@ -118,6 +118,9 @@ object SnapshotStore {
     val hashedResults: Seq[(String, Long, Long, String, Boolean)] = spark match {
       case Some(s) if dirty.nonEmpty =>
         val parts = math.max(1, math.min(dirty.size, s.sparkContext.defaultParallelism))
+        // the collect here is manifest METADATA (path/size/mtime/sha per
+        // dirty file), not data — the commit protocol is driver-side by
+        // design, like every table-format commit
         s.sparkContext.parallelize(dirty, parts).map(hashUpload).collect().toSeq
       case _ => dirty.map(hashUpload)
     }

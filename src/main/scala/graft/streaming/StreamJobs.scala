@@ -46,6 +46,21 @@ object StreamJobs {
   def dedupWithinWatermark(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** Stream-stream inner join bounded by an event-time range: a view joins
+    * a click by the same user when the view happened within the 5 minutes
+    * BEFORE the click. Both sides are watermarked and the join condition
+    * carries the time bound, so each side's buffered state is reclaimable
+    * once the watermark passes the range (Spark's stream-stream join state
+    * bound requirement). Schemas: clicks(c_user, cts), views(v_user, vts).
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("cts", "10 minutes")
+    val v = views.withWatermark("vts", "10 minutes")
+    c.join(v, expr(
+        "c_user = v_user AND vts BETWEEN cts - INTERVAL 5 MINUTES AND cts"))
+      .select(col("c_user").as("user_id"), col("cts"), col("vts"))
+  }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
     * event count + high-water timestamp, emitted on every update. This is
     * the join/merge state-machine shape of the reference's pending-read

@@ -129,6 +129,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((7L, Some("gold")), (9L, Some("silver")), (11L, None)))
   }
 
+  test("stream-stream join matches pairs within the event-time bound") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val joined = StreamJobs.clickViewJoin(
+      clicks.toDF().toDF("cts", "c_user"),
+      views.toDF().toDF("vts", "v_user"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    views.addData(ts(2) -> 7L, ts(6) -> 7L, ts(7) -> 7L, ts(8) -> 9L)
+    clicks.addData(ts(10) -> 7L)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+    // views at 6 and 7 fall in [5, 10]; the view at 2 is too old; user 9
+    // never clicked
+    assert(rows == Set((7L, ts(6)), (7L, ts(7))), s"got $rows")
+  }
+
   test("session windows merge runs and split on gap > 30min") {
     import graft.SparkSpec.spark.implicits._
     val data = Seq(

@@ -209,6 +209,49 @@ class PufsFsSpec extends SparkSpec {
     fs.close()
   }
 
+  test("close() cancels in-flight readahead (request cancellation)") {
+    // slow remote: each chunk fetch takes 30 ms, readahead window = 32
+    // chunks; closing right after the first sync read must stop the
+    // background walk long before the window is exhausted
+    val data = new Array[Byte](512 * 1024)
+    new scala.util.Random(13).nextBytes(data)
+    val slow = new RemoteStore {
+      private val inner = {
+        val d = tmpDir("pufs-slow")
+        Files.write(Paths.get(d, "s.bin"), data)
+        new LocalStore(new File(d, "s.bin"))
+      }
+      def read(start: Long, len: Int): Array[Byte] = {
+        Thread.sleep(30); inner.read(start, len)
+      }
+    }
+    PufsFileSystem.simulateRestart()
+    val entry = PufsFileSystem.cacheEntry(tmpDir("pufs-slow-cache"), "slow-block", data.length)
+    val in = new LazyPullInputStream(entry, slow, data.length, 8192, 32 * 8192)
+    in.readFully(0L, new Array[Byte](100), 0, 100)
+    in.close() // cancel while the 32-chunk readahead window is mid-flight
+    Thread.sleep(800) // give a cancelled walk time to (wrongly) continue
+    val pulled = PufsFileSystem.bytesPulled.get()
+    // sync chunk + at most a few chunks that were already past the check
+    assert(pulled <= 5 * 8192,
+      s"readahead kept running after close(): pulled $pulled bytes")
+  }
+
+  test("transfer stats: live rate ring and active-transfer count (B15)") {
+    val backing = tmpDir("pufs-rate")
+    Files.write(Paths.get(backing, "r.bin"), new Array[Byte](256 * 1024))
+    PufsFileSystem.simulateRestart()
+    val fs = newFs(backing, tmpDir("pufs-rate-cache"), chunk = 8192)
+    val in = fs.open(new Path("/r.bin"))
+    in.readFully(0L, new Array[Byte](100000), 0, 100000)
+    in.close(); fs.close()
+    val rate = PufsFileSystem.transferRing.rate(5L * 1000 * 1000 * 1000, System.nanoTime())
+    assert(rate > 0, "trailing-window transfer rate is zero after pulls")
+    assert(PufsFileSystem.activeTransfers.get() == 0, "transfers leaked the active counter")
+    val report = PufsFileSystem.statsReport
+    assert(report.contains("active=0") && report.contains("rate_5s="), report)
+  }
+
   // --- HTTP remote connector (B10 analog: Range GET + If-Match + retry) ---
 
   /** In-process HTTP object server: Range + If-Match semantics, injectable
