@@ -378,6 +378,62 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L16: Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): word
+    // count bounds, mean word length band, alphabetic-word ratio, distinct
+    // stopword floor — the standard pretraining-corpus filter, one rule per
+    // column so downstream can audit WHY a doc dropped. All integer-exact
+    // or integer-ratio doubles (hash-safe vs DuckDB).
+    "l16_gopher_quality" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val nW = size(tk).cast("long")
+      val sumLen = aggregate(tk, lit(0L), (a, w) => a + length(w).cast("long"))
+      val meanLen = sumLen.cast("double") / nW.cast("double")
+      val alphaW = size(filter(tk, w => w.rlike("[a-zA-Z]"))).cast("long")
+      val stops = size(array_intersect(
+        array_distinct(transform(tk, lower(_))),
+        array(Seq("the", "a", "of", "and", "to").map(lit): _*))).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), nW.as("n_words"), meanLen.as("mean_word_len"),
+          (alphaW.cast("double") / nW.cast("double")).as("alpha_ratio"),
+          stops.as("distinct_stops"),
+          (nW.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+            (alphaW.cast("double") / nW.cast("double")) > 0.7 &&
+            stops >= 2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // L17: repetition detection — most-frequent-bigram fraction per doc
+    // (high values flag boilerplate/spam for pretraining filtering). Two
+    // hash aggregations, both partial-aggregated; never materializes the
+    // per-doc bigram set in one task.
+    "l17_repetition" -> ((s, d) => {
+      val tk = split(lower(col("text")), " ")
+      val bigrams = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(tk) - 1),
+            i => concat_ws(" ", slice(tk, i, lit(2))))).as("bg"))
+      bigrams
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max(col("cnt")).as("top_bigram_cnt"),
+          sum(col("cnt")).as("n_bigrams"))
+        .withColumn("rep_frac",
+          col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // L18: PII-pattern scan — counts of email-shaped and long-digit-run
+    // matches per doc (the redaction pre-pass of a training pipeline; only
+    // COUNTS leave the executor, never the matched text).
+    "l18_pii_scan" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"),
+            lit("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+")).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit("[0-9]{6,}")).cast("long").as("n_digit_runs"))
+        .orderBy("doc_id")
+    }),
+
     // L11: multimodal column plumbing — text payloads as opaque binary with
     // typed metadata (the puFS blob model, SURVEY §1.4). The "decode" here
     // is a deterministic md5-derived fake (no image libs in-env); the
@@ -542,6 +598,47 @@ object LlmOps {
         |    AS dup_rate,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "l16_gopher_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_transform(tk, w -> CAST(length(w) AS BIGINT)),
+        |      (a, b) -> a + b) AS DOUBLE) / len(tk) AS mean_word_len,
+        |    CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]')))
+        |      AS DOUBLE) / len(tk) AS alpha_ratio,
+        |    CAST(len(list_intersect(list_distinct(list_transform(tk, w -> lower(w))),
+        |      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS distinct_stops
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, distinct_stops,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND alpha_ratio > 0.7 AND distinct_stops >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "l17_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |  FROM toks),
+        |cnt AS (
+        |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS rep_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l18_pii_scan" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
+        |    AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "l11_multimodal_meta" ->
       """SELECT doc_id,

@@ -195,6 +195,18 @@ object ScanOps {
 
     // Q-F9: calendar arithmetic — add_months (end-of-month clamped the
     // same way in both engines), last_day, quarter, date_add.
+    // Q-F10: string-distance functions — levenshtein edit distance between
+    // catalog strings (the fuzzy-matching primitive of entity resolution).
+    "f10_text_distance" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long")
+            .as("lev_brand_type"),
+          levenshtein(col("p_name"), col("p_type")).cast("long")
+            .as("lev_name_type"))
+        .orderBy("p_partkey")
+    }),
+
     "f9_dates_calendar" -> ((s, d) => {
       t(s, d, "orders")
         .select(
@@ -328,6 +340,12 @@ object ScanOps {
       """SELECT event_id, 'k' AS key,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "f10_text_distance" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_brand_type,
+        |  CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_name_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "f9_dates_calendar" ->
       """SELECT o_orderkey,

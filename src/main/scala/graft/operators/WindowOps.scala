@@ -151,6 +151,18 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Q-W9: nth_value over a running frame — the "second order ever" per
+    // customer (null until it exists).
+    "w9_nth_value" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Q-W6: per-supplier top-3 line items by extended price.
     "w6_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
@@ -221,6 +233,13 @@ object WindowOps {
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_key,
         |  last_value(o_orderkey) OVER w AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w9_nth_value" ->
+      """SELECT o_custkey, o_orderkey, nth_value(o_orderkey, 2) OVER w AS second_key
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
