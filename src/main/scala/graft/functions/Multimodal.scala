@@ -59,4 +59,74 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Feature extraction: payload → dim-float embedding (the CLIP-embed
+    * slot of a multimodal pipeline). STUBBED to a deterministic
+    * hash-derived unit-ish vector; the contract — BINARY in,
+    * ArrayType(FloatType) out, batched per partition, composable with the
+    * ANN/near-dup operators downstream — is the real deliverable. */
+  def featureExtract(df: DataFrame, dim: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("embedding", ArrayType(FloatType), nullable = false))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256") // per-partition handle
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+        val vec = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          if (i % 32 == 0) { md.reset(); md.update(payload); md.update(i.toByte) }
+          val h = md.digest()
+          vec(i) = ((h(i % 32) & 0xff) - 128) / 128.0f
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ vec.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one video payload → every Nth "frame" as its own
+    * binary row (id, frame_idx, frame). The 1→N generator shape of video
+    * preprocessing — a real impl seeks keyframes with a demuxer handle
+    * held per partition; the stub slices the payload deterministically. */
+  def frameSample(df: DataFrame, everyN: Int = 2, frameBytes: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("id")
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+        val nFrames = payload.length / frameBytes
+        (0 until nFrames by everyN).iterator.map { f =>
+          Row(id, f, java.util.Arrays.copyOfRange(
+            payload, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize: payload → payload' with updated metadata (aspect-preserving
+    * cap at maxDim). The stub re-hashes content into the new identity;
+    * a real impl transcodes. Shape: BINARY→BINARY column map. */
+  def resizeStub(df: DataFrame, maxDim: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { rows =>
+      val d = FakeDecoder
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h, _, ok) = d.decode(payload)
+        val scale = if (ok && math.max(w, h) > maxDim)
+          maxDim.toDouble / math.max(w, h) else 1.0
+        Row.fromSeq(r.toSeq ++ Seq(
+          math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt)))
+      }
+    }(enc)
+  }
 }

@@ -233,8 +233,11 @@ object LlmOps {
       val n = e0.select("vec_id").count()
       val bits = math.max(8,
         math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+      // both sides of the candidate self-join scan the signatures; persist
+      // so the bands*bits plane dots run once per vector, not twice
       val bandsDf = embedBands(e0.select("vec_id", "embedding"), bands = 2, bits = bits)
         .select("band", "sig", "vec_id")
+        .persist()
       // candidate ids first (a pair may collide in both bands — dedup the
       // id pair, NOT rows carrying vector payloads), then join the vectors
       // back for the exact-cosine dispose step
@@ -432,6 +435,31 @@ object LlmOps {
             lit("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+")).cast("long").as("n_emails"),
           regexp_count(col("text"), lit("[0-9]{6,}")).cast("long").as("n_digit_runs"))
         .orderBy("doc_id")
+    }),
+
+    // L19: the full multimodal batch pipeline composed end-to-end —
+    // payload → decode(meta) → frame-sample (1→N) → feature-extract
+    // (frame → embedding) → per-format stats. Codecs are the documented
+    // deterministic stubs (no media libs in-env); the Spark shapes
+    // (mapPartitions batches, generator explode, ArrayType(Float) feeding
+    // the ANN ops) are the contract. Rows-only lane + SourcesSpec.
+    "l19_multimodal_pipeline" -> ((s, d) => {
+      import graft.functions.Multimodal
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      val meta = Multimodal.decodeMeta(docs).select(col("id"), col("format"))
+      val frames = Multimodal.frameSample(docs, everyN = 2, frameBytes = 64)
+      val feats = Multimodal.featureExtract(
+        frames.select(col("id"), col("frame_idx"), col("frame").as("payload")))
+      val frameNorm = sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x))
+      feats.join(meta, "id")
+        .groupBy("format")
+        .agg(countDistinct(col("id")).as("n_docs"),
+          count(lit(1)).as("n_frames"),
+          round(avg(frameNorm), 4).as("avg_frame_norm"))
+        .orderBy("format")
     }),
 
     // L11: multimodal column plumbing — text payloads as opaque binary with

@@ -73,4 +73,47 @@ class SourcesSpec extends SparkSpec {
       .filter(col("id") === 0).select("width", "height").head()
     assert(one == two)
   }
+
+  test("multimodal frame-sample explodes every Nth frame with exact slices") {
+    import graft.SparkSpec.spark.implicits._
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val df = Seq((1L, payload)).toDF("id", "payload").repartition(2)
+    val frames = graft.functions.Multimodal.frameSample(df, everyN = 2, frameBytes = 256)
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]]("frame")))
+      .sortBy(_._1)
+    // 1000/256 = 3 frames, every 2nd -> indices 0, 2
+    assert(frames.map(_._1).toSeq == Seq(0, 2))
+    assert(java.util.Arrays.equals(frames(0)._2,
+      java.util.Arrays.copyOfRange(payload, 0, 256)))
+    assert(java.util.Arrays.equals(frames(1)._2,
+      java.util.Arrays.copyOfRange(payload, 512, 768)))
+  }
+
+  test("multimodal featureExtract emits deterministic fixed-dim embeddings") {
+    import graft.SparkSpec.spark.implicits._
+    val df = Seq((1L, "abc".getBytes), (2L, "abc".getBytes), (3L, "xyz".getBytes))
+      .toDF("id", "payload").repartition(3)
+    val out = graft.functions.Multimodal.featureExtract(df, dim = 64)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Float](2)).toMap
+    assert(out.values.forall(_.length == 64))
+    assert(out(1L) == out(2L), "same payload must embed identically")
+    assert(out(1L) != out(3L), "different payloads must differ")
+    assert(out(1L).forall(v => v >= -1.0f && v <= 1.0f))
+  }
+
+  test("multimodal resize caps the longer side and preserves aspect") {
+    import graft.SparkSpec.spark.implicits._
+    val df = Seq((1L, "some image bytes".getBytes)).toDF("id", "payload")
+    val r = graft.functions.Multimodal.resizeStub(df, maxDim = 64).head()
+    val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+    assert(math.max(w, h) <= 64 && w >= 1 && h >= 1)
+  }
+
+  test("l19 multimodal pipeline aggregates per format") {
+    val out = graft.operators.LlmOps.queries("l19_multimodal_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet.subsetOf(Set("png", "jpeg")))
+    assert(out.map(_._3).sum > 0, "no frames sampled")
+  }
 }
