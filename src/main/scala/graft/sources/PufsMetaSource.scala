@@ -129,6 +129,20 @@ class PufsMetaReader(root: String, sub: String, maxDepth: Int,
 
   private val rootFile = new File(root)
 
+  /** One snapshot of the block-cache stats per partition reader (O(1)
+    * lookup per row; a per-row scan over the mask map would be O(files ×
+    * cached-blocks) on a large listing). Only built if the scan actually
+    * projects the stats columns. */
+  private lazy val statsById: Map[String, (Long, Int)] =
+    PufsFileSystem.blockStats
+      .groupBy { case (key, _, _) => key.substring(key.indexOf('|') + 1) }
+      .map { case (id, rows) =>
+        id -> rows.foldLeft((0L, 0)) { case ((b, r), (_, b2, r2)) => (b + b2, r + r2) }
+      }
+  private lazy val wantsStats =
+    required.fieldNames.contains("populatedBytes") ||
+      required.fieldNames.contains("regionCount")
+
   /** Explicit-stack DFS that lists a directory's children only when the
     * consumer reaches it (M19 deferred child fetch) and never descends
     * past the depth budget. Children are pushed name-sorted so listing
@@ -180,7 +194,7 @@ class PufsMetaReader(root: String, sub: String, maxDepth: Int,
     val blockId = PufsFileSystem.syntheticBlockId(root, relPath, size, f.lastModified())
     // M2: join the block cache's population state into the listing row
     lazy val (popBytes, regions) =
-      if (f.isFile) PufsFileSystem.statsForBlock(blockId) else (0L, 0)
+      if (f.isFile && wantsStats) statsById.getOrElse(blockId, (0L, 0)) else (0L, 0)
     val full = Map[String, () => Any](
       "path" -> (() => UTF8String.fromString(relPath)),
       "name" -> (() => UTF8String.fromString(name)),
