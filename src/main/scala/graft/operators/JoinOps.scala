@@ -140,6 +140,29 @@ object JoinOps {
       t(s, d, "nation").crossJoin(t(s, d, "region"))
         .select("n_name", "r_name")
         .orderBy("n_name", "r_name")
+    }),
+
+    // Q-J10: right outer — every customer kept, orderless ones at zero.
+    "j10_right_outer" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"),
+          "right_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            lit(0.0)).as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q-J11: conditional NOT EXISTS — anti join with a predicate beyond
+    // the equality key (customers with no order above 450k).
+    "j11_not_exists" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey") && col("o_totalprice") > 450000,
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     })
   )
 
@@ -206,6 +229,19 @@ object JoinOps {
 
     "j9_cross" ->
       """SELECT n_name, r_name FROM nation CROSS JOIN region
-        |ORDER BY n_name, r_name""".stripMargin
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "j10_right_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        |    AS total
+        |FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "j11_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

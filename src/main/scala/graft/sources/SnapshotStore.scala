@@ -189,6 +189,47 @@ object SnapshotStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Garbage-collect unreferenced CAS blocks. A block is LIVE if it is
+    * reachable from (a) any labeled root, or (b) any unexpired lease —
+    * leases are exactly this: GC liveness hints for snapshots no label
+    * points at anymore (reference datastore.go:48-51; renewLeases
+    * 240-253). Everything else in CAS/ is garbage from superseded
+    * publishes. Returns the number of blocks deleted.
+    *
+    * Safety: mounts resolve through a manifest that is itself live via its
+    * label or lease, so a mounted snapshot can't lose blocks unless its
+    * label was repointed AND its lease expired — the reference's contract.
+    */
+  def gc(repo: String, now: Instant = Instant.now()): Int = {
+    val live = scala.collection.mutable.Set[String]()
+    def addReachable(manifestSha: String): Unit = {
+      val mf = casDir(repo).resolve(manifestSha)
+      if (Files.exists(mf)) {
+        live += manifestSha
+        new String(Files.readAllBytes(mf), "UTF-8").split("\n")
+          .filter(_.nonEmpty).foreach { line => live += line.split("\t")(2) }
+      }
+    }
+    def listDir(p: JPath): Seq[JPath] =
+      if (!Files.exists(p)) Seq.empty
+      else { val s = Files.list(p); try s.toArray.map(_.asInstanceOf[JPath]).toSeq finally s.close() }
+    listDir(rootDir(repo)).foreach { r =>
+      addReachable(new String(Files.readAllBytes(r), "UTF-8").trim)
+    }
+    listDir(leaseDir(repo)).foreach { l =>
+      val Array(sha, expiry) = new String(Files.readAllBytes(l), "UTF-8").split("\t")
+      if (Instant.ofEpochMilli(expiry.toLong).isAfter(now)) addReachable(sha)
+    }
+    var deleted = 0
+    listDir(casDir(repo)).foreach { b =>
+      val name = b.getFileName.toString
+      if (!name.startsWith(".") && !live.contains(name)) {
+        Files.delete(b); deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Read a published snapshot's manifest (reference MountByLabel →
     * GetRoot → lazy subtree, core/datastore.go:214-227). */
   def mount(repo: String, label: String): Seq[ManifestEntry] = {

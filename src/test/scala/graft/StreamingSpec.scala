@@ -150,6 +150,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((7L, ts(6)), (7L, ts(7))), s"got $rows")
   }
 
+  test("streaming parquet sink writes through pufs:// and reads back") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val backing = java.nio.file.Files.createTempDirectory("stream-pufs").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.pufs.impl", classOf[graft.sources.PufsFileSystem].getName)
+    hc.set("fs.pufs.backing", backing)
+    hc.set("fs.pufs.cache",
+      java.nio.file.Files.createTempDirectory("stream-pufs-cache").toString)
+    hc.set("fs.pufs.impl.disable.cache", "true")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "event_id")
+      .writeStream.format("parquet")
+      .option("path", "pufs:///stream/out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("stream-ckpt").toString)
+      .outputMode("append").start()
+    mem.addData(ts(1) -> 1L, ts(2) -> 2L)
+    q.processAllAvailable()
+    mem.addData(ts(3) -> 3L)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet("pufs:///stream/out")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(back == Seq(1L, 2L, 3L),
+      s"streamed rows lost through the pufs sink: $back")
+  }
+
   test("session windows merge runs and split on gap > 30min") {
     import graft.SparkSpec.spark.implicits._
     val data = Seq(

@@ -93,6 +93,55 @@ class SnapshotSpec extends SparkSpec {
     assert(statsPar.uploaded == 4 && statsPar.hashed == 3)
   }
 
+  test("gc keeps label- and lease-reachable blocks, collects superseded ones") {
+    import java.time.Instant
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-gc").toString
+    val (sha1, _) = SnapshotStore.publish(src, repo, "main")
+    Files.write(Paths.get(src, "a.txt"), "alpha-v2".getBytes)
+    val (sha2, _) = SnapshotStore.publish(src, repo, "main")
+    // a reader pins the superseded snapshot with its OWN lease (what a
+    // mount does — leases are per-consumer liveness hints)
+    SnapshotStore.renewLease(repo, "reader-1", sha1)
+    assert(SnapshotStore.gc(repo) == 0,
+      "gc deleted blocks reachable from an unexpired reader lease")
+    // past the 48h lease horizon only the labeled snapshot survives
+    val later = Instant.now().plus(SnapshotStore.LeaseDuration).plusSeconds(3600)
+    val deleted = SnapshotStore.gc(repo, later)
+    assert(deleted == 2, // old manifest + old a.txt block
+      s"expected 2 superseded blocks collected, got $deleted")
+    // the labeled snapshot still mounts and reads fully
+    val entries = SnapshotStore.mount(repo, "main")
+    entries.foreach { e =>
+      assert(java.util.Arrays.equals(SnapshotStore.readBlock(repo, e.sha256),
+        Files.readAllBytes(Paths.get(src, e.path))))
+    }
+    assert(SnapshotStore.getRoot(repo, "main").contains(sha2) && sha1 != sha2)
+    // the old manifest is gone
+    intercept[Exception](SnapshotStore.readBlock(repo, sha1))
+  }
+
+  test("concurrent publishers to one repo don't corrupt the CAS") {
+    val srcA = mkTree()
+    val srcB = mkTree()
+    Files.write(Paths.get(srcB, "a.txt"), "different-alpha".getBytes)
+    val repo = Files.createTempDirectory("snap-conc").toString
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() => try SnapshotStore.publish(srcA, repo, "labA")
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() => try SnapshotStore.publish(srcB, repo, "labB")
+        catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent publish threw: $errs")
+    Seq(("labA", srcA), ("labB", srcB)).foreach { case (lab, src) =>
+      SnapshotStore.mount(repo, lab).foreach { e =>
+        assert(java.util.Arrays.equals(SnapshotStore.readBlock(repo, e.sha256),
+          Files.readAllBytes(Paths.get(src, e.path))), s"$lab/${e.path} corrupt")
+      }
+    }
+  }
+
   test("mount through pufs://: published parquet reads back lazily") {
     import org.apache.spark.sql.functions.col
     // publish a real parquet table as a snapshot
