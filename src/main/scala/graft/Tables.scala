@@ -28,13 +28,15 @@ object Tables {
       if (sys.env.get("SPARK_GRAFT_PUFS").contains("1")) {
         val hc = spark.sparkContext.hadoopConfiguration
         hc.set("fs.pufs.impl", "graft.sources.PufsFileSystem")
-        hc.set("fs.pufs.backing", dir)
-        // Hadoop caches FileSystem instances by scheme+authority, which
-        // would pin the FIRST dir's backing store for the whole session —
-        // reading a second sf dir would silently resolve against the first
-        // (ADVICE r2). Disable the cache so each access re-reads the conf.
-        hc.set("fs.pufs.impl.disable.cache", "true")
-        s"pufs:///$name.parquet"
+        // the backing dir rides in the URI authority (the bucket), NOT in
+        // shared conf: lazy execution of a plan built against dir A must
+        // not resolve against whatever dir was configured last (ADVICE
+        // r2). Authority-distinct URIs also cache as distinct FS
+        // instances, so no cache disabling is needed.
+        val token = "d" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val prefix = graft.sources.PufsFileSystem.registerBacking(token, dir)
+        s"$prefix/$name.parquet"
       } else s"$dir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -56,8 +56,17 @@ class PufsFileSystem extends FileSystem {
     super.initialize(name, conf)
     setConf(conf)
     uri = URI.create(s"${name.getScheme}://${Option(name.getAuthority).getOrElse("")}/")
-    backingRoot = conf.get("fs.pufs.backing")
-    require(backingRoot != null, "fs.pufs.backing must point at the backing store dir")
+    // The URI authority is the "bucket": pufs://<token>/path resolves the
+    // backing store from the registry, so different backing dirs coexist
+    // in one session as distinct (and correctly cached) FS instances —
+    // mutating a shared fs.pufs.backing conf per table read would race
+    // with lazy execution (ADVICE r2). Conf remains the no-authority
+    // fallback.
+    backingRoot = Option(name.getAuthority).filter(_.nonEmpty)
+      .flatMap(a => Option(PufsFileSystem.backingRegistry.get(a)))
+      .getOrElse(conf.get("fs.pufs.backing"))
+    require(backingRoot != null,
+      "fs.pufs.backing (or a registered pufs://<token>/ authority) is required")
     cacheRoot = conf.get("fs.pufs.cache",
       Files.createTempDirectory("pufs-cache").toString)
     chunkSize = conf.getLong("fs.pufs.chunk.size", PufsFileSystem.DefaultChunkSize)
@@ -368,6 +377,16 @@ object PufsFileSystem {
   }
 
   private val mounts = new ConcurrentHashMap[String, SnapMount]()
+
+  /** authority token → backing dir (the bucket registry). */
+  private[sources] val backingRegistry = new ConcurrentHashMap[String, String]()
+
+  /** Register a backing dir under an authority token and return the
+    * `pufs://<token>` prefix to build paths with. Idempotent. */
+  def registerBacking(token: String, dir: String): String = {
+    backingRegistry.put(token, dir)
+    s"pufs://$token"
+  }
 
   private def cleanMountPath(p: String): String =
     p.stripPrefix("/").stripSuffix("/")

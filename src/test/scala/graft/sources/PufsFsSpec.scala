@@ -209,6 +209,31 @@ class PufsFsSpec extends SparkSpec {
     fs.close()
   }
 
+  test("authority routing: two backing dirs coexist in one session") {
+    val dirA = tmpDir("pufs-authA")
+    val dirB = tmpDir("pufs-authB")
+    Files.write(Paths.get(dirA, "t.bin"), "AAAA".getBytes)
+    Files.write(Paths.get(dirB, "t.bin"), "BBBB-longer".getBytes)
+    val conf = new Configuration()
+    conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    conf.set("fs.pufs.cache", tmpDir("pufs-auth-cache"))
+    // no fs.pufs.backing in conf: the authority token alone must resolve
+    val pa = PufsFileSystem.registerBacking("ta", dirA)
+    val pb = PufsFileSystem.registerBacking("tb", dirB)
+    val fsA = FileSystem.get(java.net.URI.create(pa + "/"), conf)
+    val fsB = FileSystem.get(java.net.URI.create(pb + "/"), conf)
+    def readAll(fs: FileSystem, n: Int): String = {
+      val in = fs.open(new Path("/t.bin"))
+      val buf = new Array[Byte](n)
+      in.readFully(0L, buf, 0, n); in.close()
+      new String(buf)
+    }
+    assert(readAll(fsA, 4) == "AAAA")
+    assert(readAll(fsB, 11) == "BBBB-longer",
+      "authority tb resolved against the wrong backing store")
+    fsA.close(); fsB.close()
+  }
+
   test("close() cancels in-flight readahead (request cancellation)") {
     // slow remote: each chunk fetch takes 30 ms, readahead window = 32
     // chunks; closing right after the first sync read must stop the
