@@ -76,10 +76,14 @@ object Bench {
       val sh = toks.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk")) - 4),
           i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+      val bandMins = (0 to 3).map(b =>
+        min(md5(concat(lit(s"$b:"), col("sh")))).as(s"sig$b"))
       val sigs = sh
-        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("sh"))
-        .groupBy("doc_id", "b")
-        .agg(min(md5(concat(col("b").cast("string"), lit(":"), col("sh")))).as("sig"))
+        .groupBy("doc_id")
+        .agg(bandMins.head, bandMins.tail: _*)
+        .select(col("doc_id"), posexplode(
+          array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
+        .persist()
       val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
       val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
       x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))

@@ -403,6 +403,11 @@ object PufsFileSystem {
       val parts = e.path.split('/').dropRight(1)
       parts.indices.map(i => parts.take(i + 1).mkString("/"))
     }.toSet
+    // pin the mounted snapshot with a reader lease so a label repoint
+    // can't let GC collect blocks under an active mount (reference: a
+    // mount holds a lease, datastore.go:23-28, 240-253)
+    SnapshotStore.getRoot(repo, label).foreach(sha =>
+      SnapshotStore.renewLease(repo, s"mount-${cleanMountPath(mountPath)}", sha))
     mounts.put(cleanMountPath(mountPath), SnapMount(repo, label, byPath, dirs))
   }
 
