@@ -357,6 +357,69 @@ object LlmOps {
         .orderBy("probe_id", "rnk")
     }),
 
+    // L20: IVF approximate kNN — the second ANN index family (coarse
+    // k-means quantizer + nprobe, the FAISS IVF-flat shape) alongside
+    // l13's multi-table LSH. Build: cluster into ~sqrt(n) cells (seeded —
+    // deterministic); search: rank cells by probe→centroid cosine, scan
+    // the top nprobe cells, exact dot_f32 re-rank, bounded-heap top-5.
+    // Scales: the scan touches nprobe/k of the corpus, cell assignment is
+    // a shuffle-free model.transform, and centroids are broadcast-sized.
+    // Rows-only lane; NearDupSpec measures recall vs brute force.
+    "l20_ann_ivf" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      graft.functions.VectorExpressions.register(s)
+      val e0 = t(s, d, "embeddings")
+      val n = e0.select("vec_id").count()
+      val k = math.max(4, math.sqrt(n.toDouble).toInt)
+      // nprobe = k/3 scans ~1/3 of the corpus for recall ≈ 0.7 on this
+      // NEAR-RANDOM benchmark corpus (no cluster structure for the
+      // quantizer to exploit — the adversarial case for IVF; true
+      // neighbors spread across many Voronoi cells). On a real embedding
+      // corpus with cluster structure the same index reaches high recall
+      // at nprobe ≈ k/20. l13's multi-table LSH is the quality path here
+      // (recall 0.94); this lane exists as the second index family.
+      val nprobe = math.max(3, k / 3)
+      val feats = e0.select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(k).setSeed(42).setMaxIter(8).fit(feats)
+      val cells = model.transform(feats)
+        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+        .persist()
+      // centroid table (k rows — broadcast-sized by construction)
+      val centers = {
+        import s.implicits._
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+          .toDF("cell", "cvec")
+      }
+      val vecsWithNorm = cells.withColumn("nrm", norm(col("embedding")))
+      val probes = vecsWithNorm.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"))
+      // rank cells per probe by cosine(probe, centroid); keep top nprobe
+      val probeCells = broadcast(probes).crossJoin(broadcast(centers))
+        .withColumn("csim",
+          expr("dot_f32(pv, cvec)") / (col("pnrm") * norm(col("cvec"))))
+        .withColumn("crnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+            .orderBy(col("csim").desc, col("cell"))))
+        .filter(col("crnk") <= nprobe)
+        .select("probe_id", "pv", "pnrm", "cell")
+      val topk = udaf(new graft.functions.TopK(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      broadcast(probeCells)
+        .join(vecsWithNorm, Seq("cell"))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .withColumn("cos", expr("dot_f32(pv, embedding)") / (col("pnrm") * col("nrm")))
+        .groupBy("probe_id")
+        .agg(topk(col("cos"), col("vec_id")).as("nb"))
+        .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
+        .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // L15: per-source corpus stats — the dashboard query of a dedup
     // pipeline: docs, distinct contents, dup rate, volume per source.
     "l15_source_stats" -> ((s, d) => {

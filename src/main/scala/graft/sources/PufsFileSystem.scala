@@ -407,7 +407,8 @@ object PufsFileSystem {
     // can't let GC collect blocks under an active mount (reference: a
     // mount holds a lease, datastore.go:23-28, 240-253)
     SnapshotStore.getRoot(repo, label).foreach(sha =>
-      SnapshotStore.renewLease(repo, s"mount-${cleanMountPath(mountPath)}", sha))
+      SnapshotStore.renewLease(repo,
+        "mount-" + cleanMountPath(mountPath).replace('/', '_'), sha))
     mounts.put(cleanMountPath(mountPath), SnapMount(repo, label, byPath, dirs))
   }
 

@@ -47,6 +47,22 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.8, f"ANN recall@5 $recall%.2f below the 0.8 floor")
   }
 
+  test("l20 IVF ANN recall is usable and beats its scan fraction") {
+    val approx = LlmOps.queries("l20_ann_ivf")(spark, sfDir)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = LlmOps.queries("l3_knn_cosine")(spark, sfDir)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"IVF recall@5 vs exact: $recall%.2f (k=sqrt(n), nprobe=k/3)")
+    // the honest floor for a coarse quantizer on a NEAR-RANDOM corpus
+    // scanning ~1/3 of cells: must clearly beat the ~0.33 random-scan
+    // baseline (l13 LSH is the high-recall path on this data)
+    assert(recall >= 0.5, f"IVF recall $recall%.2f under 0.5")
+    approx.map(_._1).foreach(p => assert(approx.count(_._1 == p) <= 5))
+  }
+
   test("l10 bucket-size histogram stays sub-quadratic on a skewed corpus") {
     import graft.SparkSpec.spark.implicits._
     // 1000 vectors: a 100-vector identical cluster (worst-case skew — every
