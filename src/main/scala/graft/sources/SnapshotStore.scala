@@ -189,6 +189,22 @@ object SnapshotStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Background lease heartbeat (reference renewLeases: hourly renewal
+    * against the 48 h expiry, core/datastore.go:48-51, 240-253). Returns
+    * a handle whose close() stops renewing — after which the lease ages
+    * out and gc may collect the snapshot. Daemon-threaded: it never keeps
+    * a JVM alive. */
+  def startLeaseHeartbeat(repo: String, name: String, manifestSha: String,
+      interval: java.time.Duration = java.time.Duration.ofHours(1)): AutoCloseable = {
+    renewLease(repo, name, manifestSha)
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, s"lease-$name"); t.setDaemon(true); t })
+    exec.scheduleAtFixedRate(
+      () => try renewLease(repo, name, manifestSha) catch { case _: Throwable => () },
+      interval.toMillis, interval.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => exec.shutdownNow()
+  }
+
   /** Garbage-collect unreferenced CAS blocks. A block is LIVE if it is
     * reachable from (a) any labeled root, or (b) any unexpired lease —
     * leases are exactly this: GC liveness hints for snapshots no label

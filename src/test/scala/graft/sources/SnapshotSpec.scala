@@ -121,6 +121,28 @@ class SnapshotSpec extends SparkSpec {
     intercept[Exception](SnapshotStore.readBlock(repo, sha1))
   }
 
+  test("lease heartbeat keeps renewing until closed") {
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-hb").toString
+    val (sha, _) = SnapshotStore.publish(src, repo, "main")
+    val leasePath = Paths.get(repo, "lease", "hb-reader")
+    def expiry(): Long =
+      new String(Files.readAllBytes(leasePath), "UTF-8").split("\t")(1).toLong
+    val hb = SnapshotStore.startLeaseHeartbeat(repo, "hb-reader", sha,
+      java.time.Duration.ofMillis(120))
+    try {
+      val e1 = expiry()
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (expiry() == e1 && System.nanoTime() < deadline) Thread.sleep(40)
+      assert(expiry() > e1, "heartbeat never renewed the lease")
+    } finally hb.close()
+    // after close, no further renewals happen
+    Thread.sleep(300)
+    val stopped = expiry()
+    Thread.sleep(300)
+    assert(expiry() == stopped, "heartbeat kept renewing after close()")
+  }
+
   test("concurrent publishers to one repo don't corrupt the CAS") {
     val srcA = mkTree()
     val srcB = mkTree()
