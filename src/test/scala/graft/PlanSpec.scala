@@ -64,6 +64,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("l17 repetition is two two-phase hash aggregations, no window") {
+    val p = plan("l17_repetition")
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // partial+final x2
+    assert(!p.contains("Window"), p)
+  }
+
+  test("j10/j11 join without cartesian products") {
+    Seq("j10_right_outer", "j11_not_exists").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("w5/w8 plan no single-partition window over the full table") {
     // ntile/percent_rank/cume_dist are two-pass (range repartition +
     // per-partition rank + broadcast offsets) — the only unpartitioned
