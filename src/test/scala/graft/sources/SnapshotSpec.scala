@@ -164,6 +164,39 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("stress differential through a snapshot mount (random ranged reads)") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val src = Files.createTempDirectory("snap-stress-src").toString
+    val rnd = new scala.util.Random(99) // reference stress seed
+    val data = new Array[Byte](400 * 1024)
+    rnd.nextBytes(data)
+    Files.write(Paths.get(src, "blob.bin"), data)
+    val repo = Files.createTempDirectory("snap-stress-repo").toString
+    SnapshotStore.publish(src, repo, "stress")
+    PufsFileSystem.mountSnapshot("snapstress", repo, "stress")
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+      conf.set("fs.pufs.backing", Files.createTempDirectory("snap-stress-bk").toString)
+      conf.set("fs.pufs.cache", Files.createTempDirectory("snap-stress-c").toString)
+      conf.setLong("fs.pufs.chunk.size", 8192)
+      conf.setBoolean("fs.pufs.impl.disable.cache", true)
+      val fs = FileSystem.get(java.net.URI.create("pufs:///"), conf)
+      val in = fs.open(new Path("/snapstress/blob.bin"))
+      (1 to 120).foreach { i =>
+        val len = math.max(1, math.exp(rnd.nextDouble() * math.log(48 * 1024)).toInt)
+        val off = rnd.nextInt(data.length)
+        val n = math.min(len, data.length - off)
+        val buf = new Array[Byte](n)
+        in.readFully(off.toLong, buf, 0, n)
+        assert(java.util.Arrays.equals(buf,
+          java.util.Arrays.copyOfRange(data, off, off + n)),
+          s"mount stress mismatch at read $i off=$off len=$n")
+      }
+      in.close(); fs.close()
+    } finally PufsFileSystem.unmountSnapshot("snapstress")
+  }
+
   test("mount through pufs://: published parquet reads back lazily") {
     import org.apache.spark.sql.functions.col
     // publish a real parquet table as a snapshot
