@@ -122,6 +122,14 @@ object Bench {
           sum(col("o_totalprice")).over(w).as("running_total"))
     }),
 
+    // two-pass global quantile (no single-partition window — Q-W5 class)
+    "w5_ntile_2pass" -> ((s: SparkSession, d: String) =>
+      graft.operators.WindowOps.queries("w5_ntile")(s, d)),
+
+    // multi-table LSH ANN with exact re-rank (Q-L13 class)
+    "l13_ann" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l13_ann_lsh")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(

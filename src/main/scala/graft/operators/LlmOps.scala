@@ -55,21 +55,30 @@ object LlmOps {
   private val AnnTables = 24
   private val AnnBits = 8
 
-  /** Per-table sign signature of `emb` (bits [t*bits, (t+1)*bits)). */
-  private def tableSig(planes: Column, emb: Column, table: Int, bits: Int): Column =
-    (0 until bits).map { k =>
-      when(dotCols(element_at(planes, table * bits + k + 1), emb) > 0,
-        lit(1L << k)).otherwise(0L)
-    }.reduce(_ + _)
-
   /** Embeddings exploded to one row per (vec_id, band, sig) — the banded
     * sign-LSH bucketing shared by l10/l13. Exposed for NearDupSpec's
-    * bucket-size histogram check. */
+    * bucket-size histogram check.
+    *
+    * Plane dots run through the codegen'd dot_f32 Expression (a primitive
+    * loop), not a higher-order fold — at bands·bits = 192 planes the fold
+    * formulation built a 192-lambda expression tree that fell out of
+    * codegen and cost seconds per thousand rows. dot_f32 accumulates in
+    * double over exactly-representable ±1.0 planes, so the signs (and
+    * therefore every signature) are bit-identical to the fold version. */
   private[operators] def embedBands(e: DataFrame, bands: Int, bits: Int): DataFrame = {
-    val planes = typedlit(planesFor(bands * bits))
-    e.select(col("*"),
-        posexplode(array((0 until bands).map(b =>
-          tableSig(planes, col("embedding"), b, bits)): _*)).as(Seq("band", "sig")))
+    graft.functions.VectorExpressions.register(e.sparkSession)
+    val planesF: Seq[Seq[Float]] = planesFor(bands * bits).map(_.map(_.toFloat))
+    val sigCols = (0 until bands).map { b =>
+      (0 until bits).map { k =>
+        val idx = b * bits + k + 1
+        when(expr(s"dot_f32(element_at(_planes, $idx), embedding)") > 0,
+          lit(1L << k)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    e.withColumn("_planes", typedlit(planesF))
+      .select(col("*"),
+        posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+      .drop("_planes")
   }
 
   val queries: Map[String, Q] = Map(
