@@ -133,17 +133,17 @@ object LlmOps {
     // VERDICT r2 #3). Cosine is computed with a sequential fold so DuckDB's
     // list_reduce reproduces the exact double.
     "l3_knn_cosine" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      graft.functions.VectorExpressions.register(s)
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-          col("nrm").as("pnrm"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       val topk = udaf(new graft.functions.TopK(5),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       broadcast(probes)
         .join(e, col("probe_id") =!= col("vec_id"))
-        .withColumn("cos",
-          dotCols(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+        // fused single-pass kernel — bit-identical to the fold/(norm·norm)
+        // formulation DuckDB mirrors (VectorExprSpec proves parity)
+        .withColumn("cos", expr("cosine_f32(pv, embedding)"))
         .groupBy("probe_id")
         .agg(topk(col("cos"), col("vec_id")).as("nb"))
         .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
@@ -262,14 +262,11 @@ object LlmOps {
           col("band") === col("band2") && col("sig") === col("sig2") &&
             col("a") < col("b"))
         .select("a", "b").distinct()
-      val vecs = e0.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
+      val vecs = e0.select(col("vec_id"), col("embedding"))
       cands
-        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va"),
-          col("nrm").as("na")), "a")
-        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb"),
-          col("nrm").as("nb")), "b")
-        .withColumn("cos", dotCols(col("va"), col("vb")) / (col("na") * col("nb")))
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+        .withColumn("cos", expr("cosine_f32(va, vb)"))
         .filter(col("cos") > 0.35)
         .select(col("a"), col("b"), round(col("cos"), 4).as("sim"))
         .orderBy("a", "b")
@@ -347,17 +344,15 @@ object LlmOps {
           col("pband") === col("band") && col("bsig") === col("sig") &&
             col("probe_id") =!= col("vec_id"))
         .select("probe_id", "vec_id").distinct()
-      val vecs = e0.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
+      val vecs = e0.select(col("vec_id"), col("embedding"))
       val probeVecs = vecs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-          col("nrm").as("pnrm"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       val topk = udaf(new graft.functions.TopK(5),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       cands
         .join(vecs, "vec_id")
         .join(broadcast(probeVecs), "probe_id")
-        .withColumn("cos", expr("dot_f32(pv, embedding)") / (col("pnrm") * col("nrm")))
+        .withColumn("cos", expr("cosine_f32(pv, embedding)"))
         .groupBy("probe_id")
         .agg(topk(col("cos"), col("vec_id")).as("nb"))
         .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
@@ -402,25 +397,23 @@ object LlmOps {
           .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
           .toDF("cell", "cvec")
       }
-      val vecsWithNorm = cells.withColumn("nrm", norm(col("embedding")))
-      val probes = vecsWithNorm.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-          col("nrm").as("pnrm"))
+      val probes = cells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       // rank cells per probe by cosine(probe, centroid); keep top nprobe
+      // (window over 10 probes × k centroids — broadcast-sized, bounded)
       val probeCells = broadcast(probes).crossJoin(broadcast(centers))
-        .withColumn("csim",
-          expr("dot_f32(pv, cvec)") / (col("pnrm") * norm(col("cvec"))))
+        .withColumn("csim", expr("cosine_f32(pv, cvec)"))
         .withColumn("crnk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
             .orderBy(col("csim").desc, col("cell"))))
         .filter(col("crnk") <= nprobe)
-        .select("probe_id", "pv", "pnrm", "cell")
+        .select("probe_id", "pv", "cell")
       val topk = udaf(new graft.functions.TopK(5),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       broadcast(probeCells)
-        .join(vecsWithNorm, Seq("cell"))
+        .join(cells, Seq("cell"))
         .filter(col("probe_id") =!= col("vec_id"))
-        .withColumn("cos", expr("dot_f32(pv, embedding)") / (col("pnrm") * col("nrm")))
+        .withColumn("cos", expr("cosine_f32(pv, embedding)"))
         .groupBy("probe_id")
         .agg(topk(col("cos"), col("vec_id")).as("nb"))
         .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))

@@ -21,6 +21,23 @@ class VectorExprSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs differ between codegen and fold")
   }
 
+  test("cosine_f32 equals dot/(norm*norm) fold formulation bit-for-bit") {
+    VectorExpressions.register(spark)
+    def fold(c: org.apache.spark.sql.Column) = aggregate(c, lit(0.0), (a, x) => a + x)
+    def nrm(c: org.apache.spark.sql.Column) =
+      sqrt(fold(transform(c, x => x.cast("double") * x.cast("double"))))
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("va")).limit(20)
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("vb")).limit(20)
+    val pairs = l.crossJoin(r)
+      .withColumn("fused", expr("cosine_f32(va, vb)"))
+      .withColumn("threepass",
+        fold(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")))
+          / (nrm(col("va")) * nrm(col("vb"))))
+    val diff = pairs.filter(col("fused") =!= col("threepass")).count()
+    assert(diff == 0, s"$diff pairs differ between fused cosine and 3-pass")
+  }
+
   test("null inputs yield null") {
     VectorExpressions.register(spark)
     import graft.SparkSpec.spark.implicits._
