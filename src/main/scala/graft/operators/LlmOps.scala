@@ -24,15 +24,10 @@ object LlmOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential left fold — identical FP op order to DuckDB list_reduce. */
-  private def foldSum(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
-
-  private def dotCols(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-
-  private def norm(a: Column): Column =
-    sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
+  // All cosine/dot math goes through the codegen'd dot_f32 / cosine_f32
+  // Expressions (functions/VectorExpressions.scala) — bit-identical to the
+  // sequential higher-order folds DuckDB's list_reduce mirrors
+  // (VectorExprSpec pins the parity).
 
   /** Deterministic ±1 hyperplanes over 64 dims, derived from md5 so the
     * signature is reproducible across runs and languages. */
