@@ -124,6 +124,9 @@ class PufsFileSystem extends FileSystem {
       }
   }
 
+  private def bumpGeneration(f: Path): Unit =
+    PufsFileSystem.bumpGeneration(backingRoot, rel(f))
+
   override def open(f: Path, bufferSize: Int): FSDataInputStream = resolveMount(f) match {
     case Some((m, sub)) =>
       val e = m.entries.getOrElse(sub,
@@ -140,7 +143,9 @@ class PufsFileSystem extends FileSystem {
     case None =>
       val bf = backingFile(f)
       if (!bf.exists()) throw new FileNotFoundException(f.toString)
-      val blockId = PufsFileSystem.syntheticBlockId(backingRoot, rel(f), bf.length(), bf.lastModified())
+      val blockId = PufsFileSystem.syntheticBlockId(
+        backingRoot, rel(f), bf.length(), bf.lastModified(),
+        PufsFileSystem.generationOf(backingRoot, rel(f)))
       val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, bf.length())
       new FSDataInputStream(
         new LazyPullInputStream(entry, new LocalStore(bf), bf.length(), chunkSize, readahead))
@@ -169,6 +174,7 @@ class PufsFileSystem extends FileSystem {
         if (!cas.exists()) // idempotent CAS add (B12 DoesNotExist analog)
           Files.copy(staging.toPath, cas.toPath, StandardCopyOption.REPLACE_EXISTING)
         Files.move(staging.toPath, bf.toPath, StandardCopyOption.REPLACE_EXISTING)
+        bumpGeneration(f) // new object generation at this path
         // NOTE: the arena entry is NOT pre-marked populated — a later open()
         // lazily pulls from the backing file it can now see. Pre-marking the
         // mask without arena content would serve zeros.
@@ -184,7 +190,9 @@ class PufsFileSystem extends FileSystem {
       throw new java.io.IOException("snapshot mounts are read-only")
     val s = backingFile(src); val d = backingFile(dst)
     d.getParentFile.mkdirs()
-    s.renameTo(d)
+    val ok = s.renameTo(d)
+    if (ok) { bumpGeneration(src); bumpGeneration(dst) }
+    ok
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
@@ -192,9 +200,11 @@ class PufsFileSystem extends FileSystem {
       throw new java.io.IOException("snapshot mounts are read-only")
     val bf = backingFile(f)
     if (!bf.exists()) false
-    else if (bf.isFile) bf.delete()
-    else if (recursive) { org.apache.commons.io.FileUtils.deleteDirectory(bf); true }
-    else if (bf.list().isEmpty) bf.delete()
+    else if (bf.isFile) { val ok = bf.delete(); if (ok) bumpGeneration(f); ok }
+    else if (recursive) {
+      org.apache.commons.io.FileUtils.deleteDirectory(bf); bumpGeneration(f); true
+    }
+    else if (bf.list().isEmpty) { val ok = bf.delete(); if (ok) bumpGeneration(f); ok }
     else throw new java.io.IOException(s"dir not empty: $f (reference DirNotEmptyErr)")
   }
 
@@ -289,8 +299,28 @@ object PufsFileSystem {
     * analog: without it, equal relative paths with equal size+mtime in two
     * different backing stores would collide and serve stale cached bytes
     * (ADVICE r2). */
-  def syntheticBlockId(backingRoot: String, path: String, size: Long, mtime: Long): String =
-    sha256Bytes(s"$backingRoot/$path:$size:$mtime".getBytes("UTF-8"))
+  def syntheticBlockId(backingRoot: String, path: String, size: Long,
+      mtime: Long, generation: Long = 0L): String =
+    sha256Bytes(s"$backingRoot/$path:$size:$mtime:$generation".getBytes("UTF-8"))
+
+  /** Per-(backing, path) generation counter, bumped by every mutation
+    * through this JVM's FS (create/rename/delete) — the analog of the
+    * reference's object generation in the synthetic block id
+    * (core/nodedb.go:557-572). Closes the delete-then-recreate-same-
+    * size-within-one-mtime-tick staleness window (ADVICE r2): the only
+    * JVM that could have stale cache for the old bytes is the one that
+    * performed the mutation, and its generation bump invalidates the id.
+    */
+  private val pathGens = new ConcurrentHashMap[String, AtomicLong]()
+
+  def generationOf(backingRoot: String, path: String): Long = {
+    val g = pathGens.get(s"$backingRoot/$path")
+    if (g == null) 0L else g.get()
+  }
+
+  private[sources] def bumpGeneration(backingRoot: String, path: String): Unit =
+    pathGens.computeIfAbsent(s"$backingRoot/$path", _ => new AtomicLong(0L))
+      .incrementAndGet()
 
   def sha256Bytes(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
@@ -356,7 +386,7 @@ object PufsFileSystem {
   /** Test hook: simulate a process restart — drop all in-memory cache
     * state (masks + entries + stats); on-disk arena and region logs stay. */
   def simulateRestart(): Unit = {
-    masks.clear(); entries.clear(); resetStats()
+    masks.clear(); entries.clear(); pathGens.clear(); resetStats()
   }
 
   // --- snapshot mounts (reference Mount/MountByLabel,

@@ -191,7 +191,8 @@ class PufsMetaReader(root: String, sub: String, maxDepth: Int,
       if (!f.isFile || i <= 0) "" else n.substring(i + 1)
     }
     val size = if (f.isFile) f.length() else 0L
-    val blockId = PufsFileSystem.syntheticBlockId(root, relPath, size, f.lastModified())
+    val blockId = PufsFileSystem.syntheticBlockId(root, relPath, size,
+      f.lastModified(), PufsFileSystem.generationOf(root, relPath))
     // M2: join the block cache's population state into the listing row
     lazy val (popBytes, regions) =
       if (f.isFile && wantsStats) statsById.getOrElse(blockId, (0L, 0)) else (0L, 0)

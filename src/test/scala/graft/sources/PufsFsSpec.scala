@@ -209,6 +209,30 @@ class PufsFsSpec extends SparkSpec {
     fs.close()
   }
 
+  test("delete-recreate with identical size+mtime serves fresh bytes (generation)") {
+    val backing = tmpDir("pufs-gen")
+    val fs = newFs(backing, tmpDir("pufs-gen-cache"))
+    val mt = 1700000000000L
+    Files.write(Paths.get(backing, "g.bin"), "0123456789".getBytes)
+    new File(backing, "g.bin").setLastModified(mt)
+    val b1 = new Array[Byte](10)
+    val in1 = fs.open(new Path("/g.bin"))
+    in1.readFully(0L, b1, 0, 10); in1.close()
+    assert(new String(b1) == "0123456789")
+    // delete, then recreate with the SAME size and a forced-identical
+    // mtime — the (path,size,mtime) identity collides; only the mutation
+    // generation distinguishes the two objects (ADVICE r2)
+    fs.delete(new Path("/g.bin"), false)
+    Files.write(Paths.get(backing, "g.bin"), "abcdefghij".getBytes)
+    new File(backing, "g.bin").setLastModified(mt)
+    val b2 = new Array[Byte](10)
+    val in2 = fs.open(new Path("/g.bin"))
+    in2.readFully(0L, b2, 0, 10); in2.close()
+    assert(new String(b2) == "abcdefghij",
+      "stale cache served the deleted object's bytes")
+    fs.close()
+  }
+
   test("authority routing: two backing dirs coexist in one session") {
     val dirA = tmpDir("pufs-authA")
     val dirB = tmpDir("pufs-authB")
