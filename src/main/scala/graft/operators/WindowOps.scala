@@ -24,26 +24,39 @@ object WindowOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Global dense rank over a total order WITHOUT a single-partition window
-    * (VERDICT r2 #4): two-pass — (1) range-repartition on the sort key so
-    * partitions hold disjoint key ranges, rank locally per partition;
-    * (2) compute per-partition row counts, prefix-sum them into offsets
-    * (a window over ≤numParts rows — bounded, not data-sized), broadcast
-    * the offsets back, and add. `grn` = exact global row_number; `n_total`
-    * = total rows. The sort keys must form a total order (no ties), so
-    * equal-key splits across range boundaries cannot occur.
-    * Scale shape: one range shuffle + per-partition sort; the only global
-    * structure is the numParts-row offset table. */
+    * (VERDICT r2 #4): two-pass quantile scheme —
+    * (1) one pass computes ~numParts approx-percentile cut points of the
+    *     sort value (a tiny driver-side literal, like an index-build step);
+    * (2) every row derives its bucket `pid` FROM ITS VALUE against those
+    *     literal cuts, ranks locally per bucket, and adds the broadcast
+    *     prefix-sum offset of its bucket. `grn` = exact global row_number;
+    *     `n_total` = total rows.
+    *
+    * The bucket id is a pure function of the row's value and frozen
+    * literals — NOT of a physical partitioner — so the offsets subtree and
+    * the rank subtree agree by construction. (The earlier
+    * `repartitionByRange + spark_partition_id` formulation executed TWO
+    * independent range exchanges whose sampled boundaries are only
+    * coincidentally equal on small data — a silent wrong-answer at scale.)
+    * Equal sort values always share a bucket, so cross-bucket order is
+    * strict and concatenation order is exact; `tieBreak` orders within.
+    * Cut quality only affects balance, never correctness. */
   private def withGlobalRank(df: DataFrame, numParts: Int,
-      sort: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val parted = df.repartitionByRange(numParts, sort: _*)
-      .withColumn("pid", spark_partition_id())
+      sortVal: org.apache.spark.sql.Column,
+      tieBreak: org.apache.spark.sql.Column): DataFrame = {
+    val probs = (1 until numParts).map(_.toDouble / numParts)
+    val cuts: Seq[Double] = df
+      .agg(percentile_approx(sortVal, typedlit(probs), lit(10000)).as("cuts"))
+      .head().getSeq[Double](0)
+    val pid = size(filter(typedlit(cuts), c => c < sortVal))
+    val parted = df.withColumn("pid", pid)
     val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val totW = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .select(col("pid"), coalesce(sum("cnt").over(offW), lit(0L)).as("off"),
         sum("cnt").over(totW).as("n_total"))
-    val localW = Window.partitionBy("pid").orderBy(sort: _*)
+    val localW = Window.partitionBy("pid").orderBy(sortVal, tieBreak)
     parted.withColumn("lrn", row_number().over(localW))
       .join(broadcast(offsets), "pid")
       .withColumn("grn", col("off") + col("lrn"))
@@ -114,7 +127,7 @@ object WindowOps {
     // floor(n/4)+1 rows, the rest floor(n/4).
     "w5_ntile" -> ((s, d) => {
       withGlobalRank(t(s, d, "customer"), 32,
-          Seq(col("c_acctbal"), col("c_custkey")))
+          col("c_acctbal"), col("c_custkey"))
         .withColumn("base", expr("n_total div 4"))
         .withColumn("rem", expr("n_total % 4"))
         .withColumn("cut", expr("rem * (base + 1)"))
@@ -131,7 +144,7 @@ object WindowOps {
     // both are the same integer-ratio doubles DuckDB computes.
     "w8_distribution" -> ((s, d) => {
       withGlobalRank(t(s, d, "customer"), 32,
-          Seq(col("c_acctbal"), col("c_custkey")))
+          col("c_acctbal"), col("c_custkey"))
         .select(col("c_custkey"),
           ((col("grn") - 1).cast("double") /
             (col("n_total") - 1).cast("double")).as("pr"),
