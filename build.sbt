@@ -13,6 +13,10 @@ Test / fork := true
 // suites share one SparkSession + global pufs cache stats — run sequentially
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked program's stdout through unprefixed: Bench's contract is
+// ONE parseable JSON line on stdout, and sbt's default logger would wrap it
+// as "[info] {...}" (breaking downstream parsers). Spark logs go to stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: dot product over two float32 embedding
   * arrays, accumulated in float64 (SURVEY §4 "custom Expression only for
@@ -139,8 +139,96 @@ case class CosineF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static plane matrix + signature kernel shared by the interpreted and
+  * codegen paths of [[SignLsh]].
+  *
+  * Planes are deterministic ±1.0 hyperplanes over 64 dims derived from
+  * md5("p:j") — the same derivation `LlmOps.planesFor` documents, so
+  * signatures are reproducible across runs and languages. Each plane dot
+  * accumulates `plane(i) * emb(i)` in double in ascending-index order —
+  * the exact op sequence of `dot_f32(plane, embedding)`, keeping every
+  * signature bit-identical to the per-plane-expression formulation this
+  * kernel replaced (it built bands·bits separate dot_f32 calls plus a
+  * bands·bits·64-element plan literal; one fused call per row replaces
+  * them all).
+  */
+object LshKernels {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  def planesFor(n: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(n, nn => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nn) { p =>
+        Array.tabulate(64) { j =>
+          val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1.0 else -1.0
+        }
+      }
+    })
+
+  /** All `bands` sign-LSH signatures of one embedding in a single pass:
+    * bit k of band b is set iff dot(plane[b*bits+k], emb) > 0. */
+  def sigs(emb: ArrayData, bands: Int, bits: Int): ArrayData = {
+    val ps = planesFor(bands * bits)
+    val out = new Array[Long](bands)
+    val m = emb.numElements()
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var k = 0
+      while (k < bits) {
+        val p = ps(b * bits + k)
+        val n = math.min(p.length, m)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += p(i) * emb.getFloat(i).toDouble; i += 1 }
+        if (s > 0) acc |= (1L << k)
+        k += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `sign_lsh(embedding, bands, bits)` → array<bigint> of length `bands`:
+  * all banded sign-random-projection signatures of an embedding in ONE
+  * expression call. Replaces a bands·bits-expression tree (one dot_f32 +
+  * comparison per plane) whose generated code and embedded plane literal
+  * grew with bands·bits·64 — at 24 tables × 8 bits that was 192 inlined
+  * loops and a 12,288-element literal per plan. Codegen emits one static
+  * call into [[LshKernels.sigs]]; results are bit-identical (same plane
+  * derivation, same double accumulation order, same `> 0` sign rule). */
+case class SignLsh(child: Expression, bands: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bands > 0 && bits > 0 && bits <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh expects (array<float>, bands > 0, 0 < bits <= 63), got " +
+        s"(${child.dataType.simpleString}, $bands, $bits)")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshKernels.sigs(input.asInstanceOf[ArrayData], bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshKernels.sigs($a, $bands, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
-  /** Register `dot_f32(a, b)` and `cosine_f32(a, b)` as temp SQL functions. */
+  /** Register `dot_f32(a, b)`, `cosine_f32(a, b)` and
+    * `sign_lsh(v, bands, bits)` as temp SQL functions. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32",
@@ -149,6 +237,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f32",
       (exprs: Seq[Expression]) => CosineF32(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_lsh",
+      (exprs: Seq[Expression]) => SignLsh(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
       "built-in")
   }
 }

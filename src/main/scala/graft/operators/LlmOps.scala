@@ -30,16 +30,10 @@ object LlmOps {
   // (VectorExprSpec pins the parity).
 
   /** Deterministic ±1 hyperplanes over 64 dims, derived from md5 so the
-    * signature is reproducible across runs and languages. */
-  private[operators] def planesFor(n: Int): Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until n).map { p =>
-      (0 until 64).map { j =>
-        val h = md.digest(s"$p:$j".getBytes("UTF-8"))
-        if ((h(0) & 1) == 1) 1.0 else -1.0
-      }
-    }
-  }
+    * signature is reproducible across runs and languages. Shared with the
+    * fused sign_lsh kernel (functions/VectorExpressions.scala LshKernels). */
+  private[operators] def planesFor(n: Int): Seq[Seq[Double]] =
+    graft.functions.LshKernels.planesFor(n).map(_.toSeq).toSeq
   private[operators] val lshPlanes: Seq[Seq[Double]] = planesFor(8)
 
   /** ANN index shape: L independent hash tables × b sign bits each, with
@@ -54,26 +48,18 @@ object LlmOps {
     * sign-LSH bucketing shared by l10/l13. Exposed for NearDupSpec's
     * bucket-size histogram check.
     *
-    * Plane dots run through the codegen'd dot_f32 Expression (a primitive
-    * loop), not a higher-order fold — at bands·bits = 192 planes the fold
-    * formulation built a 192-lambda expression tree that fell out of
-    * codegen and cost seconds per thousand rows. dot_f32 accumulates in
-    * double over exactly-representable ±1.0 planes, so the signs (and
-    * therefore every signature) are bit-identical to the fold version. */
+    * All bands·bits plane dots run in ONE fused codegen'd sign_lsh call
+    * per row (functions/VectorExpressions.scala). The per-plane dot_f32
+    * formulation this replaces generated 192 inlined loops plus a
+    * 12,288-element plan literal at 24×8 — most of the query's cost was
+    * codegen compilation, not arithmetic. Signatures are bit-identical:
+    * same md5 plane derivation, same ascending-index double accumulation,
+    * same `> 0` sign rule (NearDupSpec's recall floors pin it). */
   private[operators] def embedBands(e: DataFrame, bands: Int, bits: Int): DataFrame = {
     graft.functions.VectorExpressions.register(e.sparkSession)
-    val planesF: Seq[Seq[Float]] = planesFor(bands * bits).map(_.map(_.toFloat))
-    val sigCols = (0 until bands).map { b =>
-      (0 until bits).map { k =>
-        val idx = b * bits + k + 1
-        when(expr(s"dot_f32(element_at(_planes, $idx), embedding)") > 0,
-          lit(1L << k)).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    e.withColumn("_planes", typedlit(planesF))
-      .select(col("*"),
-        posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
-      .drop("_planes")
+    e.select(col("*"),
+      posexplode(expr(s"sign_lsh(embedding, $bands, $bits)"))
+        .as(Seq("band", "sig")))
   }
 
   val queries: Map[String, Q] = Map(
