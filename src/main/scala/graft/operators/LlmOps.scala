@@ -62,6 +62,39 @@ object LlmOps {
         .as(Seq("band", "sig")))
   }
 
+  /** MinHash-LSH near-dup candidate pairs (a < b, distinct, unordered) —
+    * the l2 query body, shared with the l21 clustering step. 5-gram word
+    * shingles, 4 bands, signature = min md5 per band; candidate = same
+    * (band, signature) bucket.
+    *
+    * Both sides of the self-join read `sigs`; the alias projections sit
+    * below the exchanges, so ReuseExchange can NOT dedupe them — persist
+    * materializes the shingle→signature subtree once (VERDICT r2 #7).
+    * All 4 band-minima come from ONE pass over the shingles (4 conditional
+    * mins instead of a 4× band-explode before the shuffle — same
+    * md5("b:shingle") signatures, same results, quarter the rows). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+    val shingles = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("tk")) - 4),
+        i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+    val bandMins = (0 to 3).map(b =>
+      min(md5(concat(lit(s"$b:"), col("sh")))).as(s"sig$b"))
+    val sigs = shingles
+      .groupBy("doc_id")
+      .agg(bandMins.head, bandMins.tail: _*)
+      .select(col("doc_id"), posexplode(
+        array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
+      .persist()
+    val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
+    val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
+    x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
+      .select(col("a"), col("bid").as("b"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // Q-L1: exact dedup by content hash (CAS for rows). Keeps the smallest
     // doc_id per hash group — a deterministic survivor, unlike
@@ -77,34 +110,7 @@ object LlmOps {
     // 4 bands, signature = min md5 per band; candidate pair = same
     // (band, signature) bucket. The join is on the bucket key — at 100 TB
     // this shuffles |docs|·|bands| signature rows, never pairs.
-    "l2_minhash_lsh" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-        .filter(size(col("tk")) >= 5)
-      val shingles = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 4),
-          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
-      // both sides of the self-join read `sigs`; the alias projections sit
-      // below the exchanges, so ReuseExchange can NOT dedupe them — persist
-      // materializes the shingle→signature subtree once (VERDICT r2 #7).
-      // All 4 band-minima come from ONE pass over the shingles (4
-      // conditional mins instead of a 4× band-explode before the shuffle —
-      // same md5("b:shingle") signatures, same results, quarter the rows).
-      val bandMins = (0 to 3).map(b =>
-        min(md5(concat(lit(s"$b:"), col("sh")))).as(s"sig$b"))
-      val sigs = shingles
-        .groupBy("doc_id")
-        .agg(bandMins.head, bandMins.tail: _*)
-        .select(col("doc_id"), posexplode(
-          array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
-        .persist()
-      val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
-      val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
-      x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
-        .select(col("a"), col("bid").as("b"))
-        .distinct()
-        .orderBy("a", "b")
-    }),
+    "l2_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy("a", "b")),
 
     // Q-L3: brute-force cosine top-5 for 10 probe vectors. Probe side is
     // broadcast (10 rows); ranking is a bounded-heap TopK Aggregator —
@@ -293,6 +299,65 @@ object LlmOps {
         .filter(col("jac") >= 0.2)
         .select("a", "b", "inter", "na", "nb", "jac")
         .orderBy("a", "b")
+    }),
+
+    // L21: near-dup CLUSTERS — the step after candidate generation in a
+    // real dedup pipeline: group the l2 pairs into connected components
+    // and elect a canonical survivor (min doc_id) per component. Computed
+    // by distributed min-label propagation: each round every vertex takes
+    // the min label among itself and its neighbors (one shuffle join + one
+    // partial-aggregated groupBy per round, converging in O(component
+    // diameter) rounds — near-dup clusters are shallow, so a handful).
+    // No driver-side graph: the only per-round action is an isEmpty
+    // convergence probe. Oracle: DuckDB recursive CTE computing min
+    // reachable id per vertex over the same deterministic pairs.
+    "l21_dedup_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lab"))
+        .persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = edges.join(labels, col("dst") === col("v"))
+          .select(col("src").as("v"), col("lab"))
+          .union(labels)
+          .groupBy("v").agg(min("lab").as("lab"))
+          .persist()
+        converged = labels
+          .join(prop.withColumnRenamed("lab", "nl"), "v")
+          .filter(col("nl") =!= col("lab"))
+          .isEmpty
+        labels.unpersist()
+        labels = prop
+        iter += 1
+      }
+      t(s, d, "documents").select(col("doc_id"))
+        .join(labels, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // L22: token counting, whitespace vs BPE-ish — the GPT-2-style
+    // pre-tokenizer shape (letter runs | single digits | single
+    // punctuation; explicit whitespace class so Spark's Java regex and
+    // DuckDB's RE2 agree byte-for-byte). chars_per_bpe is the usual
+    // compression-ratio quality signal.
+    "l22_token_bpe" -> ((s, d) => {
+      val bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+      val nBpe = regexp_count(col("text"), lit(bpe)).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          nBpe.as("bpe_tokens"),
+          when(nBpe > 0, col("n_chars").cast("double") / nBpe.cast("double"))
+            .as("chars_per_bpe"))
+        .orderBy("doc_id")
     }),
 
     // L13: multi-table LSH approximate kNN (the scale path of Q-L3):
@@ -673,6 +738,47 @@ object LlmOps {
         |  JOIN nsh nB ON nB.doc_id = i.b
         |WHERE CAST(i.inter AS DOUBLE) / (nA.nsh + nB.nsh - i.inter) >= 0.2
         |ORDER BY a, b""".stripMargin,
+
+    "l21_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 5),
+        |bs AS (
+        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+        |  GROUP BY doc_id, b),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bs x JOIN bs y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM cands
+        |  UNION ALL SELECT b AS src, a AS dst FROM cands),
+        |reach(v, lab) AS (
+        |  SELECT DISTINCT src AS v, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS v, r.lab FROM edges e JOIN reach r ON e.dst = r.v),
+        |comp AS (SELECT v, min(lab) AS lab FROM reach GROUP BY v)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.lab, d.doc_id) AS BIGINT) AS cluster_id,
+        |  (d.doc_id = coalesce(c.lab, d.doc_id)) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "l22_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens,
+        |  CASE WHEN len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) > 0
+        |    THEN CAST(n_chars AS DOUBLE)
+        |      / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))
+        |    ELSE NULL END AS chars_per_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "l15_source_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
