@@ -147,8 +147,13 @@ class PufsFileSystem extends FileSystem {
         backingRoot, rel(f), bf.length(), bf.lastModified(),
         PufsFileSystem.generationOf(backingRoot, rel(f)))
       val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, bf.length())
+      // pin the generation observed at open: an out-of-band replacement of
+      // the backing object (same path, new content) fails subsequent pulls
+      // with TornReadException instead of mixing two generations' bytes
+      // (reference GCS GenerationMatch, remote/gcs.go:302-331)
+      val pinned = new PinnedLocalStore(bf, bf.length(), bf.lastModified())
       new FSDataInputStream(
-        new LazyPullInputStream(entry, new LocalStore(bf), bf.length(), chunkSize, readahead))
+        new LazyPullInputStream(entry, pinned, bf.length(), chunkSize, readahead))
   }
 
   /** Write-once create: stage locally; on close, sha256-freeze into the CAS

@@ -27,6 +27,35 @@ final class LocalStore(src: File) extends RemoteStore {
   }
 }
 
+/** Local store with a generation pin captured at open: every ranged read
+  * verifies — before AND after reading, bracketing the non-atomic local
+  * read the way GCS's server-side precondition brackets a range GET — that
+  * the backing file still has the pinned (size, mtime). The local analog
+  * of generation-match range reads (reference remote/gcs.go:302-331
+  * `Generation: r.Generation` precondition): an object replaced under an
+  * open reader fails with TornReadException instead of silently serving
+  * bytes from a different object generation. */
+final class PinnedLocalStore(src: File, pinSize: Long, pinMtime: Long)
+    extends RemoteStore {
+  private def check(): Unit =
+    if (src.length() != pinSize || src.lastModified() != pinMtime)
+      throw new TornReadException(
+        s"$src changed under an open reader (pinned $pinSize:$pinMtime, " +
+          s"now ${src.length()}:${src.lastModified()})")
+  def read(start: Long, len: Int): Array[Byte] = {
+    check()
+    val raf = new RandomAccessFile(src, "r")
+    val buf = try {
+      raf.seek(start)
+      val b = new Array[Byte](len)
+      raf.readFully(b)
+      b
+    } finally raf.close()
+    check()
+    buf
+  }
+}
+
 /** The backing object changed identity mid-read — the torn-read guard
   * (reference GCS generation-match precondition remote/gcs.go:305-307;
   * HTTP If-Match remote/http.go:24). Not retryable: the snapshot this

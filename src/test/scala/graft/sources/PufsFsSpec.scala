@@ -233,6 +233,31 @@ class PufsFsSpec extends SparkSpec {
     fs.close()
   }
 
+  test("out-of-band backing mutation under an open reader is a torn read (B9)") {
+    val backing = tmpDir("pufs-pin")
+    val data = new Array[Byte](64 * 1024)
+    new scala.util.Random(7).nextBytes(data)
+    Files.write(Paths.get(backing, "obj.bin"), data)
+    val fs = newFs(backing, tmpDir("pufs-pin-cache"), chunk = 8192)
+    val in = fs.open(new Path("/obj.bin"))
+    val head = new Array[Byte](1000)
+    in.readFully(0L, head, 0, 1000) // populates chunk 0 only
+    // replace the object OUT OF BAND (no pufs mutation → no generation
+    // bump; different size so the open-time pin must trip)
+    Files.write(Paths.get(backing, "obj.bin"), new Array[Byte](64 * 1024 + 1))
+    // already-populated region still serves the pinned generation's bytes
+    in.readFully(0L, head, 0, 1000)
+    assert(java.util.Arrays.equals(head, java.util.Arrays.copyOfRange(data, 0, 1000)))
+    // an uncached chunk must fail loudly, not mix two generations' bytes
+    // (reference GCS GenerationMatch precondition, remote/gcs.go:302-331)
+    val tail = new Array[Byte](100)
+    val ex = intercept[Exception] { in.readFully(40000L, tail, 0, 100) }
+    def isTorn(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[TornReadException] || isTorn(t.getCause))
+    assert(isTorn(ex), s"expected TornReadException, got $ex")
+    in.close(); fs.close()
+  }
+
   test("authority routing: two backing dirs coexist in one session") {
     val dirA = tmpDir("pufs-authA")
     val dirB = tmpDir("pufs-authB")
