@@ -103,4 +103,99 @@ class FsFuzzSpec extends SparkSpec {
     }
     fs.close()
   }
+
+  /** The reference fuzz DSL also drives push (`p`) and mount (`m`/`M`)
+    * between mutations (core/fuzz_entry.go:10-171). Property: a snapshot
+    * published mid-sequence stays byte-identical to its publish-time tree
+    * no matter how the live tree mutates afterwards — snapshot isolation
+    * under the Merkle/CAS design (mutation can't reach frozen blocks). */
+  test("fuzz with publish/mount: snapshots stay frozen under live mutation") {
+    val backing = Files.createTempDirectory("fuzzp-backing").toString
+    val repo = Files.createTempDirectory("fuzzp-repo").toString
+    val conf = new Configuration()
+    conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    conf.set("fs.pufs.backing", backing)
+    conf.set("fs.pufs.cache", Files.createTempDirectory("fuzzp-cache").toString)
+    conf.setLong("fs.pufs.chunk.size", 4096)
+    conf.setLong("fs.pufs.readahead", 0)
+    conf.setBoolean("fs.pufs.impl.disable.cache", true)
+    val fs = FileSystem.get(java.net.URI.create("pufs:///"), conf)
+
+    val rnd = new scala.util.Random(777)
+    var files = Vector.empty[String]
+    var nextId = 0
+    // label -> content of every file at publish time
+    var snaps = Vector.empty[(String, Map[String, Array[Byte]])]
+    val live = scala.collection.mutable.Map.empty[String, Array[Byte]]
+
+    try {
+      (1 to 120).foreach { opIdx =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 => // create (or overwrite) through pufs
+            nextId += 1
+            val p = s"d${rnd.nextInt(3)}/f$nextId.bin"
+            val content = new Array[Byte](rnd.nextInt(30000) + 1)
+            rnd.nextBytes(content)
+            val out = fs.create(new Path("/" + p), true)
+            out.write(content); out.close()
+            live(p) = content
+            files = (files.filterNot(_ == p)) :+ p
+          case 3 if files.nonEmpty => // delete
+            val p = files(rnd.nextInt(files.length))
+            assert(fs.delete(new Path("/" + p), false))
+            live.remove(p)
+            files = files.filterNot(_ == p)
+          case 4 if opIdx > 10 => // push + mount (reference `p` + `m`)
+            val label = s"snap${snaps.size}"
+            SnapshotStore.publish(backing, repo, label)
+            PufsFileSystem.mountSnapshot(s"fz/$label", repo, label)
+            snaps :+= (label -> live.toMap.map { case (k, v) => k -> v.clone() })
+          case _ if snaps.nonEmpty && rnd.nextBoolean() => // snapshot read
+            val (label, frozen) = snaps(rnd.nextInt(snaps.length))
+            if (frozen.nonEmpty) {
+              val p = frozen.keys.toSeq(rnd.nextInt(frozen.size))
+              val expect = frozen(p)
+              val off = rnd.nextInt(expect.length)
+              val len = math.min(expect.length - off, rnd.nextInt(6000) + 1)
+              val buf = new Array[Byte](len)
+              val in = fs.open(new Path(s"/fz/$label/$p"))
+              in.readFully(off.toLong, buf, 0, len)
+              in.close()
+              assert(java.util.Arrays.equals(buf,
+                java.util.Arrays.copyOfRange(expect, off, off + len)),
+                s"op $opIdx: snapshot $label read of $p diverged from its " +
+                  "publish-time bytes — isolation broken")
+            }
+          case _ if files.nonEmpty => // live ranged read
+            val p = files(rnd.nextInt(files.length))
+            val expect = live(p)
+            val off = rnd.nextInt(expect.length)
+            val len = math.min(expect.length - off, rnd.nextInt(6000) + 1)
+            val buf = new Array[Byte](len)
+            val in = fs.open(new Path("/" + p))
+            in.readFully(off.toLong, buf, 0, len)
+            in.close()
+            assert(java.util.Arrays.equals(buf,
+              java.util.Arrays.copyOfRange(expect, off, off + len)),
+              s"op $opIdx: live read mismatch $p")
+          case _ => ()
+        }
+      }
+      // final sweep: EVERY snapshot still serves its full publish-time tree
+      snaps.foreach { case (label, frozen) =>
+        frozen.foreach { case (p, expect) =>
+          val buf = new Array[Byte](expect.length)
+          val in = fs.open(new Path(s"/fz/$label/$p"))
+          in.readFully(0L, buf, 0, buf.length)
+          in.close()
+          assert(java.util.Arrays.equals(buf, expect),
+            s"final: snapshot $label file $p diverged")
+        }
+      }
+      assert(snaps.nonEmpty, "sequence never published — weak run")
+    } finally {
+      snaps.foreach { case (label, _) => PufsFileSystem.unmountSnapshot(s"fz/$label") }
+      fs.close()
+    }
+  }
 }
