@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Data-layout maintenance operators — the OPTIMIZE-style levers a 100 TB
+  * table needs between writes and reads. The reference's model (write-once
+  * immutable blocks, republish to change layout — README.md:5-17) maps to
+  * rewrite-into-a-new-snapshot-dir here; publishing the result is
+  * SnapshotStore.publish.
+  *
+  *  - compact: a streaming/ingest job drops thousands of small files per
+  *    hour; scans then pay one task + one open per file. Rewriting into
+  *    ~targetBytes files restores scan efficiency.
+  *  - clusterBy: range-partition + sort so every output file covers a
+  *    DISJOINT range of the cluster key — parquet min/max footer stats
+  *    then let a range predicate skip whole files (the poor man's
+  *    Z-order, exact for single-key clustering).
+  */
+object LayoutOps {
+
+  private def dataFiles(dir: String): Seq[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+
+  /** Small-file compaction: rewrite `src` into ceil(bytes/targetBytes)
+    * files at `dst`. Uses coalesce (no shuffle — each output task
+    * concatenates input splits) when shrinking, which is the common case;
+    * repartition only if the table must grow its file count. Returns
+    * (files before, files after). */
+  def compact(spark: SparkSession, src: String, dst: String,
+      targetBytes: Long): (Int, Int) = {
+    val pre = dataFiles(src)
+    val totalBytes = pre.map(_.length).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(src)
+    val out = if (n < pre.size) df.coalesce(n) else df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    (pre.size, dataFiles(dst).size)
+  }
+
+  /** Range-cluster `src` by `cols` into `numFiles` files at `dst`:
+    * repartitionByRange gives disjoint key ranges per output partition
+    * (sampled range boundaries — one pass, scale-safe), sortWithinPartitions
+    * orders rows inside each file so row-group min/max stats are tight.
+    * A later scan with a range predicate on the cluster key prunes whole
+    * files from the footer stats alone. */
+  def clusterBy(spark: SparkSession, src: String, dst: String,
+      numFiles: Int, cols: String*): Unit =
+    spark.read.parquet(src)
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(dst)
+}

@@ -49,6 +49,51 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction: fragmented table rewrites into target-size files, rows intact") {
+    val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val compacted = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    // simulate a streaming ingest's small-file debris: 64 files
+    Tables.t(spark, sfDir, "lineitem").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def checksum(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+      val r = df.agg(count(lit(1)), sum(hash(df.columns.map(col): _*).cast("long")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = checksum(frag)
+    val (pre, post) = operators.LayoutOps.compact(
+      spark, frag, compacted, targetBytes = 512L * 1024 * 1024)
+    assert(pre == 64, s"fragmentation setup produced $pre files")
+    assert(post < pre && post <= 2, s"compaction left $post files")
+    assert(checksum(compacted) == before,
+      "compaction changed row content (count or row-hash sum differs)")
+  }
+
+  test("clusterBy: output files cover disjoint ranges of the cluster key") {
+    val out = java.nio.file.Files.createTempDirectory("graft-clust").toString
+    operators.LayoutOps.clusterBy(spark, s"$sfDir/lineitem.parquet", out,
+      numFiles = 8, "l_orderkey")
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.length > 1, "clustering produced a single file — no ranges to check")
+    // per-file key ranges must be pairwise disjoint: that is exactly what
+    // lets parquet footer min/max stats prune whole files on a range scan
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: hi=$hi lo2=$lo2")
+      case _ => ()
+    }
+    // row preservation
+    assert(spark.read.parquet(out).count() ==
+      Tables.t(spark, sfDir, "lineitem").count())
+  }
+
   test("partition pruning reads only the filtered partition directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.t(spark, sfDir, "orders")
