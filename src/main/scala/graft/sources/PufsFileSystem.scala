@@ -86,6 +86,40 @@ class PufsFileSystem extends FileSystem {
   }
   private def backingFile(p: Path): File = new File(backingRoot, rel(p))
 
+  // --- remote-URL links (M9/M10 AddRemote analog) ---------------------
+  // A link is a sidecar entry in the backing store recording
+  // (url, etag, size) — the node's RemoteSource (reference
+  // core/nodedb.go:670-703 AddRemoteURL; attrs via HEAD,
+  // remote/http.go:61-72). open() serves a linked path through the
+  // HttpStore with the ETag pinned at link time, through the same lazy
+  // chunk-pull cache as local-backed objects.
+  private def linkFile(p: Path): File = new File(backingRoot, rel(p) + ".pufslink")
+
+  private def readLink(p: Path): Option[(String, String, Long)] = {
+    val lf = linkFile(p)
+    if (!lf.isFile) None
+    else {
+      val Array(url, etag, size) =
+        new String(Files.readAllBytes(lf.toPath), "UTF-8").split("\t")
+      Some((url, etag, size.toLong))
+    }
+  }
+
+  /** Link an HTTP(S) object at `f` with explicit attributes. */
+  def addRemoteUrl(f: Path, url: String, etag: String, size: Long): Unit = {
+    val lf = linkFile(f)
+    lf.getParentFile.mkdirs()
+    Files.write(lf.toPath, s"$url\t$etag\t$size".getBytes("UTF-8"))
+    bumpGeneration(f)
+  }
+
+  /** Link an HTTP(S) object at `f`, probing (size, etag) via HEAD —
+    * the reference's attribute fetch on AddRemoteURL. */
+  def addRemoteUrl(f: Path, url: String): Unit = {
+    val (size, etag) = HttpStore.head(url)
+    addRemoteUrl(f, url, etag.getOrElse(""), size)
+  }
+
   /** (mount, path-inside-mount) when `p` falls under a snapshot mount. */
   private def resolveMount(p: Path): Option[(PufsFileSystem.SnapMount, String)] =
     PufsFileSystem.resolveMount(rel(p))
@@ -101,9 +135,15 @@ class PufsFileSystem extends FileSystem {
       }
     case None =>
       val bf = backingFile(f)
-      if (!bf.exists()) throw new FileNotFoundException(f.toString)
-      new FileStatus(bf.length(), bf.isDirectory, 1, chunkSize, bf.lastModified(),
-        makeQualified(f))
+      if (bf.exists())
+        new FileStatus(bf.length(), bf.isDirectory, 1, chunkSize, bf.lastModified(),
+          makeQualified(f))
+      else readLink(f) match {
+        case Some((_, _, size)) =>
+          new FileStatus(size, false, 1, chunkSize, linkFile(f).lastModified(),
+            makeQualified(f))
+        case None => throw new FileNotFoundException(f.toString)
+      }
   }
 
   override def listStatus(f: Path): Array[FileStatus] = resolveMount(f) match {
@@ -119,8 +159,12 @@ class PufsFileSystem extends FileSystem {
       if (!bf.exists()) throw new FileNotFoundException(f.toString)
       if (bf.isFile) Array(getFileStatus(f))
       else bf.listFiles().map { c =>
-        new FileStatus(c.length(), c.isDirectory, 1, chunkSize, c.lastModified(),
-          makeQualified(new Path(f, c.getName)))
+        if (c.getName.endsWith(".pufslink"))
+          // linked objects list under their target name with linked size
+          getFileStatus(new Path(f, c.getName.stripSuffix(".pufslink")))
+        else
+          new FileStatus(c.length(), c.isDirectory, 1, chunkSize, c.lastModified(),
+            makeQualified(new Path(f, c.getName)))
       }
   }
 
@@ -140,6 +184,16 @@ class PufsFileSystem extends FileSystem {
       val remote = new LocalStore(new java.io.File(new java.io.File(m.repo, "CAS"), e.sha256))
       new FSDataInputStream(
         new LazyPullInputStream(entry, remote, e.size, chunkSize, readahead))
+    case None if !backingFile(f).exists() && readLink(f).isDefined =>
+      val (url, etag, size) = readLink(f).get
+      // synthetic identity from (url, etag) — the reference's HTTP block id
+      // (core/nodedb.go:693-703 sha256(url + etag)): a re-linked object
+      // with a new ETag is a NEW block, never a stale cache hit
+      val blockId = "url-" + PufsFileSystem.sha256Bytes((url + etag).getBytes("UTF-8"))
+      val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, size)
+      val remote = new HttpStore(url, Some(etag).filter(_.nonEmpty))
+      new FSDataInputStream(
+        new LazyPullInputStream(entry, remote, size, chunkSize, readahead))
     case None =>
       val bf = backingFile(f)
       if (!bf.exists()) throw new FileNotFoundException(f.toString)
@@ -204,7 +258,12 @@ class PufsFileSystem extends FileSystem {
     if (resolveMount(f).isDefined)
       throw new java.io.IOException("snapshot mounts are read-only")
     val bf = backingFile(f)
-    if (!bf.exists()) false
+    if (!bf.exists()) {
+      // unlink a remote-URL link (M6 over an M9/M10 node)
+      val lf = linkFile(f)
+      if (lf.isFile) { val ok = lf.delete(); if (ok) bumpGeneration(f); ok }
+      else false
+    }
     else if (bf.isFile) { val ok = bf.delete(); if (ok) bumpGeneration(f); ok }
     else if (recursive) {
       org.apache.commons.io.FileUtils.deleteDirectory(bf); bumpGeneration(f); true

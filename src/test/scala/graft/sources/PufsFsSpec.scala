@@ -387,6 +387,40 @@ class PufsFsSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("addRemoteUrl links an HTTP object into the tree; reads are lazy (M9/M10)") {
+    val data = new Array[Byte](200 * 1024)
+    new scala.util.Random(41).nextBytes(data)
+    val srv = new ObjServer(data)
+    try {
+      val backing = tmpDir("pufs-link")
+      val fs = newFs(backing, tmpDir("pufs-link-cache"), chunk = 8192)
+        .asInstanceOf[PufsFileSystem]
+      fs.addRemoteUrl(new Path("/ext/obj.bin"), srv.url, "\"v1\"", data.length)
+      // stat + listing surface the linked object under its target name
+      val st = fs.getFileStatus(new Path("/ext/obj.bin"))
+      assert(!st.isDirectory && st.getLen == data.length)
+      val names = fs.listStatus(new Path("/ext")).map(_.getPath.getName).toSeq
+      assert(names == Seq("obj.bin"), names.toString)
+      // ranged read through the lazy cache: bytes match, pull < object size
+      val pulled0 = PufsFileSystem.bytesPulled.get()
+      val in = fs.open(new Path("/ext/obj.bin"))
+      val buf = new Array[Byte](5000)
+      in.readFully(100000L, buf, 0, 5000)
+      in.close()
+      assert(java.util.Arrays.equals(buf,
+        java.util.Arrays.copyOfRange(data, 100000, 105000)))
+      val pulled = PufsFileSystem.bytesPulled.get() - pulled0
+      assert(pulled > 0 && pulled < data.length,
+        s"linked read pulled $pulled of ${data.length} bytes — not lazy")
+      // unlink (M6 over a remote node), then the path is gone
+      assert(fs.delete(new Path("/ext/obj.bin"), false))
+      intercept[java.io.FileNotFoundException] {
+        fs.getFileStatus(new Path("/ext/obj.bin"))
+      }
+      fs.close()
+    } finally srv.stop()
+  }
+
   test("HTTP remote: transient failures retry within the <=10 budget") {
     val data = new Array[Byte](64 * 1024)
     new scala.util.Random(23).nextBytes(data)
