@@ -246,6 +246,49 @@ object SnapshotStore {
     deleted
   }
 
+  /** Re-materialize a tree at an arbitrary human-readable object prefix
+    * (reference `pufs upload`, B14: pufs/cmd/upload.go:39-106): unlike
+    * publish alone (CAS keys), consumers that expect plain object paths
+    * get `objects/<prefix>/<path>`. Internally publishes to the label
+    * `prefix` first — so hashing/uploading is incremental — then copies
+    * only the entries whose content CHANGED since the previous upload
+    * (manifest diff = the reference's dirty-only re-materialization,
+    * upload.go:69; the post-upload stat-cache state is the M18
+    * "now clean remote-backed" flip: a follow-up publish of the unchanged
+    * tree hashes and uploads nothing). Returns (publish stats, objects
+    * copied). */
+  def uploadTree(spark: SparkSession, srcDir: String, repo: String,
+      prefix: String): (PublishStats, Int) = {
+    val prevShas: Map[String, String] =
+      getRoot(repo, prefix) match {
+        case Some(sha) if Files.exists(casDir(repo).resolve(sha)) =>
+          new String(Files.readAllBytes(casDir(repo).resolve(sha)), "UTF-8")
+            .split("\n").filter(_.nonEmpty).map { line =>
+              val Array(p, _, h) = line.split("\t"); p -> h
+            }.toMap
+        case _ => Map.empty
+      }
+    val stats = publish(spark, srcDir, repo, prefix)
+    val dirty = mount(repo, prefix)
+      .filter(e => !prevShas.get(e.path).contains(e.sha256))
+    if (dirty.nonEmpty) {
+      val repoDir = repo
+      val pfx = prefix
+      val parts = math.max(1,
+        math.min(dirty.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(dirty, parts).foreach { e =>
+        val dst = Paths.get(repoDir, "objects", pfx, e.path)
+        Files.createDirectories(dst.getParent)
+        val tmp = Files.createTempFile(dst.getParent, ".up", ".part")
+        Files.copy(Paths.get(repoDir, "CAS", e.sha256), tmp,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    (stats, dirty.size)
+  }
+
   /** Read a published snapshot's manifest (reference MountByLabel →
     * GetRoot → lazy subtree, core/datastore.go:214-227). */
   def mount(repo: String, label: String): Seq[ManifestEntry] = {

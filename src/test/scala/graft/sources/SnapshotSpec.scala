@@ -93,6 +93,34 @@ class SnapshotSpec extends SparkSpec {
     assert(statsPar.uploaded == 4 && statsPar.hashed == 3)
   }
 
+  test("uploadTree: objects at plain keys, dirty-only re-materialization (B14/M18)") {
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-upl").toString
+    val (s1, copied1) = SnapshotStore.uploadTree(spark, src, repo, "drop1")
+    assert(copied1 == 3, s"first upload must materialize all 3 files, got $copied1")
+    // objects land at human-readable keys with exact bytes
+    Seq("a.txt", "sub/b.txt", "sub/c.bin").foreach { p =>
+      val obj = Paths.get(repo, "objects", "drop1", p)
+      assert(Files.exists(obj), s"missing object $p")
+      assert(java.util.Arrays.equals(Files.readAllBytes(obj),
+        Files.readAllBytes(Paths.get(src, p))), s"object bytes differ: $p")
+    }
+    // unchanged tree: the M18 clean-remote-backed flip — nothing hashed,
+    // nothing uploaded, nothing copied
+    val (s2, copied2) = SnapshotStore.uploadTree(spark, src, repo, "drop1")
+    assert(s2.hashed == 0 && s2.uploaded == 0 && copied2 == 0,
+      s"unchanged re-upload did work: hashed=${s2.hashed} " +
+        s"uploaded=${s2.uploaded} copied=$copied2")
+    // touch one file: exactly that object re-materializes
+    Files.write(Paths.get(src, "a.txt"), "alpha-v2".getBytes)
+    val (s3, copied3) = SnapshotStore.uploadTree(spark, src, repo, "drop1")
+    assert(s3.hashed == 1 && copied3 == 1,
+      s"one-file change: hashed=${s3.hashed} copied=$copied3")
+    assert(new String(Files.readAllBytes(
+      Paths.get(repo, "objects", "drop1", "a.txt")), "UTF-8") == "alpha-v2")
+    assert(s1.manifestSha != s3.manifestSha)
+  }
+
   test("gc keeps label- and lease-reachable blocks, collects superseded ones") {
     import java.time.Instant
     val src = mkTree()
