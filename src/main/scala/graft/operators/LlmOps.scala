@@ -360,6 +360,26 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L23: deterministic stratified sampling for corpus mixing — per-class
+    // keep rates (the data-mixing step of a pretraining pipeline) decided
+    // by a CONTENT-DERIVED hash bucket, not an RNG: the same doc keeps or
+    // drops identically on every run, every engine, every partitioning
+    // (resumable + auditable, unlike sampleBy). Pure filter — no shuffle,
+    // scale-free.
+    "l23_mix_sample" -> ((s, d) => {
+      val bucket = conv(substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000
+      val rate = when(col("lang") === "en", 500)
+        .when(col("lang") === "de", 1000)
+        .otherwise(200)
+      t(s, d, "documents")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // L13: multi-table LSH approximate kNN (the scale path of Q-L3):
     // L independent sign-LSH tables × b bits with Hamming≤1 multiprobe —
     // a probe searches the union of L·(b+1) buckets instead of the full
@@ -779,6 +799,18 @@ object LlmOps {
         |      / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))
         |    ELSE NULL END AS chars_per_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l23_mix_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 1000 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 500
+        |         WHEN lang = 'de' THEN 1000
+        |         ELSE 200 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
 
     "l15_source_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -61,6 +61,23 @@ object StreamJobs {
       .select(col("c_user").as("user_id"), col("cts"), col("vts"))
   }
 
+  /** Streaming snapshot publish: each micro-batch appends parquet into the
+    * staging tree, then commits the WHOLE tree as the labeled snapshot —
+    * stream-to-table with the catalog pointer advancing batch-atomically
+    * (the reference's push cycle driven by a stream: M12/M13 under
+    * foreachBatch). A reader mounting the label sees a consistent
+    * manifest per batch, never a half-written directory; the incremental
+    * stat-cache publish makes each commit O(new files), so commit cost
+    * tracks the batch, not the table. */
+  def publishEachBatch(ev: DataFrame, stagingDir: String, repo: String,
+      label: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ev.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(stagingDir)
+      graft.sources.SnapshotStore.publish(
+        batch.sparkSession, stagingDir, repo, label)
+      ()
+    }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
     * event count + high-water timestamp, emitted on every update. This is
     * the join/merge state-machine shape of the reference's pending-read

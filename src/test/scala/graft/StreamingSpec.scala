@@ -32,6 +32,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).sum == data.size)
   }
 
+  test("publishEachBatch: each micro-batch commits a batch-atomic snapshot") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{PufsFileSystem, SnapshotStore}
+    val staging = java.nio.file.Files.createTempDirectory("stream-stage").toString
+    val repo = java.nio.file.Files.createTempDirectory("stream-repo").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = StreamJobs.publishEachBatch(
+        mem.toDF().toDF("ts", "event_id"), staging, repo, "live")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(ts(1) -> 1L, ts(2) -> 2L, ts(3) -> 3L)
+      q.processAllAvailable()
+      val root1 = SnapshotStore.getRoot(repo, "live")
+      assert(root1.isDefined, "no snapshot published after batch 1")
+      mem.addData(ts(4) -> 4L, ts(5) -> 5L)
+      q.processAllAvailable()
+      val root2 = SnapshotStore.getRoot(repo, "live")
+      assert(root2 != root1, "label did not advance with the second batch")
+      // read the stream's full history back through a pufs mount of the
+      // published label — the reference's push → mount round trip, fed by
+      // a stream
+      PufsFileSystem.mountSnapshot("live-snap", repo, "live")
+      try {
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+        hc.set("fs.pufs.backing",
+          java.nio.file.Files.createTempDirectory("stream-backing").toString)
+        val ids = spark.read.parquet("pufs:///live-snap")
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(ids == Seq(1L, 2L, 3L, 4L, 5L),
+          s"mounted snapshot rows: $ids")
+      } finally PufsFileSystem.unmountSnapshot("live-snap")
+    } finally q.stop()
+  }
+
   test("dropDuplicates within watermark dedups by event_id") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
