@@ -94,6 +94,80 @@ class LayoutSpec extends SparkSpec {
       Tables.t(spark, sfDir, "lineitem").count())
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    import graft.SparkSpec.spark.implicits._
+    // 200k rows of one hot key vs 5k spread keys — one shuffle partition
+    // carries ~40x the median
+    val hot = spark.range(200000).select(lit(1L).as("k"), col("id").as("v"))
+      .union(spark.range(5000).select((col("id") % 100 + 2).as("k"), col("id").as("v")))
+    val dim = spark.range(200).select(col("id").as("k"), (col("id") * 10).as("w"))
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    try {
+      // force a sort-merge join and make the hot partition count as skewed
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // aggregate on the DIM attribute, not the join key: a same-key
+      // groupBy could reuse the join's partitioning, and AQE refuses to
+      // split skewed partitions when that would cost an extra shuffle.
+      // sum("v") keeps the fact payload column alive through the shuffle —
+      // a pruned-to-one-constant-column hot partition compresses below
+      // any skew threshold
+      val joined = hot.join(dim, "k").groupBy("w")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      // collect() executes joined's OWN query execution (count() would
+      // build a separate one and leave this plan un-finalized)
+      assert(joined.collect().length == 101)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true):\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables.t(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    import graft.SparkSpec.spark.implicits._
+    // dim carries the year filter; the fact side has NO static filter —
+    // only DPP can skip its partition directories. The dim must be a
+    // FILE-backed scan with a real pushed predicate: an in-memory Seq
+    // constant-folds the filter away and DPP sees no selective predicate.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dppdim").toString
+    (1992 to 1998).map(y => (y, if (y == 1995) "pick" else "skip"))
+      .toDF("d_year", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "pick")
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" ->
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats", "true"),
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" ->
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "0.5"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // the test tables are a few KB, below the stats heuristic's radar —
+      // use the ratio fallback so the DPP decision reflects plan SHAPE
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "5.0")
+      val joined = spark.read.parquet(out)
+        .join(dim, col("o_year") === col("d_year"))
+        .groupBy("o_year").agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.length == 1 && rows(0).getInt(0) == 1995)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+        s"no dynamic-pruning subquery in plan:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partition pruning reads only the filtered partition directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.t(spark, sfDir, "orders")
