@@ -360,6 +360,33 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L24: winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    // algorithm) — the windowed-min document fingerprint: hash every
+    // 8-char gram, keep the minimum hash of each 4-gram window. Guarantees
+    // any shared substring ≥ k+w-1 chars yields a shared fingerprint, at
+    // ~1/w the density of full gram sets — the standard
+    // fingerprint-overlap dedup/provenance index. Per-doc window sort
+    // parallelizes across docs (partitionBy doc_id).
+    "l24_winnowing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val w = 4
+      val grams = t(s, d, "documents")
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => col("text").substr(i, lit(k)))).as(Seq("pos", "g")))
+      val hashed = grams.withColumn("h",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
+      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+      hashed
+        .withColumn("fp", min("h").over(win))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("fp")).as("n_fingerprints"))
+        .orderBy("doc_id")
+    }),
+
     // L23: deterministic stratified sampling for corpus mixing — per-class
     // keep rates (the data-mixing step of a pretraining pipeline) decided
     // by a CONTENT-DERIVED hash bucket, not an RNG: the same doc keeps or
@@ -799,6 +826,24 @@ object LlmOps {
         |      / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))
         |    ELSE NULL END AS chars_per_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l24_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, length(text) - 7)) AS pos, text
+        |  FROM documents WHERE length(text) >= 8),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    CAST('0x' || substr(md5(substr(text, pos, 8)), 1, 8) AS BIGINT) AS h
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "l23_mix_sample" ->
       """WITH b AS (

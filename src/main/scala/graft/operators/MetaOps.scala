@@ -40,6 +40,24 @@ object MetaOps {
           col("regionCount"),
           (col("populatedBytes").cast("double") / col("size")).as("cached_frac"))
         .orderBy("path")
+    }),
+    // the table-maintenance planner's input: per-directory file count and
+    // mean size, flagging small-file debris for LayoutOps.compact (the
+    // catalog query that DRIVES compaction at fleet scale)
+    "l5d_small_file_report" -> ((s, d) => {
+      s.read.format("pufs-meta").load(d)
+        .filter(!col("isDir"))
+        .withColumn("dir",
+          when(col("path").contains("/"),
+            regexp_extract(col("path"), "^(.*)/[^/]+$", 1)).otherwise(lit(".")))
+        .groupBy("dir")
+        .agg(count(lit(1)).as("n_files"),
+          sum("size").as("total_bytes"),
+          (sum("size").cast("double") / count(lit(1))).as("avg_bytes"),
+          max(col("size")).as("max_bytes"))
+        .withColumn("needs_compaction",
+          col("n_files") > 8 && col("avg_bytes") < 4.0 * 1024 * 1024)
+        .orderBy("dir")
     })
   )
 

@@ -55,6 +55,22 @@ class MetaSourceSpec extends SparkSpec {
     assert(listing.count() == 11) // root + 10 parquet files
   }
 
+  test("l5d small-file report flags debris dirs and clears healthy ones") {
+    val root = Files.createTempDirectory("meta-smallfiles").toString
+    Files.createDirectories(Paths.get(root, "debris"))
+    Files.createDirectories(Paths.get(root, "healthy"))
+    (1 to 12).foreach(i =>
+      Files.write(Paths.get(root, s"debris/p$i.parquet"), Array.fill(100)(i.toByte)))
+    (1 to 2).foreach(i =>
+      Files.write(Paths.get(root, s"healthy/big$i.parquet"),
+        Array.fill(8 * 1024 * 1024)(i.toByte)))
+    val report = graft.operators.MetaOps.queries("l5d_small_file_report")(spark, root)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(r.fieldIndex("needs_compaction")))).toMap
+    assert(report("debris") == ((12L, true)), report.toString)
+    assert(report("healthy") == ((2L, false)), report.toString)
+  }
+
   test("M2 extended listing surfaces cache population after a partial read") {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val backing = Files.createTempDirectory("meta-m2").toString
