@@ -95,6 +95,43 @@ object LlmOps {
       .distinct()
   }
 
+  /** (doc_id, cluster_id) for every document: near-dup candidate pairs
+    * grouped into connected components by distributed min-label
+    * propagation (one shuffle join + partial-aggregated min per round,
+    * isEmpty convergence probe — no driver-side graph; converges in
+    * O(component diameter) rounds, shallow for near-dup clusters).
+    * cluster_id = min doc_id in the component (the canonical survivor);
+    * singletons map to themselves. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, col("dst") === col("v"))
+        .select(col("src").as("v"), col("lab"))
+        .union(labels)
+        .groupBy("v").agg(min("lab").as("lab"))
+        .persist()
+      converged = labels
+        .join(prop.withColumnRenamed("lab", "nl"), "v")
+        .filter(col("nl") =!= col("lab"))
+        .isEmpty
+      labels.unpersist()
+      labels = prop
+      iter += 1
+    }
+    t(s, d, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Q-L1: exact dedup by content hash (CAS for rows). Keeps the smallest
     // doc_id per hash group — a deterministic survivor, unlike
@@ -311,37 +348,10 @@ object LlmOps {
     // No driver-side graph: the only per-round action is an isEmpty
     // convergence probe. Oracle: DuckDB recursive CTE computing min
     // reachable id per vertex over the same deterministic pairs.
-    "l21_dedup_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .persist()
-      var labels = edges.select(col("src").as("v")).distinct()
-        .select(col("v"), col("v").as("lab"))
-        .persist()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val prop = edges.join(labels, col("dst") === col("v"))
-          .select(col("src").as("v"), col("lab"))
-          .union(labels)
-          .groupBy("v").agg(min("lab").as("lab"))
-          .persist()
-        converged = labels
-          .join(prop.withColumnRenamed("lab", "nl"), "v")
-          .filter(col("nl") =!= col("lab"))
-          .isEmpty
-        labels.unpersist()
-        labels = prop
-        iter += 1
-      }
-      t(s, d, "documents").select(col("doc_id"))
-        .join(labels, col("doc_id") === col("v"), "left")
-        .select(col("doc_id"),
-          coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+    "l21_dedup_clusters" -> ((s, d) =>
+      dedupClusters(s, d)
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // L22: token counting, whitespace vs BPE-ish — the GPT-2-style
     // pre-tokenizer shape (letter runs | single digits | single
@@ -357,6 +367,49 @@ object LlmOps {
           nBpe.as("bpe_tokens"),
           when(nBpe > 0, col("n_chars").cast("double") / nBpe.cast("double"))
             .as("chars_per_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // L25: the corpus-curation pipeline composed end-to-end — what a
+    // pretraining data pass actually runs, as ONE query: Gopher-style
+    // quality rules (l16) → deterministic per-lang mix sampling (l23) →
+    // exact-dedup survivorship (l1: doc must be the min doc_id of its
+    // content-hash group) → near-dup cluster canonicality (l21: doc must
+    // be its cluster's canonical member). Every stage is individually
+    // oracle-verified; this lane verifies their COMPOSITION hash-exactly.
+    "l25_corpus_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // stage 1: quality rules (l16 semantics)
+      val tk = split(col("text"), " ")
+      val nW = size(tk).cast("long")
+      val sumLen = aggregate(tk, lit(0L), (a, x) => a + length(x).cast("long"))
+      val meanLen = sumLen.cast("double") / nW.cast("double")
+      val alphaW = size(filter(tk, x => x.rlike("[a-zA-Z]"))).cast("long")
+      val stops = size(array_intersect(
+        array_distinct(transform(tk, lower(_))),
+        array(Seq("the", "a", "of", "and", "to").map(lit): _*))).cast("long")
+      val qualityKeep = nW.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        (alphaW.cast("double") / nW.cast("double")) > 0.7 && stops >= 2
+      // stage 2: deterministic mix sampling (l23 semantics)
+      val bucket = conv(substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000
+      val rate = when(col("lang") === "en", 500)
+        .when(col("lang") === "de", 1000).otherwise(200)
+      val kept = docs.filter(qualityKeep && bucket < rate)
+      // stage 3: exact-dedup survivors (l1 semantics) over the full corpus
+      val survivors = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("sid"))
+        .select(col("sid"))
+      // stage 4: near-dup cluster canonicals (l21 semantics)
+      val canon = dedupClusters(s, d)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as("cid"))
+      kept
+        .join(survivors, col("doc_id") === col("sid"), "left_semi")
+        .join(canon, col("doc_id") === col("cid"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
 
@@ -826,6 +879,56 @@ object LlmOps {
         |      / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))
         |    ELSE NULL END AS chars_per_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l25_corpus_curation" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 5),
+        |bs AS (
+        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+        |  GROUP BY doc_id, b),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bs x JOIN bs y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM cands
+        |  UNION ALL SELECT b AS src, a AS dst FROM cands),
+        |reach(v, lab) AS (
+        |  SELECT DISTINCT src AS v, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS v, r.lab FROM edges e JOIN reach r ON e.dst = r.v),
+        |comp AS (SELECT v, min(lab) AS lab FROM reach GROUP BY v),
+        |q AS (
+        |  SELECT doc_id, string_split(text, ' ') AS qtk FROM documents),
+        |rules AS (
+        |  SELECT doc_id,
+        |    (CAST(len(qtk) AS BIGINT) BETWEEN 50 AND 100000
+        |     AND CAST(list_reduce(list_transform(qtk, w -> CAST(length(w) AS BIGINT)),
+        |       (a, b) -> a + b) AS DOUBLE) / len(qtk) BETWEEN 3.0 AND 10.0
+        |     AND CAST(len(list_filter(qtk, w -> regexp_matches(w, '[a-zA-Z]')))
+        |       AS DOUBLE) / len(qtk) > 0.7
+        |     AND CAST(len(list_intersect(
+        |       list_distinct(list_transform(qtk, w -> lower(w))),
+        |       ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) >= 2) AS keep
+        |  FROM q),
+        |sha AS (
+        |  SELECT min(doc_id) AS sid FROM documents GROUP BY sha256(text))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN rules r ON r.doc_id = d.doc_id AND r.keep
+        |JOIN sha ON sha.sid = d.doc_id
+        |LEFT JOIN comp c ON c.v = d.doc_id
+        |WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 1000
+        |    < CASE WHEN d.lang = 'en' THEN 500
+        |           WHEN d.lang = 'de' THEN 1000 ELSE 200 END
+        |  AND coalesce(c.lab, d.doc_id) = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "l24_winnowing" ->
       """WITH g AS (
