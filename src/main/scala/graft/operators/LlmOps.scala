@@ -103,7 +103,10 @@ object LlmOps {
     * cluster_id = min doc_id in the component (the canonical survivor);
     * singletons map to themselves. */
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d)
+    // persist: both edge directions read `pairs`, and the candidate join
+    // it wraps is the expensive subtree (same ReuseExchange limitation as
+    // the l2 signature persist)
+    val pairs = minhashPairs(s, d).persist()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()

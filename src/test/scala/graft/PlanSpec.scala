@@ -77,6 +77,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("l23 mix sampling prunes the scan to its three columns, no shuffle") {
+    val p = plan("l23_mix_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>") ||
+      p.contains("ReadSchema: struct<lang:string,doc_id:bigint>"), p)
+    // a pure filter + sort: the only exchange is the output rangepartition
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("l25 curation composition joins without cartesian products") {
+    val p = plan("l25_corpus_curation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("w5/w8 plan no single-partition window over the full table") {
     // ntile/percent_rank/cume_dist are two-pass (range repartition +
     // per-partition rank + broadcast offsets) — the only unpartitioned
