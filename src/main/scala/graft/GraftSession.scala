@@ -29,3 +29,29 @@ object GraftSession {
       udaf(new IntervalUnion, Encoders.product[Interval]))
   }
 }
+
+/** `spark.sql.extensions`-compatible injector — the zero-code deployment
+  * path for clusters: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes the engine's expression surface (dot_f32 / cosine_f32 /
+  * sign_lsh / range_chunks) native in every session built on the context,
+  * no attach() call required. Views and UDAFs stay session-scoped
+  * (GraftSession.attach) because they bind to data paths. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    ext.injectFunction((FunctionIdentifier("dot_f32"), info("dot_f32"),
+      (es: Seq[Expression]) => graft.functions.DotProductF32(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_f32"), info("cosine_f32"),
+      (es: Seq[Expression]) => graft.functions.CosineF32(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sign_lsh"), info("sign_lsh"),
+      (es: Seq[Expression]) => graft.functions.SignLsh(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("range_chunks"), info("range_chunks"),
+      (es: Seq[Expression]) => graft.plans.RangeChunks(es(0), es(1))))
+  }
+}

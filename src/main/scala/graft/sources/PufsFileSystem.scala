@@ -458,7 +458,7 @@ object PufsFileSystem {
   //     subtree; reads resolve manifest → CAS block → ranged pull) ---
 
   /** One mounted snapshot: manifest entries by path + the implied dir set. */
-  private[sources] case class SnapMount(repo: String, label: String,
+  private[sources] case class SnapMount(repo: String, manifestSha: String,
       entries: Map[String, SnapshotStore.ManifestEntry], dirs: Set[String]) {
     /** Immediate child names of `sub` ("" = mount root). */
     def childrenOf(sub: String): Seq[String] = {
@@ -490,8 +490,17 @@ object PufsFileSystem {
     * CAS blocks served by the lazy-pull machinery — the reference's
     * create→push→mount→lazy-read round trip (core/functional_test.go:174-214).
     * The mount table is JVM-global, like the cache arena state. */
-  def mountSnapshot(mountPath: String, repo: String, label: String): Unit = {
-    val es = SnapshotStore.mount(repo, label)
+  def mountSnapshot(mountPath: String, repo: String, label: String): Unit =
+    mountSnapshotAt(mountPath, repo,
+      SnapshotStore.getRoot(repo, label).getOrElse(
+        throw new IllegalArgumentException(s"no such label: $label")))
+
+  /** Mount a snapshot by its manifest sha directly — the reference's
+    * mount-by-BID (core/nodedb.go:522-555 AddBIDMount): any HISTORICAL
+    * manifest still in the CAS mounts, label repoints notwithstanding —
+    * time travel to a superseded snapshot. */
+  def mountSnapshotAt(mountPath: String, repo: String, manifestSha: String): Unit = {
+    val es = SnapshotStore.mountAt(repo, manifestSha)
     val byPath = es.map(e => e.path -> e).toMap
     val dirs = es.flatMap { e =>
       val parts = e.path.split('/').dropRight(1)
@@ -500,10 +509,9 @@ object PufsFileSystem {
     // pin the mounted snapshot with a reader lease so a label repoint
     // can't let GC collect blocks under an active mount (reference: a
     // mount holds a lease, datastore.go:23-28, 240-253)
-    SnapshotStore.getRoot(repo, label).foreach(sha =>
-      SnapshotStore.renewLease(repo,
-        "mount-" + cleanMountPath(mountPath).replace('/', '_'), sha))
-    mounts.put(cleanMountPath(mountPath), SnapMount(repo, label, byPath, dirs))
+    SnapshotStore.renewLease(repo,
+      "mount-" + cleanMountPath(mountPath).replace('/', '_'), manifestSha)
+    mounts.put(cleanMountPath(mountPath), SnapMount(repo, manifestSha, byPath, dirs))
   }
 
   def unmountSnapshot(mountPath: String): Unit =

@@ -291,10 +291,15 @@ object SnapshotStore {
 
   /** Read a published snapshot's manifest (reference MountByLabel →
     * GetRoot → lazy subtree, core/datastore.go:214-227). */
-  def mount(repo: String, label: String): Seq[ManifestEntry] = {
-    val sha = getRoot(repo, label).getOrElse(
-      throw new IllegalArgumentException(s"no such label: $label"))
-    val bytes = Files.readAllBytes(casDir(repo).resolve(sha))
+  def mount(repo: String, label: String): Seq[ManifestEntry] =
+    mountAt(repo, getRoot(repo, label).getOrElse(
+      throw new IllegalArgumentException(s"no such label: $label")))
+
+  /** Mount by manifest sha directly (the reference's mount-by-BID,
+    * core/nodedb.go:522-555): any historical manifest still in the CAS
+    * resolves — time travel to superseded snapshots. */
+  def mountAt(repo: String, manifestSha: String): Seq[ManifestEntry] = {
+    val bytes = Files.readAllBytes(casDir(repo).resolve(manifestSha))
     new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty).map { line =>
       val Array(p, s, h) = line.split("\t")
       ManifestEntry(p, s.toLong, h)

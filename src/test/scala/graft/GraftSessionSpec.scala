@@ -30,4 +30,33 @@ class GraftSessionSpec extends SparkSpec {
         |FROM lineitem GROUP BY l_suppkey LIMIT 5""".stripMargin).collect()
     assert(covered.forall(_.getLong(1) > 0))
   }
+
+  test("GraftExtensions injects the function surface via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val old = graft.SparkSpec.spark
+    // spark.sql.extensions is a STATIC conf — applied only at context
+    // creation (the `--conf spark.sql.extensions=graft.GraftExtensions`
+    // spark-submit path). Over an existing context, Builder.withExtensions
+    // exercises the same injector on a fresh session.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(e => new GraftExtensions().apply(e))
+        .getOrCreate()
+      assert(s2 ne old, "expected a new session to apply extensions")
+      val c = s2.sql(
+        "SELECT cosine_f32(array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)), " +
+          "array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT))) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+      val sig = s2.sql("SELECT sign_lsh(array(CAST(1.0 AS FLOAT)), 2, 8) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(sig.length == 2)
+      assert(s2.sql("SELECT range_chunks(500000, 204800)").collect().length == 3)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }

@@ -93,6 +93,41 @@ class SnapshotSpec extends SparkSpec {
     assert(statsPar.uploaded == 4 && statsPar.hashed == 3)
   }
 
+  test("mount by sha: a superseded snapshot time-travels after label repoint") {
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-tt").toString
+    val (sha1, _) = SnapshotStore.publish(src, repo, "main")
+    Files.write(Paths.get(src, "a.txt"), "alpha-v2".getBytes)
+    val (sha2, _) = SnapshotStore.publish(src, repo, "main")
+    assert(sha1 != sha2)
+    // label resolves to v2; the OLD manifest sha mounts v1 (reference
+    // mount-by-BID, core/nodedb.go:522-555)
+    PufsFileSystem.mountSnapshotAt("tt/v1", repo, sha1)
+    PufsFileSystem.mountSnapshot("tt/live", repo, "main")
+    try {
+      def readThrough(p: String): String = {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+        conf.set("fs.pufs.backing", Files.createTempDirectory("tt-back").toString)
+        conf.set("fs.pufs.cache", Files.createTempDirectory("tt-cache").toString)
+        conf.setBoolean("fs.pufs.impl.disable.cache", true)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create("pufs:///"), conf)
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(new org.apache.hadoop.fs.Path(p))
+        in.readFully(0L, buf, 0, buf.length)
+        in.close(); fs.close()
+        new String(buf, "UTF-8")
+      }
+      assert(readThrough("/tt/v1/a.txt") == "alpha")
+      assert(readThrough("/tt/live/a.txt") == "alpha-v2")
+    } finally {
+      PufsFileSystem.unmountSnapshot("tt/v1")
+      PufsFileSystem.unmountSnapshot("tt/live")
+    }
+  }
+
   test("uploadTree: objects at plain keys, dirty-only re-materialization (B14/M18)") {
     val src = mkTree()
     val repo = Files.createTempDirectory("snap-upl").toString
