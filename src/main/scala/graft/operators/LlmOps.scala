@@ -416,6 +416,63 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L26: benchmark decontamination — flag training docs sharing any
+    // 8-word shingle with the eval set (doc_id < 50 stands in for the
+    // benchmark corpus). The canonical pre-release pipeline step: overlap
+    // is found by an equi-join on hashed shingles (eval side is tiny and
+    // broadcast-able at scale) — never a doc×doc comparison.
+    "l26_decontaminate" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+      // distinct (doc, shingle-hash) pairs feed BOTH sides — persist
+      val sh = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 7),
+          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+        .distinct()
+        .persist()
+      val evalSh = sh.filter(col("doc_id") < 50).select("sh").distinct()
+      val hits = sh.filter(col("doc_id") >= 50)
+        .join(evalSh, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      t(s, d, "documents").filter(col("doc_id") >= 50).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // L27: sequence packing — assign docs to fixed-size context windows by
+    // GLOBAL token prefix sum (the group_texts step of LM training: concat
+    // the corpus, chunk every 2048 tokens). The prefix sum is two-pass
+    // (range-bucket by doc_id, per-bucket cumsum, broadcast bucket
+    // offsets) — same no-single-partition-window discipline as w5.
+    "l27_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ctx = 2048L
+      val nb = 32
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val pid = least(floor(col("doc_id") * nb / (maxId + 1)), lit(nb - 1))
+        .cast("int")
+      val parted = docs.withColumn("pid", pid)
+      // per-bucket token totals → prefix offsets (≤nb rows, broadcast)
+      val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy("pid").agg(sum("n_tok").as("toks"))
+        .select(col("pid"), coalesce(sum("toks").over(offW), lit(0L)).as("off"))
+      val localW = Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parted
+        .withColumn("lcum", coalesce(sum("n_tok").over(localW), lit(0L)))
+        .join(broadcast(offsets), "pid")
+        .withColumn("start_tok", col("off") + col("lcum"))
+        .withColumn("bin", floor(col("start_tok") / ctx).cast("long"))
+        .select("doc_id", "n_tok", "start_tok", "bin")
+        .orderBy("doc_id")
+    }),
+
     // L24: winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
     // algorithm) — the windowed-min document fingerprint: hash every
     // 8-char gram, keep the minimum hash of each 4-gram window. Guarantees
@@ -932,6 +989,38 @@ object LlmOps {
         |           WHEN d.lang = 'de' THEN 1000 ELSE 200 END
         |  AND coalesce(c.lab, d.doc_id) = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "l26_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 7),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh
+        |  FROM toks WHERE len(tk) >= 8),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_shared
+        |  FROM sh s JOIN ev ON ev.sh = s.sh
+        |  WHERE s.doc_id >= 50 GROUP BY s.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin,
+
+    "l27_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(floor(start_tok / 2048.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "l24_winnowing" ->
       """WITH g AS (
