@@ -567,6 +567,36 @@ object LlmOps {
         .orderBy("probe_id", "rnk")
     }),
 
+    // L28: metadata-filtered (hybrid) kNN — vector similarity restricted
+    // by relational predicates: neighbors must share the probe's label
+    // AND their joined document must be lang='en'. The filter applies
+    // BEFORE scoring (the filtered-vector-search shape: predicate prunes
+    // the candidate set, cosine ranks the survivors), so selective
+    // predicates cut the scored set proportionally.
+    "l28_filtered_knn" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val langs = t(s, d, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val cand = e.join(langs, "vec_id").filter(col("lang") === "en")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("label").as("plabel"))
+      val topk = udaf(new graft.functions.TopK(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      broadcast(probes)
+        .join(cand,
+          col("probe_id") =!= col("vec_id") && col("plabel") === col("label"))
+        .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+        .groupBy("probe_id")
+        .agg(topk(col("cos"), col("vec_id")).as("nb"))
+        .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
+        .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("hit.id").as("neighbor_id"), col("hit.score").as("sim"))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // L20: IVF approximate kNN — the second ANN index family (coarse
     // k-means quantizer + nprobe, the FAISS IVF-flat shape) alongside
     // l13's multi-table LSH. Build: cluster into ~sqrt(n) cells (seeded —
@@ -989,6 +1019,33 @@ object LlmOps {
         |           WHEN d.lang = 'de' THEN 1000 ELSE 200 END
         |  AND coalesce(c.lab, d.doc_id) = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "l28_filtered_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    label
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, label,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |c AS (
+        |  SELECT n.vec_id, n.v, n.nrm, n.label
+        |  FROM n JOIN documents d ON d.doc_id = n.vec_id
+        |  WHERE d.lang = 'en'),
+        |p AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(generate_series(1, len(a.v)),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN c b
+        |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.label = b.label),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+        |  FROM p)
+        |SELECT probe_id, rnk, neighbor_id, cos AS sim
+        |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     "l26_decontaminate" ->
       """WITH toks AS (
