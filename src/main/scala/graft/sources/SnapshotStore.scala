@@ -310,6 +310,34 @@ object SnapshotStore {
   def readBlock(repo: String, sha: String): Array[Byte] =
     Files.readAllBytes(casDir(repo).resolve(sha))
 
+  case class DiffEntry(path: String, status: String,
+      sizeA: Option[Long], sizeB: Option[Long])
+
+  /** Manifest diff between two snapshots (labels or manifest shas):
+    * what a publish actually changed — the audit/debug surface of the
+    * commit protocol (the reference's `pufs dump` inspection role).
+    * Content comparison is by sha, so a touched-but-identical file is
+    * NOT a change (Merkle property). */
+  def diff(repo: String, fromRef: String, toRef: String): Seq[DiffEntry] = {
+    def resolve(ref: String): Map[String, ManifestEntry] = {
+      val sha = getRoot(repo, ref).getOrElse(ref)
+      mountAt(repo, sha).map(e => e.path -> e).toMap
+    }
+    val a = resolve(fromRef)
+    val b = resolve(toRef)
+    val paths = (a.keySet ++ b.keySet).toSeq.sorted
+    paths.flatMap { p =>
+      (a.get(p), b.get(p)) match {
+        case (Some(x), Some(y)) if x.sha256 == y.sha256 => None
+        case (Some(x), Some(y)) =>
+          Some(DiffEntry(p, "changed", Some(x.size), Some(y.size)))
+        case (Some(x), None) => Some(DiffEntry(p, "removed", Some(x.size), None))
+        case (None, Some(y)) => Some(DiffEntry(p, "added", None, Some(y.size)))
+        case _ => None
+      }
+    }
+  }
+
   /** The snapshot as a catalog DataFrame (manifest → rows). */
   def asDataFrame(spark: SparkSession, repo: String, label: String): DataFrame = {
     import spark.implicits._

@@ -93,6 +93,26 @@ class SnapshotSpec extends SparkSpec {
     assert(statsPar.uploaded == 4 && statsPar.hashed == 3)
   }
 
+  test("diff reports exactly what a publish changed, by content not mtime") {
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-diff").toString
+    val (sha1, _) = SnapshotStore.publish(src, repo, "main")
+    // change one, remove one, add one; touch mtime of an unchanged file
+    Files.write(Paths.get(src, "a.txt"), "alpha-v2".getBytes)
+    Files.delete(Paths.get(src, "sub/b.txt"))
+    Files.write(Paths.get(src, "sub/d.txt"), "delta".getBytes)
+    Paths.get(src, "sub/c.bin").toFile.setLastModified(System.currentTimeMillis())
+    val (sha2, _) = SnapshotStore.publish(src, repo, "main")
+    val d = SnapshotStore.diff(repo, sha1, sha2)
+      .map(e => e.path -> e.status).toMap
+    assert(d == Map("a.txt" -> "changed", "sub/b.txt" -> "removed",
+      "sub/d.txt" -> "added"), d.toString)
+    // label refs resolve too; identical refs diff empty
+    assert(SnapshotStore.diff(repo, "main", "main").isEmpty)
+    assert(SnapshotStore.diff(repo, sha1, "main").map(_.path).toSet ==
+      Set("a.txt", "sub/b.txt", "sub/d.txt"))
+  }
+
   test("mount by sha: a superseded snapshot time-travels after label repoint") {
     val src = mkTree()
     val repo = Files.createTempDirectory("snap-tt").toString
