@@ -47,6 +47,25 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.8, f"ANN recall@5 $recall%.2f below the 0.8 floor")
   }
 
+  test("persisted ANN index: query-from-store matches the inline l13 lane") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-index").toString
+    AnnIndex.build(spark, sfDir, dir)
+    val fromIndex = AnnIndex.query(spark, dir, nProbes = 10, k = 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inline = LlmOps.queries("l13_ann_lsh")(spark, sfDir)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromIndex == inline,
+      s"index-served results diverge from the inline lane: " +
+        s"only-index=${fromIndex -- inline} only-inline=${inline -- fromIndex}")
+    // the query plan reads the STORED signatures, not a recompute: the
+    // only sign_lsh in the plan is the tiny probe-side projection
+    val plan = AnnIndex.query(spark, dir, 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("/signatures"), plan.take(1500))
+  }
+
   test("l20 IVF ANN recall is usable and beats its scan fraction") {
     val approx = LlmOps.queries("l20_ann_ivf")(spark, sfDir)
       .select("probe_id", "neighbor_id")
