@@ -326,6 +326,32 @@ class PufsFsSpec extends SparkSpec {
     assert(report.contains("active=0") && report.contains("rate_5s="), report)
   }
 
+  test("PufsMetricsListener attributes cache pulls to completed stages (B15)") {
+    val backing = tmpDir("pufs-metrics")
+    graft.Tables.t(spark, sfDir, "nation")
+      .write.mode("overwrite").parquet(s"$backing/nation.parquet")
+    val listener = new PufsMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val token = PufsFileSystem.registerBacking("metrx", backing)
+      // fresh cache root so the read actually pulls
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+      hc.set("fs.pufs.cache", tmpDir("pufs-metrics-cache"))
+      val n = spark.read.parquet(s"$token/nation.parquet").count()
+      assert(n > 0)
+      // the listener bus is async — poll briefly for the stage snapshot
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!listener.snapshots.exists(_.bytesPulled > 0) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val hot = listener.snapshots.filter(_.bytesPulled > 0)
+      assert(hot.nonEmpty, s"no stage attributed any pulls: ${listener.snapshots}")
+      val df = listener.asDataFrame(spark)
+      assert(df.columns.toSeq ==
+        Seq("stageId", "bytesPulled", "fetches", "activeTransfers"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // --- HTTP remote connector (B10 analog: Range GET + If-Match + retry) ---
 
   /** In-process HTTP object server: Range + If-Match semantics, injectable
