@@ -33,6 +33,18 @@ object AnnIndex {
     e.write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Incremental maintenance: signatures are per-row, so new vectors
+    * append without touching the existing index (the write-once model —
+    * no rebuild, no rewrite). `newVecs`: (vec_id, embedding). */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = newVecs.select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id"), posexplode(
+        expr(s"sign_lsh(embedding, $Tables, $Bits)")).as(Seq("band", "sig")))
+      .write.mode("append").parquet(s"$dir/signatures")
+    e.write.mode("append").parquet(s"$dir/vectors")
+  }
+
   /** Top-k neighbors for every vector with `vec_id < nProbes`, served
     * from the stored index: probe signatures are computed for the probe
     * rows only (tiny); candidates come from the bucket-join against the

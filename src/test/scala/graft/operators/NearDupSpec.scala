@@ -64,6 +64,18 @@ class NearDupSpec extends SparkSpec {
     val plan = AnnIndex.query(spark, dir, 10, 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("/signatures"), plan.take(1500))
+
+    // incremental append: an identical copy of probe 0 appended to the
+    // index shares every bucket and must surface as its top-1 neighbor
+    import graft.SparkSpec.spark.implicits._
+    val v0 = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    AnnIndex.append(spark, dir, Seq((99999L, v0)).toDF("vec_id", "embedding"))
+    val top = AnnIndex.query(spark, dir, nProbes = 1, k = 1)
+      .select("neighbor_id", "sim").collect()(0)
+    assert(top.getLong(0) == 99999L && math.abs(top.getDouble(1) - 1.0) < 1e-9,
+      s"appended exact-dup not found as top neighbor: $top")
   }
 
   test("l20 IVF ANN recall is usable and beats its scan fraction") {
