@@ -59,6 +59,42 @@ class PufsFsSpec extends SparkSpec {
     in.close(); fs.close()
   }
 
+  test("stress differential under readahead: concurrent threads, background pulls") {
+    val backing = tmpDir("pufs-ra-stress")
+    val rnd = new scala.util.Random(99)
+    val data = new Array[Byte](700 * 1024)
+    rnd.nextBytes(data)
+    Files.write(Paths.get(backing, "blob.bin"), data)
+    // readahead ON: background copies race the foreground reads — the
+    // reference's stress shape runs N threads against a live readahead
+    // scheduler (benchmark/stress.go:164-179 + region/pending.go)
+    val fs = newFs(backing, tmpDir("pufs-ra-stress-cache"), chunk = 8192, ra = 64 * 1024)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        try {
+          val r = new scala.util.Random(99 + t)
+          val in = fs.open(new Path("/blob.bin"))
+          (1 to 100).foreach { i =>
+            val len = math.max(1, math.exp(r.nextDouble() * math.log(64 * 1024)).toInt)
+            val off = r.nextInt(data.length)
+            val n = math.min(len, data.length - off)
+            val buf = new Array[Byte](n)
+            in.readFully(off.toLong, buf, 0, n)
+            if (!java.util.Arrays.equals(buf,
+              java.util.Arrays.copyOfRange(data, off, off + n)))
+              errs.add(s"thread $t read $i off=$off len=$n mismatch")
+          }
+          in.close()
+        } catch { case e: Throwable => errs.add(s"thread $t: $e") }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    fs.close()
+    assert(errs.isEmpty, errs.toString)
+  }
+
   test("laziness: a small ranged read pulls only chunk-aligned bytes") {
     val backing = tmpDir("pufs-backing2")
     val data = new Array[Byte](1024 * 1024)
