@@ -77,7 +77,7 @@ object Bench {
         explode(transform(sequence(lit(1), size(col("tk")) - 4),
           i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
       val bandMins = (0 to 3).map(b =>
-        min(md5(concat(lit(s"$b:"), col("sh")))).as(s"sig$b"))
+        min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
       val sigs = sh
         .groupBy("doc_id")
         .agg(bandMins.head, bandMins.tail: _*)

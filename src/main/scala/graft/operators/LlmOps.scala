@@ -70,9 +70,10 @@ object LlmOps {
     * Both sides of the self-join read `sigs`; the alias projections sit
     * below the exchanges, so ReuseExchange can NOT dedupe them — persist
     * materializes the shingle→signature subtree once (VERDICT r2 #7).
-    * All 4 band-minima come from ONE pass over the shingles (4 conditional
-    * mins instead of a 4× band-explode before the shuffle — same
-    * md5("b:shingle") signatures, same results, quarter the rows). */
+    * All 4 band-minima come from ONE pass over the shingles AND one md5
+    * per shingle: band b's hash is the b-th 8-hex-char slice of the
+    * digest (4 independent 32-bit min-hashes from one 128-bit digest —
+    * quarter the hashing of the per-band md5("b:sh") formulation). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
@@ -81,7 +82,7 @@ object LlmOps {
       explode(transform(sequence(lit(1), size(col("tk")) - 4),
         i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
     val bandMins = (0 to 3).map(b =>
-      min(md5(concat(lit(s"$b:"), col("sh")))).as(s"sig$b"))
+      min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
     val sigs = shingles
       .groupBy("doc_id")
       .agg(bandMins.head, bandMins.tail: _*)
@@ -316,7 +317,7 @@ object LlmOps {
         .persist()
       val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val bandMins = (0 to 3).map(b =>
-        min(md5(concat(lit(s"$b:"), col("sh")))).as(s"sig$b"))
+        min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
       val sigs = sh
         .groupBy("doc_id")
         .agg(bandMins.head, bandMins.tail: _*)
@@ -806,7 +807,7 @@ object LlmOps {
         |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
         |  FROM toks WHERE len(tk) >= 5),
         |bs AS (
-        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  SELECT doc_id, b, min(substr(md5(sh), b * 8 + 1, 8)) AS sig
         |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
         |  GROUP BY doc_id, b)
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -908,7 +909,7 @@ object LlmOps {
         |  FROM toks WHERE len(tk) >= 5),
         |nsh AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
         |bs AS (
-        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  SELECT doc_id, b, min(substr(md5(sh), b * 8 + 1, 8)) AS sig
         |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
         |  GROUP BY doc_id, b),
         |cands AS (
@@ -938,7 +939,7 @@ object LlmOps {
         |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
         |  FROM toks WHERE len(tk) >= 5),
         |bs AS (
-        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  SELECT doc_id, b, min(substr(md5(sh), b * 8 + 1, 8)) AS sig
         |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
         |  GROUP BY doc_id, b),
         |cands AS (
@@ -979,7 +980,7 @@ object LlmOps {
         |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
         |  FROM toks WHERE len(tk) >= 5),
         |bs AS (
-        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || sh)) AS sig
+        |  SELECT doc_id, b, min(substr(md5(sh), b * 8 + 1, 8)) AS sig
         |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
         |  GROUP BY doc_id, b),
         |cands AS (
