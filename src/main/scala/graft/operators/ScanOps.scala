@@ -207,6 +207,20 @@ object ScanOps {
         .orderBy("p_partkey")
     }),
 
+    // F13: fixed-width histogram — the bucket expression is a pure
+    // projection (floor of a double division), so the whole histogram is
+    // one partial-aggregated groupBy; bucket edges are exact in both
+    // engines (same IEEE division and floor).
+    "f13_histogram" -> ((s, d) => {
+      val bucket = least(floor(col("o_totalprice") / 30000.0), lit(19)).cast("long")
+      t(s, d, "orders")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        .orderBy("bucket")
+    }),
+
     "f9_dates_calendar" -> ((s, d) => {
       t(s, d, "orders")
         .select(
@@ -346,6 +360,12 @@ object ScanOps {
         |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_brand_type,
         |  CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_name_type
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f13_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "f9_dates_calendar" ->
       """SELECT o_orderkey,
