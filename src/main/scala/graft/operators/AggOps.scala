@@ -141,10 +141,33 @@ object AggOps {
           percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90_approx"),
           expr("percentile(o_totalprice, 0.9)").as("p90_exact"))
         .orderBy("o_orderstatus")
+    }),
+
+    // A9: conditional (FILTER-clause) aggregation — several differently
+    // filtered aggregates in ONE pass over the data, no self-joins.
+    // Money sums in decimal then cast (the cross-engine parity rule).
+    "a9_filtered_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          sum(when(col("o_totalprice") > 100000,
+            col("o_totalprice").cast("decimal(18,2)")))
+            .cast("double").as("big_total"))
+        .orderBy("o_orderpriority")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a9_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "a1_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -25,6 +25,15 @@ object ScanOps {
       |                   FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  // identical text runs on Spark and DuckDB (both support LATERAL)
+  private val o6Sql =
+    """SELECT n.n_name, t.s_name, t.s_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier
+      |  WHERE s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+      |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Q-S1: project + filter; pushes l_quantity > 30 into the parquet scan.
     "s1_filter_project" -> ((s, d) => {
@@ -168,6 +177,14 @@ object ScanOps {
     "o5_scalar_subquery" -> ((s, d) => {
       graft.Tables.registerViews(s, d)
       s.sql(o5Sql)
+    }),
+
+    // O6: correlated LATERAL subquery — top-2 suppliers per nation via a
+    // per-row dependent subquery in FROM (the modern SQL form of w6's
+    // per-group top-k; Catalyst decorrelates it into a ranked join).
+    "o6_lateral" -> ((s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql(o6Sql)
     }),
 
     // Q-O4: multiset set ops — intersectAll / exceptAll keep duplicate
@@ -337,6 +354,7 @@ object ScanOps {
         |ORDER BY event_id""".stripMargin,
 
     "o5_scalar_subquery" -> o5Sql,
+    "o6_lateral" -> o6Sql,
 
     "o4_multiset_ops" ->
       """WITH xy AS (
