@@ -789,6 +789,100 @@ object LlmOps {
             .as("fake_h"),
           sha2(col("text"), 256).as("payload_sha"))
         .orderBy("doc_id")
+    }),
+
+    // L29: Bloom-prefiltered decontamination — same contract (and same
+    // oracle SQL) as l26, but the corpus side is screened by a broadcast
+    // Bloom filter over the eval shingle hashes BEFORE any shuffle. At
+    // 100 TB the eval set is tiny next to the corpus; l26's formulation
+    // shuffles every corpus shingle into the equi-join, while this one
+    // drops ~99% of them at the scan with a codegen'd bloom probe (1% fpp)
+    // and shuffles only survivors. The exact confirm join then removes the
+    // false positives, so the answer stays hash-identical to l26's.
+    "l29_decontaminate_bloom" -> ((s, d) => {
+      import graft.functions.BloomMembership
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+      val sh = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 7),
+          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+        .distinct()
+        .withColumn("h", xxhash64(col("sh")))
+        .persist()
+      val evalSh = sh.filter(col("doc_id") < 50).select("sh", "h").distinct()
+      // treeAggregate over the eval side: the driver holds only the filter
+      val nEval = evalSh.count()
+      val bloom = BloomMembership.buildBloomLiteral(evalSh, "h", nEval)
+      val screened = sh.filter(col("doc_id") >= 50)
+        .filter(BloomMembership.mightContain(s, bloom, col("h")))
+      val hits = screened
+        .join(evalSh.select("sh"), "sh") // exact confirm: kills bloom FPs
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      t(s, d, "documents").filter(col("doc_id") >= 50).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // L30: inverted index build — the term → postings structure of a
+    // corpus search/provenance index. Per term: document frequency, total
+    // term frequency, and the 8 LOWEST doc_ids as a posting sample. The
+    // sample comes from the bounded-heap TopK Aggregator (score = -doc_id),
+    // NOT collect_set: a stop-word's full posting list is corpus-sized, and
+    // an aggregation whose per-group state is O(postings) dies at 100 TB —
+    // the heap keeps O(k) state per term through partial aggregation.
+    "l30_inverted_index" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopK(8),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      // pre-aggregate to one row per (term, doc): df/tf fall out of the
+      // second agg, and the TopK heap sees each posting exactly once
+      val perDoc = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("cnt"))
+      perDoc
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(col("cnt")).as("tf"),
+          topk((-col("doc_id")).cast("double"), col("doc_id")).as("nb"))
+        .filter(col("df") >= 5)
+        .select(col("term"), col("df"), col("tf"),
+          array_join(transform(col("nb"),
+            x => x.getField("id").cast("string")), ",").as("postings"))
+        .orderBy("term")
+    }),
+
+    // L32: per-language top-quartile quality cut — "keep the best 25% of
+    // docs per lang by n_chars" with rank()-style tie handling (ties at
+    // the boundary all keep: deterministic, no RNG, no float percentile).
+    // Scale shape: a rank cut per group is usually written as a window
+    // over the group — a single-task sort per language at 100 TB. Here the
+    // rank is DERIVED FROM A HISTOGRAM instead: groupBy (lang, n_chars)
+    // counts (partial-agg, scale-free), a window over the tiny histogram
+    // computes "# docs strictly better", and the per-lang value cutoff
+    // broadcasts back as a scan filter. Only the histogram — bounded by
+    // |langs|·|distinct lengths|, not by corpus rows — is ever sorted.
+    "l32_quality_cut" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val better = Window.partitionBy("lang").orderBy(desc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("cum_gt",
+        coalesce(sum("c").over(better), lit(0L)))
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      // rank of value v = cum_gt(v)+1; keep ranks ≤ ceil(n/4) = (n+3) div 4
+      // (Column./ is DOUBLE division — floor() restores the integer div)
+      val cut = cum.join(tot, "lang")
+        .filter(col("cum_gt") < floor((col("n") + 3) / 4).cast("long"))
+        .groupBy("lang").agg(min("n_chars").as("cut"))
+      docs.join(broadcast(cut), "lang")
+        .filter(col("n_chars") >= col("cut"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -1165,7 +1259,54 @@ object LlmOps {
         |  CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024 AS fake_w,
         |  CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024 AS fake_h,
         |  sha256(text) AS payload_sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // l29 is l26's contract re-planned (bloom prefilter + exact confirm):
+    // the oracle is the same anti-join SQL — the point IS that the screened
+    // plan hash-matches the unscreened formulation.
+    "l29_decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 7),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh
+        |  FROM toks WHERE len(tk) >= 8),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_shared
+        |  FROM sh s JOIN ev ON ev.sh = s.sh
+        |  WHERE s.doc_id >= 50 GROUP BY s.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin,
+
+    "l30_inverted_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |f AS (
+        |  SELECT term, doc_id FROM tk WHERE regexp_matches(term, '^[a-z]+$')),
+        |pd AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM f GROUP BY term, doc_id),
+        |g AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(cnt) AS BIGINT) AS tf,
+        |    array_to_string((list_sort(list(doc_id)))[1:8], ',') AS postings
+        |  FROM pd GROUP BY term)
+        |SELECT term, df, tf, postings FROM g
+        |WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    "l32_quality_cut" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE rnk <= (n + 3) // 4 ORDER BY doc_id""".stripMargin
     // l10_embed_neardup: no oracle (LSH recall is plan-specific) — NearDupSpec
     // verifies candidates ⊆ brute-force pairs and measures recall.
   )

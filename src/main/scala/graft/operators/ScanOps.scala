@@ -199,6 +199,65 @@ object ScanOps {
         .orderBy("l_suppkey")
     }),
 
+    // O7: MERGE/upsert — the engine's UPSERT surface, planned as ONE
+    // full-outer hash join (matched → update, target-only → keep,
+    // source-only → insert). Target = a customer subset, source = per-
+    // customer 1996 order totals. At 100 TB both sides shuffle once on the
+    // merge key and stream through the join — no row-at-a-time lookups;
+    // money stays DECIMAL until the final cast (cross-engine parity).
+    "o7_merge_upsert" -> ((s, d) => {
+      val tgt = t(s, d, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("key"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        .withColumn("in_tgt", lit(true))
+      val src = t(s, d, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey").as("key"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("delta"))
+        .withColumn("in_src", lit(true))
+      tgt.join(src, Seq("key"), "full_outer")
+        .select(col("key"),
+          when(col("in_tgt") && col("in_src"), "update")
+            .when(col("in_tgt"), "keep")
+            .otherwise("insert").as("action"),
+          (coalesce(col("bal"), lit(0).cast("decimal(18,2)"))
+            + coalesce(col("delta"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("new_bal"))
+        .orderBy("key")
+    }),
+
+    // O8: table-version diff — snapshot-to-snapshot change capture at row
+    // granularity (the relational face of SnapshotStore.diff's file-level
+    // audit): full-outer join two versions on the key, classify
+    // added/removed/changed, drop identical rows. v1/v2 are derived
+    // deterministically from orders (key mod filters simulate deletes and
+    // inserts; a DECIMAL price bump on key%3 simulates updates).
+    "o8_table_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val v1 = o.filter(col("key") % 7 =!= 0)
+        .select(col("key"), col("price").as("p1"))
+        .withColumn("w1", lit(true))
+      val v2 = o.filter(col("key") % 5 =!= 0)
+        .select(col("key"),
+          (col("price") + when(col("key") % 3 === 0, 10).otherwise(0)
+            .cast("decimal(18,2)")).as("p2"))
+        .withColumn("w2", lit(true))
+      v1.join(v2, Seq("key"), "full_outer")
+        .withColumn("status",
+          when(col("w1").isNull, "added")
+            .when(col("w2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select(col("key"), col("status"),
+          col("p1").cast("double").as("old_price"),
+          col("p2").cast("double").as("new_price"))
+        .orderBy("key")
+    }),
+
     // Q-F8: JSON → map: from_json into map<string,bigint>, exploded to
     // key/value rows. (The events generator emits single-key objects
     // {"k": n}; the oracle leans on that.)
@@ -355,6 +414,44 @@ object ScanOps {
 
     "o5_scalar_subquery" -> o5Sql,
     "o6_lateral" -> o6Sql,
+
+    "o7_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_custkey AS key,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+        |SELECT coalesce(t.key, s.key) AS key,
+        |  CASE WHEN t.key IS NOT NULL AND s.key IS NOT NULL THEN 'update'
+        |       WHEN t.key IS NOT NULL THEN 'keep'
+        |       ELSE 'insert' END AS action,
+        |  CAST(coalesce(t.bal, 0) + coalesce(s.delta, 0) AS DOUBLE) AS new_bal
+        |FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
+        |ORDER BY key""".stripMargin,
+
+    "o8_table_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |v1 AS (SELECT key, price AS p1 FROM o WHERE key % 7 <> 0),
+        |v2 AS (
+        |  SELECT key,
+        |    price + CAST(CASE WHEN key % 3 = 0 THEN 10 ELSE 0 END
+        |      AS DECIMAL(18,2)) AS p2
+        |  FROM o WHERE key % 5 <> 0),
+        |d AS (
+        |  SELECT coalesce(v1.key, v2.key) AS key,
+        |    CASE WHEN v1.key IS NULL THEN 'added'
+        |         WHEN v2.key IS NULL THEN 'removed'
+        |         WHEN p1 <> p2 THEN 'changed'
+        |         ELSE 'same' END AS status,
+        |    CAST(p1 AS DOUBLE) AS old_price, CAST(p2 AS DOUBLE) AS new_price
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+        |SELECT key, status, old_price, new_price FROM d
+        |WHERE status <> 'same' ORDER BY key""".stripMargin,
 
     "o4_multiset_ops" ->
       """WITH xy AS (

@@ -90,6 +90,34 @@ object StreamOps {
         .agg(count(lit(1)).as("cnt"))
         .select(col("w.start").as("ws"), col("cnt"))
         .orderBy("ws")
+    }),
+
+    // T6: funnel / conversion analysis — per user: first signup, first
+    // purchase AT OR AFTER it, purchase count after signup, and whether
+    // the user converted within 7 days. The event-sequence primitive of
+    // product analytics. Scale shape: one equi-join on user_id (hash
+    // shuffle both sides once) with the time predicate evaluated inside
+    // the join, then a partial-agg min/count — no per-user window sort,
+    // no driver-side state.
+    "t6_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("uid"), col("ts").as("pts"))
+      signup
+        .join(purch,
+          col("uid") === col("user_id") && col("pts") >= col("signup_ts"),
+          "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(min("pts").as("first_purchase_ts"),
+          count(col("pts")).as("n_purchases"))
+        .withColumn("converted",
+          col("first_purchase_ts").isNotNull &&
+            col("first_purchase_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+        .select("user_id", "signup_ts", "first_purchase_ts",
+          "n_purchases", "converted")
+        .orderBy("user_id")
     })
   )
 
@@ -141,6 +169,21 @@ object StreamOps {
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
-        |GROUP BY 1 ORDER BY ws""".stripMargin
+        |GROUP BY 1 ORDER BY ws""".stripMargin,
+
+    "t6_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, CAST(s.signup_ts AS TIMESTAMP) AS signup_ts,
+        |  CAST(min(p.ts) AS TIMESTAMP) AS first_purchase_ts,
+        |  CAST(count(p.ts) AS BIGINT) AS n_purchases,
+        |  (min(p.ts) IS NOT NULL
+        |   AND min(p.ts) <= s.signup_ts + INTERVAL 7 DAY) AS converted
+        |FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |GROUP BY s.user_id, s.signup_ts
+        |ORDER BY s.user_id""".stripMargin
   )
 }

@@ -91,6 +91,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("l29 screens the corpus with a codegen'd bloom probe before the join") {
+    val p = plan("l29_decontaminate_bloom")
+    // the broadcast Bloom filter must run as a scan-side Filter predicate
+    // (bloomfilter literal + xxhash64 probe), not after the shuffle join
+    assert(p.contains("might_contain"), p) // BloomFilterMightContain prettyName
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("l30 inverted index is bounded-state aggregation, no window") {
+    val p = plan("l30_inverted_index")
+    // per-(term,doc) partial agg then per-term ObjectHashAggregate (TopK
+    // heap) — a window over terms would sort every posting list globally
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("l32 quality cut sorts only the histogram, never the corpus") {
+    val p = plan("l32_quality_cut")
+    // the rank-defining Window must sit above the (lang, n_chars) histogram
+    // aggregate, and the per-lang cutoff must come back as a broadcast join
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val winIdx = p.indexOf("Window")
+    assert(p.substring(winIdx).contains("HashAggregate"),
+      s"window must be fed by the histogram aggregate, not the raw scan:\n$p")
+  }
+
+  test("o7/o8 merge and diff plan a single full-outer equi join each") {
+    Seq("o7_merge_upsert", "o8_table_diff").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("FullOuter"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("t6 funnel rides the user_id equi join, not a nested loop") {
+    val p = plan("t6_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("w5/w8 plan no single-partition window over the full table") {
     // ntile/percent_rank/cume_dist are two-pass (range repartition +
     // per-partition rank + broadcast offsets) — the only unpartitioned

@@ -29,6 +29,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("l29 bloom-screened decontamination ≡ l26 exact formulation") {
+    // the Bloom prefilter is an optimization, not a semantics change: the
+    // exact confirm join must erase every false positive, making the two
+    // plans row-identical (the oracle checks each against DuckDB; this
+    // pins them against each other in-engine too)
+    val a = graft.operators.LlmOps.queries("l26_decontaminate")(spark, sfDir)
+    val b = graft.operators.LlmOps.queries("l29_decontaminate_bloom")(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("a7 approx_count_distinct within 10% of exact") {
     val rows = AggAccuracy.bounds(spark, sfDir)
     rows.foreach { case (flag, approx, exact) =>
