@@ -156,6 +156,41 @@ object AggOps {
             col("o_totalprice").cast("decimal(18,2)")))
             .cast("double").as("big_total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // A10: UNPIVOT — wide → long reshaping (the inverse of a6's pivot):
+    // one conditional-agg pass builds the per-year status columns, then
+    // unpivot melts them to (yr, status, cnt) rows. Catalyst plans the
+    // melt as an Expand projection — a map-side row multiplier, no extra
+    // shuffle beyond the aggregation's own.
+    "a10_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("F"),
+          count(when(col("o_orderstatus") === "O", 1)).as("O"),
+          count(when(col("o_orderstatus") === "P", 1)).as("P"))
+      wide.unpivot(Array(col("yr")),
+          Array(col("F"), col("O"), col("P")), "status", "cnt")
+        .orderBy("yr", "status")
+    }),
+
+    // A11: exact per-group percentiles — percentile() (sort-based exact
+    // interpolation) per order priority, hash-matching DuckDB's
+    // quantile_cont bit-for-bit (same linear-interpolation arithmetic on
+    // the same doubles; probed at p25/p50/p75 before wiring). The exact
+    // path complements a8's approx_percentile sketch: exact needs the
+    // group's values collected per partition then merged — fine for
+    // bounded groups; the sketch is the 100 TB default.
+    "a11_exact_percentiles" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -167,6 +202,27 @@ object AggOps {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a10_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f,
+        |    CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o,
+        |    CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, 'F' AS status, f AS cnt FROM wide
+        |UNION ALL SELECT yr, 'O', o FROM wide
+        |UNION ALL SELECT yr, 'P', p FROM wide
+        |ORDER BY yr, status""".stripMargin,
+
+    "a11_exact_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "a1_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

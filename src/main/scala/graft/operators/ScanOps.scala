@@ -34,6 +34,22 @@ object ScanOps {
       |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
       |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin
 
+  // identical text runs on Spark 4 and DuckDB (both support WITH
+  // RECURSIVE): walk the implicit binary tree over c_custkey (children of
+  // k are 2k and 2k+1) from the root — a transitive-closure/hierarchy
+  // traversal, ~log2(n) self-join rounds, each a plain equi-join the
+  // engine distributes like any other (the same iterate-until-fixpoint
+  // shape as l21's label propagation, here driven by the SQL surface).
+  private val o9Sql =
+    """WITH RECURSIVE tree(ck, depth) AS (
+      |  SELECT CAST(1 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.depth + 1
+      |  FROM customer c JOIN tree t ON c.c_custkey IN (t.ck * 2, t.ck * 2 + 1))
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(ck) AS BIGINT) AS min_key, CAST(max(ck) AS BIGINT) AS max_key
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Q-S1: project + filter; pushes l_quantity > 30 into the parquet scan.
     "s1_filter_project" -> ((s, d) => {
@@ -185,6 +201,12 @@ object ScanOps {
     "o6_lateral" -> ((s, d) => {
       graft.Tables.registerViews(s, d)
       s.sql(o6Sql)
+    }),
+
+    // O9: recursive CTE — hierarchy/transitive-closure traversal.
+    "o9_recursive_cte" -> ((s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql(o9Sql)
     }),
 
     // Q-O4: multiset set ops — intersectAll / exceptAll keep duplicate
@@ -414,6 +436,7 @@ object ScanOps {
 
     "o5_scalar_subquery" -> o5Sql,
     "o6_lateral" -> o6Sql,
+    "o9_recursive_cte" -> o9Sql,
 
     "o7_merge_upsert" ->
       """WITH tgt AS (

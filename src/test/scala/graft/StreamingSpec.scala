@@ -150,6 +150,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((7L, 3L, ts(10).getTime / 1000)), s"state not carried: $rows")
   }
 
+  test("stateful streaming runs on the RocksDB state store (large-state path)") {
+    // The default HDFSBackedStateStoreProvider keeps every key on-heap —
+    // fine for tests, a cap at 100 TB-scale state. RocksDB spills state to
+    // executor-local disk with incremental checkpointing; this pins that
+    // the same stateful query runs unchanged with the provider swapped in
+    // (conf-only), carries state across batches, and actually engages
+    // RocksDB (progress metrics say so), so the scale path stays live.
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long)]
+      val ev = mem.toDF().toDF("ts", "user_id")
+      val q = StreamJobs.runningUserStats(ev)
+        .writeStream.format("memory").queryName("ustats_rocks")
+        .outputMode("append").start()
+      mem.addData(ts(1) -> 7L, ts(2) -> 7L, ts(3) -> 9L)
+      q.processAllAvailable()
+      mem.addData(ts(10) -> 7L)
+      q.processAllAvailable()
+      val progress = q.lastProgress.json
+      q.stop()
+      assert(progress.contains("rocksdb"),
+        s"expected RocksDB state-store metrics in progress: $progress")
+      val rows = spark.table("ustats_rocks")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows.contains((7L, 3L, ts(10).getTime / 1000)),
+        s"state not carried across batches on RocksDB: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static join enriches streaming rows with dimension data") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
