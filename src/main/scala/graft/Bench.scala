@@ -130,6 +130,11 @@ object Bench {
     "l13_ann" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l13_ann_lsh")(s, d)),
 
+    // bloom-screened decontamination (L29 class): broadcast Bloom probe
+    // prunes the corpus shingles before the confirm join
+    "l29_bloom_decontam" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l29_decontaminate_bloom")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(

@@ -14,6 +14,8 @@ import graft.functions.{Interval, IntervalUnion}
   *     codegen'd vector kernels (functions/VectorExpressions.scala)
   *   - `range_chunks(size, chunk)` — generator splitting a byte range into
   *     fetch units (plans/RangeChunks.scala, reference B5)
+  *   - `graft_might_contain(bloom, h)` — broadcast Bloom-filter membership
+  *     probe (functions/BloomMembership.scala)
   *   - `interval_union(start, end)` — aggregate covered length over
   *     [start, end) intervals (functions/IntervalUnion.scala, reference B6)
   *
@@ -24,6 +26,7 @@ object GraftSession {
   def attach(spark: SparkSession, sfDir: String): Unit = {
     Tables.registerViews(spark, sfDir)
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.BloomMembership.register(spark)
     graft.plans.RangeChunks.register(spark)
     spark.udf.register("interval_union",
       udaf(new IntervalUnion, Encoders.product[Interval]))
@@ -53,5 +56,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("range_chunks"), info("range_chunks"),
       (es: Seq[Expression]) => graft.plans.RangeChunks(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain"),
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
   }
 }

@@ -801,20 +801,27 @@ object LlmOps {
     // false positives, so the answer stays hash-identical to l26's.
     "l29_decontaminate_bloom" -> ((s, d) => {
       import graft.functions.BloomMembership
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-        .filter(size(col("tk")) >= 8)
-      val sh = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 7),
-          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
-        .distinct()
-        .withColumn("h", xxhash64(col("sh")))
-        .persist()
-      val evalSh = sh.filter(col("doc_id") < 50).select("sh", "h").distinct()
+      // each side shingles its OWN subtree: the eval set (tiny — here
+      // doc_id < 50) is scanned thrice (count, bloom build, confirm join)
+      // but never forces a pass over the corpus; the corpus shingles — the
+      // 100 TB side — are computed exactly once, in the final screened pass
+      def shinglesOf(docs: DataFrame): DataFrame = {
+        val toks = docs
+          .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+          .filter(size(col("tk")) >= 8)
+        toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 7),
+            i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+          .distinct()
+          .withColumn("h", xxhash64(col("sh")))
+      }
+      val docs = t(s, d, "documents")
+      val evalSh = shinglesOf(docs.filter(col("doc_id") < 50))
+        .select("sh", "h").distinct().persist()
       // treeAggregate over the eval side: the driver holds only the filter
       val nEval = evalSh.count()
       val bloom = BloomMembership.buildBloomLiteral(evalSh, "h", nEval)
-      val screened = sh.filter(col("doc_id") >= 50)
+      val screened = shinglesOf(docs.filter(col("doc_id") >= 50))
         .filter(BloomMembership.mightContain(s, bloom, col("h")))
       val hits = screened
         .join(evalSh.select("sh"), "sh") // exact confirm: kills bloom FPs

@@ -122,7 +122,56 @@ object StreamJobs {
           }
       }
   }
+
+  /** The same per-user running stats on `transformWithState` — Spark 4's
+    * successor to flatMapGroupsWithState: typed per-key state handles
+    * (ValueState/ListState/MapState) with per-state TTL, timers, and
+    * RocksDB-backed storage (the API *requires* the RocksDB provider —
+    * it is the large-state path by construction). Kept alongside the
+    * fMGWS variant so both stateful surfaces stay covered; StreamingSpec
+    * pins they emit the same rows for the same batches. */
+  def runningUserStatsTws(ev: DataFrame): org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[UserStat])
+  }
 }
 
 /** Per-user streaming state: event count + max event-time seconds. */
 case class UserStat(user_id: Long, n: Long, maxTs: Long)
+
+/** transformWithState processor: one ValueState[UserStat] per user, no
+  * TTL (the fMGWS twin reclaims by event-time timeout; TTLConfig would be
+  * the equivalent lever here — StreamingSpec's semantics test keeps state
+  * alive across both its batches, so NONE keeps the two variants
+  * comparable). */
+class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), UserStat] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[UserStat] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserStat]("stat",
+      org.apache.spark.sql.Encoders.product[UserStat], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timers: TimerValues): Iterator[UserStat] = {
+    val prev = if (st.exists()) st.get() else UserStat(user, 0L, Long.MinValue)
+    val secs = rows.map(_._2.getTime / 1000).toSeq
+    val next = UserStat(user,
+      prev.n + secs.size,
+      math.max(prev.maxTs, if (secs.isEmpty) Long.MinValue else secs.max))
+    st.update(next)
+    Iterator.single(next)
+  }
+}

@@ -189,6 +189,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState emits the same per-user stats as fMGWS") {
+    // the modern typed-state API (ValueState handles, RocksDB-required)
+    // must reproduce the flatMapGroupsWithState variant's emissions for
+    // the same batch sequence — same state machine, new surface
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long)]
+      val ev = mem.toDF().toDF("ts", "user_id")
+      val q = StreamJobs.runningUserStatsTws(ev)
+        .writeStream.format("memory").queryName("ustats_tws")
+        .outputMode("append").start()
+      mem.addData(ts(1) -> 7L, ts(2) -> 7L, ts(3) -> 9L)
+      q.processAllAvailable()
+      mem.addData(ts(10) -> 7L)
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("ustats_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (7L, 2L, ts(2).getTime / 1000),
+        (9L, 1L, ts(3).getTime / 1000),
+        (7L, 3L, ts(10).getTime / 1000)), s"got: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static join enriches streaming rows with dimension data") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
