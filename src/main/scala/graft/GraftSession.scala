@@ -27,6 +27,7 @@ object GraftSession {
     Tables.registerViews(spark, sfDir)
     graft.functions.VectorExpressions.register(spark)
     graft.functions.BloomMembership.register(spark)
+    graft.functions.ZOrder.register(spark)
     graft.plans.RangeChunks.register(spark)
     spark.udf.register("interval_union",
       udaf(new IntervalUnion, Encoders.product[Interval]))
@@ -60,5 +61,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info("graft_might_contain"),
       (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("zorder2"), info("zorder2"),
+      (es: Seq[Expression]) => graft.functions.ZOrder2(es(0), es(1))))
   }
 }

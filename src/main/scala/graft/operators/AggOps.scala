@@ -191,6 +191,33 @@ object AggOps {
           expr("percentile(o_totalprice, 0.75)").as("p75"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }),
+
+    // A12: ordered string aggregation (LISTAGG/string_agg) — collect_list
+    // is order-nondeterministic under parallelism, so the deterministic
+    // form sorts the collected array before joining; group state is
+    // bounded by the group's members (fine for dimension-sized groups —
+    // the l30 TopK-heap pattern is the cap for corpus-sized ones).
+    "a12_listagg" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",")
+          .as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("nation")
+    }),
+
+    // A13: bitwise aggregates — bit_and/bit_or/bit_xor fold per group
+    // (hardware-cheap, partial-agg friendly; the region-mask algebra of
+    // the reference's B6 is exactly this fold over bit blocks).
+    "a13_bitwise" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(
+          bit_and(col("c_custkey")).as("b_and"),
+          bit_or(col("c_custkey")).as("b_or"),
+          bit_xor(col("c_custkey")).as("b_xor"))
+        .orderBy("nation")
     })
   )
 
@@ -223,6 +250,19 @@ object AggOps {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "a12_listagg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "a13_bitwise" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(bit_and(c_custkey) AS BIGINT) AS b_and,
+        |  CAST(bit_or(c_custkey) AS BIGINT) AS b_or,
+        |  CAST(bit_xor(c_custkey) AS BIGINT) AS b_xor
+        |FROM customer GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "a1_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -53,4 +53,36 @@ object LayoutOps {
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(dst)
+
+  /** Z-order cluster `src` by TWO numeric keys into `numFiles` files:
+    * each key is min-max normalized to 16-bit space (two tiny agg
+    * broadcasts — rank-normalization via range buckets is the refinement
+    * for skewed keys), Morton-interleaved by the codegen'd `zorder2`
+    * kernel, then range-partitioned + sorted on the z-value. Every output
+    * file covers a bounded RECTANGLE of (a, b) space, so parquet footer
+    * min/max stats prune files for predicates on EITHER key — the
+    * multi-dimensional upgrade of clusterBy's single-key ranges
+    * (LayoutSpec measures the pruning on both dimensions). */
+  def clusterByZOrder(spark: SparkSession, src: String, dst: String,
+      numFiles: Int, colA: String, colB: String): Unit = {
+    val df = spark.read.parquet(src)
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .collect()(0)
+    def norm(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, 1e-300)
+      least(floor((col(c).cast("double") - lo) / span * 65536.0), lit(65535.0))
+        .cast("long")
+    }
+    graft.functions.ZOrder.register(spark)
+    val z = call_function("zorder2",
+      norm(colA, b.getDouble(0), b.getDouble(1)),
+      norm(colB, b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dst)
+  }
 }

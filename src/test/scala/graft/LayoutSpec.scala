@@ -94,6 +94,43 @@ class LayoutSpec extends SparkSpec {
       Tables.t(spark, sfDir, "lineitem").count())
   }
 
+  test("z-order clustering bounds BOTH dimensions per file (2-D pruning)") {
+    // single-key range clustering prunes on l_orderkey only — every file
+    // spans ~the full l_partkey domain. Z-order interleaving bounds each
+    // file's extent in both dimensions, so a footer-stats scan can skip
+    // files for a predicate on either column.
+    val nFiles = 16
+    val zout = java.nio.file.Files.createTempDirectory("graft-z").toString
+    operators.LayoutOps.clusterByZOrder(spark, s"$sfDir/lineitem.parquet",
+      zout, nFiles, "l_orderkey", "l_partkey")
+    val files = new java.io.File(zout).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.length > 4, s"want many files, got ${files.length}")
+    val exts = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_orderkey"), max("l_orderkey"),
+          min("l_partkey"), max("l_partkey")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val okSpan = exts.map(e => e._2 - e._1).sum.toDouble / exts.length
+    val pkSpan = exts.map(e => e._4 - e._3).sum.toDouble / exts.length
+    val okDomain = exts.map(_._2).max - exts.map(_._1).min
+    val pkDomain = exts.map(_._4).max - exts.map(_._3).min
+    // each file's extent must be a strict sub-rectangle on average: with
+    // 16 z-tiles both dimensions shrink to well under the full domain
+    assert(okSpan < 0.5 * okDomain, s"l_orderkey not bounded: $okSpan / $okDomain")
+    assert(pkSpan < 0.75 * pkDomain, s"l_partkey not bounded: $pkSpan / $pkDomain")
+    // a mid-domain range predicate on the SECOND key skips files entirely
+    val pkLo = exts.map(_._3).min + pkDomain / 8
+    val pkHi = pkLo + pkDomain / 8
+    val hit = exts.count(e => e._4 >= pkLo && e._3 <= pkHi)
+    assert(hit < files.length,
+      s"no file pruned on l_partkey: $hit of ${files.length} files overlap")
+    // row preservation
+    assert(spark.read.parquet(zout).count() ==
+      Tables.t(spark, sfDir, "lineitem").count())
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
     import graft.SparkSpec.spark.implicits._
     // 200k rows of one hot key vs 5k spread keys — one shuffle partition
