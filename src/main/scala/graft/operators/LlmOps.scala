@@ -136,6 +136,50 @@ object LlmOps {
         coalesce(col("lab"), col("doc_id")).as("cluster_id"))
   }
 
+  /** PageRank centrality by distributed power iteration: each round is
+    * one equi-join (edge ⋈ rank) + one partial-aggregated sum — the same
+    * shuffle shape as l21's label propagation, damping 0.85, k fixed
+    * rounds. Runs over the o9 hierarchy graph (undirected customer tree:
+    * k ↔ 2k, 2k+1) rather than the near-dup graph: near-dup candidates
+    * form CLIQUE unions, every component is regular, and PageRank on a
+    * regular graph is exactly uniform — nothing to rank. The tree is
+    * non-regular (leaf deg 1, internal deg 3), so centrality genuinely
+    * orders nodes. Double summation order varies with partitioning, so
+    * this is a spec lane (NearDupSpec pins rank-mass conservation,
+    * positivity, and degree-dominance), not an oracle one. */
+  private[operators] def pagerank(s: SparkSession, d: String,
+      iters: Int = 8): DataFrame = {
+    val keys = t(s, d, "customer").select(col("c_custkey").as("k"))
+    val down = keys.select(col("k").as("src"), (col("k") * 2).as("dst"))
+      .union(keys.select(col("k").as("src"), (col("k") * 2 + 1).as("dst")))
+      .join(keys.select(col("k").as("dst")), Seq("dst"), "left_semi")
+      .filter(col("src") >= 1)
+      // a USING join moves the join column first — re-fix the order, or
+      // the positional union below silently swaps src and dst
+      .select("src", "dst")
+    val edges = down
+      .union(down.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("v"), lit(1.0 / n).as("rank"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val next = edges.join(deg, "src")
+        .join(ranks, col("src") === col("v"))
+        .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("in_mass"))
+        .select(col("dst").as("v"),
+          (lit(0.15 / n) + lit(0.85) * col("in_mass")).as("rank"))
+        .persist()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks.join(deg, col("v") === col("src"))
+      .select(col("v").as("node_id"), col("rank"), col("deg"))
+      .orderBy(desc("rank"), col("node_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Q-L1: exact dedup by content hash (CAS for rows). Keeps the smallest
     // doc_id per hash group — a deterministic survivor, unlike
@@ -890,7 +934,11 @@ object LlmOps {
         .filter(col("n_chars") >= col("cut"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
-    })
+    }),
+
+    // L33: PageRank centrality over the near-dup graph (spec lane —
+    // double summation order varies with partitioning, see pagerank()).
+    "l33_pagerank" -> ((s, d) => pagerank(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
   * (identical vectors always share every bucket). */
 class NearDupSpec extends SparkSpec {
 
+  test("l33 pagerank conserves rank mass, stays positive, spreads by degree") {
+    val pr = LlmOps.pagerank(spark, sfDir, iters = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(pr.nonEmpty, "near-dup graph is empty — no ranks to check")
+    val n = pr.length
+    // power iteration with damping redistributes but never creates mass:
+    // every node has deg >= 1 (undirected edges), so Σ ranks stays 1
+    val total = pr.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"rank mass drifted: $total")
+    // the damping floor keeps every rank strictly positive
+    assert(pr.forall(_._2 >= 0.15 / n - 1e-12),
+      s"rank below damping floor: ${pr.minBy(_._2)}")
+    // the tree is non-regular (leaf deg 1, internal deg 3) so centrality
+    // must genuinely differentiate, with high-degree nodes ranked higher
+    // (undirected PageRank ≈ degree-proportional)
+    val byRank = pr.sortBy(-_._2)
+    assert(byRank.head._2 > 1.2 * byRank.last._2,
+      s"ranks are uniform: ${byRank.head} vs ${byRank.last}")
+    val leafAvg = pr.filter(_._3 == 1).map(_._2)
+    val innerAvg = pr.filter(_._3 >= 3).map(_._2)
+    assert(leafAvg.nonEmpty && innerAvg.nonEmpty, "degenerate tree shape")
+    assert(innerAvg.sum / innerAvg.length > leafAvg.sum / leafAvg.length,
+      "internal nodes must outrank leaves")
+  }
+
   test("identical vectors always land in the same LSH bucket") {
     import graft.SparkSpec.spark.implicits._
     val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
