@@ -938,7 +938,30 @@ object LlmOps {
 
     // L33: PageRank centrality over the near-dup graph (spec lane —
     // double summation order varies with partitioning, see pagerank()).
-    "l33_pagerank" -> ((s, d) => pagerank(s, d))
+    "l33_pagerank" -> ((s, d) => pagerank(s, d)),
+
+    // L34: heavy hitters by Count-Min-Sketch screen + exact confirm — the
+    // vocabulary/hot-key census of a corpus without shuffling the long
+    // tail. The CMS (driver-built treeAggregate, broadcast to executors)
+    // only OVERestimates, so `estimate >= T` is a superset of the true
+    // heavy hitters: filtering at the scan drops ~all tail terms before
+    // the shuffle, and the exact count + HAVING on the survivors makes
+    // the result identical to the unscreened groupBy (same exact-result-
+    // via-sketch-prefilter pattern as l29's Bloom). The UDF probe is
+    // justified: Spark has no public CMS-membership expression.
+    "l34_heavy_hitters" -> ((s, d) => {
+      val T = 200L
+      val terms = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+      val cms = terms.stat.countMinSketch("term", 0.001, 0.99, 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val est = udf((t: String) => bc.value.estimateCount(t))
+      terms.filter(est(col("term")) >= T)
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .filter(col("tf") >= T)
+        .orderBy("term")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1353,6 +1376,17 @@ object LlmOps {
         |  FROM pd GROUP BY term)
         |SELECT term, df, tf, postings FROM g
         |WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    // l34's CMS screen is exact-result-via-sketch (overestimates only):
+    // the oracle is the plain HAVING aggregation
+    "l34_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |f AS (
+        |  SELECT term FROM tk WHERE regexp_matches(term, '^[a-z]+$'))
+        |SELECT term, CAST(count(*) AS BIGINT) AS tf FROM f
+        |GROUP BY term HAVING count(*) >= 200 ORDER BY term""".stripMargin,
 
     "l32_quality_cut" ->
       """WITH r AS (
