@@ -319,4 +319,59 @@ class SnapshotSpec extends SparkSpec {
       }
     } finally PufsFileSystem.unmountSnapshot("snap/v1")
   }
+
+  test("time-travel diff: o8's relational diff across two mounted snapshots") {
+    import org.apache.spark.sql.functions._
+    // the end-to-end loop: publish v1 of a table → publish v2 under the
+    // same label → mount the OLD manifest sha and the live label side by
+    // side → run the full-outer version diff (the o8 shape) with both
+    // scans served lazily by the snapshot store. This is the reference's
+    // mount-by-BID time travel driving an actual relational audit.
+    val src = Files.createTempDirectory("snap-tt-src").toString
+    val repo = Files.createTempDirectory("snap-tt-repo").toString
+    val v1 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    v1.write.mode("overwrite").parquet(s"$src/tbl.parquet")
+    val sha1 = SnapshotStore.publish(spark, src, repo, "tbl").manifestSha
+    // v2: delete key%13==0, bump bal by 100 where key%10==0, add 5 rows
+    val v2 = v1.filter(col("key") % 13 =!= 0)
+      .withColumn("bal", col("bal") +
+        when(col("key") % 10 === 0, 100).otherwise(0).cast("decimal(18,2)"))
+      .unionByName(spark.range(5).select(
+        (col("id") + 900000L).as("key"),
+        lit(java.math.BigDecimal.ONE).cast("decimal(18,2)").as("bal")))
+    v2.write.mode("overwrite").parquet(s"$src/tbl.parquet")
+    val sha2 = SnapshotStore.publish(spark, src, repo, "tbl").manifestSha
+    assert(sha1 != sha2)
+    PufsFileSystem.mountSnapshotAt("snap/tt1", repo, sha1)
+    PufsFileSystem.mountSnapshot("snap/tt2", repo, "tbl")
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+      hc.set("fs.pufs.backing", Files.createTempDirectory("tt-empty").toString)
+      hc.set("fs.pufs.cache", Files.createTempDirectory("tt-cache2").toString)
+      hc.set("fs.pufs.impl.disable.cache", "true")
+      val m1 = spark.read.parquet("pufs:///snap/tt1/tbl.parquet")
+        .select(col("key"), col("bal").as("p1")).withColumn("w1", lit(true))
+      val m2 = spark.read.parquet("pufs:///snap/tt2/tbl.parquet")
+        .select(col("key"), col("bal").as("p2")).withColumn("w2", lit(true))
+      val statuses = m1.join(m2, Seq("key"), "full_outer")
+        .withColumn("status",
+          when(col("w1").isNull, "added")
+            .when(col("w2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "changed")
+            .otherwise("same"))
+        .groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n13 = v1.filter(col("key") % 13 === 0).count()
+      val nChanged = v1.filter(col("key") % 13 =!= 0 && col("key") % 10 === 0).count()
+      assert(statuses.getOrElse("removed", 0L) == n13, statuses.toString)
+      assert(statuses.getOrElse("changed", 0L) == nChanged, statuses.toString)
+      assert(statuses.getOrElse("added", 0L) == 5L, statuses.toString)
+    } finally {
+      PufsFileSystem.unmountSnapshot("snap/tt1")
+      PufsFileSystem.unmountSnapshot("snap/tt2")
+    }
+  }
 }
