@@ -330,6 +330,21 @@ object ScanOps {
         .orderBy("o_orderkey")
     }),
 
+    // F14: error-tolerant casts under ANSI SQL — Spark 4 runs ANSI mode by
+    // default, where a bad cast is a runtime ERROR that kills the job at
+    // row one of 100 TB; try_cast/try_divide degrade to NULL instead (the
+    // dirty-data ingestion contract). DuckDB mirrors with TRY_CAST and a
+    // NULLIF guard.
+    "f14_try_cast" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          expr("try_cast(substring(c_name, 10) AS BIGINT)").as("parsed_id"),
+          expr("try_cast(c_mktsegment AS BIGINT)").as("bad_cast"),
+          expr("try_divide(c_acctbal, c_custkey % 5)").as("risky_div"))
+        .orderBy("c_custkey")
+    }),
+
     // Q-F7: higher-order functions — norm² of embedding via aggregate()
     // over the float array (cast to double elementwise; sequential fold gives
     // deterministic summation order, mirrored by DuckDB list_sum).
@@ -512,6 +527,13 @@ object ScanOps {
         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
         |  CAST(o_orderdate AS DATE) + 30 AS plus30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f14_try_cast" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(substring(c_name, 10) AS BIGINT) AS parsed_id,
+        |  TRY_CAST(c_mktsegment AS BIGINT) AS bad_cast,
+        |  c_acctbal / NULLIF(c_custkey % 5, 0) AS risky_div
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "f7_higher_order" ->
       """SELECT vec_id,

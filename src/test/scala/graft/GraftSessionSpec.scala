@@ -29,6 +29,17 @@ class GraftSessionSpec extends SparkSpec {
         |  (l_orderkey * 7 + l_linenumber * 3) % 1000 + 5) AS cov
         |FROM lineitem GROUP BY l_suppkey LIMIT 5""".stripMargin).collect()
     assert(covered.forall(_.getLong(1) > 0))
+    // round-4 additions: Morton interleave + bloom membership probe
+    val z = spark.sql(
+      "SELECT zorder2(CAST(3 AS BIGINT), CAST(0 AS BIGINT)) AS z").collect()(0).getLong(0)
+    assert(z == 5L, s"zorder2(0b11, 0) must be 0b101, got $z")
+    val bf = spark.range(10).selectExpr("xxhash64(id) AS h")
+      .stat.bloomFilter("h", 10, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val hex = bos.toByteArray.map("%02X".format(_)).mkString
+    val hits = spark.range(20).selectExpr("id", "xxhash64(id) AS h")
+      .where(s"graft_might_contain(X'$hex', h)").count()
+    assert(hits >= 10 && hits < 20, s"bloom probe implausible: $hits")
   }
 
   test("GraftExtensions injects the function surface via spark.sql.extensions") {

@@ -131,6 +131,39 @@ class LayoutSpec extends SparkSpec {
       Tables.t(spark, sfDir, "lineitem").count())
   }
 
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    // the lakehouse backfill primitive: restate ONE partition of a
+    // partitioned table without rewriting (or even listing) the others —
+    // static overwrite mode would truncate the whole table first
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val orders = Tables.t(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    orders.write.partitionBy("yr").mode("overwrite").parquet(out)
+    val total = orders.count()
+    def filesOf(yr: Int): Set[(String, Long)] =
+      new java.io.File(s"$out/yr=$yr").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+    val others = Seq(1995, 1997, 1998).map(y => y -> filesOf(y)).toMap
+    // restate 1996 with bumped prices
+    orders.filter(col("yr") === 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .write.partitionBy("yr").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(out)
+    // untouched partitions keep their exact files; nothing was truncated
+    others.foreach { case (y, before) =>
+      assert(filesOf(y) == before, s"partition yr=$y was rewritten")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == total, "dynamic overwrite lost rows")
+    val bumped = back.filter(col("yr") === 1996)
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val expect = orders.filter(col("yr") === 1996)
+      .agg(sum(col("o_totalprice") + 1.0)).collect()(0).getDouble(0)
+    assert(math.abs(bumped - expect) < 1e-6, s"1996 not restated: $bumped vs $expect")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
     import graft.SparkSpec.spark.implicits._
     // 200k rows of one hot key vs 5k spread keys — one shuffle partition

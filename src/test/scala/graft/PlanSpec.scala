@@ -129,6 +129,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("l34 heavy hitters screens at the scan and aggregates two-phase") {
+    val p = plan("l34_heavy_hitters")
+    // the CMS probe must sit below the aggregation (scan-side filter), and
+    // the surviving terms aggregate partial-then-final — no window, no join
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("t6 funnel rides the user_id equi join, not a nested loop") {
     val p = plan("t6_funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
