@@ -142,6 +142,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join strategy hints are honored (broadcast / shuffle_hash / merge)") {
+    // the manual overrides for when the optimizer's size estimates are
+    // wrong at 100 TB — each hint must actually flip the physical join
+    import graft.Tables.t
+    val c = t(spark, sfDir, "customer").select("c_custkey")
+    val o = t(spark, sfDir, "orders").select("o_custkey")
+    def planOf(hint: String): String =
+      o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+  }
+
   test("w5/w8 plan no single-partition window over the full table") {
     // ntile/percent_rank/cume_dist are two-pass (range repartition +
     // per-partition rank + broadcast offsets) — the only unpartitioned
