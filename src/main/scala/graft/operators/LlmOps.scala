@@ -961,6 +961,30 @@ object LlmOps {
         .groupBy("term").agg(count(lit(1)).as("tf"))
         .filter(col("tf") >= T)
         .orderBy("term")
+    }),
+
+    // L35: document chunking — fixed-size overlapping windows (500 chars,
+    // 50 overlap), the RAG-indexing / context-window prep step. Pure
+    // per-row generator (sequence + substring), no shuffle except the
+    // verify sort; chunk identity is content-addressed (md5) so the
+    // output is join-ready for a dedup or embedding pass downstream.
+    "l35_chunk_documents" -> ((s, d) => {
+      val size = 500
+      val step = 450
+      val len = length(col("text"))
+      val nch = (lit(1) + greatest(
+        ceil((len - size).cast("double") / step), lit(0.0))).cast("int")
+      t(s, d, "documents")
+        .filter(len > 0)
+        .select(col("doc_id"), col("text"),
+          posexplode(transform(sequence(lit(0), nch - 1),
+            i => i * step + 1)).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("start").cast("long").as("chunk_start"),
+          length(col("text").substr(col("start"), lit(size)))
+            .cast("long").as("chunk_len"),
+          md5(col("text").substr(col("start"), lit(size))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -1376,6 +1400,25 @@ object LlmOps {
         |  FROM pd GROUP BY term)
         |SELECT term, df, tf, postings FROM g
         |WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    "l35_chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    CAST(1 + greatest(ceil((len - 500) / 450.0), 0) AS BIGINT) AS nch
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, nch - 1)) AS i
+        |  FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(i * 450 + 1 AS BIGINT) AS chunk_start,
+        |  CAST(length(substr(text, CAST(i * 450 + 1 AS INT), 500)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(i * 450 + 1 AS INT), 500)) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // l34's CMS screen is exact-result-via-sketch (overestimates only):
     // the oracle is the plain HAVING aggregation
