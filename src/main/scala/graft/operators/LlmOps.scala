@@ -985,6 +985,41 @@ object LlmOps {
             .cast("long").as("chunk_len"),
           md5(col("text").substr(col("start"), lit(size))).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // L36: vocabulary build + token-id encoding — the tokenizer-prep step:
+    // rank the corpus vocabulary by frequency (deterministic (tf DESC,
+    // term) order), keep the top V as the vocab, broadcast it, and
+    // re-encode every document as dense ids (OOV → 0). The ranking window
+    // runs over the AGGREGATED term table — bounded by |vocabulary|, not
+    // corpus rows (the same aggregated-frame exemption as l32's
+    // histogram); the encode join is a broadcast, so the corpus-side pass
+    // is shuffle-free. Per-doc output is checksum-shaped (counts + id sum
+    // + 10-token prefix) to stay hash-comparable.
+    "l36_vocab_encode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val V = 100
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+        .withColumn("id",
+          row_number().over(Window.orderBy(desc("tf"), col("term"))))
+        .filter(col("id") <= V)
+        .select("term", "id")
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("id").isNull, 1)).as("n_oov"),
+          sum(coalesce(col("id"), lit(0)).cast("long")).as("ids_sum"),
+          array_join(transform(
+            array_sort(collect_list(when(col("pos") <= 10,
+              struct(col("pos"), coalesce(col("id"), lit(0)).as("id"))))),
+            x => x.getField("id").cast("string")), ",").as("prefix_ids"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1419,6 +1454,29 @@ object LlmOps {
         |    AS chunk_len,
         |  md5(substr(text, CAST(i * 450 + 1 AS INT), 500)) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "l36_vocab_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tk[pos] AS term
+        |  FROM g WHERE regexp_matches(tk[pos], '^[a-z]+$')),
+        |tf AS (SELECT term, count(*) AS tf FROM f GROUP BY term),
+        |vocab AS (
+        |  SELECT term, CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT)
+        |    AS id
+        |  FROM tf QUALIFY id <= 100)
+        |SELECT f.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE v.id IS NULL) AS BIGINT) AS n_oov,
+        |  CAST(sum(coalesce(v.id, 0)) AS BIGINT) AS ids_sum,
+        |  string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ',' ORDER BY f.pos)
+        |    FILTER (WHERE f.pos <= 10) AS prefix_ids
+        |FROM f LEFT JOIN vocab v ON v.term = f.term
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // l34's CMS screen is exact-result-via-sketch (overestimates only):
     // the oracle is the plain HAVING aggregation
