@@ -657,20 +657,17 @@ object LlmOps {
       val e0 = t(s, d, "embeddings")
       val n = e0.select("vec_id").count()
       val k = math.max(4, math.sqrt(n.toDouble).toInt)
-      // nprobe = k/3 scans ~1/3 of the corpus for recall ≈ 0.7 on this
-      // NEAR-RANDOM benchmark corpus (no cluster structure for the
-      // quantizer to exploit — the adversarial case for IVF; true
-      // neighbors spread across many Voronoi cells). On a real embedding
-      // corpus with cluster structure the same index reaches high recall
-      // at nprobe ≈ k/20. l13's multi-table LSH is the quality path here
-      // (recall 0.94); this lane exists as the second index family.
+      // nprobe = k/3 scans ~1/3 of the corpus; with top-2 multi-
+      // assignment (below) recall@5 = 0.88 measured on this NEAR-RANDOM
+      // benchmark corpus (no cluster structure for the quantizer to
+      // exploit — the adversarial case for IVF; single-assignment
+      // measured 0.60). On a real embedding corpus with cluster structure
+      // the same index reaches higher recall at nprobe ≈ k/20. l13's
+      // multi-table LSH (0.94) remains the quality path on this data.
       val nprobe = math.max(3, k / 3)
       val feats = e0.select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
       val model = new KMeans().setK(k).setSeed(42).setMaxIter(8).fit(feats)
-      val cells = model.transform(feats)
-        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-        .persist()
       // centroid table (k rows — broadcast-sized by construction)
       val centers = {
         import s.implicits._
@@ -678,7 +675,24 @@ object LlmOps {
           .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
           .toDF("cell", "cvec")
       }
-      val probes = cells.filter(col("vec_id") < 10)
+      // MULTI-ASSIGNMENT: index every vector under its TOP-2 nearest
+      // cells, not just the Voronoi winner. On a corpus without cluster
+      // structure a true neighbor often sits just across a cell boundary;
+      // replicating each vector into its runner-up cell roughly squares
+      // the miss probability for 2× index size (the FAISS IVF
+      // multi-assignment trick). Assignment cost is the same n×k centroid
+      // scan k-means already pays per iteration; the per-vector top-2 is
+      // a bounded-heap aggregation, no window.
+      val topc = udaf(new graft.functions.TopK(2),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val vecs = e0.select(col("vec_id"), col("embedding"))
+      val cellsIdx = vecs.crossJoin(broadcast(centers))
+        .withColumn("csim", expr("cosine_f32(embedding, cvec)"))
+        .groupBy("vec_id")
+        .agg(topc(col("csim"), col("cell").cast("long")).as("nb"))
+        .select(col("vec_id"), explode(col("nb.id")).as("cell"))
+        .persist()
+      val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       // rank cells per probe by cosine(probe, centroid); keep top nprobe
       // (window over 10 probes × k centroids — broadcast-sized, bounded)
@@ -688,12 +702,18 @@ object LlmOps {
           org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
             .orderBy(col("csim").desc, col("cell"))))
         .filter(col("crnk") <= nprobe)
-        .select("probe_id", "pv", "cell")
+        .select(col("probe_id"), col("cell").cast("long").as("cell"))
+      // candidates dedup on (probe, vec) — multi-assignment would
+      // otherwise feed the same pair to the re-rank twice
+      val cands = broadcast(probeCells)
+        .join(cellsIdx, Seq("cell"))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .select("probe_id", "vec_id").distinct()
       val topk = udaf(new graft.functions.TopK(5),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-      broadcast(probeCells)
-        .join(cells, Seq("cell"))
-        .filter(col("probe_id") =!= col("vec_id"))
+      cands
+        .join(vecs, "vec_id")
+        .join(broadcast(probes), "probe_id")
         .withColumn("cos", expr("cosine_f32(pv, embedding)"))
         .groupBy("probe_id")
         .agg(topk(col("cos"), col("vec_id")).as("nb"))

@@ -111,11 +111,11 @@ class NearDupSpec extends SparkSpec {
       .select("probe_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
-    info(f"IVF recall@5 vs exact: $recall%.2f (k=sqrt(n), nprobe=k/3)")
-    // the honest floor for a coarse quantizer on a NEAR-RANDOM corpus
-    // scanning ~1/3 of cells: must clearly beat the ~0.33 random-scan
-    // baseline (l13 LSH is the high-recall path on this data)
-    assert(recall >= 0.5, f"IVF recall $recall%.2f under 0.5")
+    info(f"IVF recall@5 vs exact: $recall%.2f (k=sqrt(n), nprobe=k/3, top-2 assign)")
+    // top-2 multi-assignment lifts the coarse quantizer to 0.88 measured
+    // on this NEAR-RANDOM corpus (single-assignment was 0.60) while still
+    // scanning ~1/3 of cells; floor leaves seed/partitioning headroom
+    assert(recall >= 0.75, f"IVF recall $recall%.2f under 0.75")
     approx.map(_._1).foreach(p => assert(approx.count(_._1 == p) <= 5))
   }
 
