@@ -142,6 +142,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("l35 chunking is a pure generator — no join, no window, no agg") {
+    val p = plan("l35_chunk_documents")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p)
+  }
+
+  test("l36 encode join broadcasts the vocab; ranking stays on the agg frame") {
+    val p = plan("l36_vocab_encode")
+    // the corpus-side encode must be a broadcast join (vocab is top-V by
+    // construction); the only Window ranks the aggregated term table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
+      s"vocab ranking window must sit above the term aggregate:\n$p")
+  }
+
   test("join strategy hints are honored (broadcast / shuffle_hash / merge)") {
     // the manual overrides for when the optimizer's size estimates are
     // wrong at 100 TB — each hint must actually flip the physical join
