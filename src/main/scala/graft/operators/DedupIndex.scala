@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persisted cross-run exact-dedup index — the operational form of l1/l29:
+  * a 100 TB corpus is deduped ONCE, its content hashes become a standing
+  * index, and each day's arrivals are checked against the index without
+  * ever rescanning the corpus.
+  *
+  * Layout at `indexDir`:
+  *   hashes/   parquet (sha, keeper_id) — one row per distinct content
+  *   bloom.bin serialized Bloom over xxhash64(sha) — always a SUPERSET of
+  *             hashes/ (append puts new hashes before writing rows), so a
+  *             bloom miss proves a document is new and skips the join
+  *             entirely; bloom hits (~dup rate + fpp of the batch) are the
+  *             only rows that reach the exact anti-join confirm.
+  *
+  * At scale: the index is hash-partitioned parquet the confirm join
+  * shuffles against; the bloom is a fixed-size broadcast (9.6 bits per
+  * indexed doc at 1% fpp). Append merges a batch-built bloom into the
+  * standing one (same size/seed → mergeInPlace), keeping the screen
+  * superset invariant without rebuilding.
+  */
+object DedupIndex {
+
+  private val Fpp = 0.01
+  /** Fixed capacity so every bloom ever built for an index is mergeable
+    * (mergeInPlace requires identical bit size + hash count). Sized for
+    * the test corpus tier; a production index would shard by hash prefix
+    * with one bloom per shard at this capacity. */
+  private val BloomCapacity = 1L << 20
+
+  private def withSha(docs: DataFrame): DataFrame =
+    docs.withColumn("sha", sha2(col("text"), 256))
+      .withColumn("h", xxhash64(col("sha")))
+
+  private def bloomOf(df: DataFrame): BloomFilter = {
+    // build at the SHARED capacity via the aggregate path (stat.bloomFilter
+    // sizes bits from expectedItems, so pass the fixed capacity)
+    df.stat.bloomFilter("h", BloomCapacity, Fpp)
+  }
+
+  private def bloomPath(indexDir: String) = Paths.get(indexDir, "bloom.bin")
+
+  private def writeBloom(indexDir: String, bf: BloomFilter): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Files.createDirectories(Paths.get(indexDir))
+    Files.write(bloomPath(indexDir), bos.toByteArray)
+  }
+
+  private def readBloom(indexDir: String): BloomFilter =
+    BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(bloomPath(indexDir))))
+
+  /** Dedup `docs` internally (min doc_id survives) and persist the index.
+    * Returns the number of distinct contents indexed. */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Long = {
+    val hashes = withSha(docs)
+      .groupBy("sha").agg(min(col("doc_id")).as("keeper_id"),
+        first(col("h")).as("h"))
+    hashes.select("sha", "keeper_id")
+      .write.mode("overwrite").parquet(s"$indexDir/hashes")
+    writeBloom(indexDir, bloomOf(hashes))
+    spark.read.parquet(s"$indexDir/hashes").count()
+  }
+
+  /** Rows of `docs` whose content is NOT in the index. Bloom misses are
+    * new by construction (no false negatives) and never reach the join;
+    * only bloom hits are confirmed against hashes/ (left_anti kills the
+    * false positives). */
+  def newAgainst(spark: SparkSession, indexDir: String,
+      docs: DataFrame): DataFrame = {
+    import graft.functions.BloomMembership
+    val bos = new java.io.ByteArrayOutputStream()
+    readBloom(indexDir).writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    val hashed = withSha(docs)
+    val maybeSeen = BloomMembership.mightContain(spark, bloomLit, col("h"))
+    val definitelyNew = hashed.filter(!maybeSeen)
+    val confirmed = hashed.filter(maybeSeen)
+      .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),
+        Seq("sha"), "left_anti")
+    definitelyNew.unionByName(confirmed).drop("h")
+  }
+
+  /** Index a batch of (already internally-deduped) new rows: bloom first
+    * (screen stays a superset of hashes/ at every instant), then rows. */
+  def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
+    val hashes = withSha(docs)
+      .groupBy("sha").agg(min(col("doc_id")).as("keeper_id"),
+        first(col("h")).as("h"))
+      .persist()
+    val merged = readBloom(indexDir)
+    merged.mergeInPlace(bloomOf(hashes))
+    writeBloom(indexDir, merged)
+    hashes.select("sha", "keeper_id")
+      .write.mode("append").parquet(s"$indexDir/hashes")
+    hashes.unpersist()
+    ()
+  }
+}

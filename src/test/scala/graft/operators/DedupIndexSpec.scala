@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-run dedup index: build once, screen each arriving batch with the
+  * bloom + exact confirm, append, repeat. The invariant under test is the
+  * operational one: `newAgainst` returns EXACTLY the rows whose content
+  * the index has never seen, across multiple build/append generations. */
+class DedupIndexSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  test("build → screen → append → re-screen finds exactly the novel rows") {
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "jumped over the lazy dog"),
+      (3L, "the quick brown fox"), // internal dup of 1
+      (4L, "pack my box with five dozen jugs")
+    ).toDF("doc_id", "text")
+    val indexed = DedupIndex.build(spark, corpus, indexDir)
+    assert(indexed == 3, s"3 distinct contents expected, got $indexed")
+
+    // a new batch: two dups of indexed content, two novel docs
+    val batch = Seq(
+      (10L, "the quick brown fox"), // dup
+      (11L, "a wholly new document"), // novel
+      (12L, "pack my box with five dozen jugs"), // dup
+      (13L, "another unseen text") // novel
+    ).toDF("doc_id", "text")
+    val fresh = DedupIndex.newAgainst(spark, indexDir, batch)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L, 13L), "screen must return exactly the novel rows")
+
+    // append the novel rows; the same batch now yields nothing new
+    DedupIndex.append(spark, indexDir, fresh)
+    assert(DedupIndex.newAgainst(spark, indexDir, batch).isEmpty,
+      "after append the whole batch must be known")
+    // and a later batch dedups against BOTH generations
+    val batch2 = Seq(
+      (20L, "a wholly new document"), // dup of appended gen
+      (21L, "the quick brown fox"), // dup of built gen
+      (22L, "never before seen")
+    ).toDF("doc_id", "text")
+    val fresh2 = DedupIndex.newAgainst(spark, indexDir, batch2)
+    assert(fresh2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(22L))
+  }
+
+  test("bloom screen keeps definite-new rows away from the confirm join") {
+    // structural guarantee: rows failing the bloom take the no-join arm.
+    // With 500 novel docs and 1% fpp, at most a handful may false-positive
+    // into the confirm join — the join input must stay ~the dup rate, not
+    // the batch size.
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-idx2").toString
+    val corpus = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    DedupIndex.build(spark, corpus, indexDir)
+    val novel = spark.range(500)
+      .select(col("id").as("doc_id"),
+        concat(lit("novel-"), col("id")).as("text"))
+    val fresh = DedupIndex.newAgainst(spark, indexDir, novel)
+    assert(fresh.count() == 500, "novel batch must come back whole")
+    // all-dup batch: everything returns through the confirm join, nothing
+    // survives
+    val dups = corpus.limit(50)
+    assert(DedupIndex.newAgainst(spark, indexDir, dups).isEmpty)
+  }
+}
