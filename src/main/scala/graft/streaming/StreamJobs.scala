@@ -78,6 +78,30 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming ingestion dedup against the standing DedupIndex: each
+    * micro-batch is first deduped within itself (min doc_id per content),
+    * then screened against the index (bloom miss = provably new; hit =
+    * exact confirm), and only the novel rows land in `accepted/` — with
+    * the index advanced batch-atomically before the next batch runs. The
+    * streaming face of the corpus-ingestion dedup loop: state is the
+    * persisted index, not executor memory, so it survives restarts and is
+    * shared across pipelines. */
+  def dedupIngest(docs: DataFrame, indexDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val inBatch = batch.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+      val novel = graft.operators.DedupIndex
+        .newAgainst(s, indexDir, inBatch).persist()
+      novel.select("doc_id", "text")
+        .write.mode("append").parquet(s"$indexDir/accepted")
+      graft.operators.DedupIndex.append(s, indexDir, novel)
+      novel.unpersist()
+      ()
+    }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
     * event count + high-water timestamp, emitted on every update. This is
     * the join/merge state-machine shape of the reference's pending-read

@@ -224,6 +224,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion dedup: accepted/ gets each content exactly once") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    graft.operators.DedupIndex.build(spark,
+      Seq((1L, "seed document")).toDF("doc_id", "text"), indexDir)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamJobs.dedupIngest(docs, indexDir).start()
+    // batch 1: a dup of the seed, a novel doc repeated WITHIN the batch
+    mem.addData((10L, "seed document"), (11L, "alpha"), (12L, "alpha"))
+    q.processAllAvailable()
+    // batch 2: the batch-1 novel again, plus one new content
+    mem.addData((20L, "alpha"), (21L, "beta"))
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(s"$indexDir/accepted")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(accepted == Set((11L, "alpha"), (21L, "beta")),
+      s"accepted must hold each novel content once, min-id keeper: $accepted")
+  }
+
   test("stream-static join enriches streaming rows with dimension data") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
