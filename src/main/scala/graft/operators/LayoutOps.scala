@@ -54,6 +54,40 @@ object LayoutOps {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(dst)
 
+  /** Copy-on-write DELETE — the file-granular DML primitive: find the
+    * files that actually contain matching rows (one pushed-down scan over
+    * `input_file_name`), hard-link/copy every untouched file into `dst`
+    * unchanged, and rewrite only the touched ones with the predicate
+    * inverted. At 100 TB a selective delete touches a sliver of files;
+    * rewriting just those is the difference between O(matches') IO and a
+    * full-table rewrite. The driver holds only the touched-file LIST
+    * (bounded by file count). Combined with o7 (MERGE as a full-outer
+    * join) and dynamic partition overwrite, this completes the DML story
+    * over write-once storage. Returns (touched, untouched) file counts. */
+  def deleteWhere(spark: SparkSession, src: String, dst: String,
+      predicate: org.apache.spark.sql.Column): (Int, Int) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val touched = spark.read.parquet(src)
+      .filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new File(new java.net.URI(r.getString(0))).getName)
+      .toSet
+    val dstDir = new File(dst)
+    dstDir.mkdirs()
+    val (hit, keep) = dataFiles(src).partition(f => touched.contains(f.getName))
+    keep.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new File(dstDir, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (hit.nonEmpty) {
+      spark.read.parquet(hit.map(_.getAbsolutePath): _*)
+        .filter(!predicate)
+        .write.mode("append").parquet(dst)
+    }
+    (hit.size, keep.size)
+  }
+
   /** Z-order cluster `src` by TWO numeric keys into `numFiles` files:
     * each key is min-max normalized to 16-bit space (two tiny agg
     * broadcasts — rank-normalization via range buckets is the refinement

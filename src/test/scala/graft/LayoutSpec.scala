@@ -131,6 +131,39 @@ class LayoutSpec extends SparkSpec {
       Tables.t(spark, sfDir, "lineitem").count())
   }
 
+  test("copy-on-write delete rewrites only the files containing matches") {
+    import org.apache.spark.sql.functions._
+    // cluster first so the delete predicate is file-aligned — the point
+    // of CoW DML: a selective delete over clustered data touches a sliver
+    val clustered = java.nio.file.Files.createTempDirectory("graft-cow-src").toString
+    operators.LayoutOps.clusterBy(spark, s"$sfDir/lineitem.parquet",
+      clustered, 8, "l_orderkey")
+    val dst = java.nio.file.Files.createTempDirectory("graft-cow-dst").toString
+    val pred = col("l_orderkey") < 100
+    val before = spark.read.parquet(clustered)
+    val expectKeep = before.filter(!pred).count()
+    val (hit, keep) = operators.LayoutOps.deleteWhere(spark, clustered, dst, pred)
+    assert(hit >= 1 && hit <= 2, s"range-clustered delete should touch ~1 file, hit $hit")
+    assert(hit + keep >= 8, s"file accounting off: $hit + $keep")
+    // untouched files are byte-identical copies, not rewrites
+    val srcFiles = new java.io.File(clustered).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f).toMap
+    val dstFiles = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val copied = dstFiles.filter(f => srcFiles.contains(f.getName))
+    assert(copied.length == keep, "every kept file must appear under its own name")
+    copied.foreach { f =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(srcFiles(f.getName).toPath)),
+        s"untouched file ${f.getName} was rewritten")
+    }
+    // the table after delete = exactly the non-matching rows
+    val after = spark.read.parquet(dst)
+    assert(after.count() == expectKeep, "row count after delete is wrong")
+    assert(after.filter(pred).isEmpty, "matching rows survived the delete")
+  }
+
   test("dynamic partition overwrite rewrites only the touched partition") {
     // the lakehouse backfill primitive: restate ONE partition of a
     // partitioned table without rewriting (or even listing) the others —
