@@ -88,6 +88,39 @@ object LayoutOps {
     (hit.size, keep.size)
   }
 
+  /** Copy-on-write UPDATE — deleteWhere's twin: touched files rewrite
+    * with `assignments` applied to matching rows (non-matching rows in a
+    * touched file rewrite unchanged — file granularity is the rewrite
+    * unit), untouched files copy byte-identically. Returns
+    * (touched, untouched). */
+  def updateWhere(spark: SparkSession, src: String, dst: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): (Int, Int) = {
+    import org.apache.spark.sql.functions.{input_file_name, when => sqlWhen, col => sqlCol}
+    val touched = spark.read.parquet(src)
+      .filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new File(new java.net.URI(r.getString(0))).getName)
+      .toSet
+    val dstDir = new File(dst)
+    dstDir.mkdirs()
+    val (hit, keep) = dataFiles(src).partition(f => touched.contains(f.getName))
+    keep.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new File(dstDir, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (hit.nonEmpty) {
+      val updated = assignments.foldLeft(
+        spark.read.parquet(hit.map(_.getAbsolutePath): _*)) {
+        case (df, (c, v)) =>
+          df.withColumn(c, sqlWhen(predicate, v).otherwise(sqlCol(c)))
+      }
+      updated.write.mode("append").parquet(dst)
+    }
+    (hit.size, keep.size)
+  }
+
   /** Z-order cluster `src` by TWO numeric keys into `numFiles` files:
     * each key is min-max normalized to 16-bit space (two tiny agg
     * broadcasts — rank-normalization via range buckets is the refinement

@@ -164,6 +164,30 @@ class LayoutSpec extends SparkSpec {
     assert(after.filter(pred).isEmpty, "matching rows survived the delete")
   }
 
+  test("copy-on-write update patches matching rows, copies the rest") {
+    import org.apache.spark.sql.functions._
+    val clustered = java.nio.file.Files.createTempDirectory("graft-cowu-src").toString
+    operators.LayoutOps.clusterBy(spark, s"$sfDir/lineitem.parquet",
+      clustered, 8, "l_orderkey")
+    val dst = java.nio.file.Files.createTempDirectory("graft-cowu-dst").toString
+    val pred = col("l_orderkey") < 100
+    val (hit, keep) = operators.LayoutOps.updateWhere(spark, clustered, dst,
+      pred, Map("l_quantity" -> lit(0.0)))
+    assert(hit >= 1 && hit <= 2, s"expected ~1 touched file, got $hit")
+    val before = spark.read.parquet(clustered)
+    val after = spark.read.parquet(dst)
+    assert(after.count() == before.count(), "update must not change row count")
+    assert(after.filter(pred && col("l_quantity") =!= 0.0).isEmpty,
+      "matching rows not updated")
+    // non-matching rows keep their original quantity sum exactly
+    val sumBefore = before.filter(!pred)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    val sumAfter = after.filter(!pred)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    assert(sumBefore == sumAfter, "non-matching rows were altered")
+    assert(keep + hit >= 8)
+  }
+
   test("dynamic partition overwrite rewrites only the touched partition") {
     // the lakehouse backfill primitive: restate ONE partition of a
     // partitioned table without rewriting (or even listing) the others —
