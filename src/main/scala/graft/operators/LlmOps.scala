@@ -1024,10 +1024,15 @@ object LlmOps {
           posexplode(split(lower(col("text")), " ")).as(Seq("pos0", "term")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
         .filter(col("term").rlike("^[a-z]+$"))
+      // top-V selection is orderBy+limit → TakeOrderedAndProject (per-
+      // partition heaps, distributed); only the ≤V-row survivor frame
+      // sees the id-assignment window. Ranking the FULL term table with a
+      // global window would single-task-sort the whole vocabulary — the
+      // w5-class scale killer (PlanSpec pins the TakeOrdered shape).
       val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), col("term")).limit(V)
         .withColumn("id",
           row_number().over(Window.orderBy(desc("tf"), col("term"))))
-        .filter(col("id") <= V)
         .select("term", "id")
       toks.join(broadcast(vocab), Seq("term"), "left")
         .groupBy("doc_id")

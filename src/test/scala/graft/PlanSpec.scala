@@ -149,15 +149,14 @@ class PlanSpec extends SparkSpec {
       !p.contains("HashAggregate"), p)
   }
 
-  test("l36 encode join broadcasts the vocab; ranking stays on the agg frame") {
+  test("l36 encode join broadcasts the vocab; top-V is TakeOrdered, not a sort") {
     val p = plan("l36_vocab_encode")
     // the corpus-side encode must be a broadcast join (vocab is top-V by
-    // construction); the only Window ranks the aggregated term table
+    // construction); top-V selection must plan TakeOrderedAndProject
+    // (per-partition heaps) so only the ≤V survivor frame sees a window
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    val winIdx = p.indexOf("Window")
-    assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
-      s"vocab ranking window must sit above the term aggregate:\n$p")
   }
 
   test("join strategy hints are honored (broadcast / shuffle_hash / merge)") {
