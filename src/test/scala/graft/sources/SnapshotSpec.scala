@@ -320,6 +320,36 @@ class SnapshotSpec extends SparkSpec {
     } finally PufsFileSystem.unmountSnapshot("snap/v1")
   }
 
+  test("CoW delete + CAS publish: only rewritten files upload or diff") {
+    import org.apache.spark.sql.functions._
+    // the DML-over-write-once value proposition end-to-end: a file-
+    // granular delete rewrites O(touched) files, and because blocks are
+    // content-addressed, republishing the table uploads only those — the
+    // untouched files hash to blocks the CAS already has. The manifest
+    // diff then reads as an audit of exactly what the delete touched.
+    val tbl = Files.createTempDirectory("cow-pub-src").toString
+    graft.operators.LayoutOps.clusterBy(spark,
+      s"$sfDir/lineitem.parquet", s"$tbl/li", 8, "l_orderkey")
+    val repo = Files.createTempDirectory("cow-pub-repo").toString
+    val sha1 = SnapshotStore.publish(spark, tbl, repo, "tbl").manifestSha
+    val tbl2 = Files.createTempDirectory("cow-pub-v2").toString
+    val (hit, keep) = graft.operators.LayoutOps.deleteWhere(
+      spark, s"$tbl/li", s"$tbl2/li", col("l_orderkey") < 100)
+    assert(hit >= 1 && keep >= 6)
+    val s2 = SnapshotStore.publish(spark, tbl2, repo, "tbl")
+    // CAS dedup: uploads = rewritten data files + the new manifest, never
+    // the untouched ones (their blocks are already in the store). The
+    // delete job may also emit a fresh _SUCCESS marker — allow +1.
+    assert(s2.uploaded <= hit + 2,
+      s"expected ~${hit + 1} uploads (touched + manifest), got ${s2.uploaded}")
+    val changed = SnapshotStore.diff(repo, sha1, s2.manifestSha)
+      .filter(_.path.endsWith(".parquet"))
+    // every parquet-level change is a touched file disappearing (its name
+    // is job-scoped) or the rewritten output appearing
+    assert(changed.nonEmpty && changed.size <= 2 * hit + 1,
+      s"diff should read as the delete's audit: $changed")
+  }
+
   test("time-travel diff: o8's relational diff across two mounted snapshots") {
     import org.apache.spark.sql.functions._
     // the end-to-end loop: publish v1 of a table → publish v2 under the
