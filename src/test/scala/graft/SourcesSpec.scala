@@ -43,6 +43,44 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("csv scan surfaces malformed rows as _corrupt_record, keeps the rest") {
+    // PERMISSIVE ingestion: dirty rows must not kill the 100 TB job, and
+    // must stay attributable for a quarantine pass
+    val dir = Files.createTempDirectory("graft-badcsv").toString
+    Files.write(Paths.get(dir, "part.csv"),
+      "1,alpha,10.5\n2,beta,not-a-number\n3,gamma,7.25\n".getBytes)
+    val df = spark.read
+      .schema("id BIGINT, name STRING, score DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .cache() // corrupt-record column requires a materialized frame
+    assert(df.count() == 3)
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("_corrupt_record")
+      .contains("not-a-number"))
+    val good = df.filter(col("_corrupt_record").isNull)
+    assert(good.agg(sum("score")).collect()(0).getDouble(0) == 17.75)
+    df.unpersist()
+    ()
+  }
+
+  test("parquet schema evolution: mergeSchema unifies widened batches") {
+    // a long-lived table gains columns over time; readers must see the
+    // union schema with nulls for pre-widening files
+    import graft.SparkSpec.spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "quality"))
+    assert(merged.count() == 4)
+    assert(merged.filter(col("quality").isNull).count() == 2,
+      "pre-widening rows must read as null quality")
+  }
+
   test("binaryFile scan reads whole objects as opaque blocks") {
     val dir = Files.createTempDirectory("binf").toString
     Files.write(Paths.get(dir, "a.bin"), Array.tabulate(1000)(_.toByte))
