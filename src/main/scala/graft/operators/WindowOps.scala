@@ -176,6 +176,23 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // W10: numeric RANGE frame — peers within ±500 of the current row's
+    // acctbal (w4's range frame is over dates; this is the value-distance
+    // form: ties are peers, frame ends move by VALUE not row count). Money
+    // sums ride decimal for cross-engine parity.
+    "w10_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-500, 500)
+      t(s, d, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_custkey"), col("c_acctbal"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).over(w)
+            .cast("double").as("near_sum"))
+        .orderBy("c_custkey")
+    }),
+
     // Q-W6: per-supplier top-3 line items by extended price.
     "w6_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
@@ -257,6 +274,16 @@ object WindowOps {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w10_range_frame" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey, c_acctbal,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_near,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS near_sum
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |  RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
 
     "w6_topk_per_group" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
