@@ -158,6 +158,31 @@ object AggOps {
         .orderBy("o_orderpriority")
     }),
 
+    // A14: TPC-H Q3 shape (shipping priority) — the canonical
+    // filter→3-way-join→aggregate→top-k composite: market-segment filter
+    // prunes customer before the join, revenue rides DECIMAL until the
+    // final cast, and the top-10 plans TakeOrderedAndProject. orderkey
+    // breaks revenue ties deterministically.
+    "a14_tpch_q3" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // A10: UNPIVOT — wide → long reshaping (the inverse of a6's pivot):
     // one conditional-agg pass builds the per-year status columns, then
     // unpivot melts them to (yr, status, cnt) rows. Catalyst plans the
@@ -229,6 +254,20 @@ object AggOps {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a14_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "a10_unpivot" ->
       """WITH wide AS (
