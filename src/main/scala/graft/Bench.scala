@@ -130,6 +130,10 @@ object Bench {
     "l13_ann" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l13_ann_lsh")(s, d)),
 
+    // TPC-H Q3 composite: filtered 3-way join + decimal agg + top-10
+    "q3_shipping_priority" -> ((s: SparkSession, d: String) =>
+      graft.operators.AggOps.queries("a14_tpch_q3")(s, d)),
+
     // bloom-screened decontamination (L29 class): broadcast Bloom probe
     // prunes the corpus shingles before the confirm join
     "l29_bloom_decontam" -> ((s: SparkSession, d: String) =>
