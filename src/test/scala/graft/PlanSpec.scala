@@ -159,6 +159,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("a14 q3 plans a TakeOrdered top-10 over broadcast-pruned joins") {
+    val p = plan("a14_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the segment filter must reach the customer scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
   test("join strategy hints are honored (broadcast / shuffle_hash / merge)") {
     // the manual overrides for when the optimizer's size estimates are
     // wrong at 100 TB — each hint must actually flip the physical join
