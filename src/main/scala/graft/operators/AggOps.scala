@@ -243,6 +243,27 @@ object AggOps {
           bit_or(col("c_custkey")).as("b_or"),
           bit_xor(col("c_custkey")).as("b_xor"))
         .orderBy("nation")
+    }),
+
+    // A15: TPC-H Q18 shape (large-volume customers) — the "aggregate,
+    // HAVING-filter, then join the survivors back" composite. The inner
+    // aggregation shrinks lineitem to one row per order BEFORE any join,
+    // so the joins move |orders with qty>150| rows, not |lineitem|; both
+    // remaining joins are plain equi joins AQE can broadcast once the
+    // HAVING filter has collapsed the cardinality.
+    "a15_tpch_q18" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -268,6 +289,17 @@ object AggOps {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "a15_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "a10_unpivot" ->
       """WITH wide AS (

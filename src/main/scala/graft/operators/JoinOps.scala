@@ -163,8 +163,56 @@ object JoinOps {
           "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    }),
+
+    // Q-J12: banded range join — the same window-count semantics as j6 but
+    // planned for BOTH sides fact-sized: no broadcast hint, no nested-loop.
+    // Dates become day numbers, the interval side is exploded across the
+    // (at most two) 8-day bands it touches, and the join is a plain equi
+    // join on the band key with the exact range predicate refined inside
+    // it. Scales as one hash shuffle of each side at any SF.
+    "j12_range_banded" -> ((s, d) => {
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1970-01-01")))
+      val probes = t(s, d, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("k"), day(col("o_orderdate")).as("d1"))
+        .withColumn("lo", col("d1") + 1)
+        .withColumn("hi", col("d1") + 7)
+      val points = t(s, d, "orders")
+        .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("d2"))
+      bandedRangeJoin(points, "d2", probes, "lo", "hi", bandWidth = 8)
+        .filter(col("k2") =!= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
     })
   )
+
+  /** Banded range join — equi-join plan for `point ∈ [lo, hi]` when both
+    * sides are too large to broadcast (where j6's broadcast-nested-loop
+    * stops working). Each interval is replicated to the ⌈span/band⌉+1
+    * integer bands it overlaps; each point hashes to exactly ONE band, so
+    * every true (point, interval) pair meets in precisely the point's band
+    * — no post-join dedup needed. With bandWidth chosen ≥ the typical
+    * interval span, replication is ≤2× and the plan is an ordinary
+    * shuffle/hash equi join on `(band)` plus an in-join refine of the
+    * exact predicate. The reference's region-overlap queries (RegionMask
+    * intersection, core region model) are this shape.
+    */
+  def bandedRangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val ip = intervals.withColumn("__iband",
+      explode(sequence(floor(col(loCol) / bandWidth).cast("long"),
+        floor(col(hiCol) / bandWidth).cast("long"))))
+    val pp = points.withColumn("__pband",
+      floor(col(pointCol) / bandWidth).cast("long"))
+    pp.join(ip,
+        col("__pband") === col("__iband") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__pband", "__iband")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "j1_inner" ->
@@ -242,6 +290,15 @@ object JoinOps {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j12_range_banded" ->
+      """SELECT o1.o_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o1 JOIN orders o2
+        |  ON o2.o_orderdate > o1.o_orderdate
+        | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+        | AND o2.o_orderkey <> o1.o_orderkey
+        |WHERE o1.o_orderkey % 100 = 0
+        |GROUP BY 1 ORDER BY k""".stripMargin
   )
 }

@@ -35,6 +35,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j12 banded range join is an equi join — no nested loop even unbroadcast") {
+    // the scale contract of bandedRangeJoin: both sides fact-sized must
+    // still plan a hash/merge EQUI join on the band key; the exact range
+    // predicate rides inside the join as a post-condition
+    val p = plan("j12_range_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // with broadcast disabled entirely the plan must STILL be an equi join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan("j12_range_banded")
+      assert(!p2.contains("BroadcastNestedLoopJoin") &&
+        !p2.contains("CartesianProduct"), p2)
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"), p2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("range-join rule: plain theta join auto-plans as a banded equi join") {
+    graft.plans.BandedRangeJoinRule.register(spark)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "8")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1970-01-01")))
+      val probes = graft.Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("k"), day(col("o_orderdate")).as("d1"))
+        .withColumn("lo", col("d1") + 1).withColumn("hi", col("d1") + 7)
+      val points = graft.Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("d2"))
+      // the naive formulation a user would write — NO manual banding
+      val naive = points.join(probes,
+          col("d2") >= col("lo") && col("d2") <= col("hi") &&
+          col("k2") =!= col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+      val p = naive.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // and it computes exactly what the hand-banded j12 computes
+      val auto = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      val manual = SparkEntry.queries("j12_range_banded")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(auto == manual)
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("a1 aggregation is two-phase (partial before the shuffle)") {
     val p = plan("a1_tpch_q1")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)

@@ -43,6 +43,31 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("orc sink + scan round-trips lineitem slice with schema intact") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .limit(500)
+    val p = s"$outRoot/li_orc"
+    li.write.mode("overwrite").orc(p)
+    val back = spark.read.orc(p)
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).head().getDouble(0) ==
+      li.agg(sum("l_quantity")).head().getDouble(0))
+  }
+
+  test("text sink + scan round-trips one line per document") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("value"))
+      .limit(200)
+    val p = s"$outRoot/docs_txt"
+    docs.write.mode("overwrite").text(p)
+    val back = spark.read.text(p)
+    assert(back.count() == docs.count())
+    assert(back.orderBy("value").collect().map(_.getString(0)).toSeq ==
+      docs.orderBy("value").collect().map(_.getString(0)).toSeq)
+  }
+
   test("csv scan surfaces malformed rows as _corrupt_record, keeps the rest") {
     // PERMISSIVE ingestion: dirty rows must not kill the 100 TB job, and
     // must stay attributable for a quarantine pass
