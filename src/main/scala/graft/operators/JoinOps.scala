@@ -185,6 +185,35 @@ object JoinOps {
         .groupBy("k")
         .agg(count(lit(1)).as("n"))
         .orderBy("k")
+    }),
+
+    // Q-J13: fuzzy self-join (edit distance ≤ 1) via deletion
+    // neighborhoods — the string analog of j12's banding. A naive fuzzy
+    // join is a cross join with levenshtein() inside: O(n²) comparisons.
+    // Instead each name emits its len+1 deletion variants (itself plus
+    // delete-char-i for every i); two strings within edit distance 1
+    // ALWAYS share a variant (substitution: delete the differing slot
+    // from both; insert/delete: the shorter string IS a variant of the
+    // longer), so candidates come from a plain equi join on the variant
+    // key — O(n·len) rows, one hash shuffle — and exact levenshtein runs
+    // only on candidates. FastSS method, public algorithm.
+    "j13_fuzzy_neighbors" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      val variants = c
+        .withColumn("i", explode(sequence(lit(0), length(col("nm")))))
+        .withColumn("v", expr(
+          "CASE WHEN i = 0 THEN nm " +
+          "ELSE concat(substring(nm, 1, i-1), substring(nm, i+1)) END"))
+        .select("id", "nm", "v")
+      val lhs = variants.select(col("id").as("a"), col("nm").as("an"), col("v"))
+      val rhs = variants.select(col("id").as("b"), col("nm").as("bn"),
+        col("v").as("v2"))
+      lhs.join(rhs, col("v") === col("v2") && col("a") < col("b"))
+        .select("a", "b", "an", "bn").distinct()
+        .filter(levenshtein(col("an"), col("bn")) <= 1)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
     })
   )
 
@@ -299,6 +328,13 @@ object JoinOps {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         | AND o2.o_orderkey <> o1.o_orderkey
         |WHERE o1.o_orderkey % 100 = 0
-        |GROUP BY 1 ORDER BY k""".stripMargin
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "j13_fuzzy_neighbors" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a, b""".stripMargin
   )
 }

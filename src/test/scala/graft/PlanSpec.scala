@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j13 fuzzy join is an equi join on deletion variants, no cross join") {
+    val p = plan("j13_fuzzy_neighbors")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("range-join rule: plain theta join auto-plans as a banded equi join") {
     graft.plans.BandedRangeJoinRule.register(spark)
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
