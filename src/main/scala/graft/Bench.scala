@@ -139,6 +139,18 @@ object Bench {
     "l29_bloom_decontam" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l29_decontaminate_bloom")(s, d)),
 
+    // TPC-H Q18 composite: HAVING-filtered agg joined back to customers
+    "q18_large_orders" -> ((s: SparkSession, d: String) =>
+      graft.operators.AggOps.queries("a15_tpch_q18")(s, d)),
+
+    // banded range join: both sides fact-sized, equi join on the band key
+    "j12_range_banded" -> ((s: SparkSession, d: String) =>
+      graft.operators.JoinOps.queries("j12_range_banded")(s, d)),
+
+    // fuzzy edit-distance self-join via deletion-neighborhood equi join
+    "j13_fuzzy_join" -> ((s: SparkSession, d: String) =>
+      graft.operators.JoinOps.queries("j13_fuzzy_neighbors")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(

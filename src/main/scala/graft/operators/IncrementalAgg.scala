@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — update a standing per-group
+  * aggregate from a row-level change feed, never re-reading the base.
+  *
+  * At 100 TB a nightly `groupBy(...).agg(...)` over the whole lake is the
+  * single most expensive recurring job; when snapshots advance by a few
+  * thousand files (SnapshotStore.diff / o8_table_diff give exactly that
+  * change feed), the correct cost is O(changed rows), not O(table). This
+  * is the relational face of the reference's dirty-subtree invalidation:
+  * only what changed gets re-processed, everything clean is reused
+  * (reference IsDirty ancestor invalidation, core/nodedb.go:286-315).
+  *
+  * Contract: `base` holds (grp, cnt, total) for version 1; `deltas` holds
+  * per-row contributions (grp, dCnt, dTotal) derived from an
+  * added/removed/changed feed. The merge is a union + one partial-agg
+  * groupBy over |base groups| + |changed rows| — groups untouched by the
+  * delta pass through arithmetically (sum with zero contribution), and
+  * groups whose count reaches zero are dropped to match a direct
+  * aggregate of version 2.
+  *
+  * count/sum (and any abelian-group aggregate: avg via sum/cnt, bitwise
+  * xor, ...) maintain exactly. min/max do NOT maintain under removals
+  * without a re-scan of the affected group — callers needing them should
+  * re-aggregate only the groups the delta touched (still O(changed
+  * groups), the same trick at one remove).
+  */
+object IncrementalAgg {
+
+  /** Turn an o8-style row diff (key, status, oldVal, newVal) plus a
+    * grouping expression into per-row aggregate deltas. */
+  def deltasFromDiff(changes: DataFrame): DataFrame =
+    changes.select(
+      col("grp"),
+      when(col("status") === "added", lit(1L))
+        .when(col("status") === "removed", lit(-1L))
+        .otherwise(lit(0L)).as("dCnt"),
+      when(col("status") === "added", col("newVal"))
+        .when(col("status") === "removed", -col("oldVal"))
+        .otherwise(col("newVal") - col("oldVal")).as("dTotal"))
+
+  /** base(grp, cnt, total) + deltas(grp, dCnt, dTotal) -> version-2
+    * aggregate, one shuffle over base-groups + changed-rows. */
+  def applyDeltas(base: DataFrame, deltas: DataFrame): DataFrame =
+    base.select(col("grp"), col("cnt"), col("total"))
+      .unionByName(deltas.select(col("grp"),
+        col("dCnt").as("cnt"), col("dTotal").as("total")))
+      .groupBy("grp")
+      .agg(sum("cnt").as("cnt"), sum("total").as("total"))
+      .filter(col("cnt") > 0)
+}

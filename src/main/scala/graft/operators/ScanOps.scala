@@ -280,6 +280,40 @@ object ScanOps {
         .orderBy("key")
     }),
 
+    // O10: incremental aggregate maintenance — the version-2 aggregate
+    // computed WITHOUT touching version-2's unchanged rows: aggregate v1
+    // once (the standing base), derive per-row deltas from the o8-style
+    // row diff, merge (operators/IncrementalAgg.scala). The oracle
+    // aggregates v2 directly, so a hash match proves the O(changed)
+    // maintenance path is exactly equivalent to the O(table) recompute.
+    "o10_incremental_agg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val v1 = o.filter(col("key") % 7 =!= 0)
+        .select(col("key"), col("price").as("p1"))
+      val v2 = o.filter(col("key") % 5 =!= 0)
+        .select(col("key"),
+          (col("price") + when(col("key") % 3 === 0, 10).otherwise(0)
+            .cast("decimal(18,2)")).as("p2"))
+      val base = v1.groupBy((col("key") % 25).as("grp"))
+        .agg(count(lit(1)).as("cnt"), sum("p1").as("total"))
+      val changes = v1.withColumn("w1", lit(true))
+        .join(v2.withColumn("w2", lit(true)), Seq("key"), "full_outer")
+        .withColumn("status",
+          when(col("w1").isNull, "added")
+            .when(col("w2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select((col("key") % 25).as("grp"), col("status"),
+          col("p1").as("oldVal"), col("p2").as("newVal"))
+      IncrementalAgg.applyDeltas(base, IncrementalAgg.deltasFromDiff(changes))
+        .select(col("grp").cast("long").as("grp"), col("cnt"),
+          col("total").cast("double").as("total"))
+        .orderBy("grp")
+    }),
+
     // Q-F8: JSON → map: from_json into map<string,bigint>, exploded to
     // key/value rows. (The events generator emits single-key objects
     // {"k": n}; the oracle leans on that.)
@@ -490,6 +524,17 @@ object ScanOps {
         |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
         |SELECT key, status, old_price, new_price FROM d
         |WHERE status <> 'same' ORDER BY key""".stripMargin,
+
+    "o10_incremental_agg" ->
+      """SELECT key % 25 AS grp, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(p2) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey AS key,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |      + CAST(CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END
+        |          AS DECIMAL(18,2)) AS p2
+        |  FROM orders WHERE o_orderkey % 5 <> 0) v2
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "o4_multiset_ops" ->
       """WITH xy AS (
