@@ -51,4 +51,18 @@ object IncrementalAgg {
       .groupBy("grp")
       .agg(sum("cnt").as("cnt"), sum("total").as("total"))
       .filter(col("cnt") > 0)
+
+  /** Maintenance for NON-group aggregates (min/max/distinct-count): keep
+    * base rows for groups the change feed never touched, re-aggregate
+    * version 2 only for the groups it did. `rescanned` must already be
+    * the per-touched-group aggregate of version 2 (callers semi-join v2
+    * against `touchedGroups(grp)` — with the table partitioned/clustered
+    * by grp that semi-join prunes at the file level, so the rescan reads
+    * O(changed groups), not O(table)). A touched group absent from
+    * `rescanned` (every row removed) drops out, matching a direct
+    * aggregate of version 2. */
+  def maintainByRescan(base: DataFrame, touchedGroups: DataFrame,
+      rescanned: DataFrame): DataFrame =
+    base.join(touchedGroups.select("grp"), Seq("grp"), "left_anti")
+      .unionByName(rescanned)
 }

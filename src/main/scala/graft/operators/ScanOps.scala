@@ -314,6 +314,44 @@ object ScanOps {
         .orderBy("grp")
     }),
 
+    // O11: min/max maintenance by touched-group rescan. min/max do NOT
+    // maintain under removals from deltas alone (removing the group's
+    // minimum says nothing about the new minimum), so the O(changed)
+    // path is: find the groups the diff touched, re-aggregate version 2
+    // for THOSE groups only, pass every untouched group's base row
+    // through. Here the mutation is localized (keys 500-599 deleted,
+    // 2000-2999 repriced) so 6 of 60 groups rescan; with the table
+    // clustered by grp the semi-join prunes the rescan at file level
+    // (LayoutOps.clusterBy + the DPP shape LayoutSpec pins). Oracle
+    // aggregates version 2 directly — a hash match proves equivalence.
+    "o11_incremental_minmax" -> ((s, d) => {
+      val grpOf = (k: org.apache.spark.sql.Column) =>
+        floor(k / 250).cast("long")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val v1 = o.select(col("key"), col("price").as("p1"))
+      val v2 = o.filter(!col("key").between(500, 599))
+        .select(col("key"),
+          (col("price") + when(col("key").between(2000, 2999), 10)
+            .otherwise(0).cast("decimal(18,2)")).as("p2"))
+      val base = v1.groupBy(grpOf(col("key")).as("grp"))
+        .agg(min("p1").as("mn"), max("p1").as("mx"))
+      val changes = v1.withColumn("w1", lit(true))
+        .join(v2.withColumn("w2", lit(true)), Seq("key"), "full_outer")
+        .filter(col("w1").isNull || col("w2").isNull ||
+          col("p1") =!= col("p2"))
+      val touched = changes.select(grpOf(col("key")).as("grp")).distinct()
+      val rescanned = v2
+        .join(broadcast(touched), grpOf(col("key")) === col("grp"), "left_semi")
+        .groupBy(grpOf(col("key")).as("grp"))
+        .agg(min("p2").as("mn"), max("p2").as("mx"))
+      IncrementalAgg.maintainByRescan(base, touched, rescanned)
+        .select(col("grp"), col("mn").cast("double").as("mn"),
+          col("mx").cast("double").as("mx"))
+        .orderBy("grp")
+    }),
+
     // Q-F8: JSON → map: from_json into map<string,bigint>, exploded to
     // key/value rows. (The events generator emits single-key objects
     // {"k": n}; the oracle leans on that.)
@@ -534,6 +572,17 @@ object ScanOps {
         |      + CAST(CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END
         |          AS DECIMAL(18,2)) AS p2
         |  FROM orders WHERE o_orderkey % 5 <> 0) v2
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "o11_incremental_minmax" ->
+      """SELECT CAST(FLOOR(key / 250) AS BIGINT) AS grp,
+        |  CAST(min(p2) AS DOUBLE) AS mn, CAST(max(p2) AS DOUBLE) AS mx
+        |FROM (
+        |  SELECT o_orderkey AS key,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |      + CAST(CASE WHEN o_orderkey BETWEEN 2000 AND 2999 THEN 10
+        |          ELSE 0 END AS DECIMAL(18,2)) AS p2
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 500 AND 599) v2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "o4_multiset_ops" ->

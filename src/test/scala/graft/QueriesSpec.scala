@@ -39,6 +39,21 @@ class QueriesSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("o11 rescans only the groups the change feed touched") {
+    // the point of maintainByRescan: the localized mutation (keys
+    // 500-599 removed, 2000-2999 repriced) must touch a small fraction
+    // of groups — if this grows, the maintenance path has degraded into
+    // a full recompute
+    val o = graft.Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("key"))
+    val total = o.select(floor(col("key") / 250).cast("long")).distinct().count()
+    val touched = o
+      .filter(col("key").between(500, 599) || col("key").between(2000, 2999))
+      .select(floor(col("key") / 250).cast("long")).distinct().count()
+    assert(touched > 0 && touched * 4 <= total,
+      s"rescan covers $touched of $total groups — no longer incremental")
+  }
+
   test("a7 approx_count_distinct within 10% of exact") {
     val rows = AggAccuracy.bounds(spark, sfDir)
     rows.foreach { case (flag, approx, exact) =>
