@@ -1045,10 +1045,38 @@ object LlmOps {
               struct(col("pos"), coalesce(col("id"), lit(0)).as("id"))))),
             x => x.getField("id").cast("string")), ",").as("prefix_ids"))
         .orderBy("doc_id")
+    }),
+
+    // L37: deterministic per-group sampling — exactly k docs per source,
+    // chosen as the k smallest content hashes. A uniform sample that every
+    // run, engine, and partitioning reproduces bit-identically (rand()/
+    // TABLESAMPLE can't be oracle-checked and changes under repartition);
+    // complements l23's rate-based mix sampling with an exact-count-k
+    // contract. The bounded-heap BottomK aggregator shuffles |groups|·k
+    // rows — no per-group window sort of the corpus.
+    "l37_group_sample" -> ((s, d) => {
+      val bk = udaf(new graft.functions.BottomK(10),
+        org.apache.spark.sql.Encoders.product[graft.functions.Keyed])
+      t(s, d, "documents")
+        .select(col("source"), md5(col("text")).as("h"), col("doc_id"))
+        .groupBy("source")
+        .agg(bk(col("h"), col("doc_id")).as("picks"))
+        .select(col("source"), explode(col("picks")).as("p"))
+        .select(col("source"), col("p.id").as("doc_id"), col("p.key").as("h"))
+        .orderBy("source", "h", "doc_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "l37_group_sample" ->
+      """SELECT source, doc_id, h FROM (
+        |  SELECT source, doc_id, md5(text) AS h,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) s
+        |WHERE rn <= 10
+        |ORDER BY source, h, doc_id""".stripMargin,
+
     "l1_exact_dedup" ->
       """SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_cnt
