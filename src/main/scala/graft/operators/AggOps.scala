@@ -264,6 +264,22 @@ object AggOps {
           col("sum_qty").cast("double").as("sum_qty"))
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
         .limit(100)
+    }),
+
+    // A16: TPC-H Q13 shape (customer distribution) — aggregation OVER an
+    // aggregation: orders-per-customer, then customers-per-order-count.
+    // The second groupBy's input is already |customers| rows, and its own
+    // output is tiny (distinct counts), so the expensive join happens
+    // exactly once and everything after shrinks monotonically.
+    "a16_tpch_q13" -> ((s, d) => {
+      val perCust = t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
     })
   )
 
@@ -300,6 +316,15 @@ object AggOps {
         |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
         |  ON o_orderkey = big.l_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "a16_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) pc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "a10_unpivot" ->
       """WITH wide AS (

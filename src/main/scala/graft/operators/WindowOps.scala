@@ -193,6 +193,35 @@ object WindowOps {
         .orderBy("c_custkey")
     }),
 
+    // W11: gaps-and-islands — merge overlapping [start, end) intervals
+    // per supplier into disjoint spans AS ROWS (u2_interval_union reports
+    // only the covered total; this materializes the merged intervals —
+    // the reference's region-mask coalesce, RegionMask.add's overlap
+    // merge, as a relational op). One hash shuffle + per-key window sort:
+    // an island starts where start exceeds the running max of prior ends;
+    // islands then reduce by plain groupBy. Same synthetic intervals as
+    // u2, so QueriesSpec cross-checks sum(island lengths) == u2's covered.
+    "w11_interval_islands" -> ((s, d) => {
+      val base = t(s, d, "lineitem").select(
+        col("l_suppkey").as("g"),
+        ((col("l_orderkey") * 7 + col("l_linenumber") * 3) % 1000).as("st"),
+        (((col("l_orderkey") * 7 + col("l_linenumber") * 3) % 1000) +
+          floor(col("l_quantity")).cast("long") % 50 + 1).as("en"))
+      val w = Window.partitionBy("g").orderBy("st", "en")
+      val flagged = base
+        .withColumn("pmax",
+          max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy("g", "island")
+        .agg(min("st").as("island_start"), max("en").as("island_end"),
+          count(lit(1)).as("n_merged"))
+        .orderBy("g", "island")
+    }),
+
     // Q-W6: per-supplier top-3 line items by extended price.
     "w6_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
@@ -284,6 +313,28 @@ object WindowOps {
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
         |  RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
         |ORDER BY c_custkey""".stripMargin,
+
+    "w11_interval_islands" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS g,
+        |    (l_orderkey*7 + l_linenumber*3) % 1000 AS st,
+        |    (l_orderkey*7 + l_linenumber*3) % 1000
+        |      + CAST(floor(l_quantity) AS BIGINT) % 50 + 1 AS en
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, st, en,
+        |    max(en) OVER (PARTITION BY g ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT g, st, en,
+        |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT g, island, min(st) AS island_start, max(en) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM f GROUP BY g, island ORDER BY g, island""".stripMargin,
 
     "w6_topk_per_group" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (

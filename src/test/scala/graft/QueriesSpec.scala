@@ -54,6 +54,19 @@ class QueriesSpec extends SparkSpec {
       s"rescan covers $touched of $total groups — no longer incremental")
   }
 
+  test("w11 island lengths sum to u2's covered length per group") {
+    // same synthetic intervals, two independent formulations: the window
+    // gaps-and-islands merge and the IntervalUnion Aggregator must agree
+    val islands = SparkEntry.queries("w11_interval_islands")(spark, sfDir)
+      .groupBy("g")
+      .agg(sum(col("island_end") - col("island_start")).as("covered"))
+    val u2 = SparkEntry.queries("u2_interval_union")(spark, sfDir)
+      .select(col("g"), col("covered").as("covered2"))
+    val joined = islands.join(u2, "g")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("covered") =!= col("covered2")).count() == 0)
+  }
+
   test("a7 approx_count_distinct within 10% of exact") {
     val rows = AggAccuracy.bounds(spark, sfDir)
     rows.foreach { case (flag, approx, exact) =>
