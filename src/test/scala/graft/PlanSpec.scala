@@ -96,6 +96,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range-join rule differential: random data incl. negative coordinates") {
+    // the rule must be invisible to results for ANY inputs — negative
+    // values matter because banding uses floor division (integer '/'
+    // truncates toward zero and would mis-band below zero)
+    graft.plans.BandedRangeJoinRule.register(spark)
+    import graft.SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 400)
+      .map(i => (i.toLong, (rnd.nextInt(2001) - 1000).toLong)).toDF("pid", "x")
+    val ivs = (1 to 120).map { i =>
+      val lo = (rnd.nextInt(2001) - 1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(60))
+    }.toDF("iid", "lo", "hi")
+    def pairs() = points
+      .join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairs() // rule dormant: conf unset
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "32")
+      assert(pairs() == expected)
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "7")
+      assert(pairs() == expected)
+    } finally spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+  }
+
   test("a1 aggregation is two-phase (partial before the shuffle)") {
     val p = plan("a1_tpch_q1")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
