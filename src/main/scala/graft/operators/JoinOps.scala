@@ -241,9 +241,13 @@ object JoinOps {
       intervals: DataFrame, loCol: String, hiCol: String,
       bandWidth: Long): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    // greatest() clamp: an empty interval (lo > hi) must contribute zero
+    // matches, but sequence(start, stop) THROWS when start > stop — clamp
+    // to one band and let the exact predicate reject it
+    val lban = floor(col(loCol) / bandWidth).cast("long")
     val ip = intervals.withColumn("__iband",
-      explode(sequence(floor(col(loCol) / bandWidth).cast("long"),
-        floor(col(hiCol) / bandWidth).cast("long"))))
+      explode(sequence(lban,
+        greatest(lban, floor(col(hiCol) / bandWidth).cast("long")))))
     val pp = points.withColumn("__pband",
       floor(col(pointCol) / bandWidth).cast("long"))
     pp.join(ip,

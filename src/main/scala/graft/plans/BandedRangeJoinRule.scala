@@ -123,8 +123,12 @@ case class BandedRangeJoinRule(spark: SparkSession)
       // interval side: explode the (usually <= 2) bands the interval spans
       val iBandAttr = AttributeReference("__i_band", LongType, nullable = true)()
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
-      // reports unresolved and fails plan validation mid-optimizer
-      val gen = Explode(Sequence(bandOf(lo), bandOf(hi),
+      // reports unresolved and fails plan validation mid-optimizer.
+      // Greatest clamp: an empty interval (lo > hi) must contribute zero
+      // matches, but sequence(start, stop) THROWS when start > stop —
+      // clamp to one band and let the exact predicate reject it.
+      val lban = bandOf(lo)
+      val gen = Explode(Sequence(lban, Greatest(Seq(lban, bandOf(hi))),
         Some(Literal(1L)), Some(spark.sessionState.conf.sessionLocalTimeZone)))
       val intervalGen = Generate(gen, unrequiredChildIndex = Nil,
         outer = false, qualifier = None,

@@ -107,7 +107,10 @@ class PlanSpec extends SparkSpec {
       .map(i => (i.toLong, (rnd.nextInt(2001) - 1000).toLong)).toDF("pid", "x")
     val ivs = (1 to 120).map { i =>
       val lo = (rnd.nextInt(2001) - 1000).toLong
-      (i.toLong, lo, lo + rnd.nextInt(60))
+      // every 10th interval is EMPTY (hi < lo): must match nothing, and
+      // must not crash the banded plan's sequence() explode
+      val hi = if (i % 10 == 0) lo - 5 else lo + rnd.nextInt(60)
+      (i.toLong, lo, hi)
     }.toDF("iid", "lo", "hi")
     def pairs() = points
       .join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
