@@ -187,6 +187,27 @@ object JoinOps {
         .orderBy("k")
     }),
 
+    // Q-J14: as-of join with tolerance — j7's backward as-of, but a match
+    // expires after one hour (pandas merge_asof's `tolerance`). Same
+    // union+window shape (one shuffle, no row fan-out); the tolerance is
+    // a post-carry predicate on the carried timestamp, so staleness
+    // filtering costs nothing extra.
+    "j14_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "error").as("is_err"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_err").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_err_ts", max(when(col("is_err"), col("ts"))).over(w))
+        .filter(!col("is_err"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("last_err_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+            col("last_err_ts")).as("recent_err_ts"))
+        .orderBy("event_id")
+    }),
+
     // Q-J13: fuzzy self-join (edit distance ≤ 1) via deletion
     // neighborhoods — the string analog of j12's banding. A naive fuzzy
     // join is a cross join with levenshtein() inside: O(n²) comparisons.
@@ -342,6 +363,16 @@ object JoinOps {
         | AND o2.o_orderkey <> o1.o_orderkey
         |WHERE o1.o_orderkey % 100 = 0
         |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "j14_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  CAST((SELECT max(e2.ts) FROM events e2
+        |        WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
+        |          AND e2.ts <= e.ts
+        |          AND e2.ts >= e.ts - INTERVAL 1 HOUR) AS TIMESTAMP)
+        |    AS recent_err_ts
+        |FROM events e WHERE e.event_type = 'click'
+        |ORDER BY e.event_id""".stripMargin,
 
     "j13_fuzzy_neighbors" ->
       """SELECT a.c_custkey AS a, b.c_custkey AS b
