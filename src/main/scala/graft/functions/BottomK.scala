@@ -28,7 +28,11 @@ class BottomK(k: Int) extends Aggregator[Keyed, Seq[Keyed], Seq[Keyed]] {
 
   override def zero: Seq[Keyed] = Seq.empty
 
-  override def reduce(buf: Seq[Keyed], in: Keyed): Seq[Keyed] = insert(buf, in)
+  // null keys are skipped (a doc with NULL text has no content hash to
+  // sample by) — matching SQL semantics where ORDER BY would sort the
+  // NULL out of the first k, and avoiding an NPE in the string Ordering
+  override def reduce(buf: Seq[Keyed], in: Keyed): Seq[Keyed] =
+    if (in.key == null) buf else insert(buf, in)
 
   override def merge(a: Seq[Keyed], b: Seq[Keyed]): Seq[Keyed] =
     b.foldLeft(a)(insert)

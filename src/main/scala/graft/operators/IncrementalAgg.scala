@@ -31,16 +31,23 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** Turn an o8-style row diff (key, status, oldVal, newVal) plus a
-    * grouping expression into per-row aggregate deltas. */
-  def deltasFromDiff(changes: DataFrame): DataFrame =
+    * grouping expression into per-row aggregate deltas. NULL values
+    * coalesce to 0 so the deltas mirror SUM's null-skipping exactly: a
+    * changed row whose value went NULL->x contributes +x, x->NULL
+    * contributes -x, and an added/removed NULL-valued row contributes
+    * only its count. */
+  def deltasFromDiff(changes: DataFrame): DataFrame = {
+    val oldV = coalesce(col("oldVal"), lit(0))
+    val newV = coalesce(col("newVal"), lit(0))
     changes.select(
       col("grp"),
       when(col("status") === "added", lit(1L))
         .when(col("status") === "removed", lit(-1L))
         .otherwise(lit(0L)).as("dCnt"),
-      when(col("status") === "added", col("newVal"))
-        .when(col("status") === "removed", -col("oldVal"))
-        .otherwise(col("newVal") - col("oldVal")).as("dTotal"))
+      when(col("status") === "added", newV)
+        .when(col("status") === "removed", -oldV)
+        .otherwise(newV - oldV).as("dTotal"))
+  }
 
   /** base(grp, cnt, total) + deltas(grp, dCnt, dTotal) -> version-2
     * aggregate, one shuffle over base-groups + changed-rows. */
@@ -62,7 +69,12 @@ object IncrementalAgg {
     * `rescanned` (every row removed) drops out, matching a direct
     * aggregate of version 2. */
   def maintainByRescan(base: DataFrame, touchedGroups: DataFrame,
-      rescanned: DataFrame): DataFrame =
-    base.join(touchedGroups.select("grp"), Seq("grp"), "left_anti")
+      rescanned: DataFrame): DataFrame = {
+    // null-safe anti join: a NULL group key must still knock out its base
+    // row (plain equality never matches NULL and would keep the stale row
+    // alongside the rescanned one)
+    val tg = touchedGroups.select(col("grp").as("__tgrp")).distinct()
+    base.join(tg, base("grp") <=> tg("__tgrp"), "left_anti")
       .unionByName(rescanned)
+  }
 }

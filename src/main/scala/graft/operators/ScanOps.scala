@@ -18,6 +18,37 @@ object ScanOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared fixture for the diff/maintenance lanes (o8/o10): two versions
+    * of the orders table derived deterministically — key%7 drops in v1,
+    * key%5 drops + key%3 DECIMAL reprice in v2 (the mirrored oracle SQL
+    * encodes the same expressions; keep them in lockstep). */
+  private def modVersions(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val v1 = o.filter(col("key") % 7 =!= 0)
+      .select(col("key"), col("price").as("p1"))
+    val v2 = o.filter(col("key") % 5 =!= 0)
+      .select(col("key"),
+        (col("price") + when(col("key") % 3 === 0, 10).otherwise(0)
+          .cast("decimal(18,2)")).as("p2"))
+    (v1, v2)
+  }
+
+  /** Row-level diff of two keyed versions v1(key, p1) / v2(key, p2):
+    * one full-outer hash join -> (key, status, p1, p2) for every row
+    * that is added, removed, or changed. */
+  private def rowDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.withColumn("w1", lit(true))
+      .join(v2.withColumn("w2", lit(true)), Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("w1").isNull, "added")
+          .when(col("w2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select("key", "status", "p1", "p2")
+
   private val o5Sql =
     """SELECT c_custkey, c_acctbal FROM customer
       |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
@@ -256,24 +287,8 @@ object ScanOps {
     // deterministically from orders (key mod filters simulate deletes and
     // inserts; a DECIMAL price bump on key%3 simulates updates).
     "o8_table_diff" -> ((s, d) => {
-      val o = t(s, d, "orders")
-        .select(col("o_orderkey").as("key"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
-      val v1 = o.filter(col("key") % 7 =!= 0)
-        .select(col("key"), col("price").as("p1"))
-        .withColumn("w1", lit(true))
-      val v2 = o.filter(col("key") % 5 =!= 0)
-        .select(col("key"),
-          (col("price") + when(col("key") % 3 === 0, 10).otherwise(0)
-            .cast("decimal(18,2)")).as("p2"))
-        .withColumn("w2", lit(true))
-      v1.join(v2, Seq("key"), "full_outer")
-        .withColumn("status",
-          when(col("w1").isNull, "added")
-            .when(col("w2").isNull, "removed")
-            .when(col("p1") =!= col("p2"), "changed")
-            .otherwise("same"))
-        .filter(col("status") =!= "same")
+      val (v1, v2) = modVersions(s, d)
+      rowDiff(v1, v2)
         .select(col("key"), col("status"),
           col("p1").cast("double").as("old_price"),
           col("p2").cast("double").as("new_price"))
@@ -287,25 +302,10 @@ object ScanOps {
     // aggregates v2 directly, so a hash match proves the O(changed)
     // maintenance path is exactly equivalent to the O(table) recompute.
     "o10_incremental_agg" -> ((s, d) => {
-      val o = t(s, d, "orders")
-        .select(col("o_orderkey").as("key"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
-      val v1 = o.filter(col("key") % 7 =!= 0)
-        .select(col("key"), col("price").as("p1"))
-      val v2 = o.filter(col("key") % 5 =!= 0)
-        .select(col("key"),
-          (col("price") + when(col("key") % 3 === 0, 10).otherwise(0)
-            .cast("decimal(18,2)")).as("p2"))
+      val (v1, v2) = modVersions(s, d)
       val base = v1.groupBy((col("key") % 25).as("grp"))
         .agg(count(lit(1)).as("cnt"), sum("p1").as("total"))
-      val changes = v1.withColumn("w1", lit(true))
-        .join(v2.withColumn("w2", lit(true)), Seq("key"), "full_outer")
-        .withColumn("status",
-          when(col("w1").isNull, "added")
-            .when(col("w2").isNull, "removed")
-            .when(col("p1") =!= col("p2"), "changed")
-            .otherwise("same"))
-        .filter(col("status") =!= "same")
+      val changes = rowDiff(v1, v2)
         .select((col("key") % 25).as("grp"), col("status"),
           col("p1").as("oldVal"), col("p2").as("newVal"))
       IncrementalAgg.applyDeltas(base, IncrementalAgg.deltasFromDiff(changes))
@@ -320,7 +320,7 @@ object ScanOps {
     // path is: find the groups the diff touched, re-aggregate version 2
     // for THOSE groups only, pass every untouched group's base row
     // through. Here the mutation is localized (keys 500-599 deleted,
-    // 2000-2999 repriced) so 6 of 60 groups rescan; with the table
+    // 2000-2999 repriced) so 5 of 60 groups rescan; with the table
     // clustered by grp the semi-join prunes the rescan at file level
     // (LayoutOps.clusterBy + the DPP shape LayoutSpec pins). Oracle
     // aggregates version 2 directly — a hash match proves equivalence.
@@ -337,11 +337,8 @@ object ScanOps {
             .otherwise(0).cast("decimal(18,2)")).as("p2"))
       val base = v1.groupBy(grpOf(col("key")).as("grp"))
         .agg(min("p1").as("mn"), max("p1").as("mx"))
-      val changes = v1.withColumn("w1", lit(true))
-        .join(v2.withColumn("w2", lit(true)), Seq("key"), "full_outer")
-        .filter(col("w1").isNull || col("w2").isNull ||
-          col("p1") =!= col("p2"))
-      val touched = changes.select(grpOf(col("key")).as("grp")).distinct()
+      val touched = rowDiff(v1, v2)
+        .select(grpOf(col("key")).as("grp")).distinct()
       val rescanned = v2
         .join(broadcast(touched), grpOf(col("key")) === col("grp"), "left_semi")
         .groupBy(grpOf(col("key")).as("grp"))

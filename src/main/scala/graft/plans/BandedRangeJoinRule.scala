@@ -68,11 +68,14 @@ case class BandedRangeJoinRule(spark: SparkSession)
     val conjuncts = splitConjunctivePredicates(j.condition.get)
 
     // already an equi join on some key -> hash-joinable, leave it alone
+    // (EqualNullSafe is a hash-join key for Catalyst too)
+    def crossSides(l: Expression, r: Expression): Boolean =
+      (from(l, j.left) && from(r, j.right)) ||
+        (from(l, j.right) && from(r, j.left))
     val hasEquiKey = conjuncts.exists {
-      case EqualTo(l, r) =>
-        (from(l, j.left) && from(r, j.right)) ||
-          (from(l, j.right) && from(r, j.left))
-      case _ => false
+      case EqualTo(l, r)       => crossSides(l, r)
+      case EqualNullSafe(l, r) => crossSides(l, r)
+      case _                   => false
     }
     if (hasEquiKey) return None
 
@@ -127,9 +130,26 @@ case class BandedRangeJoinRule(spark: SparkSession)
       // Greatest clamp: an empty interval (lo > hi) must contribute zero
       // matches, but sequence(start, stop) THROWS when start > stop —
       // clamp to one band and let the exact predicate reject it.
+      // Max-bands guard: a bandWidth tuned for one join's units can hit a
+      // second join whose intervals span millions of bands (epoch millis
+      // vs day numbers); rather than silently exploding the shuffle,
+      // fail fast with a message naming the conf to fix. assert_true
+      // evaluates only on rows that exceed the cap.
+      val maxBands = spark.conf
+        .get("spark.graft.rangeJoin.maxBands", "10000").toLong
       val lban = bandOf(lo)
-      val gen = Explode(Sequence(lban, Greatest(Seq(lban, bandOf(hi))),
-        Some(Literal(1L)), Some(spark.sessionState.conf.sessionLocalTimeZone)))
+      val hban = Greatest(Seq(lban, bandOf(hi)))
+      val seq = Sequence(lban, hban, Some(Literal(1L)),
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
+      val spanOk = LessThanOrEqual(Subtract(hban, lban), Literal(maxBands))
+      val failure = new AssertTrue(spanOk,
+        Literal("graft banded range join: interval spans more bands than " +
+          "spark.graft.rangeJoin.maxBands — raise it or fix " +
+          "spark.graft.rangeJoin.bandWidth to match this join's units")
+      ).replacement // the runtime-replaced If(raise_error) — throws when evaluated
+      val guarded = CaseWhen(Seq((spanOk, seq)),
+        Some(Cast(failure, seq.dataType)))
+      val gen = Explode(guarded)
       val intervalGen = Generate(gen, unrequiredChildIndex = Nil,
         outer = false, qualifier = None,
         generatorOutput = Seq(iBandAttr), child = intervalPlan)

@@ -122,7 +122,19 @@ class PlanSpec extends SparkSpec {
       assert(pairs() == expected)
       spark.conf.set("spark.graft.rangeJoin.bandWidth", "7")
       assert(pairs() == expected)
-    } finally spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      // the max-bands guard fails fast (clear error, not a silent
+      // shuffle explosion) when bandWidth is mis-scaled for the join
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "1")
+      spark.conf.set("spark.graft.rangeJoin.maxBands", "3")
+      val ex = intercept[Exception] { pairs() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("rangeJoin")), ex.toString)
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.unset("spark.graft.rangeJoin.maxBands")
+    }
   }
 
   test("a1 aggregation is two-phase (partial before the shuffle)") {
