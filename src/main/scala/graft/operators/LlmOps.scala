@@ -487,6 +487,32 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L38: contamination SCORE — l26 answers "is this doc contaminated";
+    // this answers "how much": per corpus doc, the fraction of its
+    // distinct 8-gram shingles that appear anywhere in the eval set (the
+    // standard eval-overlap metric used to pick a removal threshold).
+    // ONE pass over corpus shingles: a left join against the broadcast
+    // eval shingles yields total and matched counts together.
+    "l38_contamination_score" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+      val sh = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 7),
+          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+        .distinct()
+        .persist()
+      val evalSh = sh.filter(col("doc_id") < 50).select("sh").distinct()
+        .withColumn("hit", lit(1))
+      sh.filter(col("doc_id") >= 50)
+        .join(broadcast(evalSh), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+        .withColumn("overlap_frac",
+          col("n_shared").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // L27: sequence packing — assign docs to fixed-size context windows by
     // GLOBAL token prefix sum (the group_texts step of LM training: concat
     // the corpus, chunk every 2048 tokens). The prefix sum is two-pass
@@ -1349,6 +1375,23 @@ object LlmOps {
         |  coalesce(h.n_shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin,
+
+    "l38_contamination_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 7),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh
+        |  FROM toks WHERE len(tk) >= 8),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(ev.sh) AS BIGINT) AS n_shared,
+        |  CAST(count(ev.sh) AS DOUBLE) / count(*) AS overlap_frac
+        |FROM sh s LEFT JOIN ev ON ev.sh = s.sh
+        |WHERE s.doc_id >= 50
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "l27_pack_sequences" ->
       """WITH d AS (
