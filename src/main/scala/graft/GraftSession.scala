@@ -54,7 +54,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (es: Seq[Expression]) => graft.functions.CosineF32(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("sign_lsh"), info("sign_lsh"),
       (es: Seq[Expression]) => graft.functions.SignLsh(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        graft.functions.VectorExpressions.intArg(es(1), "bands"),
+        graft.functions.VectorExpressions.intArg(es(2), "bits"))))
     ext.injectFunction((FunctionIdentifier("range_chunks"), info("range_chunks"),
       (es: Seq[Expression]) => graft.plans.RangeChunks(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),

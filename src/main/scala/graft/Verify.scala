@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several lanes persist() shared subtrees (l2/l21/l25/l33/...);
+      // without this, ~110 queries' dead caches accumulate in one
+      // session, evicting useful blocks at larger scale factors
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

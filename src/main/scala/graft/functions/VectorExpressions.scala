@@ -241,7 +241,25 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh",
       (exprs: Seq[Expression]) => SignLsh(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        VectorExpressions.intArg(exprs(1), "bands"),
+        VectorExpressions.intArg(exprs(2), "bits")),
       "built-in")
+  }
+
+  /** Coerce a foldable integer argument (INT or BIGINT literal) to Int
+    * with a clear analysis-time message — a bare eval().asInstanceOf
+    * throws ClassCastException on `CAST(24 AS BIGINT)` and an internal
+    * Catalyst error on a column argument. */
+  private[graft] def intArg(e: Expression, name: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"sign_lsh: $name must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long if l.longValue.isValidInt => l.intValue
+      case s: java.lang.Short => s.intValue
+      case other => throw new IllegalArgumentException(
+        s"sign_lsh: $name must be an integer literal, got $other")
+    }
   }
 }

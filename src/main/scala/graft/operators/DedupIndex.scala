@@ -60,13 +60,18 @@ object DedupIndex {
   /** Dedup `docs` internally (min doc_id survives) and persist the index.
     * Returns the number of distinct contents indexed. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String): Long = {
+    // persist: the sha-aggregation feeds the parquet write, the bloom
+    // build, and the count — one scan+shuffle instead of three
     val hashes = withSha(docs)
       .groupBy("sha").agg(min(col("doc_id")).as("keeper_id"),
         first(col("h")).as("h"))
-    hashes.select("sha", "keeper_id")
-      .write.mode("overwrite").parquet(s"$indexDir/hashes")
-    writeBloom(indexDir, bloomOf(hashes))
-    spark.read.parquet(s"$indexDir/hashes").count()
+      .persist()
+    try {
+      hashes.select("sha", "keeper_id")
+        .write.mode("overwrite").parquet(s"$indexDir/hashes")
+      writeBloom(indexDir, bloomOf(hashes))
+      hashes.count()
+    } finally { hashes.unpersist(); () }
   }
 
   /** Rows of `docs` whose content is NOT in the index. Bloom misses are

@@ -65,60 +65,71 @@ object LayoutOps {
     * join) and dynamic partition overwrite, this completes the DML story
     * over write-once storage. Returns (touched, untouched) file counts. */
   def deleteWhere(spark: SparkSession, src: String, dst: String,
-      predicate: org.apache.spark.sql.Column): (Int, Int) = {
-    import org.apache.spark.sql.functions.input_file_name
-    val touched = spark.read.parquet(src)
-      .filter(predicate)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(r => new File(new java.net.URI(r.getString(0))).getName)
-      .toSet
-    val dstDir = new File(dst)
-    dstDir.mkdirs()
-    val (hit, keep) = dataFiles(src).partition(f => touched.contains(f.getName))
-    keep.foreach { f =>
-      java.nio.file.Files.copy(f.toPath,
-        new File(dstDir, f.getName).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    if (hit.nonEmpty) {
-      spark.read.parquet(hit.map(_.getAbsolutePath): _*)
-        .filter(!predicate)
-        .write.mode("append").parquet(dst)
-    }
-    (hit.size, keep.size)
-  }
+      predicate: org.apache.spark.sql.Column): (Int, Int) =
+    // keep = predicate FALSE or NULL (SQL DELETE removes only TRUE rows;
+    // a bare !pred would also drop the NULL rows, and only in touched
+    // files — making survival depend on file co-location)
+    cowRewrite(spark, src, dst, predicate,
+      df => df.filter(!coalesce(predicate, lit(false))))
 
   /** Copy-on-write UPDATE — deleteWhere's twin: touched files rewrite
     * with `assignments` applied to matching rows (non-matching rows in a
     * touched file rewrite unchanged — file granularity is the rewrite
-    * unit), untouched files copy byte-identically. Returns
-    * (touched, untouched). */
+    * unit), untouched files copy byte-identically. All assignments
+    * evaluate against the ORIGINAL row (one projection via withColumns),
+    * so an assignment can never see a sibling assignment's new value or
+    * flip the predicate mid-update. Returns (touched, untouched). */
   def updateWhere(spark: SparkSession, src: String, dst: String,
       predicate: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): (Int, Int) = {
-    import org.apache.spark.sql.functions.{input_file_name, when => sqlWhen, col => sqlCol}
+      assignments: Map[String, org.apache.spark.sql.Column]): (Int, Int) =
+    cowRewrite(spark, src, dst, predicate,
+      df => df.withColumns(assignments.map { case (c, v) =>
+        c -> when(predicate, v).otherwise(col(c))
+      }))
+
+  /** Shared CoW core: list data files RECURSIVELY (partition-dir layouts
+    * like yr=1996/part-*.parquet included), copy untouched files into dst
+    * preserving their relative paths, and rewrite touched files grouped
+    * by their parent directory so rewritten rows land back in their own
+    * partition directory. Caveat: the rewrite re-reads touched files
+    * WITHOUT partition-inference, so `predicate` (and update values) must
+    * reference file-resident data columns — a partition-column predicate
+    * fails the rewrite loudly rather than corrupting the table. */
+  private def cowRewrite(spark: SparkSession, src: String, dst: String,
+      predicate: org.apache.spark.sql.Column,
+      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Int, Int) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val srcRoot = new File(src).getCanonicalFile.toPath
+    val dstRoot = new File(dst).getCanonicalFile.toPath
+    java.nio.file.Files.createDirectories(dstRoot)
     val touched = spark.read.parquet(src)
       .filter(predicate)
       .select(input_file_name().as("f")).distinct()
-      .collect().map(r => new File(new java.net.URI(r.getString(0))).getName)
+      .collect()
+      .map(r => new File(new java.net.URI(r.getString(0))).getCanonicalFile.toPath)
       .toSet
-    val dstDir = new File(dst)
-    dstDir.mkdirs()
-    val (hit, keep) = dataFiles(src).partition(f => touched.contains(f.getName))
+    val (hit, keep) = dataFilesRecursive(srcRoot.toFile)
+      .partition(f => touched.contains(f.getCanonicalFile.toPath))
     keep.foreach { f =>
-      java.nio.file.Files.copy(f.toPath,
-        new File(dstDir, f.getName).toPath,
+      val target = dstRoot.resolve(srcRoot.relativize(f.getCanonicalFile.toPath))
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.copy(f.toPath, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    if (hit.nonEmpty) {
-      val updated = assignments.foldLeft(
-        spark.read.parquet(hit.map(_.getAbsolutePath): _*)) {
-        case (df, (c, v)) =>
-          df.withColumn(c, sqlWhen(predicate, v).otherwise(sqlCol(c)))
+    hit.groupBy(f => srcRoot.relativize(f.getCanonicalFile.toPath).getParent)
+      .foreach { case (relDir, fs) =>
+        val out = Option(relDir).fold(dstRoot)(dstRoot.resolve)
+        rewrite(spark.read.parquet(fs.map(_.getAbsolutePath): _*))
+          .write.mode("append").parquet(out.toString)
       }
-      updated.write.mode("append").parquet(dst)
-    }
     (hit.size, keep.size)
+  }
+
+  private def dataFilesRecursive(dir: File): Seq[File] = {
+    val here = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    here.filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq ++
+      here.filter(_.isDirectory).flatMap(dataFilesRecursive)
   }
 
   /** Z-order cluster `src` by TWO numeric keys into `numFiles` files:

@@ -982,8 +982,10 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
-    // L33: PageRank centrality over the near-dup graph (spec lane —
-    // double summation order varies with partitioning, see pagerank()).
+    // L33: PageRank centrality by power iteration — over the customer
+    // hierarchy tree, NOT the near-dup graph: near-dup components are
+    // clique unions where PageRank is provably uniform (see pagerank()'s
+    // doc). Spec lane — double summation order varies with partitioning.
     "l33_pagerank" -> ((s, d) => pagerank(s, d)),
 
     // L34: heavy hitters by Count-Min-Sketch screen + exact confirm — the

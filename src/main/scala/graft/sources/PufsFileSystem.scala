@@ -105,10 +105,16 @@ class PufsFileSystem extends FileSystem {
     }
   }
 
-  /** Link an HTTP(S) object at `f` with explicit attributes. */
+  /** Link an HTTP(S) object at `f` with explicit attributes. Linking
+    * REPLACES any local file at the path (the reference's AddRemote
+    * replaces the node) — without this, a path could resolve to two
+    * sources at once: stat/open would serve the backing file while the
+    * listing ALSO showed the link, double-counting the path. */
   def addRemoteUrl(f: Path, url: String, etag: String, size: Long): Unit = {
     val lf = linkFile(f)
     lf.getParentFile.mkdirs()
+    val bf = backingFile(f)
+    if (bf.isFile) bf.delete()
     Files.write(lf.toPath, s"$url\t$etag\t$size".getBytes("UTF-8"))
     bumpGeneration(f)
   }
@@ -158,13 +164,18 @@ class PufsFileSystem extends FileSystem {
       val bf = backingFile(f)
       if (!bf.exists()) throw new FileNotFoundException(f.toString)
       if (bf.isFile) Array(getFileStatus(f))
-      else bf.listFiles().map { c =>
-        if (c.getName.endsWith(".pufslink"))
-          // linked objects list under their target name with linked size
-          getFileStatus(new Path(f, c.getName.stripSuffix(".pufslink")))
-        else
-          new FileStatus(c.length(), c.isDirectory, 1, chunkSize, c.lastModified(),
-            makeQualified(new Path(f, c.getName)))
+      else bf.listFiles().flatMap { c =>
+        if (c.getName.endsWith(".pufslink")) {
+          // linked objects list under their target name with linked size;
+          // if a backing file somehow coexists (created out-of-band), the
+          // backing file wins and the plain branch lists it — emitting
+          // both would duplicate the path in every directory scan
+          val target = new File(bf, c.getName.stripSuffix(".pufslink"))
+          if (target.exists()) None
+          else Some(getFileStatus(new Path(f, c.getName.stripSuffix(".pufslink"))))
+        } else
+          Some(new FileStatus(c.length(), c.isDirectory, 1, chunkSize,
+            c.lastModified(), makeQualified(new Path(f, c.getName))))
       }
   }
 
@@ -233,6 +244,7 @@ class PufsFileSystem extends FileSystem {
         if (!cas.exists()) // idempotent CAS add (B12 DoesNotExist analog)
           Files.copy(staging.toPath, cas.toPath, StandardCopyOption.REPLACE_EXISTING)
         Files.move(staging.toPath, bf.toPath, StandardCopyOption.REPLACE_EXISTING)
+        linkFile(f).delete() // creating a file over a link replaces the link
         bumpGeneration(f) // new object generation at this path
         // NOTE: the arena entry is NOT pre-marked populated — a later open()
         // lazily pulls from the backing file it can now see. Pre-marking the
@@ -264,7 +276,12 @@ class PufsFileSystem extends FileSystem {
       if (lf.isFile) { val ok = lf.delete(); if (ok) bumpGeneration(f); ok }
       else false
     }
-    else if (bf.isFile) { val ok = bf.delete(); if (ok) bumpGeneration(f); ok }
+    else if (bf.isFile) {
+      val ok = bf.delete()
+      // a leftover link sidecar must not resurrect the path after delete
+      if (ok) { linkFile(f).delete(); bumpGeneration(f) }
+      ok
+    }
     else if (recursive) {
       org.apache.commons.io.FileUtils.deleteDirectory(bf); bumpGeneration(f); true
     }

@@ -269,8 +269,15 @@ object SnapshotStore {
         case _ => Map.empty
       }
     val stats = publish(spark, srcDir, repo, prefix)
-    val dirty = mount(repo, prefix)
-      .filter(e => !prevShas.get(e.path).contains(e.sha256))
+    val entries = mount(repo, prefix)
+    val dirty = entries.filter(e => !prevShas.get(e.path).contains(e.sha256))
+    // paths present in the PREVIOUS upload but gone from the new manifest
+    // must disappear from objects/<prefix> too — otherwise a consumer
+    // listing the plain-key tree reads files the snapshot no longer has
+    val live = entries.map(_.path).toSet
+    prevShas.keysIterator.filterNot(live.contains).foreach { gone =>
+      Files.deleteIfExists(Paths.get(repo, "objects", prefix, gone))
+    }
     if (dirty.nonEmpty) {
       val repoDir = repo
       val pfx = prefix

@@ -88,17 +88,37 @@ object StreamJobs {
     * shared across pipelines. */
   def dedupIngest(docs: DataFrame, indexDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
-      val inBatch = batch.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id", "text")
-      val novel = graft.operators.DedupIndex
-        .newAgainst(s, indexDir, inBatch).persist()
-      novel.select("doc_id", "text")
-        .write.mode("append").parquet(s"$indexDir/accepted")
-      graft.operators.DedupIndex.append(s, indexDir, novel)
-      novel.unpersist()
+      // foreachBatch is at-least-once: a crash mid-batch replays the same
+      // batchId. Idempotence comes from three pieces: (1) a committed-
+      // batch marker skips fully-applied replays; (2) accepted/ rows land
+      // in a per-batch partition written with DYNAMIC overwrite, so a
+      // partial replay overwrites its own partition instead of appending
+      // duplicates; (3) the index append is last — a crash between it and
+      // the marker re-appends hash entries on replay, which the index
+      // tolerates (bloom stays a superset, the exact anti-join is
+      // unaffected by duplicate index rows).
+      val marker = new java.io.File(s"$indexDir/commits/$batchId")
+      if (!marker.exists()) {
+        val inBatch = batch.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id", "text")
+        val novel = graft.operators.DedupIndex
+          .newAgainst(s, indexDir, inBatch).persist()
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          novel.select("doc_id", "text")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexDir/accepted")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        graft.operators.DedupIndex.append(s, indexDir, novel)
+        novel.unpersist()
+        marker.getParentFile.mkdirs()
+        java.nio.file.Files.createFile(marker.toPath)
+      }
       ()
     }
 

@@ -188,6 +188,50 @@ class LayoutSpec extends SparkSpec {
     assert(keep + hit >= 8)
   }
 
+  test("copy-on-write delete handles partition-dir layouts and NULL predicates") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkSpec.spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cowp-src").toString
+    // partitioned layout (files under yr=.../) with a nullable data column
+    Seq((1L, Some(5.0), 1996), (2L, None, 1996), (3L, Some(9.0), 1996),
+        (4L, Some(5.0), 1997), (5L, None, 1997), (6L, Some(2.0), 1997))
+      .toDF("id", "x", "yr")
+      .write.partitionBy("yr").mode("overwrite").parquet(src)
+    val dst = java.nio.file.Files.createTempDirectory("graft-cowp-dst").toString
+    // DELETE WHERE x = 5.0: NULL-x rows must SURVIVE (predicate NULL, not
+    // TRUE) even when they share a file with a matching row
+    val (hit, keep) = operators.LayoutOps.deleteWhere(
+      spark, src, dst, col("x") === 5.0)
+    assert(hit >= 1, "partitioned layout: touched files must be found")
+    val after = spark.read.parquet(dst)
+    assert(after.count() == 4, s"expected 4 survivors, got ${after.count()}")
+    assert(after.filter(col("x").isNull).count() == 2,
+      "NULL-predicate rows must survive a DELETE")
+    assert(after.filter(col("x") === 5.0).isEmpty)
+    // partition column survives via directory structure
+    assert(after.filter(col("yr") === 1997).count() == 2)
+    assert(keep >= 1, s"files without matches must copy, not rewrite: $hit + $keep")
+  }
+
+  test("copy-on-write update evaluates all assignments against the original row") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkSpec.spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cowu2-src").toString
+    Seq((1L, 1.0, 10.0), (2L, 7.0, 20.0)).toDF("id", "q", "tax")
+      .write.mode("overwrite").parquet(src)
+    val dst = java.nio.file.Files.createTempDirectory("graft-cowu2-dst").toString
+    // assignment sets q to 99 — the tax assignment must still see the
+    // ORIGINAL q < 5 predicate outcome, not the updated q
+    operators.LayoutOps.updateWhere(spark, src, dst, col("q") < 5,
+      Map("q" -> lit(99.0), "tax" -> lit(0.0)))
+    val row = spark.read.parquet(dst).filter(col("id") === 1).head()
+    assert(row.getDouble(1) == 99.0, "q must update")
+    assert(row.getDouble(2) == 0.0,
+      "tax must update too — assignments saw a post-update q")
+    val row2 = spark.read.parquet(dst).filter(col("id") === 2).head()
+    assert(row2.getDouble(1) == 7.0 && row2.getDouble(2) == 20.0)
+  }
+
   test("dynamic partition overwrite rewrites only the touched partition") {
     // the lakehouse backfill primitive: restate ONE partition of a
     // partitioned table without rewriting (or even listing) the others —

@@ -12,7 +12,7 @@ class NearDupSpec extends SparkSpec {
   test("l33 pagerank conserves rank mass, stays positive, spreads by degree") {
     val pr = LlmOps.pagerank(spark, sfDir, iters = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
-    assert(pr.nonEmpty, "near-dup graph is empty — no ranks to check")
+    assert(pr.nonEmpty, "customer hierarchy graph is empty — no ranks to check")
     val n = pr.length
     // power iteration with damping redistributes but never creates mass:
     // every node has deg >= 1 (undirected edges), so Σ ranks stays 1

@@ -174,6 +174,15 @@ class SnapshotSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(
       Paths.get(repo, "objects", "drop1", "a.txt")), "UTF-8") == "alpha-v2")
     assert(s1.manifestSha != s3.manifestSha)
+    // delete a source file: the stale object must disappear from the
+    // plain-key tree on the next upload (consumers of objects/ see
+    // exactly the published snapshot, nothing more)
+    Files.delete(Paths.get(src, "sub", "b.txt"))
+    SnapshotStore.uploadTree(spark, src, repo, "drop1")
+    assert(!Files.exists(Paths.get(repo, "objects", "drop1", "sub/b.txt")),
+      "deleted path still materialized under objects/")
+    assert(Files.exists(Paths.get(repo, "objects", "drop1", "sub/c.bin")),
+      "sibling object must survive the delete")
   }
 
   test("gc keeps label- and lease-reachable blocks, collects superseded ones") {
