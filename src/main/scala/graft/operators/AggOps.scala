@@ -60,6 +60,17 @@ object AggOps {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  private val a21Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#12' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Q-A1: TPC-H Q1-shape — the canonical scan→filter→hash-agg pipeline.
     "a1_tpch_q1" -> ((s, d) => {
@@ -266,6 +277,122 @@ object AggOps {
         .limit(100)
     }),
 
+    // A17: TPC-H Q5 shape (local supplier volume) — the 6-way join with a
+    // NON-key equi condition (c_nationkey = s_nationkey: customer and
+    // supplier must share a nation). Region/nation/supplier broadcast; the
+    // only shuffles are the two fact joins and the final tiny groupBy. The
+    // composite exercises join-order freedom: the date filter shrinks
+    // orders first, so Catalyst can start from the smallest fact slice.
+    "a17_tpch_q5" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      t(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // A18: TPC-H Q10 shape (returned-item reporting) — returned lineitems
+    // in one quarter attributed back to customers, top-20 by lost revenue.
+    // The returnflag + date filters prune both facts before the joins; the
+    // grouping carries the customer dimension columns through the agg
+    // (wide keys, tiny group count).
+    "a18_tpch_q10" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      t(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // A19: TPC-H Q17 shape (small-quantity-order revenue) — the correlated
+    // "below 20% of this part's average quantity" predicate decorrelated
+    // by hand into a per-part aggregate join. The 0.2·avg comparison is
+    // rewritten integer-exact (qty·5·cnt < sum) so both engines evaluate
+    // the SAME exact decimal predicate — no double division at the
+    // boundary. Per-part stats are |part|-sized → broadcast-able.
+    "a19_tpch_q17" -> ((s, d) => {
+      val perPart = t(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).cast("decimal(10,0)").as("cq"))
+      val brand = t(s, d, "part")
+        .filter(col("p_brand") === "Brand#12").select("p_partkey")
+      t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("decimal(12,2)") * lit(5) * col("cq") < col("sq"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A20: TPC-H Q7 shape (volume shipping) — nation-pair trade flows: the
+    // disjunctive pair filter ((A,B) OR (B,A)) evaluates AFTER both nation
+    // dims broadcast-join in, revenue per (supp_nation, cust_nation, year).
+    // Two independent broadcasts of the same dim under different roles.
+    "a20_tpch_q7" -> ((s, d) => {
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1k"))
+        .join(n2, col("c_nationkey") === col("n2k"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // A21: TPC-H Q16 shape (supplier-part relationship count) — NOT IN
+    // with a subquery plans a null-aware anti join; count(DISTINCT) over
+    // the surviving pairs. Shared SQL text runs on both engines (the a3
+    // pattern), so the decorrelation itself is what's under test.
+    "a21_tpch_q16" -> ((s, d) => { T.registerViews(s, d); s.sql(a21Sql) }),
+
     // A16: TPC-H Q13 shape (customer distribution) — aggregation OVER an
     // aggregation: orders-per-customer, then customers-per-order-count.
     // The second groupBy's input is already |customers| rows, and its own
@@ -385,6 +512,71 @@ object AggOps {
     "a3_rollup" -> a3Sql,
     "a4_cube" -> a4Sql,
     "a5_grouping_sets" -> a5Sql,
+    "a21_tpch_q16" -> a21Sql,
+
+    "a17_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "a18_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "a19_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN (SELECT l_partkey AS pk,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |        CAST(count(*) AS DECIMAL(10,0)) AS cq
+        |      FROM lineitem GROUP BY l_partkey) pp ON l_partkey = pk
+        |WHERE p_brand = 'Brand#12'
+        |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cq < sq""".stripMargin,
+
+    "a20_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
 
     "a6_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -261,6 +261,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("tpch pack (q5/q7/q10/q17) broadcasts dims, no cartesian anywhere") {
+    // a17 q5: supplier + nation + region broadcast (3 of the 5 joins)
+    val q5 = plan("a17_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(q5).length >= 3, q5)
+    assert(!q5.contains("CartesianProduct"), q5)
+    // a20 q7: the nation dim broadcasts under BOTH roles
+    val q7 = plan("a20_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(q7).length >= 3, q7)
+    assert(!q7.contains("CartesianProduct"), q7)
+    // a18 q10: top-20 is TakeOrdered, never a global sort of the agg
+    val q10 = plan("a18_tpch_q10")
+    assert(q10.contains("TakeOrderedAndProject"), q10)
+    assert(!q10.contains("CartesianProduct"), q10)
+    // a19 q17: the per-part aggregate joins broadcast (|part|-bounded)
+    val q17 = plan("a19_tpch_q17")
+    assert("BroadcastHashJoin".r.findAllIn(q17).length >= 2, q17)
+    assert(!q17.contains("CartesianProduct"), q17)
+  }
+
   test("a14 q3 plans a TakeOrdered top-10 over broadcast-pruned joins") {
     val p = plan("a14_tpch_q3")
     assert(p.contains("TakeOrderedAndProject"), p)
