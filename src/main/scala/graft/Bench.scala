@@ -84,6 +84,10 @@ object Bench {
         .select(col("doc_id"), posexplode(
           array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
         .persist()
+      // materialize before the self-join's two stages fan out — concurrent
+      // computation of the same cached partitions under a full task-slot
+      // pool occasionally starves into 10-50x latency spikes
+      sigs.count()
       val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
       val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
       x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))

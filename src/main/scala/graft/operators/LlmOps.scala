@@ -89,11 +89,83 @@ object LlmOps {
       .select(col("doc_id"), posexplode(
         array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
       .persist()
+    // materialize the cache BEFORE the self-join fans out: without this,
+    // both join sides' shuffle-map stages run concurrently, each computing
+    // the not-yet-cached partitions — under a full task-slot pool the
+    // blocked-on-block-lock tasks can starve the computing ones (observed
+    // as rare 10-50x latency spikes in the bench)
+    sigs.count()
     val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
     val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
     x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
       .select(col("a"), col("bid").as("b"))
       .distinct()
+  }
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): k merge rounds over the
+    * corpus word-frequency table. Each round is two distributed jobs —
+    * count adjacent symbol pairs (explode + partial-agg sum) and rewrite
+    * the symbol arrays with the winning merge — plus a ONE-ROW collect of
+    * the argmax (the model scalar for the round; ties broken
+    * lexicographically so the learned merges are deterministic across
+    * runs, partitionings, and engines). State per round is the persisted
+    * word table, bounded by |vocab|, not corpus size: the corpus is read
+    * once to build word frequencies, never again. At 100 TB the argmax
+    * row and the k-row merge table are exactly the driver state a
+    * tokenizer trainer must hold — the model itself.
+    */
+  def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // merge ONE pair left-to-right, non-overlapping ("aaa" + (a,a) → [aa, a])
+    val mergeUdf = udf((syms: Seq[String], a: String, b: String) => {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    })
+    var words = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
+        col("freq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        val next = words
+          .withColumn("syms", mergeUdf(col("syms"), lit(a), lit(b)))
+          .persist()
+        next.count() // materialize so the lineage doesn't re-chain k UDFs
+        words.unpersist()
+        words = next
+        r += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "cnt")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("cnt"))
+      .orderBy("rank")
   }
 
   /** (doc_id, cluster_id) for every document: near-dup candidate pairs
@@ -108,12 +180,15 @@ object LlmOps {
     // it wraps is the expensive subtree (same ReuseExchange limitation as
     // the l2 signature persist)
     val pairs = minhashPairs(s, d).persist()
+    pairs.count() // materialize before the two union branches fan out
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
+    edges.count() // ditto: each round joins AND unions over edges/labels
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lab"))
       .persist()
+    labels.count()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -325,6 +400,7 @@ object LlmOps {
       val bandsDf = embedBands(e0.select("vec_id", "embedding"), bands = 2, bits = bits)
         .select("band", "sig", "vec_id")
         .persist()
+      bandsDf.count() // materialize before the self-join's stages fan out
       // candidate ids first (a pair may collide in both bands — dedup the
       // id pair, NOT rows carrying vector payloads), then join the vectors
       // back for the exact-cosine dispose step
@@ -359,6 +435,7 @@ object LlmOps {
           i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
         .distinct()
         .persist()
+      sh.count() // materialize before the four consumer stages fan out
       val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val bandMins = (0 to 3).map(b =>
         min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
@@ -476,6 +553,7 @@ object LlmOps {
           i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
         .distinct()
         .persist()
+      sh.count() // materialize before eval + corpus sides fan out
       val evalSh = sh.filter(col("doc_id") < 50).select("sh").distinct()
       val hits = sh.filter(col("doc_id") >= 50)
         .join(evalSh, "sh")
@@ -502,6 +580,7 @@ object LlmOps {
           i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
         .distinct()
         .persist()
+      sh.count() // materialize before eval + corpus sides fan out
       val evalSh = sh.filter(col("doc_id") < 50).select("sh").distinct()
         .withColumn("hit", lit(1))
       sh.filter(col("doc_id") >= 50)
@@ -512,6 +591,45 @@ object LlmOps {
           col("n_shared").cast("double") / col("n_shingles"))
         .orderBy("doc_id")
     }),
+
+    // L39: model-based quality scoring with a corpus-trained bigram LM —
+    // the KenLM-perplexity-filter shape (CCNet/Wenzek et al. 2020) made
+    // engine-portable: "train" = aggregate corpus bigram frequencies (one
+    // groupBy, the model is a TABLE, never driver state); "score" = each
+    // doc's fraction of bigram occurrences whose corpus frequency clears a
+    // support floor. Integer counts + one final double ratio of identical
+    // operands — cross-engine hash-safe where log-prob sums would differ
+    // by summation order. At 100 TB the model table is corpus-sized
+    // vocabulary²-bounded: the score join is a plain shuffle equi-join on
+    // the bigram key (or a CMS screen, the l34 pattern, if the tail is
+    // irrelevant).
+    "l39_bigram_lm_score" -> ((s, d) => {
+      val tk = split(lower(col("text")), " ")
+      val bigrams = t(s, d, "documents")
+        .filter(size(tk) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(tk) - 1),
+            i => concat_ws(" ", slice(tk, i, lit(2))))).as("bg"))
+        .persist()
+      bigrams.count() // materialize before model + score sides fan out
+      val model = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      bigrams.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("cnt") >= 3, 1)).as("n_common"))
+        .withColumn("common_frac",
+          col("n_common").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // L40: BPE tokenizer training — the learned merge-rule table after 8
+    // rounds (see bpeTrain). No oracle: the iterative argmax-and-rewrite
+    // loop isn't SQL-expressible; QueriesSpec proves the distributed
+    // implementation ≡ a sequential in-test reference implementation on a
+    // fixture, and pins the max-pair-count invariant (non-increasing by
+    // round: every new pair (x, ab) is a sub-occurrence of an old (x, a)).
+    "l40_bpe_train" -> ((s, d) =>
+      bpeTrain(t(s, d, "documents").select("text"), 8)),
 
     // L27: sequence packing — assign docs to fixed-size context windows by
     // GLOBAL token prefix sum (the group_texts step of LM training: concat
@@ -1394,6 +1512,23 @@ object LlmOps {
         |FROM sh s LEFT JOIN ev ON ev.sh = s.sh
         |WHERE s.doc_id >= 50
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "l39_bigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |  FROM toks WHERE len(tk) >= 2),
+        |model AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg)
+        |SELECT b.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) FILTER (WHERE m.cnt >= 3) AS BIGINT) AS n_common,
+        |  CAST(count(*) FILTER (WHERE m.cnt >= 3) AS DOUBLE) / count(*)
+        |    AS common_frac
+        |FROM bg b JOIN model m ON m.bg = b.bg
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "l27_pack_sequences" ->
       """WITH d AS (

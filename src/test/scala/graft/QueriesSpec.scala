@@ -39,6 +39,51 @@ class QueriesSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("l40 distributed BPE training ≡ sequential reference implementation") {
+    // differential oracle: a 25-line in-test sequential BPE trainer on the
+    // same fixture must learn the identical merge table (same pairs, same
+    // counts, same order) — the iterative loop isn't SQL-expressible, so
+    // this replaces the DuckDB lane for l40
+    val texts = Seq(
+      "low low low low low", "lower lower", "newest newest newest",
+      "widest widest", "low lower newest")
+    val fixture = spark.createDataFrame(
+      texts.map(Tuple1(_))).toDF("text")
+    val k = 6
+    val got = graft.operators.LlmOps.bpeTrain(fixture, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+
+    // sequential reference: word freq table, then k argmax-merge rounds
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong }
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f) }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        expect += ((r.toLong, a, b, cnt))
+        words = words.groupBy { case (syms, _) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector
+        }.map { case (syms, ws) => syms -> ws.values.sum }
+      }
+    }
+    assert(got.toSeq == expect.toSeq,
+      s"distributed merges ${got.toSeq} != reference ${expect.toSeq}")
+    // invariant: winning pair counts never increase round-over-round
+    assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("o11 rescans only the groups the change feed touched") {
     // the point of maintainByRescan: the localized mutation (keys
     // 500-599 removed, 2000-2999 repriced) must touch a small fraction
