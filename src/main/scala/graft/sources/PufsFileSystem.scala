@@ -317,6 +317,15 @@ object PufsFileSystem {
       t
     })
 
+  /** Shared daemon pool for vectored-read range pulls (one task per
+    * requested range; chunk-level inflight dedup keeps overlap safe). */
+  private[sources] val vectoredPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
+      val t = new Thread(r, "pufs-vectored")
+      t.setDaemon(true)
+      t
+    })
+
   /** Reservoir samples of fetch latency (µs) and size (bytes) — the
     * reference's Population reservoir + p50/p90/p99 report
     * (core/samples.go:109-170; PrintStats freezer.go:272-287). */
@@ -578,7 +587,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
 
   override def close(): Unit = { closed = true; super.close() }
 
-  private def ensurePulled(start: Long, end: Long): Unit = {
+  private def ensurePulled(start: Long, end: Long, withReadahead: Boolean = true): Unit = {
     val e = math.min(size, end)
     if (e <= start) return
     // chunk-align the synchronous part: only what the caller needs
@@ -595,7 +604,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
     // region/pending.go:267-360): schedule the window after the request on
     // the shared pool; self-cancels at the first already-populated chunk
     // (an overlapping reader got there — stop, don't leapfrog)
-    if (readahead > 0 && aEnd < size) {
+    if (withReadahead && readahead > 0 && aEnd < size) {
       val raEnd = math.min(size, aEnd + readahead)
       PufsFileSystem.readaheadPool.execute { () =>
         var c = aEnd
@@ -663,6 +672,48 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
   }
   override def readFully(position: Long, buffer: Array[Byte]): Unit =
     readFully(position, buffer, 0, buffer.length)
+
+  // --- vectored IO (Hadoop 3.3+ scatter-gather; Parquet/ORC readers issue
+  // all needed column-chunk ranges in ONE call). Each range becomes an
+  // independent parallel pull on the shared pool — the concurrency the
+  // reference gets from per-request goroutines (fs/mount.go:42-54) applied
+  // to a batch of ranges. Chunk-level join-or-start dedups overlap between
+  // ranges and with other readers. No readahead here: the caller has
+  // enumerated exactly what it needs, speculation past it is pure waste. ---
+  override def readVectored(ranges: java.util.List[_ <: FileRange],
+      allocate: java.util.function.IntFunction[java.nio.ByteBuffer]): Unit =
+    readVectored(ranges, allocate, (_: java.nio.ByteBuffer) => ())
+
+  override def readVectored(ranges: java.util.List[_ <: FileRange],
+      allocate: java.util.function.IntFunction[java.nio.ByteBuffer],
+      release: java.util.function.Consumer[java.nio.ByteBuffer]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rs = ranges.asScala.toSeq
+    rs.foreach { r =>
+      if (r.getOffset < 0 || r.getLength < 0 || r.getOffset + r.getLength > size)
+        throw new java.io.EOFException(
+          s"vectored range past end: ${r.getOffset}+${r.getLength} > $size")
+      r.setData(new CompletableFuture[java.nio.ByteBuffer]())
+    }
+    rs.foreach { r =>
+      val fut = r.getData.asInstanceOf[CompletableFuture[java.nio.ByteBuffer]]
+      PufsFileSystem.vectoredPool.execute { () =>
+        try {
+          val n = r.getLength
+          ensurePulled(r.getOffset, r.getOffset + n, withReadahead = false)
+          val arr = new Array[Byte](n)
+          val raf = new RandomAccessFile(entry.file, "r")
+          try { raf.seek(r.getOffset); raf.readFully(arr, 0, n) } finally raf.close()
+          val buf = allocate.apply(n)
+          buf.put(arr)
+          buf.flip()
+          fut.complete(buf)
+        } catch {
+          case t: Throwable => fut.completeExceptionally(t)
+        }
+      }
+    }
+  }
 
   // --- Seekable / InputStream ---
   override def seek(p: Long): Unit = { pos = p }

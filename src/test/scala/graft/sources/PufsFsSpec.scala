@@ -112,6 +112,44 @@ class PufsFsSpec extends SparkSpec {
     in.close(); fs.close()
   }
 
+  test("vectored read: scatter-gather ranges match ground truth, stay lazy") {
+    val backing = tmpDir("pufs-vectored")
+    val data = new Array[Byte](1024 * 1024)
+    new scala.util.Random(13).nextBytes(data)
+    Files.write(Paths.get(backing, "cols.bin"), data)
+    val fs = newFs(backing, tmpDir("pufs-vectored-cache"), chunk = 8192)
+    PufsFileSystem.resetStats()
+    val in = fs.open(new Path("/cols.bin"))
+    // parquet-reader shape: footer tail + a few disjoint column chunks
+    import scala.jdk.CollectionConverters._
+    val ranges = Seq(
+      org.apache.hadoop.fs.FileRange.createFileRange(data.length - 4096L, 4096),
+      org.apache.hadoop.fs.FileRange.createFileRange(10000L, 30000),
+      org.apache.hadoop.fs.FileRange.createFileRange(500000L, 20000),
+      // overlapping with the previous range: chunk dedup must keep this safe
+      org.apache.hadoop.fs.FileRange.createFileRange(505000L, 20000)).asJava
+    in.readVectored(ranges, (n: Int) => java.nio.ByteBuffer.allocate(n))
+    ranges.asScala.foreach { r =>
+      val buf = r.getData.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      val arr = new Array[Byte](r.getLength)
+      buf.get(arr)
+      val off = r.getOffset.toInt
+      assert(java.util.Arrays.equals(arr,
+        java.util.Arrays.copyOfRange(data, off, off + r.getLength)),
+        s"vectored range at ${r.getOffset}+${r.getLength} mismatched")
+    }
+    // lazy: only the requested ranges' chunks pulled, no readahead waste
+    val pulled = PufsFileSystem.bytesPulled.get()
+    assert(pulled < data.length / 4, s"vectored read pulled $pulled — not lazy")
+    // EOF validation: a range past the end fails fast
+    intercept[java.io.EOFException] {
+      in.readVectored(Seq(org.apache.hadoop.fs.FileRange
+        .createFileRange(data.length - 100L, 200)).asJava,
+        (n: Int) => java.nio.ByteBuffer.allocate(n))
+    }
+    in.close(); fs.close()
+  }
+
   test("IO dedup: concurrent readers of one range fetch each chunk once") {
     val backing = tmpDir("pufs-backing3")
     val data = new Array[Byte](256 * 1024)
