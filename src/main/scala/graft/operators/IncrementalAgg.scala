@@ -59,6 +59,20 @@ object IncrementalAgg {
       .agg(sum("cnt").as("cnt"), sum("total").as("total"))
       .filter(col("cnt") > 0)
 
+  /** Sketch-based distinct-count maintenance: HLL sketches form a
+    * commutative monoid under union (register-wise max), so maintaining a
+    * standing per-group sketch by merging the new batch's sketch yields
+    * the SAME estimate as re-sketching all of version 2 — at O(changed
+    * groups · sketch size) cost, with bounded state per group (the same
+    * reason a7 prefers the sketch at 100 TB). Append-only by nature:
+    * sketches cannot subtract, so removals fall back to maintainByRescan.
+    * base: (grp, sk) from hll_sketch_agg; added: raw new rows (grp, v). */
+  def maintainSketch(base: DataFrame, added: DataFrame): DataFrame =
+    base.select(col("grp"), col("sk"))
+      .unionByName(added.groupBy("grp").agg(hll_sketch_agg(col("v")).as("sk")))
+      .groupBy("grp")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
   /** Maintenance for NON-group aggregates (min/max/distinct-count): keep
     * base rows for groups the change feed never touched, re-aggregate
     * version 2 only for the groups it did. `rescanned` must already be

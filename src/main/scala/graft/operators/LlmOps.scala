@@ -168,43 +168,85 @@ object LlmOps {
       .orderBy("rank")
   }
 
-  /** (doc_id, cluster_id) for every document: near-dup candidate pairs
-    * grouped into connected components by distributed min-label
-    * propagation (one shuffle join + partial-aggregated min per round,
-    * isEmpty convergence probe — no driver-side graph; converges in
-    * O(component diameter) rounds, shallow for near-dup clusters).
-    * cluster_id = min doc_id in the component (the canonical survivor);
-    * singletons map to themselves. */
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // persist: both edge directions read `pairs`, and the candidate join
-    // it wraps is the expensive subtree (same ReuseExchange limitation as
-    // the l2 signature persist)
-    val pairs = minhashPairs(s, d).persist()
-    pairs.count() // materialize before the two union branches fan out
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
-    edges.count() // ditto: each round joins AND unions over edges/labels
+  /** BPE ENCODING with a learned merge table (the apply half of l40,
+    * subword-nmt semantics: merges applied in rank order, each a
+    * left-to-right non-overlapping rewrite). The merge table is k rows —
+    * broadcast by closure capture into one UDF; encoding is a pure per-row
+    * map, shuffle-free at any corpus size. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val encodeUdf = udf((word: String) => {
+      var syms: Vector[String] = word.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    })
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(encodeUdf(col("w"))).as("n_bpe_tokens"),
+        sum(length(col("w")) + 1).as("n_chars_eow"))
+      .withColumn("compression",
+        col("n_chars_eow").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over undirected pair edges (a, b) by
+    * distributed min-label propagation: one shuffle join + one
+    * partial-aggregated min per round, isEmpty convergence probe.
+    * Returns (v, lab) for every vertex that appears in a pair; lab = min
+    * vertex id in the component. Converges in O(component diameter)
+    * rounds — shallow for dup clusters (clique unions). */
+  private[operators] def components(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (eager) rather than persist: it TRUNCATES the
+    // logical plan. Each round references the previous labels twice
+    // (join + union), so without truncation the plan tree doubles per
+    // round — on a chain-shaped component (cosine edges aren't
+    // transitive) the loop runs deep and planning/plan-description cost
+    // goes exponential long before the data does. The standard fix for
+    // iterative algorithms on DataFrames.
+    val p = pairs.toDF("a", "b").localCheckpoint(true)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lab"))
-      .persist()
-    labels.count()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < 50) {
       val prop = edges.join(labels, col("dst") === col("v"))
         .select(col("src").as("v"), col("lab"))
         .union(labels)
         .groupBy("v").agg(min("lab").as("lab"))
-        .persist()
+        .localCheckpoint(true)
       converged = labels
         .join(prop.withColumnRenamed("lab", "nl"), "v")
         .filter(col("nl") =!= col("lab"))
         .isEmpty
-      labels.unpersist()
       labels = prop
       iter += 1
     }
+    labels
+  }
+
+  /** (doc_id, cluster_id) for every document: minhash near-dup candidate
+    * pairs grouped by components(); cluster_id = min doc_id in the
+    * component (the canonical survivor); singletons map to themselves. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    // persist inside components(): both edge directions read the pairs,
+    // and the candidate join they wrap is the expensive subtree (same
+    // ReuseExchange limitation as the l2 signature persist)
+    val labels = components(minhashPairs(s, d))
     t(s, d, "documents").select(col("doc_id"))
       .join(labels, col("doc_id") === col("v"), "left")
       .select(col("doc_id"),
@@ -630,6 +672,64 @@ object LlmOps {
     // round: every new pair (x, ab) is a sub-occurrence of an old (x, a)).
     "l40_bpe_train" -> ((s, d) =>
       bpeTrain(t(s, d, "documents").select("text"), 8)),
+
+    // L42: SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023):
+    // k-means coarse clusters over the embedding space (seeded,
+    // deterministic), exact pairwise cosine ONLY within a cluster,
+    // duplicate groups = connected components of above-threshold pairs,
+    // keep the min-id survivor per group. At 100 TB the pairwise step is
+    // O(sum cell²) not O(n²) — the cluster count tunes the tradeoff — and
+    // every stage is a shuffle join or bounded aggregation. Rows-only
+    // lane; NearDupSpec pins the two SemDeDup invariants (every removed
+    // vector has an above-threshold kept canonical in its cluster; no two
+    // kept vectors in one cluster are above-threshold neighbors).
+    "l42_semantic_dedup" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      graft.functions.VectorExpressions.register(s)
+      val tau = 0.35
+      val e0 = t(s, d, "embeddings")
+      val n = e0.select("vec_id").count()
+      val k = math.max(4, math.sqrt(n.toDouble).toInt)
+      val feats = e0.select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(k).setSeed(42).setMaxIter(8)
+        .setPredictionCol("cell").fit(feats)
+      val cells = model.transform(feats)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .persist()
+      cells.count() // materialize before the self-join's stages fan out
+      val edges = cells.select(col("cell"), col("vec_id").as("a"),
+          col("embedding").as("va"))
+        .join(cells.select(col("cell").as("cell2"), col("vec_id").as("b"),
+          col("embedding").as("vb")),
+          col("cell") === col("cell2") && col("a") < col("b"))
+        .withColumn("cos", expr("cosine_f32(va, vb)"))
+        .filter(col("cos") > tau)
+        .select("a", "b")
+      val labels = components(edges)
+      cells.select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .join(labels, col("vec_id") === col("v"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("lab"), col("vec_id")).as("group_id"))
+        .withColumn("keep", col("group_id") === col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
+    // L41: BPE encoding — train the l40 merge table, then tokenize the
+    // corpus with it (the full train→apply tokenizer loop). Per-doc BPE
+    // token counts + the chars-per-token compression ratio; encoding is a
+    // broadcast-merge-table UDF, a pure map with no shuffle beyond the
+    // per-doc aggregation. No oracle (the merge loop isn't
+    // SQL-expressible); QueriesSpec proves count parity with the
+    // sequential reference encoder and pins the compression bound
+    // (tokens never exceed chars+1, never fewer than words).
+    "l41_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val merges = bpeTrain(docs, 8).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncode(docs, merges)
+    }),
 
     // L27: sequence packing — assign docs to fixed-size context windows by
     // GLOBAL token prefix sum (the group_texts step of LM training: concat

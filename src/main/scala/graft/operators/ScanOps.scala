@@ -349,6 +349,26 @@ object ScanOps {
         .orderBy("grp")
     }),
 
+    // O12: approx-distinct maintenance by HLL sketch union — the standing
+    // per-group sketch absorbs an appended batch in O(changed groups)
+    // without re-reading the base (IncrementalAgg.maintainSketch). No
+    // oracle (sketches are engine-specific); QueriesSpec pins the
+    // maintenance guarantee: the incrementally-merged sketch estimates
+    // EXACTLY what a full re-sketch of version 2 estimates, and both land
+    // within 5% of the exact distinct count.
+    "o12_incremental_hll" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_custkey").as("v"),
+          col("o_orderkey").as("key"))
+      val v1 = o.filter(col("key") % 7 =!= 0)
+      val added = o.filter(col("key") % 7 === 0)
+      val base = v1.groupBy("grp").agg(hll_sketch_agg(col("v")).as("sk"))
+      IncrementalAgg.maintainSketch(base, added)
+        .select(col("grp"),
+          hll_sketch_estimate(col("sk")).as("approx_distinct"))
+        .orderBy("grp")
+    }),
+
     // Q-F8: JSON → map: from_json into map<string,bigint>, exploded to
     // key/value rows. (The events generator emits single-key objects
     // {"k": n}; the oracle leans on that.)

@@ -84,6 +84,60 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("l41 BPE encoding matches the sequential reference encoder") {
+    val texts = Seq(
+      "low low low low low", "lower lower", "newest newest newest",
+      "widest widest", "low lower newest")
+    val fixture = spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }).toDF("doc_id", "text")
+    val merges = graft.operators.LlmOps.bpeTrain(fixture, 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = graft.operators.LlmOps.bpeEncode(fixture, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    def encode(word: String): Int = {
+      var syms: Vector[String] = word.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      (i.toLong, ws.length.toLong, ws.map(encode(_).toLong).sum)
+    }
+    assert(got == expect, s"$got != $expect")
+    // bounds: at least one token per word, at most chars+1 per word
+    got.zip(expect).foreach { case ((_, nw, nb), _) => assert(nb >= nw) }
+  }
+
+  test("o12 incremental HLL union ≡ full re-sketch, within 5% of exact") {
+    import graft.Tables.t
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_custkey").as("v"),
+        col("o_orderkey").as("key"))
+    val incr = SparkEntry.queries("o12_incremental_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = o.groupBy("grp")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(incr == full,
+      s"incremental sketch estimates diverge from full re-sketch: $incr vs $full")
+    val exact = o.groupBy("grp").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(incr(g) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"group $g: sketch ${incr(g)} vs exact $n")
+    }
+  }
+
   test("o11 rescans only the groups the change feed touched") {
     // the point of maintainByRescan: the localized mutation (keys
     // 500-599 removed, 2000-2999 repriced) must touch a small fraction

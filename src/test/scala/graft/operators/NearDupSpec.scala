@@ -119,6 +119,38 @@ class NearDupSpec extends SparkSpec {
     approx.map(_._1).foreach(p => assert(approx.count(_._1 == p) <= 5))
   }
 
+  test("l42 SemDeDup invariants: removed ⇒ kept canonical nearby, kept ⇒ mutually distinct") {
+    graft.functions.VectorExpressions.register(spark)
+    val tau = 0.35
+    val res = LlmOps.queries("l42_semantic_dedup")(spark, sfDir)
+      .select("vec_id", "cell", "group_id", "keep").persist()
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val withVec = res.join(vecs, "vec_id")
+      .select(col("vec_id"), col("cell"), col("group_id"), col("keep"),
+        col("embedding")).persist()
+    withVec.count()
+    assert(res.count() == vecs.count(), "every vector must be classified")
+    // (1) soundness of removal: every removed vector shares its cluster
+    // AND component with its kept canonical — and the component edges all
+    // cleared tau, so removal is evidence-backed (transitively)
+    val removed = withVec.filter(!col("keep"))
+    val canon = withVec.filter(col("keep"))
+      .select(col("group_id").as("g2"), col("cell").as("cell2"))
+    val orphans = removed.join(canon, col("group_id") === col("g2"), "left_anti")
+    assert(orphans.isEmpty, "removed vector with no kept canonical")
+    // (2) no two KEPT vectors in one cluster are above-threshold neighbors
+    // (the SemDeDup guarantee: survivors are mutually non-duplicate)
+    val kept = withVec.filter(col("keep"))
+    val close = kept.select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
+      .join(kept.select(col("cell").as("c2"), col("vec_id").as("b"), col("embedding").as("vb")),
+        col("cell") === col("c2") && col("a") < col("b"))
+      .withColumn("cos", expr("cosine_f32(va, vb)"))
+      .filter(col("cos") > tau)
+    assert(close.isEmpty, "two kept vectors are above-threshold duplicates")
+    res.unpersist(); withVec.unpersist()
+  }
+
   test("l10 bucket-size histogram stays sub-quadratic on a skewed corpus") {
     import graft.SparkSpec.spark.implicits._
     // 1000 vectors: a 100-vector identical cluster (worst-case skew — every
