@@ -363,8 +363,12 @@ object PufsFileSystem {
     * core/freezer.go:544-559). */
   val activeTransfers = new AtomicInteger(0)
 
+  /** Ranges served through readVectored (scatter-gather) — observable so
+    * integration tests can prove the Parquet reader drives this path. */
+  val vectoredRanges = new AtomicInteger(0)
+
   def resetStats(): Unit = {
-    bytesPulled.set(0); fetchCount.set(0)
+    bytesPulled.set(0); fetchCount.set(0); vectoredRanges.set(0)
     latencySamples.reset(); sizeSamples.reset(); transferRing.reset()
   }
 
@@ -695,6 +699,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
           s"vectored range past end: ${r.getOffset}+${r.getLength} > $size")
       r.setData(new CompletableFuture[java.nio.ByteBuffer]())
     }
+    PufsFileSystem.vectoredRanges.addAndGet(rs.size)
     rs.foreach { r =>
       val fut = r.getData.asInstanceOf[CompletableFuture[java.nio.ByteBuffer]]
       PufsFileSystem.vectoredPool.execute { () =>

@@ -584,4 +584,31 @@ class PufsFsSpec extends SparkSpec {
     val b = direct.orderBy("l_orderkey", "l_linenumber").collect()
     assert(a.sameElements(b))
   }
+
+  test("Parquet vectored IO drives readVectored through pufs://") {
+    val backing = tmpDir("pufs-backing-vio")
+    Files.copy(Paths.get("/root/testdata/sf0.01/lineitem.parquet"),
+      Paths.get(backing, "lineitem.parquet"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    hc.set("fs.pufs.backing", backing)
+    hc.set("fs.pufs.cache", tmpDir("pufs-cache-vio"))
+    hc.setLong("fs.pufs.chunk.size", 64 * 1024)
+    hc.setLong("fs.pufs.readahead", 0)
+    // parquet-hadoop's scatter-gather path (column chunks batched into one
+    // readVectored call per row group) — prove the reader actually drives
+    // our implementation, not the sequential fallback
+    hc.setBoolean("parquet.hadoop.vectored.io.enabled", true)
+    try {
+      PufsFileSystem.resetStats()
+      val viaPufs = spark.read.parquet("pufs:///lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val direct = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      assert(viaPufs.orderBy("l_orderkey", "l_quantity").collect()
+        .sameElements(direct.orderBy("l_orderkey", "l_quantity").collect()))
+      assert(PufsFileSystem.vectoredRanges.get() > 0,
+        "parquet read did not reach readVectored — sequential fallback used")
+    } finally hc.unset("parquet.hadoop.vectored.io.enabled")
+  }
 }
