@@ -155,6 +155,16 @@ object Bench {
     "j13_fuzzy_join" -> ((s: SparkSession, d: String) =>
       graft.operators.JoinOps.queries("j13_fuzzy_neighbors")(s, d)),
 
+    // TPC-H Q5 composite: 6-way join, three broadcast dims, non-key
+    // nation condition
+    "q5_tpch_local_supplier" -> ((s: SparkSession, d: String) =>
+      graft.operators.AggOps.queries("a17_tpch_q5")(s, d)),
+
+    // bigram-LM corpus scoring: train the frequency model + score in one
+    // pipeline (L39 class)
+    "l39_bigram_lm" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l39_bigram_lm_score")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(

@@ -122,6 +122,52 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming incremental-aggregate maintenance — the streaming face of
+    * o10: a standing per-group (cnt, total) parquet table absorbs each
+    * micro-batch as "added" deltas via IncrementalAgg.applyDeltas, cost
+    * O(batch rows + table groups) per batch, never re-reading history.
+    * Input rows need (grp, value) columns.
+    *
+    * at-least-once foreachBatch is made idempotent by versioned commits:
+    * the new aggregate lands at v<batchId>, then the CURRENT pointer swaps
+    * (write temp + atomic move) and the batch marker is written. A crash
+    * before the swap leaves CURRENT on the old version, so the replay
+    * recomputes from unchanged state; a replay after the marker is a
+    * no-op. The same stage-then-swap shape as SnapshotStore's label
+    * pointer (reference SetRoot, remote/gcs.go:114-127). */
+  def maintainAggEachBatch(rows: DataFrame, aggDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val marker = new java.io.File(s"$aggDir/commits/$batchId")
+      if (!marker.exists()) {
+        val ptr = new java.io.File(s"$aggDir/CURRENT")
+        val base =
+          if (ptr.exists())
+            s.read.parquet(s"$aggDir/" + java.nio.file.Files.readString(ptr.toPath).trim)
+          else {
+            import org.apache.spark.sql.types._
+            s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("grp", LongType),
+                StructField("cnt", LongType),
+                StructField("total", DecimalType(18, 2)))))
+          }
+        val deltas = batch.select(col("grp").cast("long").as("grp"),
+          lit(1L).as("dCnt"), col("value").cast("decimal(18,2)").as("dTotal"))
+        graft.operators.IncrementalAgg.applyDeltas(base, deltas)
+          .select(col("grp"), col("cnt"), col("total").cast("decimal(18,2)").as("total"))
+          .write.mode("overwrite").parquet(s"$aggDir/v$batchId")
+        val tmp = new java.io.File(s"$aggDir/CURRENT.tmp$batchId")
+        java.nio.file.Files.writeString(tmp.toPath, s"v$batchId")
+        java.nio.file.Files.move(tmp.toPath, ptr.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        marker.getParentFile.mkdirs()
+        java.nio.file.Files.createFile(marker.toPath)
+      }
+      ()
+    }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
     * event count + high-water timestamp, emitted on every update. This is
     * the join/merge state-machine shape of the reference's pending-read

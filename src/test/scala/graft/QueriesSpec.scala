@@ -9,7 +9,8 @@ class QueriesSpec extends SparkSpec {
 
   // Legitimately empty at sf0.001 (tiny data, selective predicates):
   private val mayBeEmpty =
-    Set("l2_minhash_lsh", "l10_embed_neardup", "j4_anti", "l12_jaccard_verify")
+    Set("l2_minhash_lsh", "l10_embed_neardup", "j4_anti", "l12_jaccard_verify",
+      "a20_tpch_q7") // nation-pair × two-year filter: no survivors at sf0.001
 
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

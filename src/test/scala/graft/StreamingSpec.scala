@@ -246,6 +246,41 @@ class StreamingSpec extends SparkSpec {
       s"accepted must hold each novel content once, min-id keeper: $accepted")
   }
 
+  test("maintainAggEachBatch keeps the standing aggregate ≡ full recompute") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val aggDir = java.nio.file.Files.createTempDirectory("stream-incragg").toString
+    val mem = MemoryStream[(Long, Double)]
+    val sdf = mem.toDF().toDF("grp", "value")
+    val q = StreamJobs.maintainAggEachBatch(sdf, aggDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("incragg-ckpt").toString)
+      .start()
+    val batches = Seq(
+      Seq(1L -> 10.0, 1L -> 5.0, 2L -> 7.0),
+      Seq(2L -> 3.0, 3L -> 1.0),
+      Seq(1L -> 2.0, 3L -> 4.0, 3L -> 6.0))
+    var seen = Seq.empty[(Long, Double)]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      seen = seen ++ b
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$aggDir/CURRENT")).trim
+      val standing = spark.read.parquet(s"$aggDir/$cur")
+        .select(col("grp"), col("cnt"), col("total").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = seen.toDF("grp", "value")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(standing == direct,
+        s"standing aggregate diverged after batch: $standing vs $direct")
+    }
+    q.stop()
+  }
+
   test("stream-static join enriches streaming rows with dimension data") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
