@@ -349,6 +349,35 @@ object ScanOps {
         .orderBy("grp")
     }),
 
+    // O13: SCD Type-2 history build — turn two snapshot versions into
+    // validity-interval rows (the dimension-table face of o8's row diff):
+    // unchanged/changed/removed rows carry [v1-time, …) intervals, new
+    // values open at v2-time, removed/superseded ones close at v2-time.
+    // One full-outer hash join + an Expand-style union of the interval
+    // projections — no window, no per-key state; the same shape maintains
+    // under every snapshot advance.
+    "o13_scd2" -> ((s, d) => {
+      val (v1, v2) = modVersions(s, d)
+      val t1 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+      val t2 = lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+      val diff = rowDiff(v1, v2).persist()
+      diff.count() // materialize before the three projection branches
+      val unchanged = v1.join(diff.select(col("key").as("k2")),
+          col("key") === col("k2"), "left_anti")
+        .select(col("key"), col("p1").as("price"),
+          t1.as("valid_from"), lit(null).cast("timestamp_ntz").as("valid_to"))
+      val closedOld = diff.filter(col("status").isin("changed", "removed"))
+        .select(col("key"), col("p1").as("price"),
+          t1.as("valid_from"), t2.as("valid_to"))
+      val openedNew = diff.filter(col("status").isin("changed", "added"))
+        .select(col("key"), col("p2").as("price"),
+          t2.as("valid_from"), lit(null).cast("timestamp_ntz").as("valid_to"))
+      unchanged.unionByName(closedOld).unionByName(openedNew)
+        .select(col("key"), col("price").cast("double").as("price"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("key", "valid_from")
+    }),
+
     // O12: approx-distinct maintenance by HLL sketch union — the standing
     // per-group sketch absorbs an appended batch in O(changed groups)
     // without re-reading the base (IncrementalAgg.maintainSketch). No
@@ -590,6 +619,36 @@ object ScanOps {
         |          AS DECIMAL(18,2)) AS p2
         |  FROM orders WHERE o_orderkey % 5 <> 0) v2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "o13_scd2" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS p1
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |      + CAST(CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END
+        |          AS DECIMAL(18,2)) AS p2
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT coalesce(v1.key, v2.key) AS key, p1, p2,
+        |    CASE WHEN v1.key IS NULL THEN 'added'
+        |         WHEN v2.key IS NULL THEN 'removed'
+        |         WHEN p1 <> p2 THEN 'changed' ELSE 'same' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+        |SELECT key, CAST(p1 AS DOUBLE) AS price,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to
+        |FROM d WHERE status = 'same'
+        |UNION ALL
+        |SELECT key, CAST(p1 AS DOUBLE),
+        |  TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00'
+        |FROM d WHERE status IN ('changed', 'removed')
+        |UNION ALL
+        |SELECT key, CAST(p2 AS DOUBLE),
+        |  TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |FROM d WHERE status IN ('changed', 'added')
+        |ORDER BY key, valid_from""".stripMargin,
 
     "o11_incremental_minmax" ->
       """SELECT CAST(FLOOR(key / 250) AS BIGINT) AS grp,

@@ -381,6 +381,7 @@ object PufsFileSystem {
     s"fetches=${fetchCount.get()} bytes=${bytesPulled.get()} " +
       s"latency_us(p50/p90/p99)=${l.mkString("/")} " +
       s"size_b(p50/p90/p99)=${s.mkString("/")} " +
+      s"vectored_ranges=${vectoredRanges.get()} " +
       f"active=${activeTransfers.get()} rate_5s=$mbps%.2f MB/s"
   }
 

@@ -66,6 +66,29 @@ class FsFuzzSpec extends SparkSpec {
           Files.delete(Paths.get(truth, p))
           assert(fs.delete(new Path("/" + p), false), s"op $opIdx: delete $p failed")
           files = files.filterNot(_ == p)
+        case 6 if files.nonEmpty => // vectored scatter-gather read
+          val p = files(rnd.nextInt(files.length))
+          val expect = Files.readAllBytes(Paths.get(truth, p))
+          if (expect.length > 0) {
+            import scala.jdk.CollectionConverters._
+            val ranges = (1 to (rnd.nextInt(3) + 1)).map { _ =>
+              val off = rnd.nextInt(expect.length)
+              val len = math.min(expect.length - off, rnd.nextInt(4000) + 1)
+              org.apache.hadoop.fs.FileRange.createFileRange(off.toLong, len)
+            }.asJava
+            val in = fs.open(new Path("/" + p))
+            in.readVectored(ranges, (n: Int) => java.nio.ByteBuffer.allocate(n))
+            ranges.asScala.foreach { r =>
+              val buf = r.getData.get(30, java.util.concurrent.TimeUnit.SECONDS)
+              val arr = new Array[Byte](r.getLength)
+              buf.get(arr)
+              val off = r.getOffset.toInt
+              assert(java.util.Arrays.equals(arr,
+                java.util.Arrays.copyOfRange(expect, off, off + r.getLength)),
+                s"op $opIdx: vectored read mismatch $p off=$off len=${r.getLength}")
+            }
+            in.close()
+          }
         case _ if files.nonEmpty => // ranged read
           val p = files(rnd.nextInt(files.length))
           val expect = Files.readAllBytes(Paths.get(truth, p))
