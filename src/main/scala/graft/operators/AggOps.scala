@@ -393,6 +393,25 @@ object AggOps {
     // pattern), so the decorrelation itself is what's under test.
     "a21_tpch_q16" -> ((s, d) => { T.registerViews(s, d); s.sql(a21Sql) }),
 
+    // A22: TPC-H Q14 shape (promotion effect) — a conditional-aggregate
+    // RATIO in one pass: promo revenue over total revenue for one month,
+    // part dimension broadcast. Both operands stay exact decimal until a
+    // single double division of identical cross-engine values.
+    "a22_tpch_q14" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+      li.join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", disc)).cast("double")
+            / sum(disc).cast("double")).as("promo_revenue_pct"),
+          count(lit(1)).as("n"))
+    }),
+
     // A16: TPC-H Q13 shape (customer distribution) — aggregation OVER an
     // aggregation: orders-per-customer, then customers-per-order-count.
     // The second groupBy's input is already |customers| rows, and its own
@@ -513,6 +532,19 @@ object AggOps {
     "a4_cube" -> a4Sql,
     "a5_grouping_sets" -> a5Sql,
     "a21_tpch_q16" -> a21Sql,
+
+    "a22_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS promo_revenue_pct,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     "a17_tpch_q5" ->
       """SELECT n_name,

@@ -241,7 +241,10 @@ object JoinOps {
       pairs
         .join(broadcast(c.select(col("id").as("a"), col("nm").as("an"))), "a")
         .join(broadcast(c.select(col("id").as("b"), col("nm").as("bn"))), "b")
-        .filter(levenshtein(col("an"), col("bn")) <= 1)
+        // thresholded levenshtein: banded O(k·n) with early exit (returns
+        // -1 past the bound) instead of the full O(n²) DP — the exact
+        // verify runs once per candidate pair, so the bound is the win
+        .filter(levenshtein(col("an"), col("bn"), 1) >= 0)
         .select(col("a"), col("b"))
         .orderBy("a", "b")
     })
