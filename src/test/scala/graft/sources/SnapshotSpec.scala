@@ -185,6 +185,42 @@ class SnapshotSpec extends SparkSpec {
       "sibling object must survive the delete")
   }
 
+  test("zone-map sidecar prunes files by range; results never change") {
+    import org.apache.spark.sql.functions._
+    // a range-clustered table: 4 parquet files with disjoint key ranges
+    val src = Files.createTempDirectory("snap-zm-src").toString
+    val df = spark.range(0, 4000).select(
+      col("id").as("key"), (col("id") * 2).cast("double").as("v"))
+    df.orderBy("key").write
+      .option("maxRecordsPerFile", 1000).mode("overwrite")
+      .parquet(s"$src/t")
+    val repo = Files.createTempDirectory("snap-zm-repo").toString
+    val stats = SnapshotStore.publish(spark, src, repo, "main")
+    val n = SnapshotStore.publishStats(spark, src, repo,
+      stats.manifestSha, Seq("key"))
+    assert(n > 0, "no zone entries collected")
+    val dataFiles = SnapshotStore.mount(repo, "main")
+      .map(_.path).filter(_.endsWith(".parquet"))
+    assert(dataFiles.size >= 4, s"expected >=4 data files, got $dataFiles")
+    // a one-quarter key range must prune to a strict subset of files
+    val hit = SnapshotStore.prunedFiles(repo, "main", "key", 100.0, 900.0)
+      .filter(_.endsWith(".parquet"))
+    assert(hit.nonEmpty && hit.size < dataFiles.size,
+      s"pruning selected ${hit.size} of ${dataFiles.size} files")
+    // reading ONLY the pruned files + the filter equals the full scan
+    val viaPruned = spark.read
+      .parquet(hit.map(p => s"file:$src/$p"): _*)
+      .filter(col("key").between(100, 900))
+    val viaFull = spark.read.parquet(s"$src/t")
+      .filter(col("key").between(100, 900))
+    assert(viaPruned.count() == viaFull.count())
+    assert(viaPruned.agg(sum("v")).head().getDouble(0) ==
+      viaFull.agg(sum("v")).head().getDouble(0))
+    // a column with no sidecar entries keeps everything (conservative)
+    assert(SnapshotStore.prunedFiles(repo, "main", "nope", 0, 1).toSet ==
+      SnapshotStore.mount(repo, "main").map(_.path).toSet)
+  }
+
   test("gc keeps label- and lease-reachable blocks, collects superseded ones") {
     import java.time.Instant
     val src = mkTree()
