@@ -404,6 +404,20 @@ object SnapshotStore {
     }
   }
 
+  /** Zone-map-pruned parquet read THROUGH a pufs:// snapshot mount: the
+    * sidecar cuts the file list before Spark ever opens a footer, then
+    * the surviving files are served by the lazy chunk-pull cache (column
+    * pruning still cuts bytes within each file). `mountPath` must already
+    * be mounted (PufsFileSystem.mountSnapshot). The two layers compose:
+    * O(matching files) opens × O(needed columns) bytes per file. */
+  def readPruned(spark: SparkSession, repo: String, ref: String,
+      mountPath: String, column: String, lo: Double, hi: Double): DataFrame = {
+    val paths = prunedFiles(repo, ref, column, lo, hi)
+      .filter(_.endsWith(".parquet"))
+      .map(p => s"pufs:///${mountPath.stripPrefix("/").stripSuffix("/")}/$p")
+    spark.read.parquet(paths: _*)
+  }
+
   case class DiffEntry(path: String, status: String,
       sizeA: Option[Long], sizeB: Option[Long])
 

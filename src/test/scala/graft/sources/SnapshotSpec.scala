@@ -219,6 +219,24 @@ class SnapshotSpec extends SparkSpec {
     // a column with no sidecar entries keeps everything (conservative)
     assert(SnapshotStore.prunedFiles(repo, "main", "nope", 0, 1).toSet ==
       SnapshotStore.mount(repo, "main").map(_.path).toSet)
+
+    // composed path: zone-map prune + lazy pufs:// mount — fewer file
+    // opens AND bytesPulled below the pruned files' total size
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    hc.set("fs.pufs.backing", Files.createTempDirectory("zm-backing").toString)
+    hc.set("fs.pufs.cache", Files.createTempDirectory("zm-cache").toString)
+    PufsFileSystem.mountSnapshot("zm/main", repo, "main")
+    PufsFileSystem.resetStats()
+    val viaMount = SnapshotStore.readPruned(spark, repo, "main",
+      "zm/main", "key", 100.0, 900.0)
+      .filter(col("key").between(100, 900))
+    assert(viaMount.count() == viaFull.count())
+    val prunedTotal = SnapshotStore.mount(repo, "main")
+      .filter(e => hit.contains(e.path)).map(_.size).sum
+    assert(PufsFileSystem.bytesPulled.get() <= prunedTotal,
+      s"pulled ${PufsFileSystem.bytesPulled.get()} > pruned file total $prunedTotal")
+    PufsFileSystem.unmountSnapshot("zm/main")
   }
 
   test("gc keeps label- and lease-reachable blocks, collects superseded ones") {
