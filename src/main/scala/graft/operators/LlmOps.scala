@@ -673,6 +673,22 @@ object LlmOps {
     "l40_bpe_train" -> ((s, d) =>
       bpeTrain(t(s, d, "documents").select("text"), 8)),
 
+    // L43: NORMALIZED exact dedup — canonicalize before hashing (the step
+    // every real pipeline runs ahead of l1's raw-content dedup: case
+    // folding, punctuation stripping, whitespace collapse), then group by
+    // the normalized sha. Catches trivially-reformatted duplicates raw
+    // hashing misses; still one hash-partitioned groupBy, no pairs.
+    "l43_normalize_dedup" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), sha2(norm, 256).as("norm_sha"))
+        .groupBy("norm_sha")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("norm_sha")
+    }),
+
     // L42: SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023):
     // k-means coarse clusters over the embedding space (seeded,
     // deterministic), exact pairwise cosine ONLY within a cluster,
@@ -1327,6 +1343,13 @@ object LlmOps {
       """SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY text_sha""".stripMargin,
+
+    "l43_normalize_dedup" ->
+      """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_sha,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY norm_sha""".stripMargin,
 
     "l2_minhash_lsh" ->
       """WITH toks AS (
