@@ -207,13 +207,21 @@ object Bench {
     // VERDICT r2 flagged the driver's bench numbers as CPU-contention
     // artifacts 7-18x off; per-iteration times make that diagnosable)
     val iters = 5
-    val results: Seq[(String, Seq[Double])] = headline.map { case (name, fn) =>
-      val times = (1 to iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { run(fn); true } catch { case _: Throwable => false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      name -> times
+    // Iterations run ROUND-ROBIN (sweep 1 of every query, then sweep 2,
+    // ...), not 5-consecutive-per-query: BENCH_r04 showed a single host
+    // contention burst swallowing all 5 back-to-back slots of one query
+    // (q6 at 51-67 s vs 1.9 s quiet) while its neighbors recovered.
+    // Spreading each query's iterations across the full bench wall-clock
+    // means min-of-5 survives any burst shorter than a whole sweep.
+    val acc = scala.collection.mutable.LinkedHashMap(
+      headline.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to iters; (name, fn) <- headline) {
+      val t0 = System.nanoTime()
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      if (ok) acc(name) = acc(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    val results: Seq[(String, Seq[Double])] = headline.map { case (name, _) =>
+      name -> acc(name)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

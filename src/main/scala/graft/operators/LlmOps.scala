@@ -206,6 +206,20 @@ object LlmOps {
     * Returns (v, lab) for every vertex that appears in a pair; lab = min
     * vertex id in the component. Converges in O(component diameter)
     * rounds — shallow for dup clusters (clique unions). */
+  /** The cached blocks behind an eagerly-localCheckpoint'ed DataFrame
+    * (its analyzed plan is a single LogicalRDD over the checkpointed
+    * RDD). Used to RELEASE superseded rounds of an iterative loop —
+    * without this, every round's labels stay in the block manager for
+    * the rest of the session. Unpersisting makes the DataFrame
+    * unusable (localCheckpoint truncates lineage), so only ever call it
+    * on a frame nothing references anymore. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private[operators] def components(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) rather than persist: it TRUNCATES the
     // logical plan. Each round references the previous labels twice
@@ -233,9 +247,15 @@ object LlmOps {
         .join(prop.withColumnRenamed("lab", "nl"), "v")
         .filter(col("nl") =!= col("lab"))
         .isEmpty
+      // the superseded round's blocks are dead weight from here on —
+      // release them (blocks, not just plan refs) or 50 rounds of
+      // labels accumulate in the block manager for the session
+      dropCheckpoint(labels)
       labels = prop
       iter += 1
     }
+    dropCheckpoint(p)
+    dropCheckpoint(edges)
     labels
   }
 

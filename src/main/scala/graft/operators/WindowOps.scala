@@ -328,9 +328,9 @@ object WindowOps {
         |  FROM iv),
         |f AS (
         |  SELECT g, st, en,
-        |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY g ORDER BY st, en
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
         |  FROM m)
         |SELECT g, island, min(st) AS island_start, max(en) AS island_end,
         |  CAST(count(*) AS BIGINT) AS n_merged

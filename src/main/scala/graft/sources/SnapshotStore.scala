@@ -359,8 +359,19 @@ object SnapshotStore {
         val mn = r.getAs[Any](s"__min_$c")
         val mx = r.getAs[Any](s"__max_$c")
         if (mn == null || mx == null) None
-        else Some(ZoneEntry(rel, c,
-          mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+        else {
+          val mnD = mn.asInstanceOf[Double]
+          val mxD = mx.asInstanceOf[Double]
+          // NaN bounds poison range checks (Spark sorts NaN largest, so a
+          // single NaN makes max=NaN and `max >= lo` false for every lo —
+          // the file would be pruned despite matching rows): skip the
+          // entry, same conservative-keep as the all-null case. Widen the
+          // finite bounds by one ULP so the double cast of wider source
+          // types (bigint/decimal beyond 2^53) can't round a stored bound
+          // past a true value.
+          if (mnD.isNaN || mxD.isNaN) None
+          else Some(ZoneEntry(rel, c, Math.nextDown(mnD), Math.nextUp(mxD)))
+        }
       }
     }.sortBy(e => (e.path, e.column))
     val bytes = entries
@@ -412,10 +423,23 @@ object SnapshotStore {
     * O(matching files) opens × O(needed columns) bytes per file. */
   def readPruned(spark: SparkSession, repo: String, ref: String,
       mountPath: String, column: String, lo: Double, hi: Double): DataFrame = {
+    def toUri(p: String) =
+      s"pufs:///${mountPath.stripPrefix("/").stripSuffix("/")}/$p"
     val paths = prunedFiles(repo, ref, column, lo, hi)
       .filter(_.endsWith(".parquet"))
-      .map(p => s"pufs:///${mountPath.stripPrefix("/").stripSuffix("/")}/$p")
-    spark.read.parquet(paths: _*)
+      .map(toUri)
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    else {
+      // pruning eliminated every file (range outside all zone maps):
+      // an empty-path parquet read fails schema inference, so serve an
+      // empty result with the snapshot's real schema — one file read
+      // under an always-false filter (footer-only work in practice).
+      val sha = getRoot(repo, ref).getOrElse(ref)
+      val any = mountAt(repo, sha).map(_.path).filter(_.endsWith(".parquet"))
+      require(any.nonEmpty, s"snapshot $ref contains no parquet files")
+      spark.read.parquet(toUri(any.head))
+        .where(org.apache.spark.sql.functions.lit(false))
+    }
   }
 
   case class DiffEntry(path: String, status: String,

@@ -133,40 +133,60 @@ object StreamJobs {
     * (write temp + atomic move) and the batch marker is written. A crash
     * before the swap leaves CURRENT on the old version, so the replay
     * recomputes from unchanged state; a replay after the marker is a
-    * no-op. The same stage-then-swap shape as SnapshotStore's label
-    * pointer (reference SetRoot, remote/gcs.go:114-127). */
+    * no-op. The pointer itself is part of the commit check: a crash in
+    * the window AFTER the swap but BEFORE the marker leaves CURRENT
+    * already on v<batchId> — replaying the batch body then would read
+    * base FROM v<batchId> while overwriting the same path (rejected by
+    * Spark) and double-apply the deltas; instead the replay just
+    * finishes the commit by writing the missing marker. The same
+    * stage-then-swap shape as SnapshotStore's label pointer (reference
+    * SetRoot, remote/gcs.go:114-127). */
   def maintainAggEachBatch(rows: DataFrame, aggDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val s = batch.sparkSession
-      val marker = new java.io.File(s"$aggDir/commits/$batchId")
-      if (!marker.exists()) {
-        val ptr = new java.io.File(s"$aggDir/CURRENT")
-        val base =
-          if (ptr.exists())
-            s.read.parquet(s"$aggDir/" + java.nio.file.Files.readString(ptr.toPath).trim)
-          else {
-            import org.apache.spark.sql.types._
-            s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-              StructType(Seq(StructField("grp", LongType),
-                StructField("cnt", LongType),
-                StructField("total", DecimalType(18, 2)))))
-          }
-        val deltas = batch.select(col("grp").cast("long").as("grp"),
-          lit(1L).as("dCnt"), col("value").cast("decimal(18,2)").as("dTotal"))
-        graft.operators.IncrementalAgg.applyDeltas(base, deltas)
-          .select(col("grp"), col("cnt"), col("total").cast("decimal(18,2)").as("total"))
-          .write.mode("overwrite").parquet(s"$aggDir/v$batchId")
-        val tmp = new java.io.File(s"$aggDir/CURRENT.tmp$batchId")
-        java.nio.file.Files.writeString(tmp.toPath, s"v$batchId")
-        java.nio.file.Files.move(tmp.toPath, ptr.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        marker.getParentFile.mkdirs()
-        java.nio.file.Files.createFile(marker.toPath)
-      }
-      ()
+      applyAggBatch(batch, batchId, aggDir)
     }
+
+  /** One micro-batch of the standing-aggregate maintenance, replay-safe
+    * at every crash point (package-visible so the replay matrix is
+    * directly testable). */
+  private[graft] def applyAggBatch(batch: DataFrame, batchId: Long,
+      aggDir: String): Unit = {
+    val s = batch.sparkSession
+    val marker = new java.io.File(s"$aggDir/commits/$batchId")
+    val ptr = new java.io.File(s"$aggDir/CURRENT")
+    val alreadySwapped = ptr.exists() &&
+      java.nio.file.Files.readString(ptr.toPath).trim == s"v$batchId"
+    if (!marker.exists() && alreadySwapped) {
+      // crashed between the pointer swap and the marker: the batch's
+      // effects are fully visible, only the marker is missing
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.createFile(marker.toPath)
+    } else if (!marker.exists()) {
+      val base =
+        if (ptr.exists())
+          s.read.parquet(s"$aggDir/" + java.nio.file.Files.readString(ptr.toPath).trim)
+        else {
+          import org.apache.spark.sql.types._
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("grp", LongType),
+              StructField("cnt", LongType),
+              StructField("total", DecimalType(18, 2)))))
+        }
+      val deltas = batch.select(col("grp").cast("long").as("grp"),
+        lit(1L).as("dCnt"), col("value").cast("decimal(18,2)").as("dTotal"))
+      graft.operators.IncrementalAgg.applyDeltas(base, deltas)
+        .select(col("grp"), col("cnt"), col("total").cast("decimal(18,2)").as("total"))
+        .write.mode("overwrite").parquet(s"$aggDir/v$batchId")
+      val tmp = new java.io.File(s"$aggDir/CURRENT.tmp$batchId")
+      java.nio.file.Files.writeString(tmp.toPath, s"v$batchId")
+      java.nio.file.Files.move(tmp.toPath, ptr.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.createFile(marker.toPath)
+    }
+  }
 
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
     * event count + high-water timestamp, emitted on every update. This is

@@ -281,6 +281,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("maintainAggEachBatch replay is a no-op at EVERY crash point") {
+    import graft.SparkSpec.spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val aggDir = JFiles.createTempDirectory("incragg-replay").toString
+    def standing: Set[(Long, Long, Double)] = {
+      val cur = JFiles.readString(JPaths.get(s"$aggDir/CURRENT")).trim
+      spark.read.parquet(s"$aggDir/$cur")
+        .select(col("grp"), col("cnt"), col("total").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val b0 = Seq(1L -> 10.0, 2L -> 7.0).toDF("grp", "value")
+    StreamJobs.applyAggBatch(b0, 0L, aggDir)
+    val b1 = Seq(1L -> 5.0).toDF("grp", "value")
+    StreamJobs.applyAggBatch(b1, 1L, aggDir)
+    val want = Set((1L, 2L, 15.0), (2L, 1L, 7.0))
+    assert(standing == want)
+    // crash point A: after the marker — replay is a plain no-op
+    StreamJobs.applyAggBatch(b1, 1L, aggDir)
+    assert(standing == want, "post-marker replay changed the aggregate")
+    // crash point B: AFTER the CURRENT swap but BEFORE the marker (the
+    // window ADVICE r4 flagged): the replay must neither crash on
+    // read-from/overwrite-to the same path nor double-apply the deltas —
+    // it just finishes the commit by writing the missing marker
+    val marker = JPaths.get(s"$aggDir/commits/1")
+    JFiles.delete(marker)
+    StreamJobs.applyAggBatch(b1, 1L, aggDir)
+    assert(JFiles.exists(marker), "replay must recreate the missing marker")
+    assert(standing == want, "swap-but-no-marker replay double-applied deltas")
+  }
+
   test("stream-static join enriches streaming rows with dimension data") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -239,6 +239,40 @@ class SnapshotSpec extends SparkSpec {
     PufsFileSystem.unmountSnapshot("zm/main")
   }
 
+  test("zone-map: NaN column keeps files; all-pruned read returns empty frame") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("snap-nan-src").toString
+    // one NaN poisons max(v): an entry for v would prune the file for
+    // EVERY range (NaN >= lo is false) despite real matching rows
+    spark.range(0, 10).selectExpr("id AS key",
+      "CASE WHEN id = 5 THEN cast('NaN' AS double) ELSE cast(id AS double) END AS v")
+      .coalesce(1).write.parquet(s"$src/t")
+    val repo = Files.createTempDirectory("snap-nan-repo").toString
+    val stats = SnapshotStore.publish(spark, src, repo, "main")
+    SnapshotStore.publishStats(spark, src, repo, stats.manifestSha, Seq("v", "key"))
+    val all = SnapshotStore.mount(repo, "main")
+      .map(_.path).filter(_.endsWith(".parquet")).toSet
+    assert(SnapshotStore.prunedFiles(repo, "main", "v", 3.0, 4.0)
+      .filter(_.endsWith(".parquet")).toSet == all,
+      "NaN-poisoned zone entry pruned a file with matching rows")
+    // the clean column still prunes normally on an out-of-range probe,
+    // and readPruned over ZERO surviving files must return an empty
+    // frame with the snapshot's schema instead of failing inference
+    assert(SnapshotStore.prunedFiles(repo, "main", "key", 1e9, 2e9)
+      .filter(_.endsWith(".parquet")).isEmpty)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    hc.set("fs.pufs.backing", Files.createTempDirectory("nan-backing").toString)
+    hc.set("fs.pufs.cache", Files.createTempDirectory("nan-cache").toString)
+    PufsFileSystem.mountSnapshot("nan/main", repo, "main")
+    val empty = SnapshotStore.readPruned(spark, repo, "main",
+      "nan/main", "key", 1e9, 2e9)
+    assert(empty.columns.toSet == Set("key", "v"),
+      s"empty pruned read lost the schema: ${empty.columns.toSeq}")
+    assert(empty.count() == 0)
+    PufsFileSystem.unmountSnapshot("nan/main")
+  }
+
   test("gc keeps label- and lease-reachable blocks, collects superseded ones") {
     import java.time.Instant
     val src = mkTree()
