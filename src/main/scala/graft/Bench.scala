@@ -160,6 +160,11 @@ object Bench {
     "q5_tpch_local_supplier" -> ((s: SparkSession, d: String) =>
       graft.operators.AggOps.queries("a17_tpch_q5")(s, d)),
 
+    // TPC-H Q9 composite: the widest join pipeline (3 broadcast dims +
+    // orders fact join) with decimal profit arithmetic
+    "q9_product_profit" -> ((s: SparkSession, d: String) =>
+      graft.operators.AggOps.queries("a29_tpch_q9")(s, d)),
+
     // bigram-LM corpus scoring: train the frequency model + score in one
     // pipeline (L39 class)
     "l39_bigram_lm" -> ((s: SparkSession, d: String) =>

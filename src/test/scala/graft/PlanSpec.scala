@@ -280,6 +280,30 @@ class PlanSpec extends SparkSpec {
     assert(!q17.contains("CartesianProduct"), q17)
   }
 
+  test("tpch pack round 5 (q9/q21/q8/q22) plans dims broadcast, no cartesian") {
+    // a29 q9: part/supplier/nation broadcast — the only shuffle joins are
+    // the orders fact join and the final groupBy
+    val q9 = plan("a29_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(q9).length >= 3, q9)
+    assert(!q9.contains("CartesianProduct"), q9)
+    // a33 q21: EXISTS plans a LeftSemi, NOT EXISTS a LeftAnti — both as
+    // hash/merge equi joins on l_orderkey, never nested-loop over the fact
+    val q21 = plan("a33_tpch_q21")
+    assert(q21.contains("LeftSemi"), q21)
+    assert(q21.contains("LeftAnti"), q21)
+    assert(!q21.contains("CartesianProduct") &&
+      !q21.contains("BroadcastNestedLoopJoin"), q21)
+    // a28 q8: both nation roles + part + supplier broadcast
+    val q8 = plan("a28_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(q8).length >= 4, q8)
+    assert(!q8.contains("CartesianProduct"), q8)
+    // a34 q22: the one-row threshold is a broadcast nested-loop CROSS of
+    // a single row (fine); the orders probe must be a hash anti join
+    val q22 = plan("a34_tpch_q22")
+    assert(q22.contains("LeftAnti"), q22)
+    assert(!q22.contains("CartesianProduct"), q22)
+  }
+
   test("a14 q3 plans a TakeOrdered top-10 over broadcast-pruned joins") {
     val p = plan("a14_tpch_q3")
     assert(p.contains("TakeOrderedAndProject"), p)
