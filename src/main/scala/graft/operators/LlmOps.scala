@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -1346,6 +1347,103 @@ object LlmOps {
         .select(col("source"), explode(col("picks")).as("p"))
         .select(col("source"), col("p.id").as("doc_id"), col("p.key").as("h"))
         .orderBy("source", "h", "doc_id")
+    }),
+
+    // L44: C4-style LINE-level dedup with document reconstruction — the
+    // corpus is segmented into fixed units (the testdata has no newlines,
+    // so "lines" are non-overlapping 10-word segments), any segment that
+    // occurs more than once ANYWHERE in the corpus survives only at its
+    // first occurrence (min doc_id, then min offset within it), and each
+    // document is reassembled from its kept segments in order. This is
+    // the C4 "discard duplicated lines across the corpus" pass (Raffel et
+    // al. 2020 §2.2) as a relational pipeline: explode → one
+    // hash-partitioned groupBy on the segment → join back → ordered
+    // re-aggregation. No window over the corpus, no pairs; at 100 TB the
+    // segment groupBy keys would be sha2 hashes rather than raw strings
+    // (same membership, 32-byte shuffle rows) — raw here for oracle
+    // transparency.
+    "l44_line_dedup" -> ((s, d) => {
+      val segLen = 10
+      val ws = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 1)
+      val segs = ws
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            ceil(size(col("ws")) / lit(segLen.toDouble)).cast("long") - 1))
+            .as("seg_idx"), col("ws"))
+        .select(col("doc_id"), col("seg_idx"),
+          concat_ws(" ", slice(col("ws"),
+            (col("seg_idx") * segLen + 1).cast("int"), lit(segLen))).as("seg"))
+      val stats = segs.groupBy("seg")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper_doc"))
+      val keeperIdx = segs.groupBy(col("seg").as("kseg"), col("doc_id").as("kdoc"))
+        .agg(min("seg_idx").as("keeper_idx"))
+      val flagged = segs
+        .join(stats, "seg")
+        .join(keeperIdx,
+          col("kseg") === col("seg") && col("kdoc") === col("keeper_doc"))
+        .withColumn("kept",
+          when(col("n") === 1, 1L)
+            .when(col("doc_id") === col("keeper_doc") &&
+              col("seg_idx") === col("keeper_idx"), 1L)
+            .otherwise(0L))
+      flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"), sum("kept").as("n_kept"),
+          when(sum("kept") > 0,
+            array_join(transform(
+              array_sort(collect_list(
+                when(col("kept") === 1, struct(col("seg_idx"), col("seg"))))),
+              x => x.getField("seg")), " "))
+            .as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // L45: duplicated-SPAN detection — the ExactSubstr dedup shape of Lee
+    // et al. 2021 ("Deduplicating Training Data Makes Language Models
+    // Better") re-expressed relationally: every positional 8-word shingle
+    // (stride 1) that appears in ≥2 distinct documents marks its [pos,
+    // pos+8) word range as duplicated; per document, overlapping marked
+    // ranges merge into maximal spans (the gaps-and-islands coalesce, the
+    // same interval algebra as w11/u2), reported as span count + total
+    // duplicated words. Where l2/MinHash answers "which DOCUMENT pairs
+    // are similar", this answers "which BYTES are copied" — the substrate
+    // for cut-the-span dedup. Scale shape: the shingle groupBy is one
+    // hash shuffle (keys → sha2 at 100 TB), the island merge is a
+    // per-document window (bounded keys), nothing is O(n²).
+    "l45_dup_spans" -> ((s, d) => {
+      val g = 8
+      val ws = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= g)
+      val grams = ws
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), (size(col("ws")) - g).cast("long")))
+            .as("pos"), col("ws"))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", slice(col("ws"), (col("pos") + 1).cast("int"), lit(g)))
+            .as("gram"))
+      val shared = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("gram")
+      val hits = grams.join(shared, "gram")
+        .select(col("doc_id"), col("pos"), (col("pos") + g).as("fin"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = hits
+        .withColumn("new_island",
+          when(col("pos") > coalesce(max("fin").over(wPrev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum("new_island").over(wRun))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("span_start"), max("fin").as("span_end"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start")).as("dup_words"),
+          min("span_start").as("first_span"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1872,7 +1970,75 @@ object LlmOps {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM r
-        |WHERE rnk <= (n + 3) // 4 ORDER BY doc_id""".stripMargin
+        |WHERE rnk <= (n + 3) // 4 ORDER BY doc_id""".stripMargin,
+
+    "l44_line_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |idx AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, CAST(ceil(len(ws)/10.0) AS INT))) AS seg_idx
+        |  FROM words),
+        |segs AS (
+        |  SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+        |    array_to_string(ws[(seg_idx*10+1):(seg_idx*10+10)], ' ') AS seg
+        |  FROM idx),
+        |stats AS (
+        |  SELECT seg, count(*) AS n, min(doc_id) AS keeper_doc
+        |  FROM segs GROUP BY seg),
+        |keeper_pos AS (
+        |  SELECT seg, doc_id, min(seg_idx) AS keeper_idx
+        |  FROM segs GROUP BY seg, doc_id),
+        |flagged AS (
+        |  SELECT k.doc_id, k.seg_idx, k.seg,
+        |    CASE WHEN m.n = 1 THEN 1
+        |         WHEN k.doc_id = m.keeper_doc AND k.seg_idx = mi.keeper_idx
+        |           THEN 1 ELSE 0 END AS kept
+        |  FROM segs k
+        |  JOIN stats m ON k.seg = m.seg
+        |  JOIN keeper_pos mi ON k.seg = mi.seg AND m.keeper_doc = mi.doc_id)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  string_agg(CASE WHEN kept = 1 THEN seg END, ' ' ORDER BY seg_idx)
+        |    AS text_clean
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l45_dup_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, GREATEST(len(ws) - 7, 0))) AS pos FROM words),
+        |grams AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    array_to_string(ws[(pos+1):(pos+8)], ' ') AS gram FROM idx),
+        |shared AS (
+        |  SELECT gram FROM grams GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT g.doc_id, g.pos, g.pos + 8 AS fin
+        |  FROM grams g JOIN shared s ON g.gram = s.gram),
+        |flagged AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits),
+        |islands AS (
+        |  SELECT doc_id, pos, fin,
+        |    CAST(sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS isl
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, isl, min(pos) AS span_start, max(fin) AS span_end
+        |  FROM islands GROUP BY doc_id, isl)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_end - span_start) AS BIGINT) AS dup_words,
+        |  CAST(min(span_start) AS BIGINT) AS first_span
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
     // l10_embed_neardup: no oracle (LSH recall is plan-specific) — NearDupSpec
     // verifies candidates ⊆ brute-force pairs and measures recall.
   )

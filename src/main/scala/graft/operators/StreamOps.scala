@@ -118,6 +118,63 @@ object StreamOps {
         .select("user_id", "signup_ts", "first_purchase_ts",
           "n_purchases", "converted")
         .orderBy("user_id")
+    }),
+
+    // T7: time-series resample + gap fill — regularize the event stream
+    // onto a dense per-user hourly grid (sequence() between the user's
+    // first and last active hour), then forward-fill the hours with no
+    // events from the last observed hourly total (last(_, ignoreNulls)
+    // over a per-user running frame). The resample-then-ffill primitive of
+    // every telemetry/feature-store pipeline (pandas resample().ffill()).
+    // Scale shape: one hash agg to hourly, one grid explode bounded by the
+    // user's active timespan, one equi join back, and a window that is
+    // per-user (bounded keys, never a global sort). Hourly totals ride
+    // DECIMAL(18,2) so the fill value is exact across engines.
+    "t7_resample_gapfill" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w)
+            .cast("decimal(18,2)").as("v_filled"),
+          when(col("v").isNull, 1).otherwise(0).as("is_gap"))
+        .orderBy("user_id", "h")
+    }),
+
+    // T8: cohort retention — users bucketed by first-event week (their
+    // cohort), then for every (cohort, weeks-since-cohort) cell, how many
+    // of the cohort's users were still active. The retention-matrix
+    // primitive of product analytics. Scale shape: two hash aggregations
+    // (first-event per user, distinct user-weeks) and two equi joins —
+    // every stage keyed and partial-agg friendly, no windows, nothing
+    // quadratic. (The synthetic fixture lands every user in one cohort;
+    // the plan shape is cohort-count-independent.)
+    "t8_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firsts = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort_wk"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val joined = activity.join(firsts, "user_id")
+        .select(col("user_id"), col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_k"))
+      val sizes = firsts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+      joined.groupBy("cohort_wk", "week_k")
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("week_k"), col("n_active"),
+          col("cohort_size"))
+        .orderBy("cohort_wk", "week_k")
     })
   )
 
@@ -184,6 +241,45 @@ object StreamOps {
         |   AND min(p.ts) <= s.signup_ts + INTERVAL 7 DAY) AS converted
         |FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.ts >= s.signup_ts
         |GROUP BY s.user_id, s.signup_ts
-        |ORDER BY s.user_id""".stripMargin
+        |ORDER BY s.user_id""".stripMargin,
+
+    "t7_resample_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds)
+        |SELECT g.user_id, CAST(g.h AS TIMESTAMP) AS h,
+        |  CAST(last_value(hh.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS v_filled,
+        |  CASE WHEN hh.v IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM grid g
+        |LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
+
+    "t8_cohort_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+        |  FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |joined AS (
+        |  SELECT a.user_id, f.cohort_wk,
+        |    CAST(date_diff('day', f.cohort_wk, a.wk) / 7 AS BIGINT) AS week_k
+        |  FROM activity a JOIN firsts f ON a.user_id = f.user_id),
+        |sizes AS (
+        |  SELECT cohort_wk, count(*) AS cohort_size FROM firsts GROUP BY 1)
+        |SELECT CAST(j.cohort_wk AS TIMESTAMP) AS cohort_wk, j.week_k,
+        |  CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size
+        |FROM joined j JOIN sizes s ON j.cohort_wk = s.cohort_wk
+        |GROUP BY j.cohort_wk, j.week_k, s.cohort_size
+        |ORDER BY cohort_wk, week_k""".stripMargin
   )
 }
