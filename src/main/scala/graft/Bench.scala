@@ -170,6 +170,12 @@ object Bench {
     "l39_bigram_lm" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l39_bigram_lm_score")(s, d)),
 
+    // C4-style cross-corpus segment dedup + document reconstruction
+    // (L44 class): explode → hash groupBy on the segment → join back →
+    // ordered re-aggregation
+    "l44_line_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l44_line_dedup")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(

@@ -75,8 +75,11 @@ object LlmOps {
     * per shingle: band b's hash is the b-th 8-hex-char slice of the
     * digest (4 independent 32-bit min-hashes from one 128-bit digest —
     * quarter the hashing of the per-band md5("b:sh") formulation). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val toks = t(s, d, "documents")
+  /** Banded MinHash signatures (doc_id, b, sig) for a (doc_id, text)
+    * frame — the l2 signature scheme factored out so the standing
+    * NearDupIndex indexes bit-identical signatures to the inline lane. */
+  private[operators] def minhashSigs(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
       .filter(size(col("tk")) >= 5)
     val shingles = toks.select(col("doc_id"),
@@ -84,12 +87,15 @@ object LlmOps {
         i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
     val bandMins = (0 to 3).map(b =>
       min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
-    val sigs = shingles
+    shingles
       .groupBy("doc_id")
       .agg(bandMins.head, bandMins.tail: _*)
       .select(col("doc_id"), posexplode(
         array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
-      .persist()
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(t(s, d, "documents")).persist()
     // materialize the cache BEFORE the self-join fans out: without this,
     // both join sides' shuffle-map stages run concurrently, each computing
     // the not-yet-cached partitions — under a full task-slot pool the

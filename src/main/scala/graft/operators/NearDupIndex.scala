@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted cross-run NEAR-dup index — the operational form of l2, and
+  * DedupIndex's fuzzy sibling: a 100 TB corpus has its banded MinHash
+  * signatures computed ONCE and stored; each day's arrivals are screened
+  * for near-duplicates against the standing corpus by a bucket join on
+  * (band, signature) — O(batch) signature work plus one equi join, the
+  * corpus text is never re-shingled.
+  *
+  * Layout at `indexDir`:
+  *   sigs/  parquet (doc_id, b, sig) — 4 banded minhash rows per doc,
+  *          bit-identical to the inline l2 lane (shared LlmOps.minhashSigs),
+  *          so screening composes exactly with inline discovery:
+  *          pairs(old ∪ batch) = pairs(old) ∪ pairsWithin(batch)
+  *                               ∪ candidatesAgainst(index, batch)
+  *          (DedupIndexSpec pins that identity on two generations).
+  *
+  * At scale: the stored side is hash-partitioned parquet keyed by the
+  * bucket; the batch side shuffles only its own 4·|batch| signature rows.
+  * Unlike the exact DedupIndex there is no Bloom screen — LSH is already
+  * the screen (a bucket collision IS the "maybe" signal), and the exact
+  * confirm (Jaccard on the candidate pairs, l12's two-phase verify) stays
+  * a downstream choice because near-dup candidates, unlike sha equality,
+  * are policy: callers pick the verify threshold.
+  */
+object NearDupIndex {
+
+  /** Signature the corpus and persist the index. Returns indexed-doc count. */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Long = {
+    val sigs = LlmOps.minhashSigs(docs).persist()
+    try {
+      sigs.write.mode("overwrite").parquet(s"$indexDir/sigs")
+      sigs.select("doc_id").distinct().count()
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** Near-dup candidate pairs between `docs` (new batch) and the standing
+    * index: (new_id, index_id), deduped across bands. Batch-internal pairs
+    * are NOT included — compose with `pairsWithin` when the batch itself
+    * needs deduping before append. */
+  def candidatesAgainst(spark: SparkSession, indexDir: String,
+      docs: DataFrame): DataFrame = {
+    val batch = LlmOps.minhashSigs(docs)
+      .select(col("b"), col("sig"), col("doc_id").as("new_id"))
+    // an index that hasn't been built yet screens nothing (first batch of
+    // a streaming ingest)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "sigs")))
+      return batch.select(col("new_id"), col("new_id").as("index_id")).limit(0)
+    val stored = spark.read.parquet(s"$indexDir/sigs")
+      .select(col("b").as("b2"), col("sig").as("sig2"),
+        col("doc_id").as("index_id"))
+    batch.join(stored,
+        col("b") === col("b2") && col("sig") === col("sig2") &&
+          col("new_id") =!= col("index_id"))
+      .select(col("new_id"), col("index_id")).distinct()
+  }
+
+  /** Near-dup candidate pairs WITHIN a frame (a < b), deduped — the l2
+    * self-join over freshly computed signatures. */
+  def pairsWithin(docs: DataFrame): DataFrame = {
+    // eager localCheckpoint: materializes BEFORE the self-join's two
+    // stages fan out (the l2 concurrent-materialization starvation
+    // guard), and — unlike persist(), whose CacheManager entry pins the
+    // blocks until an explicit unpersist — is released by the
+    // ContextCleaner once unreferenced, so per-batch streaming callers
+    // (nearDedupIngest) don't accumulate one cached RDD per micro-batch
+    val sigs = LlmOps.minhashSigs(docs).localCheckpoint(true)
+    val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
+    val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"),
+      col("doc_id").as("bid"))
+    val out = x.join(y, col("b") === col("b2") && col("sig") === col("sig2") &&
+        col("a") < col("bid"))
+      .select(col("a"), col("bid").as("b")).distinct()
+    out
+  }
+
+  /** Add a batch's signatures to the index (signature-append only; the
+    * caller decides which batch docs survive its dedup policy first). */
+  def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
+    LlmOps.minhashSigs(docs).write.mode("append").parquet(s"$indexDir/sigs")
+    ()
+  }
+}

@@ -122,6 +122,54 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming NEAR-dup ingestion — dedupIngest's fuzzy sibling, wiring
+    * the standing NearDupIndex into foreachBatch: each arriving batch is
+    * (1) greedily deduped within itself (a doc drops if it LSH-pairs with
+    * any smaller-id batch doc — the l2 `a < b` orientation as a survivor
+    * policy), (2) screened against the index (any candidate against
+    * stored signatures drops — conservative: LSH candidacy IS the
+    * near-dup signal here; an exact Jaccard confirm needs the doc store
+    * and stays a downstream choice), (3) survivors land in accepted/ and
+    * their signatures join the index. Docs under 5 tokens have no
+    * shingles, hence no signatures — they always pass the near-dup
+    * screen (exact dedup is dedupIngest's job).
+    *
+    * at-least-once replay safety, same three pieces as dedupIngest:
+    * committed-batch marker, dynamic per-batch partition overwrite for
+    * accepted/, and signature append LAST — replayed appends only
+    * duplicate signature rows, which candidatesAgainst's distinct
+    * tolerates. */
+  def nearDedupIngest(docs: DataFrame, indexDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val marker = new java.io.File(s"$indexDir/commits/$batchId")
+      if (!marker.exists()) {
+        val rows = batch.select("doc_id", "text").persist()
+        val losers = graft.operators.NearDupIndex.pairsWithin(rows)
+          .select(col("b").as("doc_id")).distinct()
+        val inBatch = rows.join(losers, Seq("doc_id"), "left_anti")
+        val screened = graft.operators.NearDupIndex
+          .candidatesAgainst(s, indexDir, inBatch)
+          .select(col("new_id").as("doc_id")).distinct()
+        val accepted = inBatch.join(screened, Seq("doc_id"), "left_anti")
+          .persist()
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          accepted.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexDir/accepted")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        graft.operators.NearDupIndex.append(s, indexDir, accepted)
+        accepted.unpersist()
+        rows.unpersist()
+        marker.getParentFile.mkdirs()
+        java.nio.file.Files.createFile(marker.toPath)
+      }
+      ()
+    }
+
   /** Streaming incremental-aggregate maintenance — the streaming face of
     * o10: a standing per-group (cnt, total) parquet table absorbs each
     * micro-batch as "added" deltas via IncrementalAgg.applyDeltas, cost

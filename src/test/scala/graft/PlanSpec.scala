@@ -341,4 +341,33 @@ class PlanSpec extends SparkSpec {
         s"$q still uses a global percent_rank window:\n$p")
     }
   }
+
+  test("l44/l45 corpus surgery: hash joins on segment keys, no cartesian") {
+    Seq("l44_line_dedup", "l45_dup_spans").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q expected equi joins:\n$p")
+    }
+    // l45's island merge must be a per-document window, never global —
+    // an unpartitioned window plans `Exchange SinglePartition` (one task
+    // sorts everything), which must not appear
+    val p45 = plan("l45_dup_spans")
+    assert(!p45.contains("Exchange SinglePartition"),
+      s"single-partition exchange in l45:\n$p45")
+  }
+
+  test("t7 gap fill windows per user; t8 retention is pure hash agg + join") {
+    val p7 = plan("t7_resample_gapfill")
+    assert(p7.contains("Window"), p7)
+    // the fill window is keyed by user_id — no single-partition sort
+    assert(!p7.contains("Exchange SinglePartition"),
+      s"single-partition exchange in t7:\n$p7")
+    assert(!p7.contains("CartesianProduct"), p7)
+    val p8 = plan("t8_cohort_retention")
+    assert(!p8.contains("Window"), s"t8 must not need windows:\n$p8")
+    assert(!p8.contains("CartesianProduct") &&
+      !p8.contains("BroadcastNestedLoopJoin"), p8)
+  }
 }

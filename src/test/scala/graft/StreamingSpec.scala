@@ -246,6 +246,41 @@ class StreamingSpec extends SparkSpec {
       s"accepted must hold each novel content once, min-id keeper: $accepted")
   }
 
+  test("streaming near-dup ingestion: candidates drop, survivors join the index") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("stream-neardup").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamJobs.nearDedupIngest(docs, indexDir).start()
+    // batch 1 hits an EMPTY index: an internal exact near-dup pair (11
+    // collides with 10 in every band — identical text ⇒ identical
+    // signatures) and an unrelated doc
+    mem.addData(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "one two three four five six"))
+    q.processAllAvailable()
+    // batch 2: a copy of indexed content (screened out against the
+    // standing index), a novel doc, and a sub-5-token doc (no shingles —
+    // passes the near-dup screen by construction)
+    mem.addData(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "seven eight nine ten eleven twelve"),
+      (22L, "tiny"))
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(s"$indexDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(10L, 12L, 21L, 22L),
+      s"min-id survivors + novel + shingle-less expected: $accepted")
+    // the index holds signatures for exactly the accepted shingled docs
+    val indexed = spark.read.parquet(s"$indexDir/sigs")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(10L, 12L, 21L),
+      s"index must hold accepted docs' signatures: $indexed")
+  }
+
   test("maintainAggEachBatch keeps the standing aggregate ≡ full recompute") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

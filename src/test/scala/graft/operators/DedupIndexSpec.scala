@@ -66,4 +66,45 @@ class DedupIndexSpec extends SparkSpec {
     val dups = corpus.limit(50)
     assert(DedupIndex.newAgainst(spark, indexDir, dups).isEmpty)
   }
+
+  test("near-dup index: screening composes exactly with inline discovery") {
+    val indexDir = java.nio.file.Files.createTempDirectory("neardup-idx").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val gen1 = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    NearDupIndex.build(spark, gen1, indexDir)
+
+    def norm(df: org.apache.spark.sql.DataFrame, c1: String, c2: String) =
+      df.select(least(col(c1), col(c2)).as("x"),
+          greatest(col(c1), col(c2)).as("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the composition identity the index exists for:
+    // pairs(old ∪ batch) = pairs(old) ∪ pairs(batch) ∪ cross-screen
+    val whole = norm(NearDupIndex.pairsWithin(docs), "a", "b")
+    val gen1P = norm(NearDupIndex.pairsWithin(gen1), "a", "b")
+    val batchP = norm(NearDupIndex.pairsWithin(batch), "a", "b")
+    val cross = norm(
+      NearDupIndex.candidatesAgainst(spark, indexDir, batch),
+      "new_id", "index_id")
+    assert(gen1P.union(batchP).union(cross) == whole,
+      "index screening must reproduce inline discovery exactly")
+
+    // an exact copy of an indexed doc MUST collide (identical signatures)
+    val probe = gen1.limit(1).select(lit(99999L).as("doc_id"), col("text"))
+    val hits = NearDupIndex.candidatesAgainst(spark, indexDir, probe)
+    assert(hits.filter(col("new_id") === 99999L).count() >= 1,
+      "exact copy of indexed content must be screened as a candidate")
+
+    // append the batch: re-screening it now also surfaces its internal
+    // pairs (batch-vs-batch through the stored signatures), nothing more
+    NearDupIndex.append(spark, indexDir, batch)
+    val cross2 = norm(
+      NearDupIndex.candidatesAgainst(spark, indexDir, batch),
+      "new_id", "index_id")
+    assert(cross2 == cross.union(batchP),
+      "post-append screen = pre-append cross + batch-internal pairs")
+    spark.catalog.clearCache()
+  }
 }
