@@ -256,6 +256,32 @@ object AggOps {
         .orderBy("nation")
     }),
 
+    // A35: exact-arithmetic distribution stats — mean/variance/stddev per
+    // group WITHOUT order-dependent double summation (Spark and DuckDB
+    // sum doubles in different orders, so stddev_pop() built-ins can't
+    // hash-match). The moments accumulate as exact BIGINT sums (quantity
+    // is integral; Σq ≤ 50·n, Σq² ≤ 2500·n keep even 10¹² rows inside
+    // int64 per group when sharded decimal at larger domains), and the
+    // float math is a FIXED tree of identical operands evaluated once at
+    // the end — bit-identical across engines. Partial-agg friendly: the
+    // sums are commutative monoids, the same trick o12 uses for sketches.
+    "a35_group_stats" -> ((s, d) => {
+      val q = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      val nD = col("n").cast("double")
+      val sqD = col("sq").cast("double")
+      val sqqD = col("sqq").cast("double")
+      val varExpr = (nD * sqqD - sqD * sqD) / (nD * nD)
+      q.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"),
+          sum(col("qty") * col("qty")).as("sqq"))
+        .select(col("l_returnflag"), col("n"),
+          (sqD / nD).as("mean_qty"),
+          varExpr.as("var_pop"),
+          sqrt(varExpr).as("stddev_pop"))
+        .orderBy("l_returnflag")
+    }),
+
     // A15: TPC-H Q18 shape (large-volume customers) — the "aggregate,
     // HAVING-filter, then join the survivors back" composite. The inner
     // aggregation shrinks lineitem to one row per order BEFORE any join,
@@ -661,7 +687,10 @@ object AggOps {
         .select("l_suppkey")
       t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")
-          .filter(col("n_name").isin("NATION_1", "NATION_5"))),
+          // a nation GROUP (5 of 25) rather than Q20's single nation:
+          // same nation-restricted semi-join shape, but the tiny sf0.001
+          // fixture (10 suppliers) keeps a survivor at every SF
+          .filter(col("n_nationkey") % 5 === 1)),
           col("s_nationkey") === col("n_nationkey"))
         .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
@@ -682,7 +711,8 @@ object AggOps {
           col("l_orderkey") === col("o_orderkey"))
         .filter(late)
         .join(broadcast(t(s, d, "supplier")
-          .join(t(s, d, "nation").filter(col("n_name") === "NATION_1"),
+          // nation group, not Q21's single nation — see a32
+          .join(t(s, d, "nation").filter(col("n_nationkey") % 5 === 1),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
@@ -780,6 +810,25 @@ object AggOps {
         |UNION ALL SELECT yr, 'O', o FROM wide
         |UNION ALL SELECT yr, 'P', p FROM wide
         |ORDER BY yr, status""".stripMargin,
+
+    "a35_group_stats" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qty) AS BIGINT) AS sq,
+        |    CAST(sum(qty*qty) AS BIGINT) AS sqq
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |  (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "a11_exact_percentiles" ->
       """SELECT o_orderpriority,
@@ -1043,7 +1092,7 @@ object AggOps {
     "a32_tpch_q20" ->
       """SELECT s_name, s_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name IN ('NATION_1','NATION_5')
+        |WHERE n_nationkey % 5 = 1
         |  AND s_suppkey IN (
         |    SELECT l_suppkey FROM lineitem
         |    WHERE l_partkey IN
@@ -1059,7 +1108,7 @@ object AggOps {
         |FROM lineitem l1
         |  JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
         |  JOIN supplier ON s_suppkey = l1.l_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_nationkey % 5 = 1
         |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
         |  AND EXISTS (SELECT 1 FROM lineitem l2
         |    WHERE l2.l_orderkey = l1.l_orderkey

@@ -187,6 +187,27 @@ object JoinOps {
         .orderBy("k")
     }),
 
+    // Q-J15: interval×interval overlap join — both sides are interval
+    // sets (7-day and 14-day order windows), matched when they overlap.
+    // Naive formulation is a cross join with the overlap predicate;
+    // bandedIntervalOverlapJoin makes it a band-key equi join with each
+    // pair counted exactly once in the band holding the overlap's left
+    // edge. Both sides fact-sized at 100 TB — the same contract as j12.
+    "j15_interval_overlap" -> ((s, d) => {
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1970-01-01")))
+      val a = t(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").as("k"), day(col("o_orderdate")).as("alo"))
+        .withColumn("ahi", col("alo") + 6)
+      val b = t(s, d, "orders").filter(col("o_orderkey") % 20 === 10)
+        .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("blo"))
+        .withColumn("bhi", col("blo") + 13)
+      bandedIntervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi",
+          bandWidth = 16)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
     // Q-J14: as-of join with tolerance — j7's backward as-of, but a match
     // expires after one hour (pandas merge_asof's `tolerance`). Same
     // union+window shape (one shuffle, no row fan-out); the tolerance is
@@ -280,6 +301,35 @@ object JoinOps {
       .drop("__pband", "__iband")
   }
 
+  /** Interval×interval OVERLAP join with both sides fact-sized — j12's
+    * banding applied to two interval sets (the temporal/genomic overlap
+    * join). Each side explodes across the integer bands it spans and the
+    * overlap predicate (`aLo <= bHi && bLo <= aHi`, closed intervals)
+    * rides inside a plain band-key equi join. A pair overlapping across
+    * several shared bands would match once per band; instead of a
+    * downstream distinct (an extra shuffle over the full result), each
+    * pair is counted ONLY in its canonical band — the band holding
+    * `greatest(aLo, bLo)`, the overlap's left edge, which both sides
+    * provably span. Result: exact overlap pairs, one shuffle, no dedup. */
+  def bandedIntervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    def bandsOf(df: DataFrame, lo: String, hi: String, out: String) = {
+      val b0 = floor(col(lo) / bandWidth).cast("long")
+      df.withColumn(out,
+        explode(sequence(b0, greatest(b0, floor(col(hi) / bandWidth).cast("long")))))
+    }
+    val lp = bandsOf(left, lLo, lHi, "__lband")
+    val rp = bandsOf(right, rLo, rHi, "__rband")
+    lp.join(rp,
+        col("__lband") === col("__rband") &&
+        col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        floor(greatest(col(lLo), col(rLo)) / bandWidth).cast("long") ===
+          col("__lband"))
+      .drop("__lband", "__rband")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "j1_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
@@ -366,6 +416,19 @@ object JoinOps {
         | AND o2.o_orderkey <> o1.o_orderkey
         |WHERE o1.o_orderkey % 100 = 0
         |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "j15_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS alo,
+        |    o_orderdate + INTERVAL 6 DAY AS ahi
+        |  FROM orders WHERE o_orderkey % 20 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS k2, o_orderdate AS blo,
+        |    o_orderdate + INTERVAL 13 DAY AS bhi
+        |  FROM orders WHERE o_orderkey % 20 = 10)
+        |SELECT a.k, CAST(count(*) AS BIGINT) AS n
+        |FROM a JOIN b ON a.alo <= b.bhi AND b.blo <= a.ahi
+        |GROUP BY a.k ORDER BY a.k""".stripMargin,
 
     "j14_asof_tolerance" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
-/** Optimizer rule: plan a point-in-interval theta join as a banded EQUI
-  * join, automatically.
+/** Optimizer rule: plan a point-in-interval OR interval-overlap theta
+  * join as a banded EQUI join, automatically.
   *
   * Spark has no native range-join strategy: an inner join whose only
   * usable predicate is `p >= lo AND p <= hi` falls back to
@@ -55,7 +55,12 @@ case class BandedRangeJoinRule(spark: SparkSession)
     val w = spark.conf.get(ConfKey, "0").toLong
     if (w <= 0) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, w).getOrElse(j)
+      case j @ Join(_, _, Inner, Some(_), _) =>
+        // point-in-interval first (cheaper: the point side projects one
+        // band, no explode); the overlap rewrite catches the general
+        // two-interval predicate — including the degenerate [p, p] form
+        // if a future edit ever weakens the point matcher
+        rewrite(j, w).orElse(rewriteOverlap(j, w)).getOrElse(j)
     }
   }
 
@@ -64,20 +69,43 @@ case class BandedRangeJoinRule(spark: SparkSession)
     e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
       e.deterministic
 
-  private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
-    val conjuncts = splitConjunctivePredicates(j.condition.get)
+  private def bandOfW(e: Expression, w: Long): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
 
-    // already an equi join on some key -> hash-joinable, leave it alone
-    // (EqualNullSafe is a hash-join key for Catalyst too)
+  /** explode(sequence(band(lo), max(band(lo), band(hi)))) with the
+    * maxBands fail-fast guard — the banded fan-out both rewrites share. */
+  private def bandExplode(lo: Expression, hi: Expression, w: Long): Explode = {
+    val maxBands = spark.conf
+      .get("spark.graft.rangeJoin.maxBands", "10000").toLong
+    val lban = bandOfW(lo, w)
+    val hban = Greatest(Seq(lban, bandOfW(hi, w)))
+    val seq = Sequence(lban, hban, Some(Literal(1L)),
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+    val spanOk = LessThanOrEqual(Subtract(hban, lban), Literal(maxBands))
+    val failure = new AssertTrue(spanOk,
+      Literal("graft banded range join: interval spans more bands than " +
+        "spark.graft.rangeJoin.maxBands — raise it or fix " +
+        "spark.graft.rangeJoin.bandWidth to match this join's units")
+    ).replacement // the runtime-replaced If(raise_error) — throws when evaluated
+    Explode(CaseWhen(Seq((spanOk, seq)), Some(Cast(failure, seq.dataType))))
+  }
+
+  /** Any cross-side equi conjunct makes the join hash-plannable already —
+    * banding would only add work. (EqualNullSafe is a hash key too.) */
+  private def hasEquiKey(j: Join, conjuncts: Seq[Expression]): Boolean = {
     def crossSides(l: Expression, r: Expression): Boolean =
       (from(l, j.left) && from(r, j.right)) ||
         (from(l, j.right) && from(r, j.left))
-    val hasEquiKey = conjuncts.exists {
+    conjuncts.exists {
       case EqualTo(l, r)       => crossSides(l, r)
       case EqualNullSafe(l, r) => crossSides(l, r)
       case _                   => false
     }
-    if (hasEquiKey) return None
+  }
+
+  private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    if (hasEquiKey(j, conjuncts)) return None
 
     // find a lower bound `p >= lo` (or lo <= p / p > lo / lo < p) and an
     // upper bound `p <= hi` on the SAME point expression p
@@ -116,42 +144,20 @@ case class BandedRangeJoinRule(spark: SparkSession)
       val (pointPlan, intervalPlan) =
         if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
-      def bandOf(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
-
       // point side: one extra projected column, its single band
-      val pBand = Alias(bandOf(p), "__p_band")()
+      val pBand = Alias(bandOfW(p, w), "__p_band")()
       val pointProj = Project(pointPlan.output :+ pBand, pointPlan)
 
-      // interval side: explode the (usually <= 2) bands the interval spans
+      // interval side: explode the (usually <= 2) bands the interval
+      // spans. Sequence is TimeZoneAwareExpression (explicit zone or it
+      // reports unresolved mid-optimizer); Greatest-clamped because
+      // sequence(start, stop) THROWS when start > stop (empty interval →
+      // one band, exact predicate rejects); maxBands fail-fast so a
+      // bandWidth tuned for one join's units can't silently explode a
+      // second join's shuffle (all inside bandExplode)
       val iBandAttr = AttributeReference("__i_band", LongType, nullable = true)()
-      // Sequence is TimeZoneAwareExpression: without an explicit zone it
-      // reports unresolved and fails plan validation mid-optimizer.
-      // Greatest clamp: an empty interval (lo > hi) must contribute zero
-      // matches, but sequence(start, stop) THROWS when start > stop —
-      // clamp to one band and let the exact predicate reject it.
-      // Max-bands guard: a bandWidth tuned for one join's units can hit a
-      // second join whose intervals span millions of bands (epoch millis
-      // vs day numbers); rather than silently exploding the shuffle,
-      // fail fast with a message naming the conf to fix. assert_true
-      // evaluates only on rows that exceed the cap.
-      val maxBands = spark.conf
-        .get("spark.graft.rangeJoin.maxBands", "10000").toLong
-      val lban = bandOf(lo)
-      val hban = Greatest(Seq(lban, bandOf(hi)))
-      val seq = Sequence(lban, hban, Some(Literal(1L)),
-        Some(spark.sessionState.conf.sessionLocalTimeZone))
-      val spanOk = LessThanOrEqual(Subtract(hban, lban), Literal(maxBands))
-      val failure = new AssertTrue(spanOk,
-        Literal("graft banded range join: interval spans more bands than " +
-          "spark.graft.rangeJoin.maxBands — raise it or fix " +
-          "spark.graft.rangeJoin.bandWidth to match this join's units")
-      ).replacement // the runtime-replaced If(raise_error) — throws when evaluated
-      val guarded = CaseWhen(Seq((spanOk, seq)),
-        Some(Cast(failure, seq.dataType)))
-      val gen = Explode(guarded)
-      val intervalGen = Generate(gen, unrequiredChildIndex = Nil,
-        outer = false, qualifier = None,
+      val intervalGen = Generate(bandExplode(lo, hi, w),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(iBandAttr), child = intervalPlan)
 
       val newCond = (EqualTo(pBand.toAttribute, iBandAttr) +: conjuncts)
@@ -160,6 +166,62 @@ case class BandedRangeJoinRule(spark: SparkSession)
         if (pointOnLeft) (pointProj, intervalGen) else (intervalGen, pointProj)
       val joined = Join(newLeft, newRight, Inner, Some(newCond), j.hint)
       // band columns are internal — restore the original output exactly
+      Project(j.output, joined)
+    }
+  }
+
+  /** Interval×interval overlap: a conjunct pair `L.lo ⋞ R.hi` and
+    * `R.lo ⋞ L.hi` (⋞ = < or <=, either written order) with no equi key.
+    * The physical-plan form of JoinOps.bandedIntervalOverlapJoin: BOTH
+    * sides explode across their bands, and each true pair is admitted
+    * only in its canonical band — the band of greatest(L.lo, R.lo), the
+    * overlap's left edge. Why that band works: wlog L.lo <= R.lo (the
+    * other case is symmetric). Then the canonical band is R.lo's band,
+    * which the right side always emits; the overlap predicate gives
+    * R.lo <= L.hi, so band(L.lo) <= band(R.lo) <= band(L.hi) and the
+    * left side's contiguous band range emits it too. Uniqueness is by
+    * construction (one canonical band per pair), so the rewrite needs no
+    * dedup — the duplicate-elimination the naive banded overlap join
+    * would otherwise buy with a distinct shuffle over the full result. */
+  private def rewriteOverlap(j: Join, w: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    if (hasEquiKey(j, conjuncts)) return None
+
+    // normalize cross-side inequalities to (leftExpr, rightExpr,
+    // leftIsLower): leftIsLower ⇔ the left side's expr is the ≤ side
+    def orient(lo: Expression, hi: Expression)
+        : Option[(Expression, Expression, Boolean)] =
+      if (from(lo, j.left) && from(hi, j.right)) Some((lo, hi, true))
+      else if (from(lo, j.right) && from(hi, j.left)) Some((hi, lo, false))
+      else None
+    def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
+    val ineqs = conjuncts.flatMap {
+      case LessThanOrEqual(a, b)    => orient(a, b)
+      case LessThan(a, b)           => orient(a, b)
+      case GreaterThanOrEqual(a, b) => orient(b, a)
+      case GreaterThan(a, b)        => orient(b, a)
+      case _                        => None
+    }
+    val candidates = for {
+      (llo, rhi, dir1) <- ineqs if dir1   // L.lo ⋞ R.hi
+      (lhi, rlo, dir2) <- ineqs if !dir2  // R.lo ⋞ L.hi
+      if Seq(llo, lhi, rlo, rhi).forall(numeric)
+    } yield (llo, lhi, rlo, rhi)
+
+    candidates.headOption.map { case (llo, lhi, rlo, rhi) =>
+      val lBandAttr = AttributeReference("__l_band", LongType, nullable = true)()
+      val rBandAttr = AttributeReference("__r_band", LongType, nullable = true)()
+      val leftGen = Generate(bandExplode(llo, lhi, w),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(lBandAttr), child = j.left)
+      val rightGen = Generate(bandExplode(rlo, rhi, w),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(rBandAttr), child = j.right)
+      val canonical = EqualTo(
+        bandOfW(Greatest(Seq(llo, rlo)), w), Cast(lBandAttr, LongType))
+      val newCond = (EqualTo(lBandAttr, rBandAttr) +: canonical +: conjuncts)
+        .reduce(And.apply)
+      val joined = Join(leftGen, rightGen, Inner, Some(newCond), j.hint)
       Project(j.output, joined)
     }
   }

@@ -53,6 +53,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j15 interval overlap is an equi join on the band key, no nested loop") {
+    val p = plan("j15_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan("j15_interval_overlap")
+      assert(!p2.contains("BroadcastNestedLoopJoin") &&
+        !p2.contains("CartesianProduct"), p2)
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"), p2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("j13 fuzzy join is an equi join on deletion variants, no cross join") {
     val p = plan("j13_fuzzy_neighbors")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -135,6 +149,64 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
       spark.conf.unset("spark.graft.rangeJoin.maxBands")
     }
+  }
+
+  test("range-join rule: naive interval-OVERLAP join auto-bands, no dedup") {
+    graft.plans.BandedRangeJoinRule.register(spark)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "16")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1970-01-01")))
+      val a = graft.Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").as("k"), day(col("o_orderdate")).as("alo"))
+        .withColumn("ahi", col("alo") + 6)
+      val b = graft.Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 20 === 10)
+        .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("blo"))
+        .withColumn("bhi", col("blo") + 13)
+      // the naive overlap predicate a user would write — NO banding
+      val naive = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+      val p = naive.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      val auto = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      val manual = SparkEntry.queries("j15_interval_overlap")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(auto == manual, "auto-banded overlap must equal hand-banded j15")
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
+  test("overlap rule differential: random intervals incl. empty + negative") {
+    graft.plans.BandedRangeJoinRule.register(spark)
+    import graft.SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def mkIvs(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = (rnd.nextInt(2001) - 1000).toLong
+      val hi = if (i % 9 == 0) lo - 4 else lo + rnd.nextInt(80)
+      (i.toLong, lo, hi)
+    }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
+    val xs = mkIvs(150, "x")
+    val ys = mkIvs(150, "y")
+    def pairs() = xs
+      .join(ys, col("xlo") <= col("yhi") && col("ylo") <= col("xhi"))
+      .select("xid", "yid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairs() // rule dormant
+    try {
+      Seq("32", "7", "1000").foreach { w =>
+        spark.conf.set("spark.graft.rangeJoin.bandWidth", w)
+        assert(pairs() == expected, s"bandWidth=$w diverged")
+      }
+    } finally spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
   }
 
   test("a1 aggregation is two-phase (partial before the shuffle)") {
