@@ -1355,6 +1355,41 @@ object LlmOps {
         .orderBy("source", "h", "doc_id")
     }),
 
+    // L46: domain mixing to a TOKEN BUDGET — the corpus-mixing op of
+    // Pile/RedPajama-style recipes: each source's sampling rate is
+    // COMPUTED from its token mass (rate = min(1, budget/source_tokens),
+    // so under-budget sources keep everything and over-budget sources
+    // downsample toward the budget), then docs are selected by a
+    // content-derived uniform (md5 → [0,1)) under that rate —
+    // deterministic across runs, engines, and partitionings, where
+    // rand()-based sampling is none of those. Complements l23 (rates
+    // GIVEN per class) and l37 (exact-k per group). Two hash
+    // aggregations + one broadcast-size rate join; the corpus never
+    // sorts or pairs. The one double division and the u < rate compare
+    // are identical-operand ops — cross-engine hash-safe.
+    "l46_token_budget_mix" -> ((s, d) => {
+      val budget = 1000L
+      val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("text"))), 1, 8), 16, 10).cast("long") % 1000000)
+        .cast("double") / 1000000.0
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          u.as("u"))
+      val rates = toks.groupBy(col("source").as("src"))
+        .agg(sum("n_tok").as("tot"))
+        .withColumn("rate", when(col("tot") <= budget, lit(1.0))
+          .otherwise(lit(budget.toDouble) / col("tot").cast("double")))
+      toks.join(rates, col("source") === col("src"))
+        .groupBy("source", "tot", "rate")
+        .agg(count(when(col("u") < col("rate"), 1)).as("picked_docs"),
+          coalesce(sum(when(col("u") < col("rate"), col("n_tok"))), lit(0L))
+            .as("picked_tokens"))
+        .select(col("source"), col("tot").as("source_tokens"), col("rate"),
+          col("picked_docs"), col("picked_tokens"))
+        .orderBy("source")
+    }),
+
     // L44: C4-style LINE-level dedup with document reconstruction — the
     // corpus is segmented into fixed units (the testdata has no newlines,
     // so "lines" are non-overlapping 10-word segments), any segment that
@@ -1977,6 +2012,29 @@ object LlmOps {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM r
         |WHERE rnk <= (n + 3) // 4 ORDER BY doc_id""".stripMargin,
+
+    "l46_token_budget_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      text), 1, 8)) AS UBIGINT) % 1000000) / 1000000.0 AS u
+        |  FROM documents),
+        |totals AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+        |  FROM toks GROUP BY 1),
+        |rates AS (
+        |  SELECT source, tot,
+        |    CASE WHEN tot <= 1000 THEN 1.0
+        |         ELSE CAST(1000 AS DOUBLE) / CAST(tot AS DOUBLE) END AS rate
+        |  FROM totals)
+        |SELECT t.source, r.tot AS source_tokens, r.rate,
+        |  CAST(count(*) FILTER (WHERE t.u < r.rate) AS BIGINT)
+        |    AS picked_docs,
+        |  CAST(coalesce(sum(t.n_tok) FILTER (WHERE t.u < r.rate), 0)
+        |    AS BIGINT) AS picked_tokens
+        |FROM toks t JOIN rates r ON t.source = r.source
+        |GROUP BY t.source, r.tot, r.rate
+        |ORDER BY t.source""".stripMargin,
 
     "l44_line_dedup" ->
       """WITH words AS (

@@ -231,6 +231,36 @@ object WindowOps {
           col("l_extendedprice"), row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("l_suppkey", "rn")
+    }),
+
+    // W12: running aggregate WITH RESET — a per-customer running revenue
+    // total that restarts whenever the gap since the previous order
+    // exceeds 30 days (the sessionized-running-sum primitive: "spend so
+    // far this burst"). Three chained per-key windows — lag to flag the
+    // break, a running sum of flags to number the sessions (w11's
+    // gaps-and-islands trick on event gaps instead of interval overlap),
+    // then the running total partitioned by (key, session). Every window
+    // is keyed by customer — bounded partitions, no global sort; money
+    // rides DECIMAL(18,2).
+    "w12_session_running_sum" -> ((s, d) => {
+      val byTime = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .withColumn("prev_d", lag("o_orderdate", 1).over(byTime))
+        .withColumn("brk",
+          when(col("prev_d").isNull ||
+            col("o_orderdate") > col("prev_d") + expr("INTERVAL 30 DAY"), 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("brk").over(run))
+      val sessRun = Window.partitionBy("o_custkey", "sess_id")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"), col("sess_id"),
+          sum("price").over(sessRun).cast("decimal(18,2)").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -342,6 +372,33 @@ object WindowOps {
         |    CAST(row_number() OVER (PARTITION BY l_suppkey
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
         |  FROM lineitem) t
-        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "w12_session_running_sum" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_d
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, price,
+        |    CASE WHEN prev_d IS NULL
+        |      OR o_orderdate > prev_d + INTERVAL 30 DAY THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM o),
+        |sess AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, price,
+        |    CAST(sum(brk) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sess_id
+        |  FROM f)
+        |SELECT o_custkey, o_orderkey, sess_id,
+        |  CAST(sum(price) OVER (PARTITION BY o_custkey, sess_id
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS running_total
+        |FROM sess ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
