@@ -170,6 +170,11 @@ object Bench {
     "l39_bigram_lm" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l39_bigram_lm_score")(s, d)),
 
+    // banded interval-overlap join: both interval sets fact-sized,
+    // canonical-band admission instead of a dedup shuffle (Q-J15 class)
+    "j15_interval_overlap" -> ((s: SparkSession, d: String) =>
+      graft.operators.JoinOps.queries("j15_interval_overlap")(s, d)),
+
     // C4-style cross-corpus segment dedup + document reconstruction
     // (L44 class): explode → hash groupBy on the segment → join back →
     // ordered re-aggregation

@@ -1390,6 +1390,33 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // L47: triangle count over the near-dup candidate graph — the graph-
+    // density probe of a dedup pipeline (triangles ≈ transitive clusters:
+    // many triangles → near-dup groups are cliques and cluster election
+    // l21 will collapse them; few → chains, where greedy min-id survivors
+    // over-keep). Computed by the ordered-edge (compact-forward) triple
+    // join: edges are canonical a < b, so chaining e1(x,y) ⋈ e2(y,z) ⋈
+    // e3(x,z) enumerates each triangle exactly once as x < y < z — no
+    // orientation dedup, no per-node adjacency materialization. Scale
+    // shape: two hash equi joins over the (sparse) edge table, output a
+    // single summary row; the corpus itself is touched only to build
+    // edges (shared MinHash banding). One row always — smoke-safe when
+    // the tiny fixture has no triangles.
+    "l47_triangle_count" -> ((s, d) => {
+      val e = minhashPairs(s, d).localCheckpoint(true)
+      val e1 = e.select(col("a").as("x"), col("b").as("y"))
+      val e2 = e.select(col("a").as("y2"), col("b").as("z2"))
+      val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
+      val tri = e1.join(e2, col("y") === col("y2"))
+        .join(e3, col("x3") === col("x") && col("z3") === col("z2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val ecnt = e.agg(count(lit(1)).as("n_edges"))
+      val ncnt = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      ecnt.crossJoin(ncnt).crossJoin(tri)
+    }),
+
     // L44: C4-style LINE-level dedup with document reconstruction — the
     // corpus is segmented into fixed units (the testdata has no newlines,
     // so "lines" are non-overlapping 10-word segments), any segment that
@@ -2012,6 +2039,33 @@ object LlmOps {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM r
         |WHERE rnk <= (n + 3) // 4 ORDER BY doc_id""".stripMargin,
+
+    "l47_triangle_count" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 5),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
+        |  FROM f),
+        |sigs AS (
+        |  SELECT doc_id, b, min(substring(md5(sh), b*8+1, 8)) AS sig
+        |  FROM sh, generate_series(0, 3) AS g(b) GROUP BY doc_id, b),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM sigs x
+        |  JOIN sigs y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |  (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM (
+        |     SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs))
+        |    AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs e1
+        |     JOIN pairs e2 ON e1.b = e2.a
+        |     JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |    AS n_triangles""".stripMargin,
 
     "l46_token_budget_mix" ->
       """WITH toks AS (
