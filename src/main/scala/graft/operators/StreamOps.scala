@@ -175,6 +175,24 @@ object StreamOps {
         .select(col("cohort_wk"), col("week_k"), col("n_active"),
           col("cohort_size"))
         .orderBy("cohort_wk", "week_k")
+    }),
+
+    // T9: event-sequence transition matrix — what each user does NEXT:
+    // per-user event streams ordered by time, adjacent (type → next_type)
+    // transitions counted globally with the distinct-user reach of each
+    // edge. The Markov/path-analysis primitive behind funnels (t6 is one
+    // path through this matrix). Scale shape: lead() over a per-user
+    // window (bounded keys) then one hash aggregation — the corpus-sized
+    // analog of a session graph, no joins, nothing quadratic.
+    "t9_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          lead("event_type", 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -280,6 +298,18 @@ object StreamOps {
         |  CAST(s.cohort_size AS BIGINT) AS cohort_size
         |FROM joined j JOIN sizes s ON j.cohort_wk = s.cohort_wk
         |GROUP BY j.cohort_wk, j.week_k, s.cohort_size
-        |ORDER BY cohort_wk, week_k""".stripMargin
+        |ORDER BY cohort_wk, week_k""".stripMargin,
+
+    "t9_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
   )
 }

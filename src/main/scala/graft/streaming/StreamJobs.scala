@@ -138,7 +138,16 @@ object StreamJobs {
     * committed-batch marker, dynamic per-batch partition overwrite for
     * accepted/, and signature append LAST — replayed appends only
     * duplicate signature rows, which candidatesAgainst's distinct
-    * tolerates. */
+    * tolerates. One subtle case: a crash AFTER the append but BEFORE the
+    * marker replays the batch against an index that already holds this
+    * batch's own signatures. The replay still computes the identical
+    * accepted set, by construction: a doc's match against its own stored
+    * rows is filtered (new_id != index_id), and two within-batch
+    * SURVIVORS can never share a (band, sig) bucket — if they did,
+    * pairsWithin would have paired them and the greedy pass would have
+    * dropped the larger id before anything was appended. So the
+    * re-screen sees no new collisions and the partition rewrite is
+    * byte-stable. */
   def nearDedupIngest(docs: DataFrame, indexDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>

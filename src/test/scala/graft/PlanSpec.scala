@@ -414,6 +414,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("w6 rank-filter top-k gets partial+final WindowGroupLimit pushdown") {
+    // Spark 4's InferWindowGroupLimit turns filter(rn <= k) over a
+    // ranked window into a per-partition top-k BEFORE the shuffle (the
+    // per-group-top-k rewrite we'd otherwise hand-roll) — pin both the
+    // Partial (map-side) and Final stages so a conf or version change
+    // can't silently fall back to sorting whole groups
+    val p = plan("w6_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"expected two-phase WindowGroupLimit:\n$p")
+  }
+
   test("l44/l45 corpus surgery: hash joins on segment keys, no cartesian") {
     Seq("l44_line_dedup", "l45_dup_spans").foreach { q =>
       val p = plan(q)
