@@ -217,8 +217,12 @@ case class BandedRangeJoinRule(spark: SparkSession)
       val rightGen = Generate(bandExplode(rlo, rhi, w),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(rBandAttr), child = j.right)
+      // Greatest requires same-typed children; the two sides' range
+      // columns may be different numeric widths (int vs long vs double),
+      // so compare in DOUBLE — bandOfW casts its input to double anyway
       val canonical = EqualTo(
-        bandOfW(Greatest(Seq(llo, rlo)), w), Cast(lBandAttr, LongType))
+        bandOfW(Greatest(Seq(Cast(llo, DoubleType), Cast(rlo, DoubleType))), w),
+        Cast(lBandAttr, LongType))
       val newCond = (EqualTo(lBandAttr, rBandAttr) +: canonical +: conjuncts)
         .reduce(And.apply)
       val joined = Join(leftGen, rightGen, Inner, Some(newCond), j.hint)

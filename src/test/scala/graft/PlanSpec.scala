@@ -194,7 +194,11 @@ class PlanSpec extends SparkSpec {
       val hi = if (i % 9 == 0) lo - 4 else lo + rnd.nextInt(80)
       (i.toLong, lo, hi)
     }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
+    // deliberately MIXED numeric widths across the sides (int vs long):
+    // the canonical-band Greatest must resolve across them
     val xs = mkIvs(150, "x")
+      .select(col("xid"), col("xlo").cast("int").as("xlo"),
+        col("xhi").cast("int").as("xhi"))
     val ys = mkIvs(150, "y")
     def pairs() = xs
       .join(ys, col("xlo") <= col("yhi") && col("ylo") <= col("xhi"))
