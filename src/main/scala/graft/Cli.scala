@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{PufsFileSystem, SnapshotStore}
+
+/** Thin operational CLI over the snapshot store + pufs:// layer — the
+  * role the reference fills with its command front-end (reference
+  * pufs/cmd/: push / mount / ls / dump over the datastore): make the
+  * storage layer usable without writing Scala. One verb per invocation,
+  * plain stdout, exit 0/1 — composable from shell.
+  *
+  *   sbt "runMain graft.Cli push  <srcDir> <repo> <label> [statsCol,...]"
+  *   sbt "runMain graft.Cli ls    <repo> <ref> [pathPrefix]"
+  *   sbt "runMain graft.Cli labels <repo>"
+  *   sbt "runMain graft.Cli diff  <repo> <fromRef> <toRef>"
+  *   sbt "runMain graft.Cli cat   <repo> <ref> <path>"      (bytes → stdout)
+  *   sbt "runMain graft.Cli gc    <repo>"
+  *   sbt "runMain graft.Cli sql   <repo> <ref> <SQL>"       (tables = top-
+  *       level snapshot dirs, served lazily through a pufs:// mount)
+  *
+  * `ref` is a label or a manifest sha — same resolution as the library
+  * calls. Spark is started only for the verbs that need it (push's
+  * distributed hashing, sql); metadata verbs are pure driver work.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val code = run(args.toList)
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Dispatch without the sys.exit — the testable surface. */
+  def run(args: List[String]): Int = args match {
+    case "push" :: src :: repo :: label :: rest   => push(src, repo, label, rest)
+    case "ls" :: repo :: ref :: rest              => ls(repo, ref, rest.headOption.getOrElse(""))
+    case "labels" :: repo :: Nil                  => labels(repo)
+    case "diff" :: repo :: from :: to :: Nil      => diff(repo, from, to)
+    case "cat" :: repo :: ref :: path :: Nil      => cat(repo, ref, path)
+    case "gc" :: repo :: Nil                      => gc(repo)
+    case "sql" :: repo :: ref :: query :: Nil     => sql(repo, ref, query)
+    case _ =>
+      System.err.println(
+        """usage: graft.Cli <verb> ...
+          |  push <srcDir> <repo> <label> [statsCol,...]
+          |  ls <repo> <ref> [pathPrefix]
+          |  labels <repo>
+          |  diff <repo> <fromRef> <toRef>
+          |  cat <repo> <ref> <path>
+          |  gc <repo>
+          |  sql <repo> <ref> <SQL>""".stripMargin)
+      1
+  }
+
+  /** Run `f` with a session, starting one only if none is active — and
+    * stop only what we started (an embedding process, or a spec driving
+    * the CLI, keeps its own session). */
+  private def withSession[A](f: SparkSession => A): A = {
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val s = existing.getOrElse {
+      val b = SparkSession.builder()
+        .master("local[8]")
+        .appName("graft-cli")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      b.sparkContext.setLogLevel("ERROR")
+      b
+    }
+    try f(s) finally { if (existing.isEmpty) s.stop() }
+  }
+
+  private def push(src: String, repo: String, label: String,
+      rest: List[String]): Int = withSession { spark =>
+    val stats = SnapshotStore.publish(spark, src, repo, label)
+    println(s"published $label root=${stats.manifestSha} " +
+      s"uploaded=${stats.uploaded} hashed=${stats.hashed}")
+    rest.headOption.map(_.split(",").toSeq.filter(_.nonEmpty)) match {
+      case Some(cols) if cols.nonEmpty =>
+        val n = SnapshotStore.publishStats(spark, src, repo,
+          stats.manifestSha, cols)
+        println(s"zone-map entries=$n cols=${cols.mkString(",")}")
+      case _ =>
+    }
+    0
+  }
+
+  private def ls(repo: String, ref: String, prefix: String): Int = {
+    val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
+    val entries = SnapshotStore.mountAt(repo, sha)
+      .filter(_.path.startsWith(prefix))
+    entries.foreach(e => println(f"${e.size}%12d  ${e.sha256.take(12)}  ${e.path}"))
+    println(s"${entries.size} files, ${entries.map(_.size).sum} bytes")
+    0
+  }
+
+  private def labels(repo: String): Int = {
+    SnapshotStore.labels(repo).foreach { case (label, sha) =>
+      println(s"$label\t$sha")
+    }
+    0
+  }
+
+  private def diff(repo: String, from: String, to: String): Int = {
+    val ds = SnapshotStore.diff(repo, from, to)
+    ds.foreach { d =>
+      val sz = (d.sizeA, d.sizeB) match {
+        case (Some(a), Some(b)) if a != b => s"$a -> $b"
+        case (_, Some(b))                 => b.toString
+        case (Some(a), _)                 => a.toString
+        case _                            => ""
+      }
+      println(s"${d.status}\t${d.path}\t$sz")
+    }
+    println(s"${ds.size} changes")
+    0
+  }
+
+  private def cat(repo: String, ref: String, path: String): Int = {
+    val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
+    SnapshotStore.mountAt(repo, sha).find(_.path == path) match {
+      case Some(e) =>
+        System.out.write(SnapshotStore.readBlock(repo, e.sha256))
+        System.out.flush()
+        0
+      case None =>
+        System.err.println(s"no such path in $ref: $path"); 1
+    }
+  }
+
+  private def gc(repo: String): Int = {
+    println(s"collected ${SnapshotStore.gc(repo)} blocks")
+    0
+  }
+
+  /** Query a snapshot with plain SQL: every top-level directory of the
+    * snapshot becomes a temp view of the same name, backed by parquet
+    * served through a lazy pufs:// mount — the CLI form of "switch your
+    * warehouse to a snapshot". */
+  private def sql(repo: String, ref: String, query: String): Int =
+    withSession { spark =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+      if (hc.get("fs.pufs.backing") == null)
+        hc.set("fs.pufs.backing",
+          java.nio.file.Files.createTempDirectory("cli-backing").toString)
+      if (hc.get("fs.pufs.cache") == null)
+        hc.set("fs.pufs.cache",
+          java.nio.file.Files.createTempDirectory("cli-cache").toString)
+      val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
+      val mountPath = s"cli/$sha"
+      PufsFileSystem.mountSnapshotAt(mountPath, repo, sha)
+      try {
+        val tables = SnapshotStore.mountAt(repo, sha).map(_.path)
+          .filter(_.endsWith(".parquet"))
+          .flatMap(_.split('/').headOption).distinct.sorted
+        tables.foreach { tbl =>
+          spark.read.parquet(s"pufs:///$mountPath/$tbl")
+            .createOrReplaceTempView(tbl)
+        }
+        spark.sql(query).show(1000, truncate = false)
+        0
+      } finally PufsFileSystem.unmountSnapshot(mountPath)
+    }
+}

@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,18 +43,29 @@ object DedupIndex {
     df.stat.bloomFilter("h", BloomCapacity, Fpp)
   }
 
-  private def bloomPath(indexDir: String) = Paths.get(indexDir, "bloom.bin")
-
-  private def writeBloom(indexDir: String, bf: BloomFilter): Unit = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    Files.createDirectories(Paths.get(indexDir))
-    Files.write(bloomPath(indexDir), bos.toByteArray)
+  // Bloom I/O rides the Hadoop FileSystem of the indexDir's scheme so a
+  // non-local index (hdfs://, pufs://) works end-to-end — java.nio would
+  // treat "hdfs://x" as a relative local path and silently write a local
+  // directory literally named "hdfs:" (ADVICE r5 class of bug).
+  private def fsFor(spark: SparkSession, indexDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "bloom.bin")
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def readBloom(indexDir: String): BloomFilter =
-    BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(Files.readAllBytes(bloomPath(indexDir))))
+  private def writeBloom(spark: SparkSession, indexDir: String,
+      bf: BloomFilter): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val (fs, p) = fsFor(spark, indexDir)
+    val out = fs.create(p, true)
+    try out.write(bos.toByteArray) finally out.close()
+  }
+
+  private def readBloom(spark: SparkSession, indexDir: String): BloomFilter = {
+    val (fs, p) = fsFor(spark, indexDir)
+    val in = fs.open(p)
+    try BloomFilter.readFrom(in) finally in.close()
+  }
 
   /** Dedup `docs` internally (min doc_id survives) and persist the index.
     * Returns the number of distinct contents indexed. */
@@ -69,7 +79,7 @@ object DedupIndex {
     try {
       hashes.select("sha", "keeper_id")
         .write.mode("overwrite").parquet(s"$indexDir/hashes")
-      writeBloom(indexDir, bloomOf(hashes))
+      writeBloom(spark, indexDir, bloomOf(hashes))
       hashes.count()
     } finally { hashes.unpersist(); () }
   }
@@ -82,7 +92,7 @@ object DedupIndex {
       docs: DataFrame): DataFrame = {
     import graft.functions.BloomMembership
     val bos = new java.io.ByteArrayOutputStream()
-    readBloom(indexDir).writeTo(bos)
+    readBloom(spark, indexDir).writeTo(bos)
     val bloomLit = lit(bos.toByteArray)
     val hashed = withSha(docs)
     val maybeSeen = BloomMembership.mightContain(spark, bloomLit, col("h"))
@@ -100,9 +110,9 @@ object DedupIndex {
       .groupBy("sha").agg(min(col("doc_id")).as("keeper_id"),
         first(col("h")).as("h"))
       .persist()
-    val merged = readBloom(indexDir)
+    val merged = readBloom(spark, indexDir)
     merged.mergeInPlace(bloomOf(hashes))
-    writeBloom(indexDir, merged)
+    writeBloom(spark, indexDir, merged)
     hashes.select("sha", "keeper_id")
       .write.mode("append").parquet(s"$indexDir/hashes")
     hashes.unpersist()

@@ -94,6 +94,30 @@ object LlmOps {
         array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
   }
 
+  /** Fit a configured KMeans on a content-deterministic sample of at most
+    * `cap` rows, never the full frame — the 100 TB shape for every
+    * quantizer in this file (l20 IVF, l42 SemDeDup): k-means only needs a
+    * density sketch to place centroids, so the O(iters × n × k) fit cost
+    * must stay bounded while `model.transform` (a shuffle-free map) still
+    * assigns the FULL corpus. The sample is a hash filter on the id —
+    * no RNG, no partition-layout dependence, so the model (and every
+    * lane built on it) is reproducible run-to-run and cluster-to-laptop.
+    * Below `cap` rows it degenerates to a full fit (bit-identical lanes
+    * at test scale). */
+  private[operators] def fitKMeansOnSample(
+      km: org.apache.spark.ml.clustering.KMeans, feats: DataFrame,
+      idCol: String, n: Long, cap: Long = 100000L)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    val fitSet =
+      if (n <= cap) feats
+      else {
+        val denom = 1000000L
+        val keep = math.max(1L, (cap * denom) / n)
+        feats.filter(pmod(xxhash64(col(idCol)), lit(denom)) < keep)
+      }
+    km.fit(fitSet)
+  }
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigs(t(s, d, "documents")).persist()
     // materialize the cache BEFORE the self-join fans out: without this,
@@ -736,8 +760,9 @@ object LlmOps {
       val k = math.max(4, math.sqrt(n.toDouble).toInt)
       val feats = e0.select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
-      val model = new KMeans().setK(k).setSeed(42).setMaxIter(8)
-        .setPredictionCol("cell").fit(feats)
+      val model = fitKMeansOnSample(
+        new KMeans().setK(k).setSeed(42).setMaxIter(8)
+          .setPredictionCol("cell"), feats, "vec_id", n)
       val cells = model.transform(feats)
         .select(col("vec_id"), col("embedding"), col("cell"))
         .persist()
@@ -954,7 +979,8 @@ object LlmOps {
       val nprobe = math.max(3, k / 3)
       val feats = e0.select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
-      val model = new KMeans().setK(k).setSeed(42).setMaxIter(8).fit(feats)
+      val model = fitKMeansOnSample(
+        new KMeans().setK(k).setSeed(42).setMaxIter(8), feats, "vec_id", n)
       // centroid table (k rows — broadcast-sized by construction)
       val centers = {
         import s.implicits._

@@ -46,8 +46,13 @@ object NearDupIndex {
     val batch = LlmOps.minhashSigs(docs)
       .select(col("b"), col("sig"), col("doc_id").as("new_id"))
     // an index that hasn't been built yet screens nothing (first batch of
-    // a streaming ingest)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "sigs")))
+    // a streaming ingest). Resolve existence through the Hadoop FileSystem
+    // so non-local indexDirs (hdfs://, pufs://) are probed correctly — a
+    // java.nio check would always report absent for those schemes and
+    // silently admit near-duplicates.
+    val sigsPath = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+    val fs = sigsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(sigsPath))
       return batch.select(col("new_id"), col("new_id").as("index_id")).limit(0)
     val stored = spark.read.parquet(s"$indexDir/sigs")
       .select(col("b").as("b2"), col("sig").as("sig2"),

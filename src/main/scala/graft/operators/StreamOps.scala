@@ -129,7 +129,9 @@ object StreamOps {
     // Scale shape: one hash agg to hourly, one grid explode bounded by the
     // user's active timespan, one equi join back, and a window that is
     // per-user (bounded keys, never a global sort). Hourly totals ride
-    // DECIMAL(18,2) so the fill value is exact across engines.
+    // DECIMAL(18,2) internally so the fill value is exact across engines;
+    // the FINAL column is cast to DOUBLE (one fixed op on identical exact
+    // operands) — output schemas never carry DecimalType (hasher parity).
     "t7_resample_gapfill" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
@@ -145,7 +147,7 @@ object StreamOps {
       grid.join(hourly, Seq("user_id", "h"), "left")
         .select(col("user_id"), col("h"),
           last(col("v"), ignoreNulls = true).over(w)
-            .cast("decimal(18,2)").as("v_filled"),
+            .cast("double").as("v_filled"),
           when(col("v").isNull, 1).otherwise(0).as("is_gap"))
         .orderBy("user_id", "h")
     }),
@@ -275,7 +277,7 @@ object StreamOps {
         |  CAST(last_value(hh.v IGNORE NULLS) OVER (
         |    PARTITION BY g.user_id ORDER BY g.h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS v_filled,
+        |    AS DOUBLE) AS v_filled,
         |  CASE WHEN hh.v IS NULL THEN 1 ELSE 0 END AS is_gap
         |FROM grid g
         |LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h

@@ -241,7 +241,8 @@ object WindowOps {
     // gaps-and-islands trick on event gaps instead of interval overlap),
     // then the running total partitioned by (key, session). Every window
     // is keyed by customer — bounded partitions, no global sort; money
-    // rides DECIMAL(18,2).
+    // rides DECIMAL(18,2) internally, final cast to DOUBLE (output schemas
+    // never carry DecimalType — cross-engine hasher parity).
     "w12_session_running_sum" -> ((s, d) => {
       val byTime = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -259,7 +260,7 @@ object WindowOps {
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       o.select(col("o_custkey"), col("o_orderkey"), col("sess_id"),
-          sum("price").over(sessRun).cast("decimal(18,2)").as("running_total"))
+          sum("price").over(sessRun).cast("double").as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     })
   )
@@ -398,7 +399,7 @@ object WindowOps {
         |  CAST(sum(price) OVER (PARTITION BY o_custkey, sess_id
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS running_total
+        |    AS DOUBLE) AS running_total
         |FROM sess ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -35,7 +35,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * skew-split, and it scales as one hash shuffle per side.
   *
   * Fires only when:
-  *  - `spark.graft.rangeJoin.bandWidth` > 0 (off by default),
+  *  - `spark.graft.rangeJoin.bandWidth` > 0 (off by default) for the
+  *    point-in-interval rewrite; the interval-OVERLAP rewrite is gated
+  *    by its own `spark.graft.rangeJoin.overlapBandWidth` (also off by
+  *    default) because it matches ANY opposing pair of cross-side
+  *    numeric inequalities — a width tuned for one join's units must
+  *    not silently re-plan unrelated inequality joins in the session,
   *  - the join is INNER with a conjunct pair `p >= lo` / `p <= hi`
   *    (strict or not) where p is numeric from one side and lo/hi come
   *    from the other,
@@ -50,17 +55,20 @@ case class BandedRangeJoinRule(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   private val ConfKey = "spark.graft.rangeJoin.bandWidth"
+  private val OverlapConfKey = "spark.graft.rangeJoin.overlapBandWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = spark.conf.get(ConfKey, "0").toLong
-    if (w <= 0) plan
+    val wOv = spark.conf.get(OverlapConfKey, "0").toLong
+    if (w <= 0 && wOv <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _) =>
         // point-in-interval first (cheaper: the point side projects one
         // band, no explode); the overlap rewrite catches the general
-        // two-interval predicate — including the degenerate [p, p] form
-        // if a future edit ever weakens the point matcher
-        rewrite(j, w).orElse(rewriteOverlap(j, w)).getOrElse(j)
+        // two-interval predicate under its own opt-in key
+        (if (w > 0) rewrite(j, w) else None)
+          .orElse(if (wOv > 0) rewriteOverlap(j, wOv) else None)
+          .getOrElse(j)
     }
   }
 
@@ -87,7 +95,15 @@ case class BandedRangeJoinRule(spark: SparkSession)
         "spark.graft.rangeJoin.maxBands — raise it or fix " +
         "spark.graft.rangeJoin.bandWidth to match this join's units")
     ).replacement // the runtime-replaced If(raise_error) — throws when evaluated
-    Explode(CaseWhen(Seq((spanOk, seq)), Some(Cast(failure, seq.dataType))))
+    // NULL bounds (e.g. from an outer-join-derived input) would make
+    // spanOk NULL and fall through to the raise_error else-branch; in the
+    // un-rewritten inner join such rows simply never match, so mirror
+    // that: explode(NULL) emits zero rows for them.
+    val boundsKnown = And(IsNotNull(lo), IsNotNull(hi))
+    Explode(CaseWhen(
+      Seq((And(boundsKnown, spanOk), seq),
+        (Not(boundsKnown), Cast(Literal(null), seq.dataType))),
+      Some(Cast(failure, seq.dataType))))
   }
 
   /** Any cross-side equi conjunct makes the join hash-plannable already —

@@ -179,6 +179,25 @@ object SnapshotStore {
     else None
   }
 
+  /** Every label pointer of a repo, (label, manifest sha), sorted — the
+    * `pufs ls`-of-roots listing surface for the CLI. */
+  def labels(repo: String): Seq[(String, String)] = {
+    val d = rootDir(repo)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val stream = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("."))
+          .map(p => p.getFileName.toString ->
+            new String(Files.readAllBytes(p), "UTF-8").trim)
+          .toSeq.sortBy(_._1)
+      } finally stream.close()
+    }
+  }
+
   /** Lease heartbeat (reference renewLeases, core/datastore.go:240-253):
     * GC-liveness hint — a snapshot whose lease expired may be collected. */
   def renewLease(repo: String, label: String, manifestSha: String): Unit = {
@@ -341,8 +360,13 @@ object SnapshotStore {
   def publishStats(spark: SparkSession, srcDir: String, repo: String,
       manifestSha: String, cols: Seq[String]): Int = {
     import org.apache.spark.sql.functions._
-    // the staging tree nests tables under subdirs — walk it all
-    val df = spark.read.option("recursiveFileLookup", "true").parquet(srcDir)
+    // the staging tree nests tables under subdirs — walk it all, and
+    // merge schemas so a multi-table tree exposes every stats column
+    // (files lacking a column read it as null → no entry → kept)
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .parquet(srcDir)
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__min_$c"),
       max(col(c).cast("double")).as(s"__max_$c")))
@@ -422,11 +446,16 @@ object SnapshotStore {
     * be mounted (PufsFileSystem.mountSnapshot). The two layers compose:
     * O(matching files) opens × O(needed columns) bytes per file. */
   def readPruned(spark: SparkSession, repo: String, ref: String,
-      mountPath: String, column: String, lo: Double, hi: Double): DataFrame = {
+      mountPath: String, column: String, lo: Double, hi: Double,
+      pathPrefix: String = ""): DataFrame = {
     def toUri(p: String) =
       s"pufs:///${mountPath.stripPrefix("/").stripSuffix("/")}/$p"
+    // pathPrefix scopes a multi-table snapshot to one table's subtree —
+    // both the surviving-file set and the empty-case schema source.
+    def inScope(p: String) =
+      p.endsWith(".parquet") && p.startsWith(pathPrefix)
     val paths = prunedFiles(repo, ref, column, lo, hi)
-      .filter(_.endsWith(".parquet"))
+      .filter(inScope)
       .map(toUri)
     if (paths.nonEmpty) spark.read.parquet(paths: _*)
     else {
@@ -434,10 +463,18 @@ object SnapshotStore {
       // an empty-path parquet read fails schema inference, so serve an
       // empty result with the snapshot's real schema — one file read
       // under an always-false filter (footer-only work in practice).
+      // Schema source: a file the zone map has an entry for THIS column
+      // in — a snapshot can hold several tables, and an arbitrary
+      // parquet file could carry a different table's schema (ADVICE r5).
       val sha = getRoot(repo, ref).getOrElse(ref)
-      val any = mountAt(repo, sha).map(_.path).filter(_.endsWith(".parquet"))
-      require(any.nonEmpty, s"snapshot $ref contains no parquet files")
-      spark.read.parquet(toUri(any.head))
+      val withCol = zoneMap(repo, sha).filter(_.column == column)
+        .map(_.path).toSet
+      val candidates = mountAt(repo, sha).map(_.path).filter(inScope)
+      val any = candidates.filter(withCol).headOption
+        .orElse(candidates.headOption)
+      require(any.nonEmpty, s"snapshot $ref contains no parquet files" +
+        (if (pathPrefix.nonEmpty) s" under '$pathPrefix'" else ""))
+      spark.read.parquet(toUri(any.get))
         .where(org.apache.spark.sql.functions.lit(false))
     }
   }

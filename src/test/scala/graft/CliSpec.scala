@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.SnapshotStore
+
+/** The CLI front-end drives the snapshot store end-to-end: push → labels →
+  * ls → cat → diff → sql → gc, each verb through Cli.run (the same
+  * dispatch `main` uses, minus the sys.exit). */
+class CliSpec extends SparkSpec {
+
+  private def captureOut(body: => Int): (Int, String) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      // System.out is used directly by cat; swap it too
+      val saved = System.out
+      System.setOut(new java.io.PrintStream(bos, true, "UTF-8"))
+      try body finally System.setOut(saved)
+    }
+    (code, bos.toString("UTF-8"))
+  }
+
+  test("push / labels / ls / cat / diff / gc round trip") {
+    val src = Files.createTempDirectory("cli-src").toString
+    Files.createDirectories(Paths.get(src, "t"))
+    Files.write(Paths.get(src, "t/a.txt"), "alpha".getBytes)
+    Files.write(Paths.get(src, "readme.md"), "hello".getBytes)
+    val repo = Files.createTempDirectory("cli-repo").toString
+
+    val (c1, o1) = captureOut(Cli.run(List("push", src, repo, "main")))
+    assert(c1 == 0 && o1.contains("published main root="), o1)
+    val sha = SnapshotStore.getRoot(repo, "main").get
+
+    val (c2, o2) = captureOut(Cli.run(List("labels", repo)))
+    assert(c2 == 0 && o2.contains(s"main\t$sha"), o2)
+
+    val (c3, o3) = captureOut(Cli.run(List("ls", repo, "main")))
+    assert(c3 == 0 && o3.contains("t/a.txt") && o3.contains("2 files"), o3)
+    val (c3b, o3b) = captureOut(Cli.run(List("ls", repo, "main", "t/")))
+    assert(c3b == 0 && o3b.contains("1 files") && !o3b.contains("readme"), o3b)
+
+    val (c4, o4) = captureOut(Cli.run(List("cat", repo, "main", "t/a.txt")))
+    assert(c4 == 0 && o4 == "alpha", s"cat gave '$o4'")
+    val (c4b, _) = captureOut(Cli.run(List("cat", repo, "main", "nope")))
+    assert(c4b == 1)
+
+    // second publish with a changed file; diff reports exactly it
+    Files.write(Paths.get(src, "t/a.txt"), "alpha2".getBytes)
+    assert(captureOut(Cli.run(List("push", src, repo, "v2")))._1 == 0)
+    val (c5, o5) = captureOut(Cli.run(List("diff", repo, "main", "v2")))
+    assert(c5 == 0 && o5.contains("t/a.txt") && o5.contains("1 changes"), o5)
+
+    // gc: nothing is collectable while labels still pin both snapshots
+    val (c6, o6) = captureOut(Cli.run(List("gc", repo)))
+    assert(c6 == 0 && o6.contains("collected 0 blocks"), o6)
+
+    // bad verb → usage + nonzero
+    assert(Cli.run(List("frobnicate")) == 1)
+  }
+
+  test("sql verb queries a pushed parquet snapshot through pufs://") {
+    val src = Files.createTempDirectory("cli-sql-src").toString
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).write.parquet(s"$src/nums")
+    val repo = Files.createTempDirectory("cli-sql-repo").toString
+    assert(captureOut(Cli.run(List("push", src, repo, "main")))._1 == 0)
+    val (code, out) = captureOut(Cli.run(List("sql", repo, "main",
+      "SELECT count(*) AS n, sum(v) AS s FROM nums")))
+    assert(code == 0, out)
+    assert(out.contains("100") && out.contains("9900"), out)
+    // the CLI must not have stopped the suite's shared session
+    assert(!spark.sparkContext.isStopped)
+  }
+}

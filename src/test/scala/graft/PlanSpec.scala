@@ -155,7 +155,7 @@ class PlanSpec extends SparkSpec {
     graft.plans.BandedRangeJoinRule.register(spark)
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      spark.conf.set("spark.graft.rangeJoin.bandWidth", "16")
+      spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "16")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val day = (c: org.apache.spark.sql.Column) =>
         datediff(c, to_date(lit("1970-01-01")))
@@ -175,13 +175,71 @@ class PlanSpec extends SparkSpec {
         !p.contains("CartesianProduct"), p)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
       val auto = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "0")
       val manual = SparkEntry.queries("j15_interval_overlap")(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(auto == manual, "auto-banded overlap must equal hand-banded j15")
     } finally {
-      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "0")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
+  test("overlap rewrite only fires under its own conf key") {
+    // ADVICE r5: the overlap matcher is broad (any opposing cross-side
+    // inequality pair), so the point-in-interval bandWidth must NOT
+    // re-plan overlap-shaped joins — only overlapBandWidth may.
+    graft.plans.BandedRangeJoinRule.register(spark)
+    import graft.SparkSpec.spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L)).toDF("aid", "alo", "ahi")
+    val b = Seq((1L, 5L, 6L)).toDF("bid", "blo", "bhi")
+    // def, not val: queryExecution is cached per DataFrame instance and
+    // would ignore the conf change
+    def q = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "8")
+      val p1 = q.queryExecution.executedPlan.toString
+      assert(!p1.contains("Generate"), s"bandWidth alone rewrote overlap:\n$p1")
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "8")
+      val p2 = q.queryExecution.executedPlan.toString
+      assert(p2.contains("Generate"), s"overlapBandWidth did not rewrite:\n$p2")
+      assert(q.count() == 1)
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "0")
+    }
+  }
+
+  test("range-join rule: NULL interval bounds match nothing, never raise") {
+    // ADVICE r5 (medium): a null lo/hi made spanOk NULL and the CaseWhen
+    // fell through to the raise_error branch. Inner-join semantics drop
+    // such rows; the banded plan must do the same.
+    graft.plans.BandedRangeJoinRule.register(spark)
+    import graft.SparkSpec.spark.implicits._
+    val points = Seq((1L, 5L), (2L, 25L)).toDF("pid", "x")
+    val ivs = Seq((1L, Some(0L), Some(10L)), (2L, None, Some(10L)),
+        (3L, Some(0L), None), (4L, None: Option[Long], None: Option[Long]))
+      .toDF("iid", "lo", "hi")
+    def run() = points
+      .join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = run() // dormant
+    assert(expected == Set((1L, 1L)))
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "8")
+      assert(run() == expected, "point-in-interval with null bounds diverged")
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "8")
+      val a = Seq((1L, Some(0L), Some(10L)), (2L, None, Some(3L)),
+          (3L, Some(2L), None: Option[Long])).toDF("aid", "alo", "ahi")
+      val b = Seq((7L, 5L, 6L)).toDF("bid", "blo", "bhi")
+      val got = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 7L)), s"overlap with null bounds: $got")
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+      spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "0")
     }
   }
 
@@ -207,10 +265,10 @@ class PlanSpec extends SparkSpec {
     val expected = pairs() // rule dormant
     try {
       Seq("32", "7", "1000").foreach { w =>
-        spark.conf.set("spark.graft.rangeJoin.bandWidth", w)
-        assert(pairs() == expected, s"bandWidth=$w diverged")
+        spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", w)
+        assert(pairs() == expected, s"overlapBandWidth=$w diverged")
       }
-    } finally spark.conf.set("spark.graft.rangeJoin.bandWidth", "0")
+    } finally spark.conf.set("spark.graft.rangeJoin.overlapBandWidth", "0")
   }
 
   test("a1 aggregation is two-phase (partial before the shuffle)") {

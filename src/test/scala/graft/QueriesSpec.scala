@@ -25,8 +25,30 @@ class QueriesSpec extends SparkSpec {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.schema.nonEmpty, s"$name: empty schema")
+      // Registry-wide gate guard: the driver's hasher canonicalizes
+      // DECIMAL differently between Spark parquet and DuckDB, so a raw
+      // DecimalType output column goes silently hash-red even when every
+      // value matches (round-5 t7/w12). Internal arithmetic may ride
+      // decimal; the FINAL schema must not.
+      val decimalCols = df.schema.fields.collect {
+        case f if hasDecimal(f.dataType) => f.name
+      }
+      assert(decimalCols.isEmpty,
+        s"$name: output carries DecimalType column(s) ${decimalCols.mkString(",")} — " +
+          "cast the final column to DOUBLE (cross-engine hash parity)")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name: returned 0 rows")
+    }
+  }
+
+  private def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType     => true
+      case ArrayType(e, _)    => hasDecimal(e)
+      case MapType(k, v, _)   => hasDecimal(k) || hasDecimal(v)
+      case StructType(fields) => fields.exists(f => hasDecimal(f.dataType))
+      case _                  => false
     }
   }
 

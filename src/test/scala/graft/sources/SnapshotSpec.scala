@@ -273,6 +273,42 @@ class SnapshotSpec extends SparkSpec {
     PufsFileSystem.unmountSnapshot("nan/main")
   }
 
+  test("all-pruned read in a multi-table snapshot keeps the right schema") {
+    // ADVICE r5: the empty-frame fallback inferred schema from an
+    // arbitrary manifest file — in a snapshot holding several tables it
+    // could return another table's columns. The schema source must come
+    // from the zone-map-covered file set (and pathPrefix scopes it).
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("snap-multi-src").toString
+    spark.range(0, 50).selectExpr("id AS key", "cast(id AS double) AS v")
+      .coalesce(1).write.parquet(s"$src/facts")
+    spark.range(0, 10).selectExpr("id AS dim_id", "concat('n', id) AS name")
+      .coalesce(1).write.parquet(s"$src/dims")
+    val repo = Files.createTempDirectory("snap-multi-repo").toString
+    val stats = SnapshotStore.publish(spark, src, repo, "main")
+    // stats ONLY for the facts table's key (dims has no such column)
+    SnapshotStore.publishStats(spark, s"$src", repo, stats.manifestSha,
+      Seq("key"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    hc.set("fs.pufs.backing", Files.createTempDirectory("mt-backing").toString)
+    hc.set("fs.pufs.cache", Files.createTempDirectory("mt-cache").toString)
+    PufsFileSystem.mountSnapshot("mt/main", repo, "main")
+    try {
+      // scoped to facts/: pruning kills every file; schema must be facts'
+      val empty = SnapshotStore.readPruned(spark, repo, "main",
+        "mt/main", "key", 1e9, 2e9, pathPrefix = "facts/")
+      assert(empty.columns.toSet == Set("key", "v"),
+        s"expected facts schema, got ${empty.columns.toSeq}")
+      assert(empty.count() == 0)
+      // in-range probe: the facts file survives (file-level pruning —
+      // the row filter is the caller's), and rows read back intact
+      val kept = SnapshotStore.readPruned(spark, repo, "main",
+        "mt/main", "key", 10.0, 19.5, pathPrefix = "facts/")
+      assert(kept.where("key >= 10 AND key <= 19").count() == 10)
+    } finally PufsFileSystem.unmountSnapshot("mt/main")
+  }
+
   test("gc keeps label- and lease-reachable blocks, collects superseded ones") {
     import java.time.Instant
     val src = mkTree()
