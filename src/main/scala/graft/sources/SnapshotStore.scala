@@ -258,11 +258,27 @@ object SnapshotStore {
     var deleted = 0
     listDir(casDir(repo)).foreach { b =>
       val name = b.getFileName.toString
-      if (!name.startsWith(".") && !live.contains(name)) {
-        Files.delete(b); deleted += 1
+      // zone-map sidecars (text + parquet) live and die with their
+      // manifest — they're keyed stats-<sha> / statspq-<sha>, not by
+      // content sha, so resolve liveness through the manifest's sha
+      val base =
+        if (name.startsWith("stats-")) name.stripPrefix("stats-")
+        else if (name.startsWith("statspq-")) name.stripPrefix("statspq-")
+        else name
+      if (!name.startsWith(".") && !live.contains(base)) {
+        deleteRecursively(b); deleted += 1
       }
     }
     deleted
+  }
+
+  private def deleteRecursively(p: JPath): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.toArray.foreach(c => deleteRecursively(c.asInstanceOf[JPath]))
+      finally s.close()
+    }
+    Files.delete(p)
   }
 
   /** Re-materialize a tree at an arbitrary human-readable object prefix
@@ -454,8 +470,13 @@ object SnapshotStore {
     // both the surviving-file set and the empty-case schema source.
     def inScope(p: String) =
       p.endsWith(".parquet") && p.startsWith(pathPrefix)
-    val paths = prunedFiles(repo, ref, column, lo, hi)
+    // prune via the DataFrame metadata path: the decision runs in Spark,
+    // and only the SURVIVORS are collected (spark.read needs concrete
+    // paths — same shape as Delta's post-prune file listing)
+    val paths = prunedFilesDF(spark, repo, ref, column, lo, hi)
+      .collect().map(_.getString(0)).toSeq
       .filter(inScope)
+      .sorted
       .map(toUri)
     if (paths.nonEmpty) spark.read.parquet(paths: _*)
     else {
@@ -511,5 +532,104 @@ object SnapshotStore {
   def asDataFrame(spark: SparkSession, repo: String, label: String): DataFrame = {
     import spark.implicits._
     mount(repo, label).toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed metadata — the 1M-file / 100 TB path. mountAt/zoneMap/
+  // prunedFiles above materialize the manifest on the driver, which is
+  // fine to ~100k files; past that the metadata itself must be a
+  // DataFrame (the Delta/Iceberg distributed-manifest move; the
+  // reference keeps listings hierarchical via its dir-block Merkle tree,
+  // core/datastore.go:981-997). These variants never hold more than the
+  // SURVIVING file list on the driver.
+  // ------------------------------------------------------------------
+
+  private def statsPqDir(repo: String, manifestSha: String) =
+    casDir(repo).resolve("statspq-" + manifestSha)
+
+  /** The manifest as a DataFrame (path, size, sha256) — parsed by Spark
+    * tasks straight from the CAS block, never collected. */
+  def manifestDF(spark: SparkSession, repo: String, ref: String): DataFrame = {
+    val sha = getRoot(repo, ref).getOrElse(ref)
+    spark.read
+      .schema("path STRING, size BIGINT, sha256 STRING")
+      .option("sep", "\t")
+      .csv(casDir(repo).resolve(sha).toString)
+  }
+
+  /** Zone-map stats as a DataFrame (path, column, min, max): prefers the
+    * parquet sidecar (publishStatsDistributed), falls back to parsing the
+    * text sidecar with Spark, else an empty frame — pruning downgrades to
+    * keep-everything when no stats exist. */
+  def zoneMapDF(spark: SparkSession, repo: String, ref: String): DataFrame = {
+    val sha = getRoot(repo, ref).getOrElse(ref)
+    val schema = "path STRING, column STRING, min DOUBLE, max DOUBLE"
+    val pq = statsPqDir(repo, sha)
+    val txt = statsPath(repo, sha)
+    if (Files.exists(pq)) spark.read.parquet(pq.toString)
+    else if (Files.exists(txt))
+      spark.read.schema(schema).option("sep", "\t").csv(txt.toString)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** publishStats without the driver collect: per-file min/max computed,
+    * NaN-screened, ULP-widened, and WRITTEN entirely by Spark tasks as a
+    * parquet sidecar — O(files) rows never touch the driver. Same
+    * conservative-keep semantics as publishStats (all-null or NaN column
+    * in a file → no entry → never pruned). Returns the entry count (one
+    * count over the written sidecar — metadata-sized). */
+  def publishStatsDistributed(spark: SparkSession, srcDir: String,
+      repo: String, manifestSha: String, cols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "publishStatsDistributed: no columns")
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .parquet(srcDir)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c")))
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // manifest keys are srcDir-relative; input_file_name is a file: URI.
+    // Path/URI normalization is exactly the driver version's — as a UDF
+    // so it runs where the rows are (no driver round trip).
+    val srcDirStr = srcDir
+    val relOf = udf { f: String =>
+      val root = Paths.get(srcDirStr).toAbsolutePath
+      root.relativize(Paths.get(new java.net.URI(f).getPath).toAbsolutePath)
+        .toString.replace(File.separatorChar, '/')
+    }
+    // ULP widening (same rationale as publishStats); no built-in
+    // nextUp/nextDown expression exists, and this is the metadata path,
+    // so a scalar UDF is the right tool
+    val down = udf(Math.nextDown(_: Double))
+    val up = udf(Math.nextUp(_: Double))
+    val stackExpr = "stack(" + cols.size + ", " + cols.map(c =>
+      s"'$c', `__min_$c`, `__max_$c`").mkString(", ") + ") AS (column, mn, mx)"
+    perFile.select(relOf(col("__file")).as("path"), expr(stackExpr))
+      .filter(col("mn").isNotNull && col("mx").isNotNull &&
+        !isnan(col("mn")) && !isnan(col("mx")))
+      .select(col("path"), col("column"),
+        down(col("mn")).as("min"), up(col("mx")).as("max"))
+      .write.mode("overwrite").parquet(statsPqDir(repo, manifestSha).toString)
+    spark.read.parquet(statsPqDir(repo, manifestSha).toString).count()
+  }
+
+  /** prunedFiles as a DataFrame: manifest left-joined to the zone map,
+    * range-filtered — the decision runs where the metadata is. A caller
+    * that needs concrete paths (spark.read takes a path list) collects
+    * only the SURVIVORS, which pruning has already cut. */
+  def prunedFilesDF(spark: SparkSession, repo: String, ref: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val zm = zoneMapDF(spark, repo, ref)
+      .filter(col("column") === column)
+      .select(col("path"), col("min"), col("max"))
+    manifestDF(spark, repo, ref).join(zm, Seq("path"), "left")
+      .filter(col("min").isNull || (col("max") >= lo && col("min") <= hi))
+      .select("path")
   }
 }

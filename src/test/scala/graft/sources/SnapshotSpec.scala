@@ -239,6 +239,61 @@ class SnapshotSpec extends SparkSpec {
     PufsFileSystem.unmountSnapshot("zm/main")
   }
 
+  test("distributed metadata: DF manifest/zone-map/prune ≡ driver path, gc-safe") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("snap-dm-src").toString
+    spark.range(0, 4000).select(
+        col("id").as("key"), (col("id") * 2).cast("double").as("v"))
+      .orderBy("key").write.option("maxRecordsPerFile", 1000)
+      .parquet(s"$src/t")
+    val repo = Files.createTempDirectory("snap-dm-repo").toString
+    val stats = SnapshotStore.publish(spark, src, repo, "main")
+
+    // manifestDF ≡ mountAt, parsed by Spark tasks not the driver
+    val viaDF = SnapshotStore.manifestDF(spark, repo, "main")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val viaDriver = SnapshotStore.mount(repo, "main")
+      .map(e => (e.path, e.size, e.sha256)).toSet
+    assert(viaDF == viaDriver, "manifestDF diverged from mountAt")
+
+    // distributed stats publish (zero driver collect) ≡ driver publish:
+    // same entries, same NaN/ULP discipline
+    val nDist = SnapshotStore.publishStatsDistributed(spark, src, repo,
+      stats.manifestSha, Seq("key", "v"))
+    assert(nDist > 0)
+    val pqEntries = SnapshotStore.zoneMapDF(spark, repo, "main")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    SnapshotStore.publishStats(spark, src, repo, stats.manifestSha,
+      Seq("key", "v"))
+    val txtEntries = SnapshotStore.zoneMap(repo, "main")
+      .map(e => (e.path, e.column, e.min, e.max)).toSet
+    assert(pqEntries == txtEntries,
+      s"distributed stats diverged: ${(pqEntries -- txtEntries).take(3)} / " +
+        s"${(txtEntries -- pqEntries).take(3)}")
+
+    // prunedFilesDF ≡ prunedFiles for hit, miss, and uncovered columns
+    def dfPrune(c: String, lo: Double, hi: Double) =
+      SnapshotStore.prunedFilesDF(spark, repo, "main", c, lo, hi)
+        .collect().map(_.getString(0)).toSet
+    for ((c, lo, hi) <- Seq(("key", 100.0, 900.0), ("key", 1e9, 2e9),
+        ("v", 0.0, 10.0), ("nope", 0.0, 1.0)))
+      assert(dfPrune(c, lo, hi) ==
+        SnapshotStore.prunedFiles(repo, "main", c, lo, hi).toSet,
+        s"prune mismatch for $c [$lo,$hi]")
+
+    // gc keeps both sidecars while the label lives; collects them (and
+    // doesn't crash on the parquet DIRECTORY sidecar) once orphaned
+    assert(SnapshotStore.gc(repo) == 0, "gc ate a live sidecar")
+    assert(SnapshotStore.zoneMapDF(spark, repo, "main").count() == nDist)
+    val src2 = Files.createTempDirectory("snap-dm-src2").toString
+    Files.write(Paths.get(src2, "x.txt"), "other".getBytes)
+    SnapshotStore.publish(spark, src2, repo, "main") // repoint label
+    val expired = java.time.Instant.now().plus(java.time.Duration.ofDays(3))
+    assert(SnapshotStore.gc(repo, expired) > 0, "orphaned snapshot survived gc")
+    assert(SnapshotStore.zoneMapDF(spark, repo, stats.manifestSha).count() == 0)
+  }
+
   test("zone-map: NaN column keeps files; all-pruned read returns empty frame") {
     import org.apache.spark.sql.functions._
     val src = Files.createTempDirectory("snap-nan-src").toString
