@@ -19,7 +19,7 @@ import graft.Tables.t
   */
 object Bench {
 
-  private def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  private[graft] def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // scan → filter → hash agg (TPC-H Q1 shape)
     "q1_agg" -> ((s: SparkSession, d: String) =>
       t(s, d, "lineitem")

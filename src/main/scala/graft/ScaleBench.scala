@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: does every headline plan stay LINEAR when the data
+  * grows K×? The driver's bench runs at sf0.1; this main synthesizes a
+  * K×-scaled copy (default 10× ≈ sf1) from the sf0.1 tables and times the
+  * same headline suite at both scales in one process, reporting the
+  * per-query scale ratio normalized by K — the "would this survive a
+  * 100× scale-up" question made measurable. A query whose normalized
+  * ratio ≫ 1 has something super-linear in it (a pair blow-up, a
+  * single-task sort, a broadcast that stopped fitting); ~1 means the
+  * plan's cost is proportional to data, the local stand-in for "scales
+  * across executors".
+  *
+  * Scaling scheme (shards, not noise): each replica i shifts every KEY
+  * column by i·2^33, so replicas are disjoint self-consistent shards of
+  * the same distribution — exactly how a bigger TPC-H SF behaves (more
+  * customers/orders/suppliers, same per-key row counts). Dimension
+  * tables (region, nation) stay fixed, like real scale-ups: per-nation
+  * group sizes grow K×, stressing partial aggregation the right way.
+  * Document text gets a per-replica suffix token so cross-replica rows
+  * are not near-duplicates of each other (minhash/dedup workloads scale
+  * by corpus size, not by a synthetic K²-pair explosion).
+  *
+  *   SPARK_GRAFT_SCALE_K     replicas (default 10)
+  *   SPARK_GRAFT_SF_DIR      base dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_SCALE_DIR   output (default /tmp/graft_scale_x<K>)
+  *   SPARK_GRAFT_SCALE_ONLY  comma-separated query-name filter
+  *
+  * Prints ONE JSON line:
+  *   {"metric":"scale_ratio_mean", "value":…, "k":K,
+  *    "base":{q:sec…}, "scaled":{q:sec…}, "ratio_per_k":{q:r…}}
+  */
+object ScaleBench {
+
+  private val Off = 1L << 33
+
+  private def replicate(spark: SparkSession, base: String, out: String,
+      k: Int, name: String, keys: Seq[String],
+      tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+    // raw read, NOT Tables.t: events' nanos column must stay a plain
+    // long so the scaled dir reads back through Tables.t unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$base/$name.parquet")
+    val parts = (0 until k).map { i =>
+      val shifted = keys.foldLeft(src)((d, c) =>
+        d.withColumn(c, col(c) + lit(i * Off)))
+      tweak(shifted, i)
+    }
+    parts.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/$name.parquet")
+  }
+
+  private[graft] def generate(spark: SparkSession, base: String,
+      out: String, k: Int): Unit = {
+    for (dim <- Seq("region", "nation"))
+      spark.read.parquet(s"$base/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$out/$dim.parquet")
+    // c_name is a function of the key in the base data (distinct per
+    // customer, like real TPC-H) — regenerate it from the shifted key or
+    // every name would exist K× and pair-joins over names (j13) would
+    // measure a synthetic K² blow-up no true scale-up has
+    replicate(spark, base, out, k, "customer", Seq("c_custkey"),
+      (d, i) => if (i == 0) d
+        else d.withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey"))))
+    replicate(spark, base, out, k, "supplier", Seq("s_suppkey"))
+    replicate(spark, base, out, k, "part", Seq("p_partkey"))
+    replicate(spark, base, out, k, "orders", Seq("o_orderkey", "o_custkey"))
+    replicate(spark, base, out, k, "lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate(spark, base, out, k, "events", Seq("user_id"))
+    replicate(spark, base, out, k, "documents", Seq("doc_id"),
+      (d, i) => if (i == 0) d
+        else d.withColumn("text", concat(col("text"), lit(s" zrep$i"))))
+    replicate(spark, base, out, k, "embeddings", Seq("vec_id"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale_x$k")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val done = java.nio.file.Paths.get(out, "_SCALE_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      generate(spark, base, out, k)
+      java.nio.file.Files.write(done, k.toString.getBytes)
+    }
+
+    val suite = Bench.headline.filter { case (n, _) =>
+      only.isEmpty || only(n)
+    }
+    def timeOne(fn: (SparkSession, String) => DataFrame, d: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, d).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup sweep at both scales, then 2 timed sweeps; min-of-2 per dir
+    suite.foreach { case (_, fn) =>
+      try { timeOne(fn, base); timeOne(fn, out) }
+      catch { case _: Throwable => () }
+    }
+    val baseT = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val scaleT = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to 2; (name, fn) <- suite) {
+      try {
+        val b = timeOne(fn, base)
+        baseT(name) = math.min(baseT.getOrElse(name, Double.MaxValue), b)
+        val s = timeOne(fn, out)
+        scaleT(name) = math.min(scaleT.getOrElse(name, Double.MaxValue), s)
+      } catch { case _: Throwable => () }
+    }
+    def jm(m: scala.collection.Map[String, Double]): String =
+      m.map { case (q, v) => "\"" + q + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val ratios = baseT.collect {
+      case (q, b) if b > 0 && scaleT.contains(q) =>
+        q -> scaleT(q) / b / k
+    }
+    val mean =
+      if (ratios.isEmpty) -1.0 else ratios.values.sum / ratios.size
+    println(f"""{"metric":"scale_ratio_mean","value":$mean%.3f,"unit":"x_per_k","k":$k,"base":${jm(baseT)},"scaled":${jm(scaleT)},"ratio_per_k":${jm(ratios)}}""")
+    spark.stop()
+  }
+}

@@ -282,6 +282,28 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // A36: median absolute deviation per group — the robust-dispersion
+    // companion to a35's moment stats (outlier-resistant spread, the
+    // quality-cutoff statistic robust pipelines use where stddev is
+    // poisoned by heavy tails). Two exact-percentile passes: per-group
+    // median, broadcast-joined back (3 groups — broadcast by
+    // construction), then the median of absolute deviations. Same
+    // hash-parity discipline as a11: percentile interpolation is one
+    // fixed op on identical operands; abs/subtract are exact on doubles.
+    "a36_mad" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(x, 0.5)").as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med"), abs(col("x") - col("med")).as("dev"))
+        .groupBy("l_returnflag")
+        .agg(first("med").as("med"),
+          expr("percentile(dev, 0.5)").as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // A15: TPC-H Q18 shape (large-volume customers) — the "aggregate,
     // HAVING-filter, then join the survivors back" composite. The inner
     // aggregation shrinks lineitem to one row per order BEFORE any join,
@@ -829,6 +851,16 @@ object AggOps {
         |    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "a36_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, any_value(m.med) AS med,
+        |  quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "a11_exact_percentiles" ->
       """SELECT o_orderpriority,

@@ -1538,6 +1538,26 @@ object LlmOps {
           sum(col("span_end") - col("span_start")).as("dup_words"),
           min("span_start").as("first_span"))
         .orderBy("doc_id")
+    }),
+
+    // L48: stratified train/val/test split — every document assigned by a
+    // content-deterministic hash rule (md5 hex-prefix thresholds,
+    // lexicographic: < 'cd' ≈ 80% train, < 'e6' ≈ 10% val, rest test),
+    // reported as per-(source, split) doc/token counts. The split step of
+    // every LM data pipeline, done the reproducible way: no RNG, no
+    // partition-layout dependence — the same document lands in the same
+    // split on any engine or cluster (md5 is the cross-engine contract;
+    // rand()/xxhash would not be). Scale: one map + one partial-agg
+    // shuffle over (source, split) — bounded output, no skew.
+    "l48_stratified_split" -> ((s, d) => {
+      val b = substring(md5(col("text")), 1, 2)
+      t(s, d, "documents")
+        .withColumn("split",
+          when(b < "cd", "train").when(b < "e6", "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("source", "split")
     })
   )
 
@@ -2182,7 +2202,16 @@ object LlmOps {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(span_end - span_start) AS BIGINT) AS dup_words,
         |  CAST(min(span_start) AS BIGINT) AS first_span
-        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l48_stratified_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     // l10_embed_neardup: no oracle (LSH recall is plan-specific) — NearDupSpec
     // verifies candidates ⊆ brute-force pairs and measures recall.
   )

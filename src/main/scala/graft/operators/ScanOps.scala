@@ -474,6 +474,36 @@ object ScanOps {
         .filter(col("vec_id") < 10)
         .select(col("vec_id"), round(sq, 2).as("norm2"))
         .orderBy("vec_id")
+    }),
+
+    // O14: referential-integrity audit — the data-quality gate a pipeline
+    // runs before trusting a day's ingest: orphaned facts (lineitems whose
+    // order is gone — simulated by dropping o_orderkey % 97 = 0),
+    // childless dimensions (customers with no orders, parts never
+    // ordered). Three anti-join counts unioned into one report frame.
+    // Scale shape: each check is one shuffled anti join (semi-join
+    // pushdown + bloom-filter join under AQE) producing one row — no
+    // windows, no collect; checks are independent so the union's branches
+    // run as parallel stages.
+    "o14_fk_audit" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val orders = t(s, d, "orders")
+      val alive = orders.filter(col("o_orderkey") % 97 =!= 0)
+      val orphan = li.join(alive.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orphan_lineitems").as("chk"), col("violations"))
+      val noOrders = t(s, d, "customer")
+        .join(orders.select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("customers_no_orders").as("chk"), col("violations"))
+      val neverOrdered = t(s, d, "part")
+        .join(li.select("l_partkey"),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("parts_never_ordered").as("chk"), col("violations"))
+      orphan.unionByName(noOrders).unionByName(neverOrdered).orderBy("chk")
     })
   )
 
@@ -709,6 +739,22 @@ object ScanOps {
       """SELECT vec_id,
         |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 2) AS norm2
         |FROM embeddings
-        |WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
+        |WHERE vec_id < 10 ORDER BY vec_id""".stripMargin,
+
+    "o14_fk_audit" ->
+      """SELECT 'customers_no_orders' AS chk, CAST(count(*) AS BIGINT) AS violations
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'orphan_lineitems', CAST(count(*) AS BIGINT)
+        |FROM lineitem l
+        |LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'parts_never_ordered', CAST(count(*) AS BIGINT)
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |ORDER BY chk""".stripMargin
   )
 }

@@ -195,6 +195,29 @@ object StreamOps {
         .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // T10: inter-arrival analysis — per-user gap distribution (median /
+    // p95 / max microseconds between consecutive events). The burstiness
+    // profile behind rate alerting, session-gap tuning (t3's 30 min), and
+    // synthetic-load modeling. Gaps computed in exact integer
+    // MICROSECONDS (unix_micros lag diff — whole-second truncation would
+    // alias sub-second bursts); percentiles are Spark's exact percentile
+    // over the per-user gap set. Scale shape: one per-user window (lag)
+    // then one hash agg — bounded keys, no global sort, same class as w2.
+    "t10_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap, 0.5)").as("med_us"),
+          expr("percentile(gap, 0.95)").as("p95_us"),
+          max("gap").as("max_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -312,6 +335,19 @@ object StreamOps {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM seq WHERE next_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "t10_interarrival" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  quantile_cont(gap, 0.5) AS med_us,
+        |  quantile_cont(gap, 0.95) AS p95_us,
+        |  CAST(max(gap) AS BIGINT) AS max_us
+        |FROM d WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -592,6 +592,21 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
 
   override def close(): Unit = { closed = true; super.close() }
 
+  /** Per-read cancel check, tested between chunk pulls: a stream closed
+    * from another thread (Spark task kill closes task streams) or an
+    * interrupted reader thread stops MID-RANGE instead of finishing a
+    * possibly-large multi-chunk pull — the per-request half of the
+    * reference's Interrupt handling (fs/mount.go:834-844 hands the FUSE
+    * interrupt to the pending fetch's cancel path; here the "request" is
+    * one ensurePulled range). Chunks already pulled stay cached and
+    * logged — cancellation never loses committed work. */
+  private def checkCancelled(): Unit = {
+    if (closed)
+      throw new java.io.InterruptedIOException("pufs read cancelled: stream closed")
+    if (Thread.currentThread().isInterrupted)
+      throw new java.io.InterruptedIOException("pufs read cancelled: thread interrupted")
+  }
+
   private def ensurePulled(start: Long, end: Long, withReadahead: Boolean = true): Unit = {
     val e = math.min(size, end)
     if (e <= start) return
@@ -601,6 +616,7 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
     entry.mask.missing(aStart, aEnd).foreach { case (ms, me) =>
       var c = (ms / chunkSize) * chunkSize
       while (c < me) {
+        checkCancelled()
         pullChunk(c)
         c += chunkSize
       }
@@ -705,6 +721,11 @@ final class LazyPullInputStream(entry: CacheEntry, remote: RemoteStore,
       val fut = r.getData.asInstanceOf[CompletableFuture[java.nio.ByteBuffer]]
       PufsFileSystem.vectoredPool.execute { () =>
         try {
+          // a range whose stream was closed before its turn on the pool
+          // never starts pulling (ensurePulled re-checks between chunks)
+          if (closed)
+            throw new java.io.InterruptedIOException(
+              "pufs vectored read cancelled: stream closed")
           val n = r.getLength
           ensurePulled(r.getOffset, r.getOffset + n, withReadahead = false)
           val arr = new Array[Byte](n)

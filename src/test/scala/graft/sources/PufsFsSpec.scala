@@ -385,6 +385,45 @@ class PufsFsSpec extends SparkSpec {
       s"readahead kept running after close(): pulled $pulled bytes")
   }
 
+  test("per-read cancel: closed or interrupted reader stops mid-range") {
+    // the per-request half of cancellation (reference FUSE Interrupt →
+    // pending-fetch cancel): a multi-chunk synchronous pull must observe
+    // close()/interrupt BETWEEN chunks and abort, keeping what it pulled
+    val data = new Array[Byte](64 * 8192)
+    new scala.util.Random(17).nextBytes(data)
+    val d = tmpDir("pufs-cancel")
+    Files.write(Paths.get(d, "c.bin"), data)
+    val store = new LocalStore(new File(d, "c.bin"))
+    PufsFileSystem.simulateRestart()
+    val entry = PufsFileSystem.cacheEntry(tmpDir("pufs-cancel-cache"),
+      "cancel-block", data.length)
+    val in = new LazyPullInputStream(entry, store, data.length, 8192, 0)
+    // pull one chunk normally, then close: the next multi-chunk read must
+    // abort with InterruptedIOException without fetching anything new
+    in.readFully(0L, new Array[Byte](100), 0, 100)
+    val before = PufsFileSystem.bytesPulled.get()
+    in.close()
+    intercept[java.io.InterruptedIOException] {
+      in.readFully(8192L, new Array[Byte](8 * 8192), 0, 8 * 8192)
+    }
+    assert(PufsFileSystem.bytesPulled.get() == before,
+      "closed stream kept pulling chunks")
+    // interrupt flag on the reader thread cancels too (Spark task kill)
+    val in2 = new LazyPullInputStream(entry, store, data.length, 8192, 0)
+    Thread.currentThread().interrupt()
+    try intercept[java.io.InterruptedIOException] {
+      in2.readFully(16 * 8192L, new Array[Byte](8 * 8192), 0, 8 * 8192)
+    } finally { Thread.interrupted(); () } // clear the flag for the suite
+    assert(PufsFileSystem.bytesPulled.get() == before,
+      "interrupted reader kept pulling chunks")
+    // cancellation never loses committed work: the first chunk reads back
+    // from cache with no new fetch
+    val ok = new Array[Byte](100)
+    in2.readFully(0L, ok, 0, 100)
+    assert(ok.sameElements(data.take(100)))
+    in2.close()
+  }
+
   test("transfer stats: live rate ring and active-transfer count (B15)") {
     val backing = tmpDir("pufs-rate")
     Files.write(Paths.get(backing, "r.bin"), new Array[Byte](256 * 1024))
