@@ -181,6 +181,21 @@ object Bench {
     "l44_line_dedup" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l44_line_dedup")(s, d)),
 
+    // referential-integrity audit: three parallel anti joins (O14 class —
+    // the anti-join/runtime-filter path has no other headline)
+    "o14_fk_audit" -> ((s: SparkSession, d: String) =>
+      graft.operators.ScanOps.queries("o14_fk_audit")(s, d)),
+
+    // reproducible md5-threshold corpus split (L48 class: hash-heavy map
+    // + bounded partial agg)
+    "l48_stratified_split" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l48_stratified_split")(s, d)),
+
+    // per-key exact percentiles over window lag diffs (T10 class:
+    // percentile aggregation, not represented elsewhere)
+    "t10_interarrival" -> ((s: SparkSession, d: String) =>
+      graft.operators.StreamOps.queries("t10_interarrival")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(
