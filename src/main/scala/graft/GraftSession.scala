@@ -65,7 +65,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("zorder2"), info("zorder2"),
       (es: Seq[Expression]) => graft.functions.ZOrder2(es(0), es(1))))
     // optimizer rule: theta range joins -> banded equi joins (off unless
-    // spark.graft.rangeJoin.bandWidth is set; plans/BandedRangeJoinRule)
+    // spark.graft.rangeJoin.bandWidth is set; the broader interval-OVERLAP
+    // rewrite gates separately on spark.graft.rangeJoin.overlapBandWidth;
+    // plans/BandedRangeJoinRule)
     ext.injectOptimizerRule(s => graft.plans.BandedRangeJoinRule(s))
   }
 }

@@ -1558,6 +1558,33 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
         .orderBy("source", "split")
+    }),
+
+    // L49: deterministic global corpus shuffle — the shuffle-before-pack
+    // step of LM training (examples must be well-mixed before l27's
+    // packing), done reproducibly: the permutation key is md5(text), so
+    // the SAME corpus yields the SAME order on any engine, any cluster,
+    // any partition layout (rand() or zipWithIndex would give neither).
+    // Positions come from the two-pass global rank (range-bucket by a
+    // numeric key prefix, per-bucket row_number, broadcast bucket
+    // offsets — WindowOps.withGlobalRank, the w5 machinery), NEVER a
+    // single-partition global window: this is the scale-safe shape of
+    // "assign every row its position in a global order". doc_id breaks
+    // ties between byte-identical duplicate texts.
+    "l49_global_shuffle" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      // numeric range key = first 8 hex chars (monotone in the full hex
+      // string, so range partitioning by it respects the md5 order);
+      // DOUBLE because withGlobalRank's percentile cuts are doubles —
+      // exact for any value < 2^32, which 8 hex chars guarantee
+      val keyed = docs
+        .withColumn("hk", conv(substring(col("h"), 1, 8), 16, 10).cast("double"))
+        .withColumn("tb",
+          concat(col("h"), lpad(col("doc_id").cast("string"), 12, "0")))
+      WindowOps.withGlobalRank(keyed, 32, col("hk"), col("tb"))
+        .select(col("doc_id"), col("grn").as("pos"))
+        .orderBy("pos")
     })
   )
 
@@ -2211,7 +2238,13 @@ object LlmOps {
         |       ELSE 'test' END AS split,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "l49_global_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) AS BIGINT)
+        |    AS pos
+        |FROM documents ORDER BY pos""".stripMargin
     // l10_embed_neardup: no oracle (LSH recall is plan-specific) — NearDupSpec
     // verifies candidates ⊆ brute-force pairs and measures recall.
   )

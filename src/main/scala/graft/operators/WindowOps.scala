@@ -41,7 +41,7 @@ object WindowOps {
     * Equal sort values always share a bucket, so cross-bucket order is
     * strict and concatenation order is exact; `tieBreak` orders within.
     * Cut quality only affects balance, never correctness. */
-  private def withGlobalRank(df: DataFrame, numParts: Int,
+  private[operators] def withGlobalRank(df: DataFrame, numParts: Int,
       sortVal: org.apache.spark.sql.Column,
       tieBreak: org.apache.spark.sql.Column): DataFrame = {
     val probs = (1 until numParts).map(_.toDouble / numParts)
