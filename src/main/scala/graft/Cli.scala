@@ -39,6 +39,9 @@ object Cli {
     case "cat" :: repo :: ref :: path :: Nil      => cat(repo, ref, path)
     case "gc" :: repo :: Nil                      => gc(repo)
     case "sql" :: repo :: ref :: query :: Nil     => sql(repo, ref, query)
+    case "stats" :: repo :: ref :: rest           => stats(repo, ref, rest.headOption)
+    case "prune" :: repo :: ref :: c :: lo :: hi :: Nil =>
+      prune(repo, ref, c, lo.toDouble, hi.toDouble)
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
@@ -48,7 +51,9 @@ object Cli {
           |  diff <repo> <fromRef> <toRef>
           |  cat <repo> <ref> <path>
           |  gc <repo>
-          |  sql <repo> <ref> <SQL>""".stripMargin)
+          |  sql <repo> <ref> <SQL>
+          |  stats <repo> <ref> [column]
+          |  prune <repo> <ref> <column> <lo> <hi>""".stripMargin)
       1
   }
 
@@ -132,6 +137,26 @@ object Cli {
 
   private def gc(repo: String): Int = {
     println(s"collected ${SnapshotStore.gc(repo)} blocks")
+    0
+  }
+
+  /** Zone-map sidecar inspection: per-(file, column) min/max entries. */
+  private def stats(repo: String, ref: String, column: Option[String]): Int = {
+    val entries = SnapshotStore.zoneMap(repo, ref)
+      .filter(e => column.forall(_ == e.column))
+    entries.foreach(e => println(s"${e.column}\t[${e.min}, ${e.max}]\t${e.path}"))
+    println(s"${entries.size} zone entries")
+    0
+  }
+
+  /** Dry-run pruning: which files a range probe on `column` would read. */
+  private def prune(repo: String, ref: String, column: String,
+      lo: Double, hi: Double): Int = {
+    val all = SnapshotStore.mountAt(repo,
+      SnapshotStore.getRoot(repo, ref).getOrElse(ref)).size
+    val kept = SnapshotStore.prunedFiles(repo, ref, column, lo, hi)
+    kept.foreach(println)
+    println(s"${kept.size} of $all files survive $column in [$lo, $hi]")
     0
   }
 

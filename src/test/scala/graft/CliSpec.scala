@@ -58,6 +58,26 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(List("frobnicate")) == 1)
   }
 
+  test("stats and prune verbs expose the zone map") {
+    val src = Files.createTempDirectory("cli-zm-src").toString
+    spark.range(0, 4000).selectExpr("id AS key", "id * 2 AS v")
+      .orderBy("key").write.option("maxRecordsPerFile", 1000)
+      .parquet(s"$src/t")
+    val repo = Files.createTempDirectory("cli-zm-repo").toString
+    val (c1, o1) = captureOut(Cli.run(List("push", src, repo, "main", "key")))
+    assert(c1 == 0 && o1.contains("zone-map entries="), o1)
+    val (c2, o2) = captureOut(Cli.run(List("stats", repo, "main", "key")))
+    assert(c2 == 0 && o2.contains("zone entries") && o2.contains("key\t["), o2)
+    val (c3, o3) = captureOut(Cli.run(
+      List("prune", repo, "main", "key", "100", "900")))
+    assert(c3 == 0, o3)
+    // non-parquet sidecars (_SUCCESS etc.) have no zone entries and are
+    // kept conservatively — the strict-subset claim is about DATA files
+    val survivedParquet = o3.linesIterator.count(_.endsWith(".parquet"))
+    assert(survivedParquet >= 1 && survivedParquet < 4,
+      s"expected a strict subset of the 4 data files:\n$o3")
+  }
+
   test("sql verb queries a pushed parquet snapshot through pufs://") {
     val src = Files.createTempDirectory("cli-sql-src").toString
     spark.range(0, 100).selectExpr("id", "id * 2 AS v")
