@@ -218,6 +218,30 @@ object StreamOps {
           expr("percentile(gap, 0.95)").as("p95_us"),
           max("gap").as("max_us"))
         .orderBy("user_id")
+    }),
+
+    // T11: exponentially weighted moving average (bounded lookback) —
+    // the smoothing primitive of telemetry/feature pipelines. True EWMA
+    // is a sequential recurrence (not window-expressible without
+    // nondeterministic float re-association); the production form is the
+    // 16-term truncation with half-life decay 1/2: weights 2^-k are EXACT
+    // binary doubles, the term chain is one FIXED left-associated
+    // expression tree evaluated identically by any engine (no window
+    // SUM, whose segment-tree association differs per engine), and the
+    // normalizer 2 - 2^-15 is one exact constant division. Truncation
+    // error ≤ 2^-16 of the oldest mass — below any telemetry noise
+    // floor. One per-user window pass, 16 lags, no shuffle beyond the
+    // user partition: w2 class.
+    "t11_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val terms = (0 until 16).map(k =>
+        coalesce(lag(col("value"), k).over(w), lit(0.0)) *
+          lit(math.pow(2.0, -k)))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          (terms.reduceLeft(_ + _) / lit(2.0 - math.pow(2.0, -15)))
+            .as("ewma"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -348,6 +372,17 @@ object StreamOps {
         |  quantile_cont(gap, 0.95) AS p95_us,
         |  CAST(max(gap) AS BIGINT) AS max_us
         |FROM d WHERE gap IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "t11_ewma" -> {
+      val terms = (0 until 16).map(k =>
+        s"coalesce(lag(value, $k) OVER w, 0.0) * ${math.pow(2.0, -k)}")
+        .mkString(" + ")
+      s"""SELECT user_id, event_id,
+         |  ($terms) / ${2.0 - math.pow(2.0, -15)} AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    }
   )
 }
