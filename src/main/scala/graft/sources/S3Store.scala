@@ -165,7 +165,10 @@ object S3Store {
       creds: SigV4.Credentials, payloadSha: String,
       extraHeaders: Seq[(String, String)]): HttpURLConnection = {
     val path = s"/$bucket/$key"
-    val uri = URI.create(endpoint + path)
+    // the wire URL carries the RFC 3986-encoded path (keys may hold
+    // spaces etc.); the service decodes it before re-canonicalizing, so
+    // signing the decoded `path` below stays correct
+    val uri = URI.create(endpoint + SigV4.uriEncode(path, keepSlash = true))
     val hostHeader = uri.getHost +
       (if (uri.getPort > 0) s":${uri.getPort}" else "")
     val amzDate = SigV4.nowAmzDate()

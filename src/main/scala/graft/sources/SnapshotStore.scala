@@ -554,6 +554,10 @@ object SnapshotStore {
     spark.read
       .schema("path STRING, size BIGINT, sha256 STRING")
       .option("sep", "\t")
+      // the manifest is plain tab-separated, not quoted CSV — disable
+      // quote handling (NUL quote char) so a path containing '"' parses
+      // byte-identically to the driver-side split("\t")
+      .option("quote", "\u0000")
       .csv(casDir(repo).resolve(sha).toString)
   }
 
@@ -568,7 +572,8 @@ object SnapshotStore {
     val txt = statsPath(repo, sha)
     if (Files.exists(pq)) spark.read.parquet(pq.toString)
     else if (Files.exists(txt))
-      spark.read.schema(schema).option("sep", "\t").csv(txt.toString)
+      spark.read.schema(schema).option("sep", "\t")
+        .option("quote", "\u0000").csv(txt.toString)
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(schema))

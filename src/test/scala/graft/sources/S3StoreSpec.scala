@@ -189,6 +189,19 @@ class S3StoreSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("keys needing URI encoding sign and round-trip") {
+    val srv = new FakeS3()
+    try {
+      val data = "spaced out".getBytes(UTF_8)
+      val key = "dir with space/obj+plus (1).bin"
+      assert(S3Store.putIfAbsent(srv.endpoint, "bkt", key, region, creds, data))
+      val (size, etag) = S3Store.head(srv.endpoint, "bkt", key, region, creds)
+      assert(size == data.length)
+      val store = new S3Store(srv.endpoint, "bkt", key, region, creds, etag)
+      assert(store.read(0, data.length).sameElements(data))
+    } finally srv.stop()
+  }
+
   test("ETag flip under an open reader is a torn read; bad creds are 403") {
     val srv = new FakeS3()
     try {
