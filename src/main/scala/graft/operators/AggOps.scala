@@ -304,6 +304,23 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // A37: hot-key aggregation through the SALTED two-phase path — events
+    // has ~5 event types over 10k+ rows, the classic hot-key shape where
+    // a plain groupBy gives one straggler task per hot key at scale.
+    // SkewOps.saltedSum sprays each key across 32 salt buckets (shuffle 1
+    // carries (key, salt) — no single task owns a hot key), then combines
+    // the 32 partials (shuffle 2 moves one row per (key, salt)). Values
+    // ride exact integer cents so the two-phase re-association is
+    // hash-identical to the oracle's single-phase sum.
+    "a37_salted_hot_key" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      graft.functions.SkewOps.saltedSum(ev, col("event_type"), col("cents"), 32)
+        .select(col("key").as("event_type"), col("total").as("total_cents"))
+        .orderBy("event_type")
+    }),
+
     // A15: TPC-H Q18 shape (large-volume customers) — the "aggregate,
     // HAVING-filter, then join the survivors back" composite. The inner
     // aggregation shrinks lineitem to one row per order BEFORE any join,
@@ -851,6 +868,12 @@ object AggOps {
         |    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "a37_salted_hot_key" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a36_mad" ->
       """WITH med AS (
