@@ -290,6 +290,42 @@ object StreamJobs {
       }
   }
 
+  /** Per-user EXACT EWMA recurrence e_i = (1-a)·v_i + a·e_{i-1} — the
+    * streaming twin of the batch t11 lane (StreamOps): a recurrence is
+    * sequential by nature, which batch SQL can only approximate (t11's
+    * fixed 16-term truncation) but per-key streaming state computes
+    * exactly — one Double of state per user, O(batch) work per batch.
+    * Rows within a batch are folded in (ts, event_id) order; across
+    * batches the fold follows arrival order, with the watermark bounding
+    * how out-of-order arrivals can be (the standard streaming-recurrence
+    * contract). StreamingSpec pins batch-split invariance and equality
+    * with a sequential reference fold. */
+  def ewmaStream(ev: DataFrame, alpha: Double = 0.5)
+      : org.apache.spark.sql.Dataset[EwmaOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "event_id", "ts", "value")
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, first = true))
+          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).map { r =>
+            val e =
+              if (st.first) r._4
+              else (1.0 - alpha) * r._4 + alpha * st.e
+            st = EwmaState(e, first = false)
+            EwmaOut(user, r._2, e)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** The same per-user running stats on `transformWithState` — Spark 4's
     * successor to flatMapGroupsWithState: typed per-key state handles
     * (ValueState/ListState/MapState) with per-state TTL, timers, and
@@ -313,6 +349,12 @@ object StreamJobs {
 
 /** Per-user streaming state: event count + max event-time seconds. */
 case class UserStat(user_id: Long, n: Long, maxTs: Long)
+
+/** EWMA recurrence state (`first` distinguishes e=0.0 from no-state). */
+case class EwmaState(e: Double, first: Boolean)
+
+/** One EWMA observation: the smoothed value as of this event. */
+case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
 /** transformWithState processor: one ValueState[UserStat] per user, no
   * TTL (the fMGWS twin reclaims by event-time timeout; TTLConfig would be

