@@ -140,10 +140,19 @@ object Cli {
     0
   }
 
-  /** Zone-map sidecar inspection: per-(file, column) min/max entries. */
+  /** Zone-map sidecar inspection: per-(file, column) min/max entries.
+    * The text sidecar reads driver-side; a parquet-only sidecar (the
+    * distributed/incremental publishers) goes through Spark. */
   private def stats(repo: String, ref: String, column: Option[String]): Int = {
-    val entries = SnapshotStore.zoneMap(repo, ref)
-      .filter(e => column.forall(_ == e.column))
+    val txt = SnapshotStore.zoneMap(repo, ref)
+    val entries =
+      if (txt.nonEmpty) txt.filter(e => column.forall(_ == e.column))
+      else withSession { s =>
+        var df = SnapshotStore.zoneMapDF(s, repo, ref)
+        column.foreach(c => df = df.filter(df("column") === c))
+        df.collect().map(r => SnapshotStore.ZoneEntry(r.getString(0),
+          r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+      }
     entries.foreach(e => println(s"${e.column}\t[${e.min}, ${e.max}]\t${e.path}"))
     println(s"${entries.size} zone entries")
     0
@@ -154,7 +163,13 @@ object Cli {
       lo: Double, hi: Double): Int = {
     val all = SnapshotStore.mountAt(repo,
       SnapshotStore.getRoot(repo, ref).getOrElse(ref)).size
-    val kept = SnapshotStore.prunedFiles(repo, ref, column, lo, hi)
+    val kept =
+      if (SnapshotStore.zoneMap(repo, ref).nonEmpty)
+        SnapshotStore.prunedFiles(repo, ref, column, lo, hi)
+      else withSession { s =>
+        SnapshotStore.prunedFilesDF(s, repo, ref, column, lo, hi)
+          .collect().map(_.getString(0)).toSeq
+      }
     kept.foreach(println)
     println(s"${kept.size} of $all files survive $column in [$lo, $hi]")
     0

@@ -585,15 +585,36 @@ object SnapshotStore {
     * conservative-keep semantics as publishStats (all-null or NaN column
     * in a file → no entry → never pruned). Returns the entry count (one
     * count over the written sidecar — metadata-sized). */
-  def publishStatsDistributed(spark: SparkSession, srcDir: String,
-      repo: String, manifestSha: String, cols: Seq[String]): Long = {
+  /** The (path, column, min, max) zone entries for parquet under
+    * `srcDir` — all files, or only `onlyPaths` (srcDir-relative) when
+    * given. Computed, NaN-screened, and ULP-widened entirely in Spark
+    * tasks. */
+  private def statsFrame(spark: SparkSession, srcDir: String,
+      cols: Seq[String], onlyPaths: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(cols.nonEmpty, "publishStatsDistributed: no columns")
-    val df = spark.read
+    val reader = spark.read
       .option("recursiveFileLookup", "true")
       .option("mergeSchema", "true")
-      .parquet(srcDir)
-    val aggs = cols.flatMap(c => Seq(
+    val df = onlyPaths match {
+      case Some(ps) if ps.isEmpty =>
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "path STRING, column STRING, min DOUBLE, max DOUBLE"))
+      case Some(ps) => reader.parquet(ps.map(p => s"$srcDir/$p"): _*)
+      case None     => reader.parquet(srcDir)
+    }
+    // a stats column absent from this file subset's schema yields no
+    // entries — same conservative-keep as the all-null case
+    val present = cols.filter(df.schema.fieldNames.contains)
+    require(onlyPaths.isDefined || present.nonEmpty,
+      s"none of $cols exist under $srcDir")
+    if (present.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "path STRING, column STRING, min DOUBLE, max DOUBLE"))
+    val aggs = present.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__min_$c"),
       max(col(c).cast("double")).as(s"__max_$c")))
     val perFile = df.groupBy(input_file_name().as("__file"))
@@ -612,15 +633,72 @@ object SnapshotStore {
     // so a scalar UDF is the right tool
     val down = udf(Math.nextDown(_: Double))
     val up = udf(Math.nextUp(_: Double))
-    val stackExpr = "stack(" + cols.size + ", " + cols.map(c =>
+    val stackExpr = "stack(" + present.size + ", " + present.map(c =>
       s"'$c', `__min_$c`, `__max_$c`").mkString(", ") + ") AS (column, mn, mx)"
     perFile.select(relOf(col("__file")).as("path"), expr(stackExpr))
       .filter(col("mn").isNotNull && col("mx").isNotNull &&
         !isnan(col("mn")) && !isnan(col("mx")))
       .select(col("path"), col("column"),
         down(col("mn")).as("min"), up(col("mx")).as("max"))
+  }
+
+  def publishStatsDistributed(spark: SparkSession, srcDir: String,
+      repo: String, manifestSha: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "publishStatsDistributed: no columns")
+    statsFrame(spark, srcDir, cols, None)
       .write.mode("overwrite").parquet(statsPqDir(repo, manifestSha).toString)
     spark.read.parquet(statsPqDir(repo, manifestSha).toString).count()
+  }
+
+  /** Incremental sidecar maintenance — the zone-map analog of
+    * publishIncremental: entries for files whose CONTENT is unchanged
+    * since `prevRef` (same path, same sha — the Merkle property) carry
+    * over from the previous sidecar without touching the data; only
+    * changed/new parquet files are scanned. Stats cost is O(changed
+    * bytes), not O(tree) — at 1M files a one-file touch re-scans one
+    * file. Falls back to the full distributed scan when `prevRef` has no
+    * sidecar. Returns (total entries written, files actually scanned). */
+  def publishStatsIncremental(spark: SparkSession, srcDir: String,
+      repo: String, manifestSha: String, prevRef: String,
+      cols: Seq[String]): (Long, Int) = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "publishStatsIncremental: no columns")
+    val prevSha = getRoot(repo, prevRef).getOrElse(prevRef)
+    // an unchanged republish yields the SAME manifest sha (Merkle) — the
+    // sidecar is already current, and overwriting it from itself would
+    // corrupt the read-while-write
+    if (prevSha == manifestSha &&
+        (Files.exists(statsPqDir(repo, prevSha)) ||
+          Files.exists(statsPath(repo, prevSha))))
+      return (zoneMapDF(spark, repo, prevSha)
+        .filter(col("column").isin(cols: _*)).count(), 0)
+    val havePrev = Files.exists(statsPqDir(repo, prevSha)) ||
+      Files.exists(statsPath(repo, prevSha))
+    if (!havePrev) {
+      val n = publishStatsDistributed(spark, srcDir, repo, manifestSha, cols)
+      val scanned = mountAt(repo, manifestSha)
+        .count(_.path.endsWith(".parquet"))
+      return (n, scanned)
+    }
+    val newM = manifestDF(spark, repo, manifestSha)
+    val prevM = manifestDF(spark, repo, prevSha)
+      .select(col("path"), col("sha256").as("__psha"))
+    val joined = newM.join(prevM, Seq("path"), "left")
+    // O(changed) rows reach the driver — the same contract as
+    // publishIncremental's dirty list
+    val changed = joined
+      .filter(col("__psha").isNull || col("__psha") =!= col("sha256"))
+      .filter(col("path").endsWith(".parquet"))
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    val unchanged = joined.filter(col("__psha") === col("sha256"))
+      .select("path")
+    val carried = zoneMapDF(spark, repo, prevSha)
+      .filter(col("column").isin(cols: _*))
+      .join(unchanged, Seq("path"), "left_semi")
+    carried.unionByName(statsFrame(spark, srcDir, cols, Some(changed)))
+      .write.mode("overwrite").parquet(statsPqDir(repo, manifestSha).toString)
+    (spark.read.parquet(statsPqDir(repo, manifestSha).toString).count(),
+      changed.size)
   }
 
   /** prunedFiles as a DataFrame: manifest left-joined to the zone map,

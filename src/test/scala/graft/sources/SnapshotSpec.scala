@@ -294,6 +294,68 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.zoneMapDF(spark, repo, stats.manifestSha).count() == 0)
   }
 
+  test("incremental zone-map: one-file touch scans one file, entries ≡ full") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("snap-izm-src").toString
+    spark.range(0, 4000).select(
+        col("id").as("key"), (col("id") * 2).cast("double").as("v"))
+      .orderBy("key").write.option("maxRecordsPerFile", 1000)
+      .parquet(s"$src/t")
+    val repo = Files.createTempDirectory("snap-izm-repo").toString
+    val s1 = SnapshotStore.publish(spark, src, repo, "main")
+    // first call: no previous sidecar → full scan of all data files
+    val (n1, scanned1) = SnapshotStore.publishStatsIncremental(
+      spark, src, repo, s1.manifestSha, "main", Seq("key", "v"))
+    assert(n1 > 0)
+    assert(scanned1 >= 4, s"first build must scan everything: $scanned1")
+    // touch exactly one data file (larger values, same schema)
+    val files = new java.io.File(s"$src/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val victim = files.head
+    spark.range(90000, 91000).select(
+        col("id").as("key"), (col("id") * 2).cast("double").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/tmp_one")
+    val one = new java.io.File(s"$src/tmp_one").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(one.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the now-stale checksum sidecar or the local FS rejects the
+    // swapped bytes on the next Spark read
+    val crc = new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+    if (crc.exists()) crc.delete()
+    new java.io.File(s"$src/tmp_one").listFiles().foreach(_.delete())
+    new java.io.File(s"$src/tmp_one").delete()
+    val s2 = SnapshotStore.publish(spark, src, repo, "v2")
+    assert(s2.manifestSha != s1.manifestSha)
+    val (n2, scanned2) = SnapshotStore.publishStatsIncremental(
+      spark, src, repo, s2.manifestSha, s1.manifestSha, Seq("key", "v"))
+    assert(scanned2 == 1, s"touched one file, scanned $scanned2")
+    // entries must equal a from-scratch distributed build of v2
+    val incEntries = SnapshotStore.zoneMapDF(spark, repo, s2.manifestSha)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    SnapshotStore.publishStatsDistributed(spark, src, repo,
+      s2.manifestSha, Seq("key", "v"))
+    val fullEntries = SnapshotStore.zoneMapDF(spark, repo, s2.manifestSha)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(incEntries == fullEntries,
+      s"incremental diverged: ${(incEntries -- fullEntries).take(3)} / " +
+        s"${(fullEntries -- incEntries).take(3)}")
+    assert(n2 == fullEntries.size.toLong)
+    // and the new range actually prunes: only the touched file matches
+    // (prunedFilesDF — the parquet sidecar is the distributed format;
+    // the text-sidecar driver path is a different publish flavor)
+    val hot = SnapshotStore.prunedFilesDF(spark, repo, s2.manifestSha,
+      "key", 90000.0, 91000.0)
+      .collect().map(_.getString(0)).filter(_.endsWith(".parquet"))
+    assert(hot.length == 1, s"expected only the touched file: ${hot.toSeq}")
+    // unchanged republish: same sha → sidecar kept, zero scanned
+    val (n3, scanned3) = SnapshotStore.publishStatsIncremental(
+      spark, src, repo, s2.manifestSha, s2.manifestSha, Seq("key", "v"))
+    assert(scanned3 == 0 && n3 == n2)
+  }
+
   test("zone-map: NaN column keeps files; all-pruned read returns empty frame") {
     import org.apache.spark.sql.functions._
     val src = Files.createTempDirectory("snap-nan-src").toString
