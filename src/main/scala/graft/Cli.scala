@@ -42,6 +42,7 @@ object Cli {
     case "stats" :: repo :: ref :: rest           => stats(repo, ref, rest.headOption)
     case "prune" :: repo :: ref :: c :: lo :: hi :: Nil =>
       prune(repo, ref, c, lo.toDouble, hi.toDouble)
+    case "rollback" :: repo :: label :: sha :: Nil => rollback(repo, label, sha)
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
@@ -53,7 +54,8 @@ object Cli {
           |  gc <repo>
           |  sql <repo> <ref> <SQL>
           |  stats <repo> <ref> [column]
-          |  prune <repo> <ref> <column> <lo> <hi>""".stripMargin)
+          |  prune <repo> <ref> <column> <lo> <hi>
+          |  rollback <repo> <label> <manifestSha>""".stripMargin)
       1
   }
 
@@ -172,6 +174,26 @@ object Cli {
       }
     kept.foreach(println)
     println(s"${kept.size} of $all files survive $column in [$lo, $hi]")
+    0
+  }
+
+  /** Repoint a label at a historical manifest — the undo of a bad
+    * publish. The target must still be resolvable in the CAS (it is, as
+    * long as a label or unexpired lease kept it from gc); the swap is
+    * the same atomic setRoot a publish uses, and a fresh lease pins the
+    * restored snapshot from the moment it becomes current. */
+  private def rollback(repo: String, label: String, sha: String): Int = {
+    val resolvable =
+      try SnapshotStore.mountAt(repo, sha).nonEmpty
+      catch { case _: Exception => false }
+    if (!resolvable) {
+      System.err.println(s"manifest $sha resolves to an empty or missing snapshot")
+      return 1
+    }
+    val prev = SnapshotStore.getRoot(repo, label)
+    SnapshotStore.setRoot(repo, label, sha)
+    SnapshotStore.renewLease(repo, label, sha)
+    println(s"rolled back $label: ${prev.getOrElse("(unset)")} -> $sha")
     0
   }
 

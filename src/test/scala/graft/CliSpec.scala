@@ -58,6 +58,25 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(List("frobnicate")) == 1)
   }
 
+  test("rollback repoints a label at a historical manifest") {
+    val src = Files.createTempDirectory("cli-rb-src").toString
+    Files.write(Paths.get(src, "f.txt"), "one".getBytes)
+    val repo = Files.createTempDirectory("cli-rb-repo").toString
+    assert(captureOut(Cli.run(List("push", src, repo, "main")))._1 == 0)
+    val sha1 = SnapshotStore.getRoot(repo, "main").get
+    Files.write(Paths.get(src, "f.txt"), "two".getBytes)
+    assert(captureOut(Cli.run(List("push", src, repo, "main")))._1 == 0)
+    assert(SnapshotStore.getRoot(repo, "main").get != sha1)
+    val (c, o) = captureOut(Cli.run(List("rollback", repo, "main", sha1)))
+    assert(c == 0 && o.contains(s"-> $sha1"), o)
+    assert(SnapshotStore.getRoot(repo, "main").contains(sha1))
+    // the restored snapshot serves the original bytes
+    val (cc, oc) = captureOut(Cli.run(List("cat", repo, "main", "f.txt")))
+    assert(cc == 0 && oc == "one")
+    // unknown sha refuses
+    assert(captureOut(Cli.run(List("rollback", repo, "main", "deadbeef")))._1 == 1)
+  }
+
   test("stats and prune verbs expose the zone map") {
     val src = Files.createTempDirectory("cli-zm-src").toString
     spark.range(0, 4000).selectExpr("id AS key", "id * 2 AS v")
