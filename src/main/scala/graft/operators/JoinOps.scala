@@ -121,6 +121,26 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // J16: FORWARD as-of — for every click, the NEXT error at ts >= the
+    // click's ts (per user): the look-ahead direction of j7's
+    // look-behind (trade → next quote, request → next failure). Same
+    // union+window shape, frame flipped to [current, unbounded
+    // following]; clicks sort before errors at equal ts so the match is
+    // inclusive. One shuffle on user_id, no row fan-out — j7 scale class.
+    "j16_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "error").as("is_err"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_err"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_err_ts", min(when(col("is_err"), col("ts"))).over(w))
+        .filter(!col("is_err"))
+        .select("event_id", "user_id", "ts", "next_err_ts")
+        .orderBy("event_id")
+    }),
+
     // Q-J8: full outer — nations vs per-nation supplier counts; nations
     // without suppliers survive with count 0.
     "j8_full_outer" -> ((s, d) => {
@@ -380,6 +400,14 @@ object JoinOps {
         |  CAST((SELECT max(e2.ts) FROM events e2
         |        WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
         |          AND e2.ts <= e.ts) AS TIMESTAMP) AS last_err_ts
+        |FROM events e WHERE e.event_type = 'click'
+        |ORDER BY e.event_id""".stripMargin,
+
+    "j16_asof_forward" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  CAST((SELECT min(e2.ts) FROM events e2
+        |        WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
+        |          AND e2.ts >= e.ts) AS TIMESTAMP) AS next_err_ts
         |FROM events e WHERE e.event_type = 'click'
         |ORDER BY e.event_id""".stripMargin,
 

@@ -243,6 +243,25 @@ object WindowOps {
     // is keyed by customer — bounded partitions, no global sort; money
     // rides DECIMAL(18,2) internally, final cast to DOUBLE (output schemas
     // never carry DecimalType — cross-engine hasher parity).
+    // W13: RANGE-frame window — trailing-30-day spend per customer. The
+    // frame is bounded by the ORDER-BY VALUE (day number), not by row
+    // count: all same-day peer rows enter the frame together, so the
+    // result is deterministic with no tiebreak column — the semantic
+    // difference from w4's ROWS frames, covered nowhere else. Money rides
+    // DECIMAL(18,2) in the frame sum, final cast DOUBLE (the registry
+    // DecimalType gate). Per-customer windows: bounded partitions, w3
+    // scale class.
+    "w13_range_frame" -> ((s, d) => {
+      val day = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      val w = Window.partitionBy("o_custkey").orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("spend_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "w12_session_running_sum" -> ((s, d) => {
       val byTime = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -374,6 +393,15 @@ object WindowOps {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
         |  FROM lineitem) t
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "w13_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS spend_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "w12_session_running_sum" ->
       """WITH o AS (
