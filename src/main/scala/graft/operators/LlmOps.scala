@@ -1585,6 +1585,48 @@ object LlmOps {
       WindowOps.withGlobalRank(keyed, 32, col("hk"), col("tb"))
         .select(col("doc_id"), col("grn").as("pos"))
         .orderBy("pos")
+    }),
+
+    // L50: HYBRID retrieval by reciprocal-rank fusion — the standard way
+    // modern retrieval combines a lexical ranker with a vector ranker
+    // (RRF, Cormack et al. 2009): each side retrieves its top-50, a doc's
+    // fused score is Σ 1/(60 + rank_side), missing from a side = no
+    // contribution. Text side: integer query-term-hit score (map + one
+    // TakeOrdered — no global sort). Vector side: exact cosine against a
+    // 1-row broadcast probe (cosine_f32, bit-identical to the oracle's
+    // double formulation) + TakeOrdered. The row_number windows rank
+    // 50-row frames (bounded — PlanGuard-allowlisted); the fusion is a
+    // 50∪50-row full outer join. Each 1/(60+r) term and their 2-term sum
+    // are fixed ops on identical integers — cross-engine hash-exact.
+    "l50_rrf_hybrid" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val qterms = Seq("hash", "join", "scan")
+      val tscored = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(filter(split(lower(col("text")), " "),
+            w => w.isInCollection(qterms))).cast("long").as("tscore"))
+        .filter(col("tscore") > 0)
+        .orderBy(col("tscore").desc, col("doc_id")).limit(50)
+      val ttop = tscored.withColumn("rt", row_number()
+        .over(Window.orderBy(col("tscore").desc, col("doc_id"))).cast("int"))
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+      val vscored = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      val vtop = vscored
+        .select(col("vec_id").as("doc_id"), col("cos"))
+        .withColumn("rv", row_number()
+          .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+      ttop.select(col("doc_id"), col("rt"))
+        .join(vtop.select(col("doc_id"), col("rv")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"),
+          col("rt"), col("rv"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     })
   )
 
@@ -2244,7 +2286,42 @@ object LlmOps {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) AS BIGINT)
         |    AS pos
-        |FROM documents ORDER BY pos""".stripMargin
+        |FROM documents ORDER BY pos""".stripMargin,
+
+    "l50_rrf_hybrid" ->
+      """WITH tscore AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('hash', 'join', 'scan'))) AS BIGINT) AS tscore
+        |  FROM documents),
+        |ttop AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY tscore DESC, doc_id) AS INT) AS rt
+        |  FROM (SELECT * FROM tscore WHERE tscore > 0
+        |        ORDER BY tscore DESC, doc_id LIMIT 50)),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT b.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(a.v)),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a, n b WHERE a.vec_id = 0 AND b.vec_id <> 0),
+        |vtop AS (
+        |  SELECT vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rv
+        |  FROM (SELECT * FROM p ORDER BY cos DESC, vec_id LIMIT 50))
+        |SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+        |  coalesce(CAST(1.0 AS DOUBLE) / (60 + t.rt), CAST(0.0 AS DOUBLE))
+        |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rv), CAST(0.0 AS DOUBLE))
+        |    AS rrf,
+        |  t.rt, v.rv
+        |FROM ttop t FULL OUTER JOIN vtop v ON t.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
     // l10_embed_neardup: no oracle (LSH recall is plan-specific) — NearDupSpec
     // verifies candidates ⊆ brute-force pairs and measures recall.
   )
