@@ -23,7 +23,8 @@ class PlanGuardSpec extends SparkSpec {
     "a31_tpch_q11"        -> "1-row scalar-subquery threshold broadcast (Q11 HAVING)",
     "a34_tpch_q22"        -> "1-row avg-balance scalar subquery broadcast (Q22)",
     "t5_watermark_ontime" -> "1-row watermark threshold joined to the stream frame",
-    "l47_triangle_count"  -> "three 1-row summary aggregates cross-joined into the report row"
+    "l47_triangle_count"  -> "three 1-row summary aggregates cross-joined into the report row",
+    "l50_rrf_hybrid"      -> "1-row probe vector broadcast against the corpus (vector side of RRF)"
   )
 
   /** Exchange SinglePartition is fine exactly when the single-partition
