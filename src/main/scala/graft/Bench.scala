@@ -196,6 +196,10 @@ object Bench {
     "t10_interarrival" -> ((s: SparkSession, d: String) =>
       graft.operators.StreamOps.queries("t10_interarrival")(s, d)),
 
+    // hybrid lexical+vector retrieval with RRF fusion (L50 class)
+    "l50_rrf_hybrid" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l50_rrf_hybrid")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(
