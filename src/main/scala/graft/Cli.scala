@@ -143,35 +143,31 @@ object Cli {
   }
 
   /** Zone-map sidecar inspection: per-(file, column) min/max entries.
-    * The text sidecar reads driver-side; a parquet-only sidecar (the
-    * distributed/incremental publishers) goes through Spark. */
-  private def stats(repo: String, ref: String, column: Option[String]): Int = {
-    val txt = SnapshotStore.zoneMap(repo, ref)
-    val entries =
-      if (txt.nonEmpty) txt.filter(e => column.forall(_ == e.column))
-      else withSession { s =>
-        var df = SnapshotStore.zoneMapDF(s, repo, ref)
-        column.foreach(c => df = df.filter(df("column") === c))
-        df.collect().map(r => SnapshotStore.ZoneEntry(r.getString(0),
-          r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
-      }
-    entries.foreach(e => println(s"${e.column}\t[${e.min}, ${e.max}]\t${e.path}"))
-    println(s"${entries.size} zone entries")
-    0
-  }
+    * Always reads through the DataFrame surface (zoneMapDF handles both
+    * the text and parquet sidecar formats) — only the displayed entries
+    * reach the driver. */
+  private def stats(repo: String, ref: String, column: Option[String]): Int =
+    withSession { s =>
+      var df = SnapshotStore.zoneMapDF(s, repo, ref)
+      column.foreach(c => df = df.filter(df("column") === c))
+      val entries = df.collect().map(r => SnapshotStore.ZoneEntry(r.getString(0),
+        r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+      entries.foreach(e => println(s"${e.column}\t[${e.min}, ${e.max}]\t${e.path}"))
+      println(s"${entries.size} zone entries")
+      0
+    }
 
-  /** Dry-run pruning: which files a range probe on `column` would read. */
+  /** Dry-run pruning: which files a range probe on `column` would read.
+    * Unconditionally the distributed decision path (prunedFilesDF) — the
+    * prune itself runs where the metadata is; only SURVIVORS collect. */
   private def prune(repo: String, ref: String, column: String,
       lo: Double, hi: Double): Int = {
     val all = SnapshotStore.mountAt(repo,
       SnapshotStore.getRoot(repo, ref).getOrElse(ref)).size
-    val kept =
-      if (SnapshotStore.zoneMap(repo, ref).nonEmpty)
-        SnapshotStore.prunedFiles(repo, ref, column, lo, hi)
-      else withSession { s =>
-        SnapshotStore.prunedFilesDF(s, repo, ref, column, lo, hi)
-          .collect().map(_.getString(0)).toSeq
-      }
+    val kept = withSession { s =>
+      SnapshotStore.prunedFilesDF(s, repo, ref, column, lo, hi)
+        .collect().map(_.getString(0)).toSeq
+    }
     kept.foreach(println)
     println(s"${kept.size} of $all files survive $column in [$lo, $hi]")
     0
@@ -215,8 +211,11 @@ object Cli {
       val mountPath = s"cli/$sha"
       PufsFileSystem.mountSnapshotAt(mountPath, repo, sha)
       try {
+        // only paths with an enclosing directory become views: a top-level
+        // `data.parquet` would yield a view name with a dot, which temp
+        // views reject
         val tables = SnapshotStore.mountAt(repo, sha).map(_.path)
-          .filter(_.endsWith(".parquet"))
+          .filter(p => p.endsWith(".parquet") && p.contains('/'))
           .flatMap(_.split('/').headOption).distinct.sorted
         tables.foreach { tbl =>
           spark.read.parquet(s"pufs:///$mountPath/$tbl")

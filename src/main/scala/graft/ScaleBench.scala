@@ -106,8 +106,11 @@ object ScaleBench {
     def timeOne(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       val t0 = System.nanoTime()
       fn(spark, d).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // cache teardown is isolation between measurements, not query work —
+      // keep it outside the timed region or every ratio inflates
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      secs
     }
     // warmup sweep at both scales, then 2 timed sweeps; min-of-2 per dir
     suite.foreach { case (_, fn) =>

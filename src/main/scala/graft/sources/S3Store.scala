@@ -116,6 +116,9 @@ final class S3Store(endpoint: String, bucket: String, key: String,
       try return readOnce(start, len)
       catch {
         case t: TornReadException => throw t
+        // protocol violations (e.g. Range ignored) are permanent — retrying
+        // would just replay the same wrong answer
+        case t: java.net.ProtocolException => throw t
         case t: IOException if attempt <= maxRetries =>
           Thread.sleep(math.min(200L * attempt, 1000L))
         case t: IOException =>
@@ -132,6 +135,14 @@ final class S3Store(endpoint: String, bucket: String, key: String,
       region, creds, SigV4.EmptySha, extra)
     try {
       conn.getResponseCode match {
+        case 200 if start > 0 || conn.getContentLengthLong < len =>
+          // The endpoint ignored the Range header (real S3 honors it, but
+          // this class targets any S3-compatible service): a 200 body
+          // starts at offset 0, so reading `len` bytes from it would
+          // silently return the wrong region for any start > 0.
+          throw new java.net.ProtocolException(
+            s"S3 endpoint did not honor Range bytes=$start-${start + len - 1} " +
+              s"for s3://$bucket/$key (got 200 with length ${conn.getContentLengthLong})")
         case 206 | 200 =>
           val in = conn.getInputStream
           try {

@@ -374,8 +374,16 @@ object SnapshotStore {
     * relative paths. Files a column is entirely NULL in get no entry
     * (pruning keeps them — conservative). Returns the entry count. */
   def publishStats(spark: SparkSession, srcDir: String, repo: String,
-      manifestSha: String, cols: Seq[String]): Int = {
+      manifestSha: String, cols: Seq[String],
+      distributedThreshold: Int = 10000): Int = {
     import org.apache.spark.sql.functions._
+    // the text-sidecar path collects O(files) rows to the driver — fine
+    // for a human-sized tree, wrong at 1M files. Above the threshold,
+    // route to the Spark-task writer so callers can't pick the
+    // driver-bound path by accident.
+    val nFiles = mountAt(repo, manifestSha).count(_.path.endsWith(".parquet"))
+    if (nFiles > distributedThreshold)
+      return publishStatsDistributed(spark, srcDir, repo, manifestSha, cols).toInt
     // the staging tree nests tables under subdirs — walk it all, and
     // merge schemas so a multi-table tree exposes every stats column
     // (files lacking a column read it as null → no entry → kept)
@@ -667,13 +675,33 @@ object SnapshotStore {
     // an unchanged republish yields the SAME manifest sha (Merkle) — the
     // sidecar is already current, and overwriting it from itself would
     // corrupt the read-while-write
-    if (prevSha == manifestSha &&
-        (Files.exists(statsPqDir(repo, prevSha)) ||
-          Files.exists(statsPath(repo, prevSha))))
-      return (zoneMapDF(spark, repo, prevSha)
-        .filter(col("column").isin(cols: _*)).count(), 0)
     val havePrev = Files.exists(statsPqDir(repo, prevSha)) ||
       Files.exists(statsPath(repo, prevSha))
+    // a column requested now but absent from the previous sidecar has no
+    // carry-over entries for unchanged files — those columns must be
+    // scanned across ALL files, or pruning on them silently degrades to
+    // keep-everything
+    val prevCols: Set[String] =
+      if (!havePrev) Set.empty
+      else zoneMapDF(spark, repo, prevSha).select("column").distinct()
+        .collect().map(_.getString(0)).toSet
+    val newCols = cols.filterNot(prevCols.contains)
+    val oldCols = cols.filter(prevCols.contains)
+    if (prevSha == manifestSha && havePrev && newCols.isEmpty)
+      return (zoneMapDF(spark, repo, prevSha)
+        .filter(col("column").isin(cols: _*)).count(), 0)
+    if (prevSha == manifestSha && havePrev) {
+      // same manifest but fresh columns: carry the covered columns
+      // (materialized first — the carried frame reads the very sidecar
+      // we are about to overwrite) and full-scan only the new ones
+      val carried = zoneMapDF(spark, repo, prevSha)
+        .filter(col("column").isin(oldCols: _*)).localCheckpoint(true)
+      carried.unionByName(statsFrame(spark, srcDir, newCols, None))
+        .write.mode("overwrite").parquet(statsPqDir(repo, manifestSha).toString)
+      val scanned = mountAt(repo, manifestSha).count(_.path.endsWith(".parquet"))
+      return (spark.read.parquet(statsPqDir(repo, manifestSha).toString).count(),
+        scanned)
+    }
     if (!havePrev) {
       val n = publishStatsDistributed(spark, srcDir, repo, manifestSha, cols)
       val scanned = mountAt(repo, manifestSha)
@@ -693,12 +721,21 @@ object SnapshotStore {
     val unchanged = joined.filter(col("__psha") === col("sha256"))
       .select("path")
     val carried = zoneMapDF(spark, repo, prevSha)
-      .filter(col("column").isin(cols: _*))
+      .filter(col("column").isin(oldCols: _*))
       .join(unchanged, Seq("path"), "left_semi")
-    carried.unionByName(statsFrame(spark, srcDir, cols, Some(changed)))
-      .write.mode("overwrite").parquet(statsPqDir(repo, manifestSha).toString)
+    // previously-covered columns: scan only changed files; brand-new
+    // columns: scan everything (their history doesn't exist to carry)
+    var out = carried
+    if (oldCols.nonEmpty && changed.nonEmpty)
+      out = out.unionByName(statsFrame(spark, srcDir, oldCols, Some(changed)))
+    if (newCols.nonEmpty)
+      out = out.unionByName(statsFrame(spark, srcDir, newCols, None))
+    out.write.mode("overwrite").parquet(statsPqDir(repo, manifestSha).toString)
+    val scanned =
+      if (newCols.nonEmpty) mountAt(repo, manifestSha).count(_.path.endsWith(".parquet"))
+      else changed.size
     (spark.read.parquet(statsPqDir(repo, manifestSha).toString).count(),
-      changed.size)
+      scanned)
   }
 
   /** prunedFiles as a DataFrame: manifest left-joined to the zone map,

@@ -310,19 +310,34 @@ object StreamJobs {
       .as[(Long, Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
          state: GroupState[EwmaState]) =>
-          var st = state.getOption.getOrElse(EwmaState(0.0, first = true))
-          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).map { r =>
-            val e =
-              if (st.first) r._4
-              else (1.0 - alpha) * r._4 + alpha * st.e
-            st = EwmaState(e, first = false)
-            EwmaOut(user, r._2, e)
+          if (state.hasTimedOut) {
+            // idle user past the event-time horizon: reclaim the state so
+            // the key space doesn't grow without bound (re-arrival after
+            // eviction restarts the recurrence — the streaming contract)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(EwmaState(0.0, first = true))
+            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            val out = sorted.map { r =>
+              val e =
+                if (st.first) r._4
+                else (1.0 - alpha) * r._4 + alpha * st.e
+              st = EwmaState(e, first = false)
+              EwmaOut(user, r._2, e)
+            }
+            state.update(st)
+            // expire 30 min of EVENT time after the user's last event (but
+            // never at-or-before the current watermark, which would throw)
+            val maxTs = sorted.map(_._3.getTime).max
+            state.setTimeoutTimestamp(math.max(
+              maxTs + 30L * 60 * 1000,
+              state.getCurrentWatermarkMs() + 60L * 1000))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

@@ -19,7 +19,8 @@ class S3StoreSpec extends SparkSpec {
 
   /** Minimal S3-compatible single-bucket server with real SigV4
     * verification from the wire. */
-  private class FakeS3(verifySig: Boolean = true) {
+  private class FakeS3(verifySig: Boolean = true,
+      ignoreRange: Boolean = false) {
     case class Obj(bytes: Array[Byte], etag: String)
     val objects = new java.util.concurrent.ConcurrentHashMap[String, Obj]()
     val requests = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -96,7 +97,9 @@ class S3StoreSpec extends SparkSpec {
               if (ifMatch != null && ifMatch != o.etag)
                 ex.sendResponseHeaders(412, -1)
               else {
-                val range = Option(ex.getRequestHeaders.getFirst("Range"))
+                val range =
+                  if (ignoreRange) None
+                  else Option(ex.getRequestHeaders.getFirst("Range"))
                 val (s, e) = range match {
                   case Some(r) =>
                     val Array(a, b) = r.stripPrefix("bytes=").split("-")
@@ -186,6 +189,22 @@ class S3StoreSpec extends SparkSpec {
           java.util.Arrays.copyOfRange(data, off, off + n)),
           s"differential mismatch at read $i off=$off len=$n")
       }
+    } finally srv.stop()
+  }
+
+  test("an endpoint that ignores Range is an error, not silent wrong bytes") {
+    // a 200 body always starts at offset 0; reading it as if it were the
+    // requested range would hand back the wrong region of the object
+    val srv = new FakeS3(ignoreRange = true)
+    try {
+      val data = (0 until 4096).map(_.toByte).toArray
+      S3Store.putIfAbsent(srv.endpoint, "bkt", "obj", region, creds, data)
+      val (_, etag) = S3Store.head(srv.endpoint, "bkt", "obj", region, creds)
+      val store = new S3Store(srv.endpoint, "bkt", "obj", region, creds, etag)
+      val ex = intercept[java.net.ProtocolException] { store.read(100, 64) }
+      assert(ex.getMessage.contains("did not honor Range"))
+      // start == 0 with a full-object 200 is still a correct read
+      assert(store.read(0, 64).sameElements(data.take(64)))
     } finally srv.stop()
   }
 

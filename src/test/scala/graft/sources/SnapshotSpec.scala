@@ -356,6 +356,72 @@ class SnapshotSpec extends SparkSpec {
     assert(scanned3 == 0 && n3 == n2)
   }
 
+  test("publishStats self-routes to the distributed writer above the file threshold") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("snap-route-src").toString
+    spark.range(0, 2000).select(
+        col("id").as("key"), (col("id") * 3).cast("double").as("v"))
+      .orderBy("key").write.option("maxRecordsPerFile", 500)
+      .parquet(s"$src/t")
+    val repoA = Files.createTempDirectory("snap-route-a").toString
+    val repoB = Files.createTempDirectory("snap-route-b").toString
+    val sA = SnapshotStore.publish(spark, src, repoA, "main")
+    val sB = SnapshotStore.publish(spark, src, repoB, "main")
+    // threshold 0: every tree exceeds it → the distributed (parquet
+    // sidecar, task-written) path must be taken
+    val nA = SnapshotStore.publishStats(spark, src, repoA, sA.manifestSha,
+      Seq("key", "v"), distributedThreshold = 0)
+    // default threshold: a 4-file tree stays on the driver text path
+    val nB = SnapshotStore.publishStats(spark, src, repoB, sB.manifestSha,
+      Seq("key", "v"))
+    assert(SnapshotStore.zoneMap(repoA, sA.manifestSha).isEmpty,
+      "threshold 0 must not write the text sidecar")
+    assert(SnapshotStore.zoneMap(repoB, sB.manifestSha).nonEmpty,
+      "small tree should keep the driver text sidecar")
+    // identical entries regardless of route
+    def entries(repo: String, sha: String) =
+      SnapshotStore.zoneMapDF(spark, repo, sha).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    val eA = entries(repoA, sA.manifestSha)
+    val eB = entries(repoB, sB.manifestSha)
+    assert(eA == eB, s"routes diverged: ${(eA -- eB).take(3)} / ${(eB -- eA).take(3)}")
+    assert(nA == nB && nA == eA.size)
+  }
+
+  test("incremental zone-map: a newly requested column is scanned everywhere") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("snap-izm2-src").toString
+    spark.range(0, 4000).select(
+        col("id").as("key"), (col("id") * 2).cast("double").as("v"))
+      .orderBy("key").write.option("maxRecordsPerFile", 1000)
+      .parquet(s"$src/t")
+    val repo = Files.createTempDirectory("snap-izm2-repo").toString
+    val s1 = SnapshotStore.publish(spark, src, repo, "main")
+    val (n1, _) = SnapshotStore.publishStatsIncremental(
+      spark, src, repo, s1.manifestSha, "main", Seq("key"))
+    assert(n1 > 0)
+    // same manifest, but `v` was never in the sidecar: carrying only
+    // covered columns would leave v with zero entries and pruning on v
+    // would silently keep everything — the fix full-scans the new column
+    val (n2, scanned2) = SnapshotStore.publishStatsIncremental(
+      spark, src, repo, s1.manifestSha, s1.manifestSha, Seq("key", "v"))
+    assert(scanned2 >= 4, s"new column must scan all files: $scanned2")
+    val zm = SnapshotStore.zoneMapDF(spark, repo, s1.manifestSha)
+    val vFiles = zm.filter(col("column") === "v").select("path")
+      .distinct().count()
+    val kFiles = zm.filter(col("column") === "key").select("path")
+      .distinct().count()
+    assert(vFiles == kFiles && vFiles >= 4,
+      s"v covers $vFiles files, key covers $kFiles")
+    assert(n2 == zm.count())
+    // the fresh column actually prunes now
+    val hot = SnapshotStore.prunedFilesDF(spark, repo, s1.manifestSha,
+      "v", 0.0, 10.0).collect().map(_.getString(0))
+      .filter(_.endsWith(".parquet"))
+    assert(hot.length == 1, s"v should prune to one file: ${hot.toSeq}")
+  }
+
   test("zone-map: NaN column keeps files; all-pruned read returns empty frame") {
     import org.apache.spark.sql.functions._
     val src = Files.createTempDirectory("snap-nan-src").toString
