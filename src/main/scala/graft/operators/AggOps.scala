@@ -216,8 +216,9 @@ object AggOps {
     // quantile_cont bit-for-bit (same linear-interpolation arithmetic on
     // the same doubles; probed at p25/p50/p75 before wiring). The exact
     // path complements a8's approx_percentile sketch: exact needs the
-    // group's values collected per partition then merged — fine for
-    // bounded groups; the sketch is the 100 TB default.
+    // group's values collected per partition then merged — state is
+    // O(distinct values per group), fine for bounded groups; a38 is this
+    // lane's fixed-size-sketch twin, the 100 TB default.
     "a11_exact_percentiles" -> ((s, d) => {
       t(s, d, "orders")
         .groupBy("o_orderpriority")
@@ -290,6 +291,8 @@ object AggOps {
     // construction), then the median of absolute deviations. Same
     // hash-parity discipline as a11: percentile interpolation is one
     // fixed op on identical operands; abs/subtract are exact on doubles.
+    // Exact-percentile state is O(distinct deviations per group) — a39
+    // is the fixed-size-sketch twin for unbounded groups.
     "a36_mad" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").as("x"))
@@ -319,6 +322,51 @@ object AggOps {
       graft.functions.SkewOps.saltedSum(ev, col("event_type"), col("cents"), 32)
         .select(col("key").as("event_type"), col("total").as("total_cents"))
         .orderBy("event_type")
+    }),
+
+    // A38: a11's sketch twin for the UNBOUNDED-group regime — a11's exact
+    // percentile() buffers every distinct value of a group on one
+    // executor (state O(distinct-per-group): fine while groups are
+    // dimension-bounded, a memory ceiling when one group holds 10⁹
+    // events). approx_percentile's quantile digest is fixed-size
+    // (O(accuracy) per group) regardless of group cardinality — the
+    // default above that bound. Exact columns ride along so QueriesSpec
+    // can bound the sketch without an engine-specific oracle.
+    "a38_approx_percentiles" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.25), lit(10000)).as("p25_approx"),
+          expr("percentile(o_totalprice, 0.25)").as("p25_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)).as("p75_approx"),
+          expr("percentile(o_totalprice, 0.75)").as("p75_exact"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A39: a36's sketch twin — MAD with both percentile passes on the
+    // fixed-size digest instead of the exact value buffer. Same
+    // broadcast-join shape (group medians are dimension-sized by
+    // definition); per-group state drops from O(distinct values) to
+    // O(accuracy). Exact MAD rides along for the spec bound.
+    "a39_approx_mad" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val med = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("x"), lit(0.5), lit(10000)).as("med_a"),
+          expr("percentile(x, 0.5)").as("med_e"))
+      li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med_a"), col("med_e"),
+          abs(col("x") - col("med_a")).as("dev_a"),
+          abs(col("x") - col("med_e")).as("dev_e"))
+        .groupBy("l_returnflag")
+        .agg(first("med_a").as("med_approx"),
+          percentile_approx(col("dev_a"), lit(0.5), lit(10000)).as("mad_approx"),
+          expr("percentile(dev_e, 0.5)").as("mad_exact"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }),
 
     // A15: TPC-H Q18 shape (large-volume customers) — the "aggregate,

@@ -203,8 +203,10 @@ object StreamOps {
     // synthetic-load modeling. Gaps computed in exact integer
     // MICROSECONDS (unix_micros lag diff — whole-second truncation would
     // alias sub-second bursts); percentiles are Spark's exact percentile
-    // over the per-user gap set. Scale shape: one per-user window (lag)
-    // then one hash agg — bounded keys, no global sort, same class as w2.
+    // over the per-user gap set (state O(gaps-per-user) — t12 is the
+    // fixed-size-sketch twin for unbounded users). Scale shape: one
+    // per-user window (lag) then one hash agg — bounded keys, no global
+    // sort, same class as w2.
     "t10_interarrival" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, d, "events")
@@ -217,6 +219,29 @@ object StreamOps {
           expr("percentile(gap, 0.5)").as("med_us"),
           expr("percentile(gap, 0.95)").as("p95_us"),
           max("gap").as("max_us"))
+        .orderBy("user_id")
+    }),
+
+    // T12: t10's sketch twin — per-user gap percentiles on the
+    // fixed-size approx_percentile digest instead of the exact per-group
+    // value buffer (t10's state is O(gaps-per-user): bounded at current
+    // fixtures, the memory ceiling when one user carries 10⁹ events).
+    // Gap percentiles over LONG microseconds: percentile_approx on longs
+    // returns longs — cast to double FIRST so both twin columns carry
+    // the same type and the spec's relative-error bound is well-typed.
+    "t12_approx_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).cast("double").as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          percentile_approx(col("gap"), lit(0.5), lit(10000)).as("med_approx"),
+          expr("percentile(gap, 0.5)").as("med_exact"),
+          percentile_approx(col("gap"), lit(0.95), lit(10000)).as("p95_approx"),
+          expr("percentile(gap, 0.95)").as("p95_exact"))
         .orderBy("user_id")
     }),
 

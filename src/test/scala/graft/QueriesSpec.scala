@@ -206,6 +206,48 @@ class QueriesSpec extends SparkSpec {
         assert(math.abs(p90a - p90e) / p90e <= 0.10, s"p90 $p90a vs $p90e")
       }
   }
+
+  // The unbounded-group sketch twins of the exact-percentile lanes: each
+  // carries its exact column so the digest is bounded in-row, with no
+  // engine-specific oracle needed.
+  private def rel(a: Double, e: Double): Double =
+    if (e == 0.0) math.abs(a) else math.abs(a - e) / math.abs(e)
+
+  test("a38 approx percentiles within 10% of a11's exact (all three points)") {
+    graft.operators.AggOps.queries("a38_approx_percentiles")(spark, sfDir)
+      .collect().foreach { r =>
+        Seq((1, 2, "p25"), (3, 4, "p50"), (5, 6, "p75")).foreach {
+          case (ia, ie, tag) =>
+            val (a, e) = (r.getDouble(ia), r.getDouble(ie))
+            assert(rel(a, e) <= 0.10, s"${r.getString(0)} $tag approx=$a exact=$e")
+        }
+      }
+  }
+
+  test("a39 approx MAD within 15% of a36's exact") {
+    // two stacked sketch passes (median, then MAD of deviations) — the
+    // error compounds, so the bound is looser than single-pass a38
+    graft.operators.AggOps.queries("a39_approx_mad")(spark, sfDir)
+      .collect().foreach { r =>
+        val (mada, made) = (r.getDouble(2), r.getDouble(3))
+        assert(rel(mada, made) <= 0.15,
+          s"${r.getString(0)} mad approx=$mada exact=$made")
+      }
+  }
+
+  test("t12 approx inter-arrival percentiles within 15% of t10's exact") {
+    val rows = graft.operators.StreamOps.queries("t12_approx_interarrival")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // per-user gap sets are small at sf0.001 — the digest should be
+    // near-exact; 15% absorbs interpolation differences on tiny groups
+    rows.foreach { r =>
+      assert(rel(r.getDouble(2), r.getDouble(3)) <= 0.15,
+        s"user=${r.get(0)} med ${r.getDouble(2)} vs ${r.getDouble(3)}")
+      assert(rel(r.getDouble(4), r.getDouble(5)) <= 0.15,
+        s"user=${r.get(0)} p95 ${r.getDouble(4)} vs ${r.getDouble(5)}")
+    }
+  }
 }
 
 object AggAccuracy {
