@@ -1,0 +1,376 @@
+package graft.sources
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** OAuth2 service-account auth for the GCS JSON API, implemented from the
+  * public "Using OAuth 2.0 for Server to Server Applications" flow: build
+  * an RS256-signed JWT assertion (header.claims.signature), exchange it at
+  * the token endpoint for a short-lived bearer token, cache the token
+  * until shortly before expiry. Pure-JDK crypto (`SHA256withRSA`), so the
+  * whole flow is testable offline — GcsStoreSpec's fake service verifies
+  * the assertion signature from the raw wire request with the account's
+  * public key, exactly like the real token endpoint does. */
+object GcsAuth {
+
+  /** The fields of a service-account key file that the flow needs. */
+  case class ServiceAccount(clientEmail: String,
+      privateKey: java.security.PrivateKey, tokenUri: String)
+
+  val Scope = "https://www.googleapis.com/auth/devstorage.read_write"
+
+  def b64url(b: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+  /** RS256 JWT assertion: `{"alg":"RS256","typ":"JWT"}` header, claims
+    * {iss, scope, aud, iat, exp}, RSA-SHA256 signature over
+    * `b64url(header).b64url(claims)`. */
+  def signJwt(sa: ServiceAccount, scope: String, iat: Long,
+      ttlSec: Long = 3600): String = {
+    val header = """{"alg":"RS256","typ":"JWT"}"""
+    val claims =
+      s"""{"iss":"${sa.clientEmail}","scope":"$scope","aud":"${sa.tokenUri}","iat":$iat,"exp":${iat + ttlSec}}"""
+    val signingInput =
+      b64url(header.getBytes(UTF_8)) + "." + b64url(claims.getBytes(UTF_8))
+    val sig = java.security.Signature.getInstance("SHA256withRSA")
+    sig.initSign(sa.privateKey)
+    sig.update(signingInput.getBytes(UTF_8))
+    signingInput + "." + b64url(sig.sign())
+  }
+
+  /** Caches a bearer token, refreshing when within `slackSec` of expiry.
+    * `invalidate()` drops the cache so the next call re-exchanges — the
+    * 401-recovery path. */
+  final class TokenProvider(sa: ServiceAccount, scope: String = Scope,
+      slackSec: Long = 60) {
+    @volatile private var cached: (String, Long) = null // (token, expiryEpochSec)
+
+    def invalidate(): Unit = cached = null
+
+    def token(): String = {
+      val now = System.currentTimeMillis() / 1000
+      val c = cached
+      if (c != null && c._2 - slackSec > now) return c._1
+      synchronized {
+        val c2 = cached
+        if (c2 != null && c2._2 - slackSec > now) return c2._1
+        val (tok, ttl) = exchange(signJwt(sa, scope, now))
+        cached = (tok, now + ttl)
+        tok
+      }
+    }
+
+    private def exchange(assertion: String): (String, Long) = {
+      val body = ("grant_type=" +
+        SigV4.uriEncode("urn:ietf:params:oauth:grant-type:jwt-bearer", keepSlash = false) +
+        "&assertion=" + assertion).getBytes(UTF_8)
+      val conn = URI.create(sa.tokenUri).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      try {
+        conn.setRequestMethod("POST")
+        conn.setConnectTimeout(5000)
+        conn.setReadTimeout(10000)
+        conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+        conn.setDoOutput(true)
+        val out = conn.getOutputStream
+        try out.write(body) finally out.close()
+        if (conn.getResponseCode != 200)
+          throw new IOException(
+            s"token exchange at ${sa.tokenUri} returned ${conn.getResponseCode}")
+        val node = GcsStore.mapper.readTree(conn.getInputStream)
+        val tok = node.path("access_token").asText("")
+        if (tok.isEmpty) throw new IOException("token response without access_token")
+        (tok, node.path("expires_in").asLong(3600))
+      } finally conn.disconnect()
+    }
+  }
+}
+
+/** GCS-protocol object store over the `RemoteStore` seam — the Scala
+  * analog of the reference's primary remote (remote/gcs.go). Semantics:
+  *
+  *  - Ranged reads carry `ifGenerationMatch=<pin>` (gcs.go:302-331
+  *    copyRegion's `storage.Conditions{GenerationMatch: ...}`): an object
+  *    replaced under an open reader answers 412 → TornReadException,
+  *    never mixed bytes from two generations. Generation 0 = unpinned,
+  *    matching the reference's `if Generation != 0` guard (gcs.go:305).
+  *  - CAS put uses `ifGenerationMatch=0` — the JSON-API spelling of
+  *    `storage.Conditions{DoesNotExist: true}` (gcs.go:179-197 Push):
+  *    create only if no live generation exists; 412 = already present.
+  *  - Bounded retry budget for transient IO (≤10, core/freezer.go:566-600
+  *    analog); 412 and protocol violations never retry.
+  *
+  * Wire format is the public GCS JSON API: media download
+  * `GET {endpoint}/storage/v1/b/{bucket}/o/{object}?alt=media`, media
+  * upload `POST {endpoint}/upload/storage/v1/b/{bucket}/o?uploadType=media
+  * &name={object}`, metadata GET, and prefix+delimiter listing. `endpoint`
+  * is the service base (`https://storage.googleapis.com` in production,
+  * the in-process fake in GcsStoreSpec — the sandbox has zero egress, so
+  * integration runs against the fake, which verifies the OAuth2 flow from
+  * the raw wire request). */
+final class GcsStore(endpoint: String, bucket: String, key: String,
+    generation: Long, tokens: GcsAuth.TokenProvider, maxRetries: Int = 10)
+    extends RemoteStore {
+
+  def read(start: Long, len: Int): Array[Byte] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return readOnce(start, len)
+      catch {
+        case t: TornReadException => throw t // the pinned generation is GONE
+        case t: java.net.ProtocolException => throw t // replaying can't fix it
+        case t: IOException if attempt <= maxRetries =>
+          Thread.sleep(math.min(200L * attempt, 1000L))
+        case t: IOException =>
+          throw new IOException(s"GCS range GET failed after $maxRetries retries", t)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readOnce(start: Long, len: Int): Array[Byte] = {
+    val query = "alt=media" +
+      (if (generation != 0) s"&ifGenerationMatch=$generation" else "")
+    val conn = GcsStore.open("GET", endpoint,
+      s"/storage/v1/b/$bucket/o/${GcsStore.encodeObject(key)}?$query", tokens)
+    try {
+      conn.setRequestProperty("Range", s"bytes=$start-${start + len - 1}")
+      conn.getResponseCode match {
+        case 200 if start > 0 || conn.getContentLengthLong < len =>
+          // body starts at offset 0 — serving it as [start, start+len)
+          // would be silent corruption (same guard as S3Store.readOnce)
+          throw new java.net.ProtocolException(
+            s"GCS endpoint did not honor Range bytes=$start-${start + len - 1} " +
+              s"for gs://$bucket/$key (got 200 with length ${conn.getContentLengthLong})")
+        case 206 | 200 =>
+          val in = conn.getInputStream
+          try {
+            val buf = new Array[Byte](len)
+            var off = 0
+            while (off < len) {
+              val n = in.read(buf, off, len - off)
+              if (n < 0) throw new IOException(
+                s"short GCS ranged read: got $off of $len at $start")
+              off += n
+            }
+            buf
+          } finally in.close()
+        case 412 =>
+          throw new TornReadException(
+            s"gs://$bucket/$key generation $generation gone — object replaced " +
+              "under an open reader")
+        case 401 =>
+          tokens.invalidate() // expired mid-flight; retry path re-exchanges
+          throw new IOException(s"GCS range GET gs://$bucket/$key returned 401")
+        case code =>
+          throw new IOException(s"GCS range GET gs://$bucket/$key returned $code")
+      }
+    } finally conn.disconnect()
+  }
+}
+
+object GcsStore {
+
+  private[sources] val mapper = new ObjectMapper()
+
+  /** Object names ride the JSON-API path percent-encoded INCLUDING '/'
+    * (`dir%2Fobj`) — the path has exactly one object-name segment. */
+  private[sources] def encodeObject(key: String): String =
+    SigV4.uriEncode(key, keepSlash = false)
+
+  private[sources] def open(method: String, endpoint: String,
+      pathAndQuery: String, tokens: GcsAuth.TokenProvider): HttpURLConnection = {
+    val conn = URI.create(endpoint + pathAndQuery).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(30000)
+    conn.setRequestProperty("Authorization", s"Bearer ${tokens.token()}")
+    conn
+  }
+
+  /** Object attributes via metadata GET — the reference's GetGCSAttr
+    * (gcs.go:153-168): (size, generation, updated). Keys ending in "/"
+    * are directory placeholders there; callers handle that above this. */
+  case class Attrs(size: Long, generation: Long, updated: String)
+
+  def attrs(endpoint: String, bucket: String, key: String,
+      tokens: GcsAuth.TokenProvider): Attrs = {
+    val conn = open("GET", endpoint,
+      s"/storage/v1/b/$bucket/o/${encodeObject(key)}", tokens)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new IOException(s"GCS attrs gs://$bucket/$key returned $code")
+      val n = mapper.readTree(conn.getInputStream)
+      // the JSON API serializes int64 fields as strings
+      Attrs(n.path("size").asText("0").toLong,
+        n.path("generation").asText("0").toLong,
+        n.path("updated").asText(""))
+    } finally conn.disconnect()
+  }
+
+  /** Conditional create: `ifGenerationMatch=0` = "no live generation",
+    * the JSON-API form of the reference's DoesNotExist precondition
+    * (gcs.go:185). Returns true iff this call created the object. */
+  def putIfAbsent(endpoint: String, bucket: String, key: String,
+      tokens: GcsAuth.TokenProvider, body: Array[Byte]): Boolean =
+    upload(endpoint, bucket, key, tokens, body, conditional = true)
+
+  /** Unconditional upload (root/lease pointers are replace-on-write,
+    * gcs.go:101-127 SetLease/SetRoot). */
+  def put(endpoint: String, bucket: String, key: String,
+      tokens: GcsAuth.TokenProvider, body: Array[Byte]): Unit =
+    upload(endpoint, bucket, key, tokens, body, conditional = false)
+
+  private def upload(endpoint: String, bucket: String, key: String,
+      tokens: GcsAuth.TokenProvider, body: Array[Byte],
+      conditional: Boolean): Boolean = {
+    val query = s"uploadType=media&name=${encodeObject(key)}" +
+      (if (conditional) "&ifGenerationMatch=0" else "")
+    val conn = open("POST", endpoint, s"/upload/storage/v1/b/$bucket/o?$query",
+      tokens)
+    try {
+      conn.setRequestProperty("Content-Type", "application/octet-stream")
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(body) finally out.close()
+      conn.getResponseCode match {
+        case 200 | 201 => true
+        case 412 if conditional => false // already exists — CAS idempotence
+        case code =>
+          throw new IOException(s"GCS upload gs://$bucket/$key returned $code")
+      }
+    } finally conn.disconnect()
+  }
+
+  /** Download a whole small object (root/lease pointer reads). None if
+    * the object does not exist. */
+  def get(endpoint: String, bucket: String, key: String,
+      tokens: GcsAuth.TokenProvider): Option[Array[Byte]] = {
+    val conn = open("GET", endpoint,
+      s"/storage/v1/b/$bucket/o/${encodeObject(key)}?alt=media", tokens)
+    try {
+      conn.getResponseCode match {
+        case 200 =>
+          val in = conn.getInputStream
+          try Some(in.readAllBytes()) finally in.close()
+        case 404 => None
+        case code =>
+          throw new IOException(s"GCS get gs://$bucket/$key returned $code")
+      }
+    } finally conn.disconnect()
+  }
+
+  /** One child of a prefix+delimiter listing — the reference's
+    * getChildNodes row (gcs.go:258-300): relative name, dir flag from the
+    * `prefixes` array, (size, generation) for objects. */
+  case class Entry(name: String, isDir: Boolean, size: Long, generation: Long)
+
+  /** List immediate children of `prefix` (delimiter "/"), names relative
+    * to the prefix. Paginates via nextPageToken. */
+  def listChildren(endpoint: String, bucket: String, prefix: String,
+      tokens: GcsAuth.TokenProvider): Seq[Entry] = {
+    val out = Seq.newBuilder[Entry]
+    val seenDirs = scala.collection.mutable.Set.empty[String]
+    var pageToken: Option[String] = None
+    var more = true
+    while (more) {
+      val query = s"prefix=${SigV4.uriEncode(prefix, keepSlash = false)}" +
+        "&delimiter=%2F" +
+        pageToken.map(t => s"&pageToken=${SigV4.uriEncode(t, keepSlash = false)}").getOrElse("")
+      val conn = open("GET", endpoint, s"/storage/v1/b/$bucket/o?$query", tokens)
+      try {
+        if (conn.getResponseCode != 200)
+          throw new IOException(
+            s"GCS list gs://$bucket/$prefix returned ${conn.getResponseCode}")
+        val n = mapper.readTree(conn.getInputStream)
+        val prefixes = n.path("prefixes")
+        (0 until prefixes.size).foreach { i =>
+          val p = prefixes.get(i).asText
+          // a prefix can ride more than one page of a paginated listing;
+          // children are reported once
+          val name = p.substring(prefix.length, p.length - 1)
+          if (!seenDirs.contains(name)) {
+            seenDirs += name
+            out += Entry(name, isDir = true, 0, 0)
+          }
+        }
+        val items = n.path("items")
+        (0 until items.size).foreach { i =>
+          val it = items.get(i)
+          val name = it.path("name").asText.substring(prefix.length)
+          if (name.nonEmpty) // skip the prefix's own placeholder object
+            out += Entry(name, isDir = false, it.path("size").asText("0").toLong,
+              it.path("generation").asText("0").toLong)
+        }
+        pageToken = Option(n.path("nextPageToken").asText(null)).filter(_.nonEmpty)
+        more = pageToken.isDefined
+      } finally conn.disconnect()
+    }
+    out.result()
+  }
+}
+
+/** The bucket-backed root/lease/CAS registry the reference layers over
+  * GCS (gcs.go:43-49 RemoteRefFactoryImp, :199-206 NewRemoteRefFactory:
+  * `<keyPrefix>CAS/` for content blocks, `<keyPrefix>root/` for named
+  * label pointers, `<keyPrefix>lease/` for GC leases).
+  *
+  *  - Roots are replace-on-write base64url block-id pointers
+  *    (gcs.go:114-151 SetRoot/GetRoot).
+  *  - Leases carry (expiry, blockId) (gcs.go:96-112 SetLease) — encoded
+  *    here as `<expiryEpochMs> <b64url(bid)>` instead of Go gob, which is
+  *    a language-specific wire format.
+  *  - Block push is the DoesNotExist CAS put (gcs.go:179-197). */
+final class GcsRefRegistry(endpoint: String, bucket: String,
+    keyPrefix: String, tokens: GcsAuth.TokenProvider) {
+  require(keyPrefix.isEmpty || keyPrefix.endsWith("/"),
+    "prefix must end in /") // gcs.go:200-202
+
+  private val casPrefix = keyPrefix + "CAS/"
+  private val rootPrefix = keyPrefix + "root/"
+  private val leasePrefix = keyPrefix + "lease/"
+
+  def setRoot(name: String, bid: Array[Byte]): Unit =
+    GcsStore.put(endpoint, bucket, rootPrefix + name, tokens,
+      GcsAuth.b64url(bid).getBytes(UTF_8))
+
+  def getRoot(name: String): Option[Array[Byte]] =
+    GcsStore.get(endpoint, bucket, rootPrefix + name, tokens)
+      .map(b => Base64.getUrlDecoder.decode(new String(b, UTF_8)))
+
+  def setLease(name: String, expiryEpochMs: Long, bid: Array[Byte]): Unit =
+    GcsStore.put(endpoint, bucket, leasePrefix + name, tokens,
+      s"$expiryEpochMs ${GcsAuth.b64url(bid)}".getBytes(UTF_8))
+
+  def getLease(name: String): Option[(Long, Array[Byte])] =
+    GcsStore.get(endpoint, bucket, leasePrefix + name, tokens).map { b =>
+      val Array(exp, bid) = new String(b, UTF_8).split(" ", 2)
+      (exp.toLong, Base64.getUrlDecoder.decode(bid))
+    }
+
+  /** CAS block upload; true iff this call stored the block. */
+  def pushBlock(bidHex: String, body: Array[Byte]): Boolean =
+    GcsStore.putIfAbsent(endpoint, bucket, casPrefix + bidHex, tokens, body)
+
+  /** (key, size, generation) for a stored block — GetBlockSource
+    * (gcs.go:170-177): the attrs probe that pins the generation a lazy
+    * reader will hold for its lifetime. */
+  def blockSource(bidHex: String): (String, Long, Long) = {
+    val key = casPrefix + bidHex
+    val a = GcsStore.attrs(endpoint, bucket, key, tokens)
+    (key, a.size, a.generation)
+  }
+
+  /** A pinned ranged reader over a stored block. */
+  def openBlock(bidHex: String): GcsStore = {
+    val (key, _, gen) = blockSource(bidHex)
+    new GcsStore(endpoint, bucket, key, gen, tokens)
+  }
+}
