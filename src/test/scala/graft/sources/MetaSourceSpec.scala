@@ -47,12 +47,25 @@ class MetaSourceSpec extends SparkSpec {
     assert(df.count() == 6)
   }
 
-  test("l5 queries run over testdata") {
-    val agg = graft.operators.MetaOps.queries("l5_meta_agg")(spark, sfDir).collect()
-    assert(agg.length == 1 && agg.head.getString(0) == "parquet"
-      && agg.head.getLong(1) == 10L)
+  test("l5 lanes aggregate the nation-derived fixture tree") {
+    // expectations recomputed HERE from the nation table — the same
+    // derivation the DuckDB oracle uses
+    val nations = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_regionkey")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val idxNations = nations.filter(_._1 % 7 == 0)
+    val agg = graft.operators.MetaOps.queries("l5_meta_agg")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val binTotal = nations.map { case (nk, _) =>
+      (0 until 3).map(j => 64L + 13 * nk + j).sum }.sum
+    assert(agg == Seq(
+      ("bin", 3L * nations.length, binTotal),
+      ("idx", idxNations.length.toLong, idxNations.map(32L + _._1).sum)))
     val listing = graft.operators.MetaOps.queries("l5b_meta_listing")(spark, sfDir)
-    assert(listing.count() == 11) // root + 10 parquet files
+    val expectRows = 1 + nations.map(_._2).distinct.length +
+      idxNations.map(_._2).distinct.length +
+      3 * nations.length + idxNations.length
+    assert(listing.count() == expectRows)
   }
 
   test("l5d small-file report flags debris dirs and clears healthy ones") {
@@ -64,7 +77,7 @@ class MetaSourceSpec extends SparkSpec {
     (1 to 2).foreach(i =>
       Files.write(Paths.get(root, s"healthy/big$i.parquet"),
         Array.fill(8 * 1024 * 1024)(i.toByte)))
-    val report = graft.operators.MetaOps.queries("l5d_small_file_report")(spark, root)
+    val report = graft.operators.MetaOps.smallFileReport(spark, root)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getBoolean(r.fieldIndex("needs_compaction")))).toMap
     assert(report("debris") == ((12L, true)), report.toString)
