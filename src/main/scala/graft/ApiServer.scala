@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.sources.{PufsFileSystem, SnapshotStore}
+
+/** Read-only control API over a published snapshot — the serving role the
+  * reference fills with its gRPC `Pufs` service (api/api.proto:26-28
+  * `GetDirContents`, served from the mount daemon) so programs that are
+  * not Spark jobs can browse and read a mount. gRPC needs a protobuf
+  * toolchain this build intentionally does not carry; the daemon speaks
+  * the same operations as plain HTTP + JSON:
+  *
+  *   GET /v1/dir?path=<dir>  → DirContentsResponse-shaped JSON
+  *                             (api.proto:9-23: entries with name /
+  *                             isDir / size / blockID / populatedSize /
+  *                             populatedRegionCount, or errorMsg)
+  *   GET /v1/stat?path=<p>   → one entry (404 + errorMsg if absent)
+  *   GET /v1/read?path=<p>   → file bytes; honors `Range: bytes=s-e`
+  *                             with a 206, like any HTTP object store
+  *
+  * The snapshot is content-addressed and immutable, so the manifest is
+  * resolved ONCE at start and directory structure is served from memory;
+  * file bytes ride SnapshotStore.readBlockRange (never a whole-block
+  * materialization). The populated-cache fields are fed live from the
+  * pufs:// block cache (api.proto:18-19), so a reader can watch a lazy
+  * mount fill. */
+object ApiServer {
+
+  private val mapper = new ObjectMapper()
+
+  final class Handle private[ApiServer] (
+      server: com.sun.net.httpserver.HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Start serving `repo`@`ref` (label or manifest sha) on `port`
+    * (0 = ephemeral). */
+  def start(repo: String, ref: String, port: Int = 0): Handle = {
+    val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
+    val entries = SnapshotStore.mountAt(repo, sha)
+    val bySuffix = entries.map(e => e.path -> e).toMap
+
+    // implied directory set: "" (the root) + every ancestor of a file
+    val dirs = entries.flatMap { e =>
+      val parts = e.path.split("/").dropRight(1)
+      parts.indices.map(i => parts.take(i + 1).mkString("/"))
+    }.toSet + ""
+
+    def childrenOf(dir: String): Seq[(String, Boolean, Long, String)] = {
+      val prefix = if (dir.isEmpty) "" else dir + "/"
+      val subDirs = dirs.filter(d => d != dir && d.startsWith(prefix) &&
+        !d.substring(prefix.length).contains("/"))
+        .map(d => (d.substring(prefix.length), true, 0L, ""))
+      val files = entries.filter(e => e.path.startsWith(prefix) &&
+        !e.path.substring(prefix.length).contains("/"))
+        .map(e => (e.path.substring(prefix.length), false, e.size, e.sha256))
+      (subDirs.toSeq ++ files).sortBy(_._1)
+    }
+
+    def entryNode(name: String, isDir: Boolean, size: Long, blockId: String) = {
+      val (pop, regions) =
+        if (isDir) (0L, 0) else PufsFileSystem.statsForBlock(blockId)
+      mapper.createObjectNode()
+        .put("name", name).put("isDir", isDir).put("size", size)
+        .put("blockId", blockId)
+        .put("populatedSize", pop).put("populatedRegionCount", regions)
+    }
+
+    def respondJson(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val body = mapper.writeValueAsBytes(node)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, body.length)
+      ex.getResponseBody.write(body)
+    }
+
+    def error(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        msg: String): Unit =
+      respondJson(ex, code, mapper.createObjectNode().put("errorMsg", msg))
+
+    def queryPath(ex: com.sun.net.httpserver.HttpExchange): String =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+        .collectFirst { case kv if kv.startsWith("path=") =>
+          java.net.URLDecoder.decode(kv.stripPrefix("path="), UTF_8) }
+        .getOrElse("").stripPrefix("/").stripSuffix("/")
+
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+    server.createContext("/v1/dir", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        val p = queryPath(ex)
+        if (!dirs.contains(p))
+          error(ex, if (bySuffix.contains(p)) 400 else 404,
+            if (bySuffix.contains(p)) s"not a directory: $p"
+            else s"no such directory: $p")
+        else {
+          val resp = mapper.createObjectNode()
+          val arr = resp.putArray("entries")
+          childrenOf(p).foreach { case (n, d, s, b) => arr.add(entryNode(n, d, s, b)) }
+          respondJson(ex, 200, resp)
+        }
+      } finally ex.close()
+    })
+
+    server.createContext("/v1/stat", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        val p = queryPath(ex)
+        if (dirs.contains(p)) respondJson(ex, 200,
+          entryNode(if (p.isEmpty) "." else p.split("/").last, isDir = true, 0L, ""))
+        else bySuffix.get(p) match {
+          case Some(e) =>
+            respondJson(ex, 200, entryNode(e.path.split("/").last,
+              isDir = false, e.size, e.sha256))
+          case None => error(ex, 404, s"no such path: $p")
+        }
+      } finally ex.close()
+    })
+
+    server.createContext("/v1/read", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        val p = queryPath(ex)
+        bySuffix.get(p) match {
+          case None => error(ex, 404, s"no such file: $p")
+          case Some(e) =>
+            val range = Option(ex.getRequestHeaders.getFirst("Range"))
+              .map { r =>
+                val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+                val start = a.toLong
+                val end = if (b.isEmpty) e.size - 1 else math.min(b.toLong, e.size - 1)
+                (start, end)
+              }
+            val (start, end) = range.getOrElse((0L, e.size - 1))
+            if (start < 0 || start > end || end >= e.size)
+              error(ex, 416, s"range $start-$end outside 0-${e.size - 1}")
+            else {
+              val len = (end - start + 1).toInt
+              val bytes = SnapshotStore.readBlockRange(repo, e.sha256, start, len)
+              ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+              ex.sendResponseHeaders(if (range.isDefined) 206 else 200, len)
+              ex.getResponseBody.write(bytes)
+            }
+        }
+      } finally ex.close()
+    })
+
+    server.start()
+    new Handle(server)
+  }
+}

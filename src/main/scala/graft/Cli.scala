@@ -43,6 +43,8 @@ object Cli {
     case "prune" :: repo :: ref :: c :: lo :: hi :: Nil =>
       prune(repo, ref, c, lo.toDouble, hi.toDouble)
     case "rollback" :: repo :: label :: sha :: Nil => rollback(repo, label, sha)
+    case "serve" :: repo :: ref :: rest            =>
+      serve(repo, ref, rest.headOption.map(_.toInt).getOrElse(0))
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
@@ -55,7 +57,8 @@ object Cli {
           |  sql <repo> <ref> <SQL>
           |  stats <repo> <ref> [column]
           |  prune <repo> <ref> <column> <lo> <hi>
-          |  rollback <repo> <label> <manifestSha>""".stripMargin)
+          |  rollback <repo> <label> <manifestSha>
+          |  serve <repo> <ref> [port]""".stripMargin)
       1
   }
 
@@ -190,6 +193,18 @@ object Cli {
     SnapshotStore.setRoot(repo, label, sha)
     SnapshotStore.renewLease(repo, label, sha)
     println(s"rolled back $label: ${prev.getOrElse("(unset)")} -> $sha")
+    0
+  }
+
+  /** Read-only control daemon over a snapshot (ApiServer) — blocks until
+    * interrupted, like the reference's mount serving loop. */
+  private def serve(repo: String, ref: String, port: Int): Int = {
+    val handle = ApiServer.start(repo, ref, port)
+    println(s"serving $repo@$ref on http://127.0.0.1:${handle.port} " +
+      "(GET /v1/dir /v1/stat /v1/read; ctrl-c to stop)")
+    try { while (true) Thread.sleep(60000) }
+    catch { case _: InterruptedException => }
+    finally handle.stop()
     0
   }
 

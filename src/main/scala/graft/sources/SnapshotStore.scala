@@ -352,6 +352,20 @@ object SnapshotStore {
   def readBlock(repo: String, sha: String): Array[Byte] =
     Files.readAllBytes(casDir(repo).resolve(sha))
 
+  /** Ranged read of a stored block without materializing it — the serving
+    * daemon's per-request read (blocks can be GBs; a control-API range
+    * request must not buffer the whole object). */
+  def readBlockRange(repo: String, sha: String, start: Long, len: Int): Array[Byte] = {
+    val raf = new java.io.RandomAccessFile(
+      casDir(repo).resolve(sha).toFile, "r")
+    try {
+      raf.seek(start)
+      val b = new Array[Byte](len)
+      raf.readFully(b)
+      b
+    } finally raf.close()
+  }
+
   // --- zone-map data skipping (the Delta/Iceberg file-stats analog at
   //     the snapshot layer): per-file column min/max collected ONCE at
   //     publish time into a CAS sidecar keyed by the manifest sha — the
