@@ -73,6 +73,11 @@ class PufsFileSystem extends FileSystem {
     readahead = conf.getLong("fs.pufs.readahead", PufsFileSystem.DefaultReadahead)
     new File(cacheRoot, "chunks").mkdirs()
     new File(cacheRoot, "staging").mkdirs()
+    // live stats on the reference's 5 s cadence while pufs:// is in use
+    // (pufs/cmd/mount.go:63-75); fs.pufs.heartbeat=false opts out
+    if (conf.getBoolean("fs.pufs.heartbeat", true))
+      StatsHeartbeat.ensureGlobal(conf.getLong(
+        "fs.pufs.heartbeat.interval.ms", StatsHeartbeat.DefaultIntervalMs))
   }
 
   override def getScheme: String = "pufs"
