@@ -133,32 +133,52 @@ object LlmOps {
       .distinct()
   }
 
-  /** BPE tokenizer TRAINING (Sennrich et al. 2016): k merge rounds over the
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): merge rounds over the
     * corpus word-frequency table. Each round is two distributed jobs —
     * count adjacent symbol pairs (explode + partial-agg sum) and rewrite
-    * the symbol arrays with the winning merge — plus a ONE-ROW collect of
-    * the argmax (the model scalar for the round; ties broken
+    * the symbol arrays with the winning merges — plus a bounded collect of
+    * the top pair counts (model scalars for the round; ties broken
     * lexicographically so the learned merges are deterministic across
     * runs, partitionings, and engines). State per round is the persisted
     * word table, bounded by |vocab|, not corpus size: the corpus is read
-    * once to build word frequencies, never again. At 100 TB the argmax
-    * row and the k-row merge table are exactly the driver state a
+    * once to build word frequencies, never again. At 100 TB the collected
+    * rows and the k-row merge table are exactly the driver state a
     * tokenizer trainer must hold — the model itself.
-    */
-  def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
+    *
+    * `batch` = merges adopted per round (standard batched-BPE
+    * approximation, m≈√k is a good default): the top-m pairs that are
+    * mutually SYMBOL-DISJOINT (no element shared, no element equal to
+    * another chosen merge's output) are applied in one rewrite pass.
+    * Disjointness means each adopted pair's count is exactly what the
+    * sequential trainer would have seen, and the one-pass rewrite equals
+    * the m sequential rewrites; the approximation is only that a pair
+    * FORMED by an earlier merge in the same round cannot be adopted until
+    * the next round. batch=1 IS the sequential algorithm (QueriesSpec
+    * pins it ≡ an in-test reference trainer); the driver loop runs
+    * O(k/batch) rounds — 2 jobs per ROUND, not per merge, which is what
+    * makes a 32k-merge vocab tractable (≈720 jobs at m=√32k instead of
+    * 64k). */
+  def bpeTrain(docs: DataFrame, k: Int, batch: Int = 1): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = docs.sparkSession
     import spark.implicits._
-    // merge ONE pair left-to-right, non-overlapping ("aaa" + (a,a) → [aa, a])
-    val mergeUdf = udf((syms: Seq[String], a: String, b: String) => {
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.toSeq
-    })
+    // apply a ranked batch of pair merges, each left-to-right
+    // non-overlapping ("aaa" + (a,a) → [aa, a])
+    def mergeUdf(batchMerges: Seq[(String, String)]) =
+      udf((syms: Seq[String]) => {
+        var cur: Seq[String] = syms
+        batchMerges.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < cur.length) {
+            if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += cur(i); i += 1 }
+          }
+          cur = out.toSeq
+        }
+        cur
+      })
     var words = docs
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -170,6 +190,9 @@ object LlmOps {
     var r = 1
     var done = false
     while (r <= k && !done) {
+      val want = math.min(batch, k - r + 1)
+      // headroom over `want`: incompatible candidates are skipped, not
+      // adopted — rather wait a round than violate disjointness
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -178,18 +201,26 @@ object LlmOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(1).collect()
+        .limit(math.max(4 * want, 16)).collect()
       if (top.isEmpty) done = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r.toLong, a, b, cnt))
+        val used = scala.collection.mutable.Set[String]()
+        val chosen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        top.iterator.foreach { row =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          if (chosen.size < want && !used(a) && !used(b) && !used(a + b)) {
+            chosen += ((a, b))
+            used ++= Seq(a, b, a + b)
+            merges += ((r.toLong, a, b, row.getLong(2)))
+            r += 1
+          }
+        }
         val next = words
-          .withColumn("syms", mergeUdf(col("syms"), lit(a), lit(b)))
+          .withColumn("syms", mergeUdf(chosen.toSeq)(col("syms")))
           .persist()
         next.count() // materialize so the lineage doesn't re-chain k UDFs
         words.unpersist()
         words = next
-        r += 1
       }
     }
     words.unpersist()

@@ -107,6 +107,42 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("batched BPE (m>1) cuts driver rounds with near-sequential quality") {
+    val texts = Seq(
+      "low low low low low", "lower lower", "newest newest newest",
+      "widest widest", "low lower newest", "lowest lowest wide wide")
+    val fixture = spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }).toDF("doc_id", "text")
+    val k = 8
+    val sc = spark.sparkContext
+
+    def trainCountingJobs(batch: Int, group: String): (Seq[(String, String)], Int) = {
+      sc.setJobGroup(group, s"bpe batch=$batch", interruptOnCancel = false)
+      val table = try graft.operators.LlmOps.bpeTrain(fixture, k, batch)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      finally sc.clearJobGroup()
+      (table, sc.statusTracker.getJobIdsForGroup(group).length)
+    }
+    val (seqTable, seqJobs) = trainCountingJobs(1, "bpe-seq")
+    val (batTable, batJobs) = trainCountingJobs(4, "bpe-bat")
+    assert(seqTable.length == k && batTable.length == k)
+    // the point of batching: O(k/m) rounds of driver-side argmax, so the
+    // job count must drop by roughly the batch factor
+    assert(batJobs < seqJobs / 2,
+      s"batch=4 ran $batJobs jobs vs sequential $seqJobs")
+    // within a round, adopted merges are symbol-disjoint by construction:
+    // ranks are 1..k and no pair repeats
+    assert(batTable.distinct.length == k)
+    // quality parity: encoding with the batched table compresses within
+    // 10% of the sequential table on the training corpus
+    def totalTokens(table: Seq[(String, String)]): Long =
+      graft.operators.LlmOps.bpeEncode(fixture, table)
+        .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+    val (seqTok, batTok) = (totalTokens(seqTable), totalTokens(batTable))
+    assert(batTok <= (seqTok * 1.10).ceil.toLong,
+      s"batched table encodes to $batTok tokens vs sequential $seqTok")
+  }
+
   test("l41 BPE encoding matches the sequential reference encoder") {
     val texts = Seq(
       "low low low low low", "lower lower", "newest newest newest",
