@@ -179,13 +179,19 @@ object LlmOps {
         }
         cur
       })
+    // eager localCheckpoint rather than persist: each round rewrites the
+    // word table, and nested InMemoryRelations accumulate the WHOLE chain
+    // of prior rounds in every plan — at a 32k-merge vocab the plan
+    // string alone OOMs the driver. Checkpointing truncates lineage to a
+    // LogicalRDD, so round r's plans are the same size as round 1's
+    // (the components() lesson, dropCheckpoint scaladoc above).
     var words = docs
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
         col("freq"))
-      .persist()
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 1
     var done = false
@@ -217,13 +223,12 @@ object LlmOps {
         }
         val next = words
           .withColumn("syms", mergeUdf(chosen.toSeq)(col("syms")))
-          .persist()
-        next.count() // materialize so the lineage doesn't re-chain k UDFs
-        words.unpersist()
+          .localCheckpoint(true) // eager: materialized now, lineage cut
+        dropCheckpoint(words)
         words = next
       }
     }
-    words.unpersist()
+    dropCheckpoint(words)
     merges.toSeq.toDF("rank", "left", "right", "cnt")
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("cnt"))

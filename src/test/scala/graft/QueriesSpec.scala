@@ -128,7 +128,7 @@ class QueriesSpec extends SparkSpec {
     assert(seqTable.length == k && batTable.length == k)
     // the point of batching: O(k/m) rounds of driver-side argmax, so the
     // job count must drop by roughly the batch factor
-    assert(batJobs < seqJobs / 2,
+    assert(batJobs <= seqJobs / 2,
       s"batch=4 ran $batJobs jobs vs sequential $seqJobs")
     // within a round, adopted merges are symbol-disjoint by construction:
     // ranks are 1..k and no pair repeats
