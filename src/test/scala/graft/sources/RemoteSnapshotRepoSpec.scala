@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The freeze-push-to-bucket / mount-from-bucket cycle against the wire-
+  * verifying fake GCS: push is CAS-idempotent across the wire, mount is
+  * lazy (manifest eagerly, bytes on demand through the chunk cache), and
+  * a remotely replaced block under an open reader is a torn read. */
+class RemoteSnapshotRepoSpec extends AnyFunSuite {
+
+  private val keyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  private def newSrc(): String = {
+    val src = Files.createTempDirectory("rsr-src").toString
+    Files.createDirectories(Paths.get(src, "sub"))
+    Files.write(Paths.get(src, "a.txt"), "alpha".getBytes(UTF_8))
+    Files.write(Paths.get(src, "sub/b.bin"),
+      Array.tabulate(200 * 1024)(i => (i % 249).toByte))
+    src
+  }
+
+  test("push → mount → lazy read round trip, re-push uploads nothing") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      val src = newSrc()
+      val repo = Files.createTempDirectory("rsr-repo").toString
+      val (localSha, _) = SnapshotStore.publish(src, repo, "main")
+
+      val stats = RemoteSnapshotRepo.push(repo, "main", reg, "main")
+      assert(stats.uploaded == 3 && stats.skipped == 0) // 2 blocks + manifest
+      // CAS idempotence ACROSS THE WIRE: pushing the same label again
+      // must not re-upload a single object
+      val again = RemoteSnapshotRepo.push(repo, "main", reg, "main")
+      assert(again.uploaded == 0 && again.skipped == 3, again.toString)
+
+      val (sha, entries) = RemoteSnapshotRepo.mount(reg, "main")
+      assert(sha == localSha)
+      assert(entries.map(e => e.path -> e.size).toMap ==
+        Map("a.txt" -> 5L, "sub/b.bin" -> (200L * 1024)))
+
+      // lazy read through the chunk cache: a 5000-byte slice of the big
+      // file pulls only the covering chunks, and a re-read goes local
+      PufsFileSystem.simulateRestart()
+      val cacheDir = Files.createTempDirectory("rsr-cache").toString
+      val big = entries.find(_.path == "sub/b.bin").get
+      val in = RemoteSnapshotRepo.openFile(reg, big, cacheDir, chunkSize = 8192)
+      val buf = new Array[Byte](5000)
+      in.readFully(100000L, buf, 0, 5000)
+      assert(buf.sameElements(
+        Array.tabulate(5000)(i => ((100000 + i) % 249).toByte)))
+      assert(PufsFileSystem.bytesPulled.get() <= 2 * 8192,
+        s"pulled ${PufsFileSystem.bytesPulled.get()} for a 5000-byte read")
+      val before = srv.requests.get()
+      in.readFully(100000L, buf, 0, 5000)
+      assert(srv.requests.get() == before, "re-read hit the remote")
+      in.close()
+    } finally srv.stop()
+  }
+
+  test("incremental push: one changed file uploads one block + manifest") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      val src = newSrc()
+      val repo = Files.createTempDirectory("rsr-repo2").toString
+      SnapshotStore.publish(src, repo, "v1")
+      RemoteSnapshotRepo.push(repo, "v1", reg, "main")
+      // change ONE file, publish v2 locally, push the same remote label
+      Files.write(Paths.get(src, "a.txt"), "alpha-v2".getBytes(UTF_8))
+      SnapshotStore.publish(src, repo, "v2")
+      val stats = RemoteSnapshotRepo.push(repo, "v2", reg, "main")
+      assert(stats.uploaded == 2, // changed block + new manifest
+        s"expected 2 uploads, got $stats")
+      val (_, entries) = RemoteSnapshotRepo.mount(reg, "main")
+      val a = entries.find(_.path == "a.txt").get
+      val in = RemoteSnapshotRepo.openFile(reg, a,
+        Files.createTempDirectory("rsr-cache2").toString)
+      val got = new Array[Byte](a.size.toInt)
+      in.readFully(0L, got, 0, got.length)
+      in.close()
+      assert(new String(got, UTF_8) == "alpha-v2")
+      // the old root is still mountable by sha — content-addressed history
+      val v1sha = SnapshotStore.getRoot(repo, "v1").get
+      reg.setRoot("rollback", v1sha.getBytes(UTF_8))
+      val (_, oldEntries) = RemoteSnapshotRepo.mount(reg, "rollback")
+      assert(oldEntries.find(_.path == "a.txt").get.size == 5)
+    } finally srv.stop()
+  }
+
+  test("remotely replaced block under an open reader is a torn read") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      val src = newSrc()
+      val repo = Files.createTempDirectory("rsr-repo3").toString
+      SnapshotStore.publish(src, repo, "main")
+      RemoteSnapshotRepo.push(repo, "main", reg, "main")
+      val (_, entries) = RemoteSnapshotRepo.mount(reg, "main")
+      val big = entries.find(_.path == "sub/b.bin").get
+      PufsFileSystem.simulateRestart()
+      val in = RemoteSnapshotRepo.openFile(reg, big,
+        Files.createTempDirectory("rsr-cache3").toString, chunkSize = 8192)
+      val buf = new Array[Byte](100)
+      in.readFully(0L, buf, 0, 100) // pin established, first chunk cached
+      // a (buggy or malicious) writer replaces the CAS object in place:
+      // the generation changes, so uncached regions MUST fail, not mix
+      srv.putUnversioned(s"depot/CAS/${big.sha256}",
+        new Array[Byte](big.size.toInt))
+      intercept[TornReadException] { in.readFully(150000L, buf, 0, 100) }
+      in.close()
+    } finally srv.stop()
+  }
+}
