@@ -124,12 +124,21 @@ class PufsFileSystem extends FileSystem {
     bumpGeneration(f)
   }
 
-  /** Link an HTTP(S) object at `f`, probing (size, etag) via HEAD —
-    * the reference's attribute fetch on AddRemoteURL. */
-  def addRemoteUrl(f: Path, url: String): Unit = {
-    val (size, etag) = HttpStore.head(url)
-    addRemoteUrl(f, url, etag.getOrElse(""), size)
-  }
+  /** Link an HTTP(S) or `gs://` object at `f`, probing its attributes —
+    * the reference's attribute fetch on AddRemoteURL (HEAD for HTTP,
+    * GetGCSAttr gcs.go:153-168 for GCS). For `gs://` the pin slot holds
+    * the object GENERATION instead of an ETag — the native precondition
+    * of that store (gcs.go:302-331). */
+  def addRemoteUrl(f: Path, url: String): Unit =
+    if (url.startsWith("gs://")) {
+      val (endpoint, tokens) = PufsFileSystem.gcsAccessOrThrow()
+      val (bucket, key) = PufsFileSystem.parseGsUrl(url)
+      val a = GcsStore.attrs(endpoint, bucket, key, tokens)
+      addRemoteUrl(f, url, a.generation.toString, a.size)
+    } else {
+      val (size, etag) = HttpStore.head(url)
+      addRemoteUrl(f, url, etag.getOrElse(""), size)
+    }
 
   /** (mount, path-inside-mount) when `p` falls under a snapshot mount. */
   private def resolveMount(p: Path): Option[(PufsFileSystem.SnapMount, String)] =
@@ -207,7 +216,16 @@ class PufsFileSystem extends FileSystem {
       // with a new ETag is a NEW block, never a stale cache hit
       val blockId = "url-" + PufsFileSystem.sha256Bytes((url + etag).getBytes("UTF-8"))
       val entry = PufsFileSystem.cacheEntry(cacheRoot, blockId, size)
-      val remote = new HttpStore(url, Some(etag).filter(_.nonEmpty))
+      val remote: RemoteStore =
+        if (url.startsWith("gs://")) {
+          // the pin slot carries the generation captured at link time: a
+          // regenerated object answers 412 → torn read, and a RE-linked
+          // object is a new block id (new generation ⇒ new sha above)
+          val (endpoint, tokens) = PufsFileSystem.gcsAccessOrThrow()
+          val (bucket, key) = PufsFileSystem.parseGsUrl(url)
+          new GcsStore(endpoint, bucket, key,
+            if (etag.isEmpty) 0L else etag.toLong, tokens)
+        } else new HttpStore(url, Some(etag).filter(_.nonEmpty))
       new FSDataInputStream(
         new LazyPullInputStream(entry, remote, size, chunkSize, readahead))
     case None =>
@@ -510,6 +528,29 @@ object PufsFileSystem {
 
   /** authority token → backing dir (the bucket registry). */
   private[sources] val backingRegistry = new ConcurrentHashMap[String, String]()
+
+  /** GCS access for `gs://` remote links: (service endpoint, token
+    * provider). Process-global like the cache arenas — links are
+    * path-scoped, credentials are not. */
+  @volatile private var gcsAccess: Option[(String, GcsAuth.TokenProvider)] = None
+
+  /** Register GCS credentials so `addRemoteUrl(f, "gs://bucket/key")`
+    * links resolve. `endpoint` is the service base
+    * (`https://storage.googleapis.com` in production). */
+  def registerGcs(endpoint: String, tokens: GcsAuth.TokenProvider): Unit =
+    gcsAccess = Some((endpoint, tokens))
+
+  private[sources] def gcsAccessOrThrow(): (String, GcsAuth.TokenProvider) =
+    gcsAccess.getOrElse(throw new IllegalStateException(
+      "gs:// link needs PufsFileSystem.registerGcs(endpoint, tokens) first"))
+
+  /** `gs://bucket/key` → (bucket, key). */
+  private[sources] def parseGsUrl(url: String): (String, String) = {
+    val rest = url.stripPrefix("gs://")
+    val slash = rest.indexOf('/')
+    require(slash > 0 && slash < rest.length - 1, s"malformed gs url: $url")
+    (rest.substring(0, slash), rest.substring(slash + 1))
+  }
 
   /** Register a backing dir under an authority token and return the
     * `pufs://<token>` prefix to build paths with. Idempotent. */

@@ -97,6 +97,50 @@ class RemoteSnapshotRepoSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("gs:// remote links resolve through the pufs filesystem (M9/M10)") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      PufsFileSystem.registerGcs(srv.endpoint,
+        new GcsAuth.TokenProvider(srv.account))
+      val data = new Array[Byte](200 * 1024)
+      new scala.util.Random(67).nextBytes(data)
+      srv.putUnversioned("corpus/shard-00.bin", data)
+      val backing = Files.createTempDirectory("gs-link").toString
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+      conf.set("fs.pufs.backing", backing)
+      conf.set("fs.pufs.cache", Files.createTempDirectory("gs-link-cache").toString)
+      conf.setLong("fs.pufs.chunk.size", 8192)
+      conf.setLong("fs.pufs.readahead", 0)
+      conf.setBoolean("fs.pufs.impl.disable.cache", true)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("pufs:///"), conf).asInstanceOf[PufsFileSystem]
+      PufsFileSystem.simulateRestart()
+      // link by URL alone: attrs (size + generation pin) probed remotely
+      fs.addRemoteUrl(new org.apache.hadoop.fs.Path("/ext/shard.bin"),
+        "gs://bkt/corpus/shard-00.bin")
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path("/ext/shard.bin"))
+      assert(st.getLen == data.length)
+      val in = fs.open(new org.apache.hadoop.fs.Path("/ext/shard.bin"))
+      val buf = new Array[Byte](5000)
+      in.readFully(100000L, buf, 0, 5000)
+      in.close()
+      assert(buf.sameElements(
+        java.util.Arrays.copyOfRange(data, 100000, 105000)))
+      assert(PufsFileSystem.bytesPulled.get() <= 2 * 8192,
+        s"pulled ${PufsFileSystem.bytesPulled.get()} — gs link read not lazy")
+      // the generation pin holds: replace the object remotely, uncached
+      // regions of the still-linked path are torn, not mixed
+      srv.putUnversioned("corpus/shard-00.bin", new Array[Byte](data.length))
+      val in2 = fs.open(new org.apache.hadoop.fs.Path("/ext/shard.bin"))
+      intercept[TornReadException] {
+        in2.readFully(150000L, buf, 0, 100)
+      }
+      in2.close()
+      fs.close()
+    } finally srv.stop()
+  }
+
   test("remotely replaced block under an open reader is a torn read") {
     val srv = new FakeGcs(keyPair)
     try {
