@@ -45,6 +45,7 @@ object Cli {
     case "rollback" :: repo :: label :: sha :: Nil => rollback(repo, label, sha)
     case "serve" :: repo :: ref :: rest            =>
       serve(repo, ref, rest.headOption.map(_.toInt).getOrElse(0))
+    case "link" :: backing :: path :: url :: Nil   => link(backing, path, url)
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
@@ -58,7 +59,8 @@ object Cli {
           |  stats <repo> <ref> [column]
           |  prune <repo> <ref> <column> <lo> <hi>
           |  rollback <repo> <label> <manifestSha>
-          |  serve <repo> <ref> [port]""".stripMargin)
+          |  serve <repo> <ref> [port]
+          |  link <backingDir> <path> <url>""".stripMargin)
       1
   }
 
@@ -194,6 +196,24 @@ object Cli {
     SnapshotStore.renewLease(repo, label, sha)
     println(s"rolled back $label: ${prev.getOrElse("(unset)")} -> $sha")
     0
+  }
+
+  /** Link a remote HTTP(S)/gs:// object into a pufs backing tree — the
+    * operational form of AddRemoteURL (reference pufs/cmd/ `add`):
+    * attributes probed remotely, bytes pulled lazily on first read. */
+  private def link(backing: String, path: String, url: String): Int = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
+    conf.set("fs.pufs.backing", backing)
+    conf.setBoolean("fs.pufs.impl.disable.cache", true)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("pufs:///"), conf).asInstanceOf[PufsFileSystem]
+    try {
+      fs.addRemoteUrl(new org.apache.hadoop.fs.Path(path), url)
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
+      println(s"linked $path -> $url (${st.getLen} bytes)")
+      0
+    } finally fs.close()
   }
 
   /** Read-only control daemon over a snapshot (ApiServer) — blocks until

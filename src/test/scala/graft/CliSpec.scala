@@ -58,6 +58,35 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(List("frobnicate")) == 1)
   }
 
+  test("link verb attaches an HTTP object to a backing tree") {
+    val data = "linked-bytes-via-cli".getBytes("UTF-8")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/obj", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        ex.getResponseHeaders.set("ETag", "\"cli-v1\"")
+        if (ex.getRequestMethod == "HEAD") {
+          ex.getResponseHeaders.set("Content-Length", data.length.toString)
+          ex.sendResponseHeaders(200, -1)
+        } else {
+          ex.sendResponseHeaders(200, data.length)
+          ex.getResponseBody.write(data)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val backing = Files.createTempDirectory("cli-link").toString
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/obj"
+      val (code, out) = captureOut(Cli.run(List("link", backing, "/ext/obj.txt", url)))
+      assert(code == 0 && out.contains(s"${data.length} bytes"), out)
+      // the link sidecar exists in the backing tree with the probed attrs
+      val side = new String(Files.readAllBytes(
+        Paths.get(backing, "ext/obj.txt.pufslink")), "UTF-8")
+      assert(side == s"$url\t\"cli-v1\"\t${data.length}", side)
+    } finally server.stop(0)
+  }
+
   test("rollback repoints a label at a historical manifest") {
     val src = Files.createTempDirectory("cli-rb-src").toString
     Files.write(Paths.get(src, "f.txt"), "one".getBytes)
