@@ -46,15 +46,24 @@ object AnnIndex {
   }
 
   /** Top-k neighbors for every vector with `vec_id < nProbes`, served
+    * from the stored index. */
+  def query(spark: SparkSession, dir: String, nProbes: Int, k: Int): DataFrame = {
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    queryProbes(spark, dir, vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), k)
+  }
+
+  /** Top-k neighbors for an ARBITRARY probe set `(probe_id, pv)`, served
     * from the stored index: probe signatures are computed for the probe
     * rows only (tiny); candidates come from the bucket-join against the
-    * signatures table; exact cosine re-ranks. */
-  def query(spark: SparkSession, dir: String, nProbes: Int, k: Int): DataFrame = {
+    * signatures table; exact cosine re-ranks. This is the serving path —
+    * batch callers pass a slice of the corpus (`query`), streaming
+    * callers pass each arriving micro-batch of probes. */
+  def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
+      k: Int): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val sigs = spark.read.parquet(s"$dir/signatures")
     val vecs = spark.read.parquet(s"$dir/vectors")
-    val probeVecs = vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val probeSigs = probeVecs.select(col("probe_id"), col("pv"), posexplode(
         expr(s"sign_lsh(pv, $Tables, $Bits)")).as(Seq("pband", "psig")))
     val probeBuckets = probeSigs.withColumn("bsig",

@@ -122,6 +122,41 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming ANN serving — the query half of a vector store put under a
+    * stream: probes `(probe_id, pv)` arrive as micro-batches, each batch
+    * is answered from the standing AnnIndex (broadcast probe buckets →
+    * bucket-join against the stored signatures → exact cosine re-rank;
+    * the IDENTICAL plan as the batch path, AnnIndex.queryProbes), and
+    * answers land under `outDir/answers`. Cost per batch is
+    * O(batch × bucket density), never a corpus scan: the index is the
+    * 100 TB side and stays untouched, the probe batch is the broadcast
+    * side.
+    *
+    * at-least-once replay safety: committed-batch marker + per-batch
+    * dynamic partition overwrite (the dedupIngest pieces). Serving
+    * mutates no index state, so a replay is a pure byte-stable rewrite
+    * of the batch's own partition. */
+  def annServeEachBatch(probes: DataFrame, indexDir: String, outDir: String,
+      k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val marker = new java.io.File(s"$outDir/commits/$batchId")
+      if (!marker.exists()) {
+        val answers = graft.operators.AnnIndex.queryProbes(s, indexDir,
+          batch.select(col("probe_id"), col("pv")), k)
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          answers.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$outDir/answers")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        marker.getParentFile.mkdirs()
+        java.nio.file.Files.createFile(marker.toPath)
+      }
+      ()
+    }
+
   /** Streaming NEAR-dup ingestion — dedupIngest's fuzzy sibling, wiring
     * the standing NearDupIndex into foreachBatch: each arriving batch is
     * (1) greedily deduped within itself (a doc drops if it LSH-pairs with

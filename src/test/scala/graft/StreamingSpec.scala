@@ -317,6 +317,38 @@ class StreamingSpec extends SparkSpec {
       s"accepted must hold each novel content once, min-id keeper: $accepted")
   }
 
+  test("streaming ANN serving answers each probe batch from the standing index") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("stream-ann").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-ann-out").toString
+    graft.operators.AnnIndex.build(spark, sfDir, indexDir)
+    val probeRows = graft.Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isin(3L, 7L, 11L))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val probes = mem.toDF().toDF("probe_id", "pv")
+      .withColumn("pv", col("pv").cast("array<float>"))
+    val q = StreamJobs.annServeEachBatch(probes, indexDir, outDir, k = 3).start()
+    mem.addData(probeRows(0))                 // batch with one probe
+    q.processAllAvailable()
+    mem.addData(probeRows(1), probeRows(2))   // batch with two probes
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(s"$outDir/answers")
+      .select("probe_id", "rnk", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // parity: the streamed answers ARE the batch path's answers
+    val direct = graft.operators.AnnIndex.queryProbes(spark, indexDir,
+        graft.Tables.t(spark, sfDir, "embeddings")
+          .filter(col("vec_id").isin(3L, 7L, 11L))
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served == direct, s"served=$served direct=$direct")
+    assert(served.map(_._1) == Set(3L, 7L, 11L))
+  }
+
   test("streaming near-dup ingestion: candidates drop, survivors join the index") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
