@@ -78,6 +78,9 @@ class PufsFileSystem extends FileSystem {
     if (conf.getBoolean("fs.pufs.heartbeat", true))
       StatsHeartbeat.ensureGlobal(conf.getLong(
         "fs.pufs.heartbeat.interval.ms", StatsHeartbeat.DefaultIntervalMs))
+    // durable inode metadata (generations + mounts) for daemon-style use:
+    // replayed here, journaled from then on (the boltdb INodeDB analog)
+    Option(conf.get("fs.pufs.inodedb")).foreach(InodeDb.attach)
   }
 
   override def getScheme: String = "pufs"
@@ -436,9 +439,28 @@ object PufsFileSystem {
     if (g == null) 0L else g.get()
   }
 
-  private[sources] def bumpGeneration(backingRoot: String, path: String): Unit =
-    pathGens.computeIfAbsent(s"$backingRoot/$path", _ => new AtomicLong(0L))
+  private[sources] def bumpGeneration(backingRoot: String, path: String): Unit = {
+    val key = s"$backingRoot/$path"
+    val v = pathGens.computeIfAbsent(key, _ => new AtomicLong(0L))
       .incrementAndGet()
+    InodeDb.recordGen(key, v)
+  }
+
+  /** Journal replay: restore a persisted generation (max-merge — a live
+    * counter never moves backwards). */
+  private[sources] def restoreGeneration(key: String, v: Long): Unit =
+    pathGens.computeIfAbsent(key, _ => new AtomicLong(0L))
+      .accumulateAndGet(v, math.max)
+
+  private[sources] def liveGenerations: Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    pathGens.asScala.toSeq.map { case (k, v) => (k, v.get()) }
+  }
+
+  private[sources] def liveMounts: Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    mounts.asScala.toSeq.map { case (p, m) => (p, m.repo, m.manifestSha) }
+  }
 
   def sha256Bytes(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
@@ -589,10 +611,13 @@ object PufsFileSystem {
     SnapshotStore.renewLease(repo,
       "mount-" + cleanMountPath(mountPath).replace('/', '_'), manifestSha)
     mounts.put(cleanMountPath(mountPath), SnapMount(repo, manifestSha, byPath, dirs))
+    InodeDb.recordMount(cleanMountPath(mountPath), repo, manifestSha)
   }
 
-  def unmountSnapshot(mountPath: String): Unit =
-    mounts.remove(cleanMountPath(mountPath))
+  def unmountSnapshot(mountPath: String): Unit = {
+    if (mounts.remove(cleanMountPath(mountPath)) != null)
+      InodeDb.recordUnmount(cleanMountPath(mountPath))
+  }
 
   private[sources] def resolveMount(relPath: String): Option[(SnapMount, String)] = {
     import scala.jdk.CollectionConverters._
