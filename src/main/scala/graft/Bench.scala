@@ -200,6 +200,10 @@ object Bench {
     "l50_rrf_hybrid" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l50_rrf_hybrid")(s, d)),
 
+    // fixed-lookback EWMA over per-user event chains (T11/W2 class)
+    "t11_ewma" -> ((s: SparkSession, d: String) =>
+      graft.operators.StreamOps.queries("t11_ewma")(s, d)),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(
