@@ -230,4 +230,36 @@ object S3Store {
       }
     } finally conn.disconnect()
   }
+
+  /** Unconditional upload — replace-on-write pointers (root/lease). */
+  def put(endpoint: String, bucket: String, key: String, region: String,
+      creds: SigV4.Credentials, body: Array[Byte]): Unit = {
+    val conn = signedConnection("PUT", endpoint, bucket, key, region,
+      creds, SigV4.sha256Hex(body), Nil)
+    try {
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(body) finally out.close()
+      val code = conn.getResponseCode
+      if (code != 200 && code != 201)
+        throw new IOException(s"S3 PUT s3://$bucket/$key returned $code")
+    } finally conn.disconnect()
+  }
+
+  /** Download a whole small object (pointer reads); None if absent. */
+  def get(endpoint: String, bucket: String, key: String, region: String,
+      creds: SigV4.Credentials): Option[Array[Byte]] = {
+    val conn = signedConnection("GET", endpoint, bucket, key, region,
+      creds, SigV4.EmptySha, Nil)
+    try {
+      conn.getResponseCode match {
+        case 200 =>
+          val in = conn.getInputStream
+          try Some(in.readAllBytes()) finally in.close()
+        case 404 => None
+        case code =>
+          throw new IOException(s"S3 GET s3://$bucket/$key returned $code")
+      }
+    } finally conn.disconnect()
+  }
 }

@@ -3,13 +3,16 @@ package graft.sources
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
 /** The freeze-push-to-bucket / mount-from-bucket cycle against the wire-
   * verifying fake GCS: push is CAS-idempotent across the wire, mount is
   * lazy (manifest eagerly, bytes on demand through the chunk cache), and
-  * a remotely replaced block under an open reader is a torn read. */
-class RemoteSnapshotRepoSpec extends AnyFunSuite {
+  * a remotely replaced block under an open reader is a torn read. The
+  * same cycle runs unchanged over the S3-protocol registry (the
+  * BlockRegistry seam), and `publishDirect` sends a working tree straight
+  * to a registry with task-side hashing and no local staging. */
+class RemoteSnapshotRepoSpec extends SparkSpec {
 
   private val keyPair = {
     val g = java.security.KeyPairGenerator.getInstance("RSA")
@@ -138,6 +141,85 @@ class RemoteSnapshotRepoSpec extends AnyFunSuite {
       }
       in2.close()
       fs.close()
+    } finally srv.stop()
+  }
+
+  test("S3-protocol registry runs the same cycle — BlockRegistry seam parity") {
+    val creds = SigV4.Credentials("AKIDTEST", "testsecretkey")
+    val srv = new FakeS3(creds)
+    try {
+      val reg = new S3RefRegistry(srv.endpoint, "bkt", "depot/", "test-1", creds)
+      val src = newSrc()
+      val repo = Files.createTempDirectory("rsr-s3-repo").toString
+      val (localSha, _) = SnapshotStore.publish(src, repo, "main")
+
+      val stats = RemoteSnapshotRepo.push(repo, "main", reg, "main")
+      assert(stats.uploaded == 3 && stats.skipped == 0)
+      val again = RemoteSnapshotRepo.push(repo, "main", reg, "main")
+      assert(again.uploaded == 0 && again.skipped == 3, again.toString)
+
+      val (sha, entries) = RemoteSnapshotRepo.mount(reg, "main")
+      assert(sha == localSha) // content addressing is wire-independent
+      PufsFileSystem.simulateRestart()
+      val big = entries.find(_.path == "sub/b.bin").get
+      val in = RemoteSnapshotRepo.openFile(reg, big,
+        Files.createTempDirectory("rsr-s3-cache").toString, chunkSize = 8192)
+      val buf = new Array[Byte](5000)
+      in.readFully(100000L, buf, 0, 5000)
+      assert(buf.sameElements(
+        Array.tabulate(5000)(i => ((100000 + i) % 249).toByte)))
+      assert(PufsFileSystem.bytesPulled.get() <= 2 * 8192)
+      // ETag pin: replace the CAS object, uncached regions are torn
+      srv.objects.put(s"depot/CAS/${big.sha256}",
+        srv.Obj(new Array[Byte](big.size.toInt), "\"v2\""))
+      intercept[TornReadException] { in.readFully(150000L, buf, 0, 100) }
+      in.close()
+
+      // publishDirect over the S3 conf (the serializable-recipe path):
+      // same tree → same manifest sha, everything already present
+      val conf = RegistryConf.S3(srv.endpoint, "bkt", "depot/", "test-1",
+        creds.accessKey, creds.secretKey)
+      val (directSha, dstats) =
+        RemoteSnapshotRepo.publishDirect(spark, src, conf, "direct")
+      assert(directSha == localSha)
+      assert(dstats.uploaded == 0 && dstats.skipped == 3, dstats.toString)
+    } finally srv.stop()
+  }
+
+  test("publishDirect: working tree straight to the registry, no staging") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val conf = RegistryConf.gcs(srv.endpoint, "bkt", "depot/", srv.account)
+      val src = newSrc()
+
+      val (sha1, s1) = RemoteSnapshotRepo.publishDirect(spark, src, conf, "main")
+      assert(s1.uploaded == 3 && s1.skipped == 0, s1.toString) // 2 blocks + manifest
+      // the direct route and the stage-then-push route are the SAME
+      // snapshot: byte-identical manifest, same content address
+      val repo = Files.createTempDirectory("pd-repo").toString
+      val (stagedSha, _) = SnapshotStore.publish(src, repo, "main")
+      assert(sha1 == stagedSha)
+
+      // idempotent: unchanged tree re-publishes nothing
+      val (sha2, s2) = RemoteSnapshotRepo.publishDirect(spark, src, conf, "main")
+      assert(sha2 == sha1 && s2.uploaded == 0 && s2.skipped == 3, s2.toString)
+
+      // one changed file → exactly the new block + new manifest cross
+      Files.write(Paths.get(src, "a.txt"), "alpha-v2".getBytes(UTF_8))
+      val (sha3, s3) = RemoteSnapshotRepo.publishDirect(spark, src, conf, "main")
+      assert(sha3 != sha1)
+      assert(s3.uploaded == 2 && s3.skipped == 1, s3.toString)
+
+      val reg = conf.open()
+      val (mSha, entries) = RemoteSnapshotRepo.mount(reg, "main")
+      assert(mSha == sha3)
+      val a = entries.find(_.path == "a.txt").get
+      val in = RemoteSnapshotRepo.openFile(reg, a,
+        Files.createTempDirectory("pd-cache").toString)
+      val got = new Array[Byte](a.size.toInt)
+      in.readFully(0L, got, 0, got.length)
+      in.close()
+      assert(new String(got, UTF_8) == "alpha-v2")
     } finally srv.stop()
   }
 

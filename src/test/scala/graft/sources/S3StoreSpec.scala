@@ -17,112 +17,6 @@ class S3StoreSpec extends SparkSpec {
   private val creds = SigV4.Credentials("AKIDTEST", "testsecretkey")
   private val region = "test-1"
 
-  /** Minimal S3-compatible single-bucket server with real SigV4
-    * verification from the wire. */
-  private class FakeS3(verifySig: Boolean = true,
-      ignoreRange: Boolean = false) {
-    case class Obj(bytes: Array[Byte], etag: String)
-    val objects = new java.util.concurrent.ConcurrentHashMap[String, Obj]()
-    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
-
-    private def md5hex(b: Array[Byte]) =
-      java.security.MessageDigest.getInstance("MD5").digest(b)
-        .map("%02x".format(_)).mkString
-
-    private val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-
-    private def sigOk(ex: com.sun.net.httpserver.HttpExchange,
-        payloadSha: String): Boolean = {
-      val auth = ex.getRequestHeaders.getFirst("Authorization")
-      if (auth == null) return false
-      // AWS4-HMAC-SHA256 Credential=ak/date/region/s3/aws4_request,
-      //   SignedHeaders=a;b;c, Signature=hex
-      val credPat = ".*Credential=([^,]+),.*".r
-      val shPat = ".*SignedHeaders=([^,]+),.*".r
-      val sigPat = ".*Signature=([0-9a-f]+).*".r
-      (auth, auth, auth) match {
-        case (credPat(scope), shPat(sh), sigPat(sig)) =>
-          val parts = scope.split("/") // ak, date, region, service, aws4_request
-          val amzDate = ex.getRequestHeaders.getFirst("x-amz-date")
-          if (amzDate == null || !amzDate.startsWith(parts(1))) return false
-          // rebuild the signed headers from the WIRE
-          val hdrs = sh.split(";").toSeq.map { name =>
-            val v = ex.getRequestHeaders.getFirst(name)
-            name -> (if (v == null) "" else v)
-          }
-          val expected = SigV4.authorization(ex.getRequestMethod,
-            ex.getRequestURI.getPath, Nil, hdrs, payloadSha,
-            parts(2), parts(3), creds, amzDate)
-          val expSig = expected match { case sigPat(s) => s; case _ => "" }
-          expSig == sig
-        case _ => false
-      }
-    }
-
-    server.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
-      try {
-        requests.incrementAndGet()
-        val key = ex.getRequestURI.getPath.stripPrefix("/bkt/")
-        val body = ex.getRequestBody.readAllBytes()
-        val payloadSha = Option(
-          ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
-          .getOrElse(SigV4.EmptySha)
-        if (verifySig &&
-            (!sigOk(ex, payloadSha) ||
-              (body.nonEmpty && SigV4.sha256Hex(body) != payloadSha))) {
-          ex.sendResponseHeaders(403, -1)
-        } else ex.getRequestMethod match {
-          case "PUT" =>
-            val ifNone = ex.getRequestHeaders.getFirst("If-None-Match")
-            if (ifNone == "*" && objects.containsKey(key))
-              ex.sendResponseHeaders(412, -1)
-            else {
-              objects.put(key, Obj(body, "\"" + md5hex(body) + "\""))
-              ex.sendResponseHeaders(200, -1)
-            }
-          case "HEAD" =>
-            val o = objects.get(key)
-            if (o == null) ex.sendResponseHeaders(404, -1)
-            else {
-              ex.getResponseHeaders.set("ETag", o.etag)
-              ex.getResponseHeaders.set("Content-Length", o.bytes.length.toString)
-              ex.sendResponseHeaders(200, -1)
-            }
-          case "GET" =>
-            val o = objects.get(key)
-            if (o == null) ex.sendResponseHeaders(404, -1)
-            else {
-              val ifMatch = ex.getRequestHeaders.getFirst("If-Match")
-              if (ifMatch != null && ifMatch != o.etag)
-                ex.sendResponseHeaders(412, -1)
-              else {
-                val range =
-                  if (ignoreRange) None
-                  else Option(ex.getRequestHeaders.getFirst("Range"))
-                val (s, e) = range match {
-                  case Some(r) =>
-                    val Array(a, b) = r.stripPrefix("bytes=").split("-")
-                    (a.toLong, math.min(b.toLong, o.bytes.length - 1L))
-                  case None => (0L, o.bytes.length - 1L)
-                }
-                val slice = java.util.Arrays.copyOfRange(
-                  o.bytes, s.toInt, e.toInt + 1)
-                ex.getResponseHeaders.set("ETag", o.etag)
-                ex.sendResponseHeaders(if (range.isDefined) 206 else 200,
-                  slice.length)
-                ex.getResponseBody.write(slice)
-              }
-            }
-          case _ => ex.sendResponseHeaders(405, -1)
-        }
-      } finally ex.close()
-    })
-    server.start()
-    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-    def stop(): Unit = server.stop(0)
-  }
-
   test("SigV4 differential vs an independent implementation (python)") {
     // the same algorithm implemented twice from the public spec in two
     // languages — catches transcription bugs in either. Skipped if no
@@ -170,7 +64,7 @@ class S3StoreSpec extends SparkSpec {
   }
 
   test("put-if-absent / head / ranged get round trip, signature-verified") {
-    val srv = new FakeS3()
+    val srv = new FakeS3(creds)
     try {
       val data = new Array[Byte](100 * 1024)
       new scala.util.Random(23).nextBytes(data)
@@ -195,7 +89,7 @@ class S3StoreSpec extends SparkSpec {
   test("an endpoint that ignores Range is an error, not silent wrong bytes") {
     // a 200 body always starts at offset 0; reading it as if it were the
     // requested range would hand back the wrong region of the object
-    val srv = new FakeS3(ignoreRange = true)
+    val srv = new FakeS3(creds, ignoreRange = true)
     try {
       val data = (0 until 4096).map(_.toByte).toArray
       S3Store.putIfAbsent(srv.endpoint, "bkt", "obj", region, creds, data)
@@ -209,7 +103,7 @@ class S3StoreSpec extends SparkSpec {
   }
 
   test("keys needing URI encoding sign and round-trip") {
-    val srv = new FakeS3()
+    val srv = new FakeS3(creds)
     try {
       val data = "spaced out".getBytes(UTF_8)
       val key = "dir with space/obj+plus (1).bin"
@@ -222,7 +116,7 @@ class S3StoreSpec extends SparkSpec {
   }
 
   test("ETag flip under an open reader is a torn read; bad creds are 403") {
-    val srv = new FakeS3()
+    val srv = new FakeS3(creds)
     try {
       val data = "stable bytes".getBytes(UTF_8)
       S3Store.putIfAbsent(srv.endpoint, "bkt", "obj", region, creds, data)
@@ -243,7 +137,7 @@ class S3StoreSpec extends SparkSpec {
   }
 
   test("S3 store composes with the pufs:// lazy chunk cache") {
-    val srv = new FakeS3()
+    val srv = new FakeS3(creds)
     try {
       val data = new Array[Byte](256 * 1024)
       new scala.util.Random(41).nextBytes(data)
