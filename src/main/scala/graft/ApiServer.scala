@@ -4,7 +4,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-import graft.sources.{PufsFileSystem, SnapshotStore}
+import graft.sources.{BlockRegistry, LazyPullInputStream, PufsFileSystem,
+  RemoteSnapshotRepo, SnapshotStore}
 
 /** Read-only control API over a published snapshot — the serving role the
   * reference fills with its gRPC `Pufs` service (api/api.proto:26-28
@@ -22,19 +23,28 @@ import graft.sources.{PufsFileSystem, SnapshotStore}
   *                             with a 206, like any HTTP object store
   *
   * The snapshot is content-addressed and immutable, so the manifest is
-  * resolved ONCE at start and directory structure is served from memory;
-  * file bytes ride SnapshotStore.readBlockRange (never a whole-block
-  * materialization). The populated-cache fields are fed live from the
-  * pufs:// block cache (api.proto:18-19), so a reader can watch a lazy
-  * mount fill. */
+  * resolved ONCE at start and directory structure is served from memory.
+  * Two backings behind the same wire surface:
+  *
+  *  - `start`: a local repo — bytes ride SnapshotStore.readBlockRange
+  *    (never a whole-block materialization);
+  *  - `startRemote`: a `BlockRegistry` label (GCS- or S3-protocol bucket)
+  *    — bytes ride generation-pinned lazy readers through the pufs://
+  *    chunk cache, so the daemon fronts a remote snapshot the way the
+  *    reference's mount daemon fronts a bucket: first read of a region
+  *    pulls its chunks, re-reads are local.
+  *
+  * The populated-cache fields are fed live from the pufs:// block cache
+  * (api.proto:18-19), so a reader can watch a lazy mount fill. */
 object ApiServer {
 
   private val mapper = new ObjectMapper()
 
   final class Handle private[ApiServer] (
-      server: com.sun.net.httpserver.HttpServer) {
+      server: com.sun.net.httpserver.HttpServer,
+      onStop: () => Unit = () => ()) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); onStop() }
   }
 
   /** Start serving `repo`@`ref` (label or manifest sha) on `port`
@@ -42,6 +52,38 @@ object ApiServer {
   def start(repo: String, ref: String, port: Int = 0): Handle = {
     val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
     val entries = SnapshotStore.mountAt(repo, sha)
+    serve(entries,
+      (e, start, len) => SnapshotStore.readBlockRange(repo, e.sha256, start, len),
+      identity, port)
+  }
+
+  /** Start serving a REMOTE label on `port`: the manifest is resolved
+    * once from the registry; file bytes are pulled chunk-on-demand into
+    * `cacheDir` by pinned readers (one long-lived reader per touched
+    * block, closed on stop). */
+  def startRemote(reg: BlockRegistry, label: String, cacheDir: String,
+      port: Int = 0): Handle = {
+    val (_, entries) = RemoteSnapshotRepo.mount(reg, label)
+    val readers =
+      new java.util.concurrent.ConcurrentHashMap[String, LazyPullInputStream]()
+    serve(entries,
+      (e, start, len) => {
+        val in = readers.computeIfAbsent(e.sha256,
+          _ => RemoteSnapshotRepo.openFile(reg, e, cacheDir))
+        val buf = new Array[Byte](len)
+        in.readFully(start, buf, 0, len)
+        buf
+      },
+      // the chunk cache registers remote blocks under "remote-<sha>"
+      sha => if (sha.isEmpty) sha else s"remote-$sha",
+      port,
+      onStop = () => readers.values.forEach(_.close()))
+  }
+
+  private def serve(entries: Seq[SnapshotStore.ManifestEntry],
+      readRange: (SnapshotStore.ManifestEntry, Long, Int) => Array[Byte],
+      cacheId: String => String, port: Int,
+      onStop: () => Unit = () => ()): Handle = {
     val bySuffix = entries.map(e => e.path -> e).toMap
 
     // implied directory set: "" (the root) + every ancestor of a file
@@ -63,7 +105,7 @@ object ApiServer {
 
     def entryNode(name: String, isDir: Boolean, size: Long, blockId: String) = {
       val (pop, regions) =
-        if (isDir) (0L, 0) else PufsFileSystem.statsForBlock(blockId)
+        if (isDir) (0L, 0) else PufsFileSystem.statsForBlock(cacheId(blockId))
       mapper.createObjectNode()
         .put("name", name).put("isDir", isDir).put("size", size)
         .put("blockId", blockId)
@@ -139,7 +181,7 @@ object ApiServer {
               error(ex, 416, s"range $start-$end outside 0-${e.size - 1}")
             else {
               val len = (end - start + 1).toInt
-              val bytes = SnapshotStore.readBlockRange(repo, e.sha256, start, len)
+              val bytes = readRange(e, start, len)
               ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
               ex.sendResponseHeaders(if (range.isDefined) 206 else 200, len)
               ex.getResponseBody.write(bytes)
@@ -149,6 +191,6 @@ object ApiServer {
     })
 
     server.start()
-    new Handle(server)
+    new Handle(server, onStop)
   }
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{PufsFileSystem, SnapshotStore}
+import graft.sources.{BlockRegistry, GcsAuth, GcsRefRegistry, PufsFileSystem,
+  S3RefRegistry, SigV4, SnapshotStore}
 
 /** Thin operational CLI over the snapshot store + pufs:// layer — the
   * role the reference fills with its command front-end (reference
@@ -45,6 +46,9 @@ object Cli {
     case "rollback" :: repo :: label :: sha :: Nil => rollback(repo, label, sha)
     case "serve" :: repo :: ref :: rest            =>
       serve(repo, ref, rest.headOption.map(_.toInt).getOrElse(0))
+    case "serve-remote" :: scheme :: endpoint :: bucket :: prefix :: label :: rest =>
+      serveRemote(scheme, endpoint, bucket, prefix, label,
+        rest.headOption.map(_.toInt).getOrElse(0))
     case "link" :: backing :: path :: url :: Nil   => link(backing, path, url)
     case _ =>
       System.err.println(
@@ -60,6 +64,9 @@ object Cli {
           |  prune <repo> <ref> <column> <lo> <hi>
           |  rollback <repo> <label> <manifestSha>
           |  serve <repo> <ref> [port]
+          |  serve-remote <gs|s3> <endpoint> <bucket> <prefix> <label> [port]
+          |      (gs: GOOGLE_APPLICATION_CREDENTIALS key file;
+          |       s3: AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY[/AWS_REGION])
           |  link <backingDir> <path> <url>""".stripMargin)
       1
   }
@@ -222,6 +229,48 @@ object Cli {
     val handle = ApiServer.start(repo, ref, port)
     println(s"serving $repo@$ref on http://127.0.0.1:${handle.port} " +
       "(GET /v1/dir /v1/stat /v1/read; ctrl-c to stop)")
+    try { while (true) Thread.sleep(60000) }
+    catch { case _: InterruptedException => }
+    finally handle.stop()
+    0
+  }
+
+  /** Serve a REMOTE label (GCS- or S3-protocol registry) through the
+    * same read-only daemon — the "front a bucket snapshot for non-Spark
+    * tools" role of the reference's mount+serve loop. Credentials ride
+    * the conventional environment, never argv. */
+  private def serveRemote(scheme: String, endpoint: String, bucket: String,
+      prefix: String, label: String, port: Int): Int = {
+    val reg: BlockRegistry = scheme match {
+      case "gs" =>
+        val keyFile = sys.env.get("GOOGLE_APPLICATION_CREDENTIALS")
+        if (keyFile.isEmpty) {
+          System.err.println("serve-remote gs: set GOOGLE_APPLICATION_CREDENTIALS")
+          return 1
+        }
+        new GcsRefRegistry(endpoint, bucket, prefix,
+          new GcsAuth.TokenProvider(GcsAuth.fromKeyFile(keyFile.get)))
+      case "s3" =>
+        val (ak, sk) = (sys.env.get("AWS_ACCESS_KEY_ID"),
+          sys.env.get("AWS_SECRET_ACCESS_KEY"))
+        if (ak.isEmpty || sk.isEmpty) {
+          System.err.println(
+            "serve-remote s3: set AWS_ACCESS_KEY_ID and AWS_SECRET_ACCESS_KEY")
+          return 1
+        }
+        new S3RefRegistry(endpoint, bucket, prefix,
+          sys.env.getOrElse("AWS_REGION", "us-east-1"),
+          SigV4.Credentials(ak.get, sk.get))
+      case other =>
+        System.err.println(s"serve-remote: unknown scheme '$other' (gs|s3)")
+        return 1
+    }
+    val cacheDir =
+      java.nio.file.Files.createTempDirectory("graft-serve-cache").toString
+    val handle = ApiServer.startRemote(reg, label, cacheDir, port)
+    println(s"serving $scheme://$bucket/$prefix@$label on " +
+      s"http://127.0.0.1:${handle.port} (GET /v1/dir /v1/stat /v1/read; " +
+      s"chunk cache $cacheDir; ctrl-c to stop)")
     try { while (true) Thread.sleep(60000) }
     catch { case _: InterruptedException => }
     finally handle.stop()

@@ -74,6 +74,25 @@ object RemoteSnapshotRepo {
     * nothing (CAS skips every block AND the manifest). */
   def publishDirect(spark: SparkSession, srcDir: String,
       conf: RegistryConf, label: String): (String, PushStats) = {
+    val (hashed, reg) = hashAndUpload(spark, srcDir, conf)
+    val entries = hashed
+      .map { case (p, sz, sha, _) => SnapshotStore.ManifestEntry(p, sz, sha) }
+      .sortBy(_.path)
+    val manifestBytes = entries
+      .map(e => s"${e.path}\t${e.size}\t${e.sha256}").mkString("\n")
+      .getBytes(UTF_8)
+    val manifestSha = PufsFileSystem.sha256Bytes(manifestBytes)
+    val manifestUp = reg.pushBlock(manifestSha, manifestBytes)
+    reg.setRoot(label, manifestSha.getBytes(UTF_8))
+    val up = hashed.count(_._4) + (if (manifestUp) 1 else 0)
+    (manifestSha, PushStats(up, hashed.size + 1 - up))
+  }
+
+  /** Shared fan-out half of the direct publishers: walk the tree, hash +
+    * CAS-upload every file block task-side (one registry client per
+    * partition), collect (path, size, sha, uploaded) manifest metadata. */
+  private def hashAndUpload(spark: SparkSession, srcDir: String,
+      conf: RegistryConf): (Seq[(String, Long, String, Boolean)], BlockRegistry) = {
     val root = Paths.get(srcDir)
     val files: Seq[(String, Long)] = {
       val s = Files.walk(root)
@@ -99,32 +118,147 @@ object RemoteSnapshotRepo {
           (p, sz, sha, up)
         }
       }.collect().toSeq
-    val entries = hashed
-      .map { case (p, sz, sha, _) => SnapshotStore.ManifestEntry(p, sz, sha) }
-      .sortBy(_.path)
-    val manifestBytes = entries
-      .map(e => s"${e.path}\t${e.size}\t${e.sha256}").mkString("\n")
-      .getBytes(UTF_8)
-    val manifestSha = PufsFileSystem.sha256Bytes(manifestBytes)
-    val reg = conf.open()
-    val manifestUp = reg.pushBlock(manifestSha, manifestBytes)
-    reg.setRoot(label, manifestSha.getBytes(UTF_8))
-    val up = hashed.count(_._4) + (if (manifestUp) 1 else 0)
-    (manifestSha, PushStats(up, hashed.size + 1 - up))
+    (hashed, conf.open())
   }
 
   /** Resolve a remote label to its manifest entries — the eager half of a
-    * mount (GetRoot + one manifest read; file bytes stay remote). */
+    * mount (GetRoot + one manifest read; file bytes stay remote). A
+    * sharded root (see `pushSharded`) is handled transparently: every
+    * shard is loaded, so flat and sharded labels serve the same callers. */
   def mount(reg: BlockRegistry, label: String): (String, Seq[SnapshotStore.ManifestEntry]) = {
-    val sha = new String(reg.getRoot(label).getOrElse(
+    val sha = resolveRoot(reg, label)
+    val text = readBlockText(reg, sha)
+    if (text.startsWith(IndexHeader))
+      (sha, parseIndex(text).flatMap(s => parseManifest(readBlockText(reg, s.sha))))
+    else (sha, parseManifest(text))
+  }
+
+  private def resolveRoot(reg: BlockRegistry, label: String): String =
+    new String(reg.getRoot(label).getOrElse(
       throw new java.io.FileNotFoundException(s"no remote root: $label")), UTF_8)
-    val manifest = new String(
-      reg.openBlock(sha).read(0, reg.blockSize(sha).toInt), UTF_8)
-    val entries = manifest.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+
+  private def readBlockText(reg: BlockRegistry, sha: String): String =
+    new String(reg.openBlock(sha).read(0, reg.blockSize(sha).toInt), UTF_8)
+
+  private def parseManifest(text: String): Seq[SnapshotStore.ManifestEntry] =
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
       val Array(p, s, h) = line.split("\t")
       SnapshotStore.ManifestEntry(p, s.toLong, h)
     }
-    (sha, entries)
+
+  // ---- sharded manifests ------------------------------------------------
+  //
+  // A flat manifest is one block holding every (path, size, sha) line: at
+  // 10M files that is a ~600 MB eager read+parse PER MOUNT, even when the
+  // reader wants one table out of the lake. The sharded layout is the
+  // reference's hierarchical inode-tree idea applied to the snapshot
+  // root: the label points at a small INDEX block (one line per top-level
+  // directory), each line naming a per-directory shard manifest block.
+  // Mounting a prefix then costs O(index + that shard), not O(all files)
+  // — and because shards are content-addressed CAS blocks, an
+  // incremental republish re-uploads only the touched file's block, its
+  // shard manifest, and the index.
+
+  private val IndexHeader = "#graft-manifest-index v1"
+
+  /** One index line: top-level-dir shard → its manifest block. */
+  case class ShardInfo(prefix: String, sha: String, files: Int, bytes: Long)
+
+  private def shardKey(path: String): String = {
+    val i = path.indexOf('/')
+    if (i < 0) "" else path.substring(0, i)
+  }
+
+  private def parseIndex(text: String): Seq[ShardInfo] =
+    text.split("\n").toSeq.drop(1).filter(_.nonEmpty).map { line =>
+      val Array(p, s, f, b) = line.split("\t", 4)
+      ShardInfo(p, s, f.toInt, b.toLong)
+    }
+
+  /** Push `repo`@`ref` under `label` with a SHARDED root: file blocks,
+    * then one shard manifest block per top-level directory, then the
+    * index block, then the pointer — still pointer-last. Re-pushing
+    * after a one-file change uploads that block + its shard + the index;
+    * every untouched shard is CAS-skipped. */
+  def pushSharded(repo: String, ref: String, reg: BlockRegistry,
+      label: String): PushStats = {
+    val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
+    val entries = SnapshotStore.mountAt(repo, sha)
+    var up = 0; var skip = 0
+    def cas(bidHex: String, body: => Array[Byte]): Unit =
+      if (reg.pushBlock(bidHex, body)) up += 1 else skip += 1
+    entries.map(_.sha256).distinct.foreach { blockSha =>
+      cas(blockSha, SnapshotStore.readBlock(repo, blockSha))
+    }
+    val shards = entries.groupBy(e => shardKey(e.path)).toSeq.sortBy(_._1)
+      .map { case (prefix, es) =>
+        val bytes = es.sortBy(_.path)
+          .map(e => s"${e.path}\t${e.size}\t${e.sha256}").mkString("\n")
+          .getBytes(UTF_8)
+        val shardSha = PufsFileSystem.sha256Bytes(bytes)
+        cas(shardSha, bytes)
+        ShardInfo(prefix, shardSha, es.size, es.map(_.size).sum)
+      }
+    val indexBytes =
+      (IndexHeader +: shards.map(s => s"${s.prefix}\t${s.sha}\t${s.files}\t${s.bytes}"))
+        .mkString("\n").getBytes(UTF_8)
+    val indexSha = PufsFileSystem.sha256Bytes(indexBytes)
+    cas(indexSha, indexBytes)
+    reg.setRoot(label, indexSha.getBytes(UTF_8))
+    PushStats(up, skip)
+  }
+
+  /** `publishDirect` composed with the sharded layout: task-side hashing
+    * and CAS upload straight from a working tree, sharded root commit.
+    * The 100 TB publish shape — data moves once, fanned out; the driver
+    * handles O(files) metadata and writes O(top-dirs) small blocks. */
+  def publishDirectSharded(spark: SparkSession, srcDir: String,
+      conf: RegistryConf, label: String): (String, PushStats) = {
+    val (hashed, reg) = hashAndUpload(spark, srcDir, conf)
+    var up = hashed.count(_._4); var skip = hashed.count(!_._4)
+    def cas(bidHex: String, body: Array[Byte]): Unit =
+      if (reg.pushBlock(bidHex, body)) up += 1 else skip += 1
+    val entries = hashed
+      .map { case (p, sz, sha, _) => SnapshotStore.ManifestEntry(p, sz, sha) }
+    val shards = entries.groupBy(e => shardKey(e.path)).toSeq.sortBy(_._1)
+      .map { case (prefix, es) =>
+        val bytes = es.sortBy(_.path)
+          .map(e => s"${e.path}\t${e.size}\t${e.sha256}").mkString("\n")
+          .getBytes(UTF_8)
+        val shardSha = PufsFileSystem.sha256Bytes(bytes)
+        cas(shardSha, bytes)
+        ShardInfo(prefix, shardSha, es.size, es.map(_.size).sum)
+      }
+    val indexBytes =
+      (IndexHeader +: shards.map(s => s"${s.prefix}\t${s.sha}\t${s.files}\t${s.bytes}"))
+        .mkString("\n").getBytes(UTF_8)
+    val indexSha = PufsFileSystem.sha256Bytes(indexBytes)
+    cas(indexSha, indexBytes)
+    reg.setRoot(label, indexSha.getBytes(UTF_8))
+    (indexSha, PushStats(up, skip))
+  }
+
+  /** The index of a sharded label — O(top-level dirs), no shard reads:
+    * the cheap "what tables does this lake hold, how big" probe. */
+  def mountIndex(reg: BlockRegistry, label: String): (String, Seq[ShardInfo]) = {
+    val sha = resolveRoot(reg, label)
+    val text = readBlockText(reg, sha)
+    if (!text.startsWith(IndexHeader))
+      throw new java.io.IOException(s"root of $label is not a sharded manifest")
+    (sha, parseIndex(text))
+  }
+
+  /** Mount ONE top-level directory of a sharded label: reads the index
+    * and exactly the matching shard manifest — other shards' blocks are
+    * never touched, so mounting one table of a 10M-file lake moves
+    * O(that table's manifest) bytes, not O(lake). */
+  def mountShard(reg: BlockRegistry, label: String,
+      topDir: String): Seq[SnapshotStore.ManifestEntry] = {
+    val (_, shards) = mountIndex(reg, label)
+    shards.find(_.prefix == topDir) match {
+      case None => Seq.empty
+      case Some(s) => parseManifest(readBlockText(reg, s.sha))
+    }
   }
 
   /** A generation-pinned lazy reader over one mounted file, fed through

@@ -97,6 +97,66 @@ class ApiServerSpec extends AnyFunSuite {
     assert(get("/v1/read?path=ghost")._1 == 404)
   }
 
+  test("startRemote fronts a bucket label: pinned lazy reads, live cache fill") {
+    val keyPair = {
+      val g = java.security.KeyPairGenerator.getInstance("RSA")
+      g.initialize(2048); g.generateKeyPair()
+    }
+    val srv = new graft.sources.FakeGcs(keyPair)
+    try {
+      val reg = new graft.sources.GcsRefRegistry(srv.endpoint, "bkt", "d/",
+        new graft.sources.GcsAuth.TokenProvider(srv.account))
+      val src = Files.createTempDirectory("api-r-src").toString
+      val expected = Array.tabulate(1024 * 1024)(i => (i % 247).toByte)
+      Files.write(Paths.get(src, "big.bin"), expected)
+      Files.write(Paths.get(src, "small.txt"), "tiny".getBytes(UTF_8))
+      val repo = Files.createTempDirectory("api-r-repo").toString
+      SnapshotStore.publish(src, repo, "m")
+      graft.sources.RemoteSnapshotRepo.push(repo, "m", reg, "m")
+
+      graft.sources.PufsFileSystem.simulateRestart()
+      val h = ApiServer.startRemote(reg, "m",
+        Files.createTempDirectory("api-r-cache").toString)
+      def rget(path: String, hdrs: Map[String, String] = Map.empty) = {
+        val conn = URI.create(s"http://127.0.0.1:${h.port}$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        try {
+          hdrs.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          val code = conn.getResponseCode
+          val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+          (code, if (in == null) Array.emptyByteArray
+                 else try in.readAllBytes() finally in.close())
+        } finally conn.disconnect()
+      }
+      try {
+        // listing is served from the eagerly-resolved manifest
+        val (lc, lb) = rget("/v1/dir?path=")
+        assert(lc == 200)
+        val names = { val e = json(lb).path("entries")
+          (0 until e.size).map(e.get(_).path("name").asText).toSet }
+        assert(names == Set("big.bin", "small.txt"))
+        // a ranged read pulls only the covering chunks from the bucket
+        val (rc, rb) = rget("/v1/read?path=big.bin",
+          Map("Range" -> "bytes=300000-304999"))
+        assert(rc == 206 && java.util.Arrays.equals(rb,
+          java.util.Arrays.copyOfRange(expected, 300000, 305000)))
+        val pulled = graft.sources.PufsFileSystem.bytesPulled.get()
+        assert(pulled <= 2 * 200 * 1024, s"pulled $pulled for a 5000-byte read")
+        // the proto's populated-cache fields watch the lazy mount fill
+        val (sc, sb) = rget("/v1/stat?path=big.bin")
+        assert(sc == 200)
+        assert(json(sb).path("populatedSize").asLong == pulled)
+        assert(json(sb).path("populatedRegionCount").asInt >= 1)
+        // a re-read of the same range is served from the local cache
+        val before = srv.requests.get()
+        val (rc2, rb2) = rget("/v1/read?path=big.bin",
+          Map("Range" -> "bytes=300000-304999"))
+        assert(rc2 == 206 && java.util.Arrays.equals(rb2, rb))
+        assert(srv.requests.get() == before, "re-read hit the bucket")
+      } finally h.stop()
+    } finally srv.stop()
+  }
+
   test("the serve verb is wired into the CLI usage surface") {
     // dispatch validation only — the verb itself blocks by design
     val err = new java.io.ByteArrayOutputStream()

@@ -223,6 +223,93 @@ class RemoteSnapshotRepoSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sharded root: mount one table without touching the others' shards") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      // a little "lake": three top-level tables + a root-level file
+      val src = Files.createTempDirectory("shard-src").toString
+      Seq("orders", "lineitem", "events").foreach { t =>
+        Files.createDirectories(Paths.get(src, t))
+        (0 until 3).foreach { i =>
+          Files.write(Paths.get(src, s"$t/part-$i.dat"),
+            s"$t-$i-payload".getBytes(UTF_8))
+        }
+      }
+      Files.write(Paths.get(src, "README"), "lake".getBytes(UTF_8))
+      val repo = Files.createTempDirectory("shard-repo").toString
+      SnapshotStore.publish(src, repo, "v1")
+      val s1 = RemoteSnapshotRepo.pushSharded(repo, "v1", reg, "lake")
+      // 10 file blocks + 4 shard manifests ("", events, lineitem, orders)
+      // + 1 index
+      assert(s1.uploaded == 15 && s1.skipped == 0, s1.toString)
+
+      // the index probe is O(top-level dirs) and carries sizes
+      val (_, shards) = RemoteSnapshotRepo.mountIndex(reg, "lake")
+      assert(shards.map(_.prefix).sorted == Seq("", "events", "lineitem", "orders"))
+      assert(shards.find(_.prefix == "orders").get.files == 3)
+
+      // the direct distributed route lands on the SAME sharded root:
+      // identical index sha, nothing re-uploaded
+      val conf = RegistryConf.gcs(srv.endpoint, "bkt", "depot/", srv.account)
+      val (directSha, ds) =
+        RemoteSnapshotRepo.publishDirectSharded(spark, src, conf, "lake2")
+      assert(directSha == new String(reg.getRoot("lake").get, UTF_8))
+      assert(ds.uploaded == 0 && ds.skipped == 15, ds.toString)
+
+      // DELETE every other shard's manifest block from the bucket: if
+      // mounting one table touched them, this would fail loudly
+      shards.filter(s => s.prefix != "orders").foreach { s =>
+        srv.objects.remove(s"depot/CAS/${s.sha}")
+      }
+      val orders = RemoteSnapshotRepo.mountShard(reg, "lake", "orders")
+      assert(orders.map(_.path).sorted ==
+        Seq("orders/part-0.dat", "orders/part-1.dat", "orders/part-2.dat"))
+      // file bytes of the mounted shard still read fine
+      val e0 = orders.find(_.path == "orders/part-0.dat").get
+      val in = RemoteSnapshotRepo.openFile(reg, e0,
+        Files.createTempDirectory("shard-cache").toString)
+      val got = new Array[Byte](e0.size.toInt)
+      in.readFully(0L, got, 0, got.length)
+      in.close()
+      assert(new String(got, UTF_8) == "orders-0-payload")
+      assert(RemoteSnapshotRepo.mountShard(reg, "lake", "nope").isEmpty)
+    } finally srv.stop()
+  }
+
+  test("sharded incremental republish touches one shard + the index") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      val src = Files.createTempDirectory("shard2-src").toString
+      Seq("a", "b").foreach { t =>
+        Files.createDirectories(Paths.get(src, t))
+        Files.write(Paths.get(src, s"$t/data.txt"), s"$t-v1".getBytes(UTF_8))
+      }
+      val repo = Files.createTempDirectory("shard2-repo").toString
+      SnapshotStore.publish(src, repo, "v1")
+      RemoteSnapshotRepo.pushSharded(repo, "v1", reg, "lake")
+      // change ONE file under a/ → exactly: its block, a's shard, index
+      Files.write(Paths.get(src, "a/data.txt"), "a-v2".getBytes(UTF_8))
+      SnapshotStore.publish(src, repo, "v2")
+      val s2 = RemoteSnapshotRepo.pushSharded(repo, "v2", reg, "lake")
+      assert(s2.uploaded == 3, s2.toString)
+      // a flat mount of the sharded label sees the whole updated tree —
+      // flat and sharded roots are interchangeable to readers
+      val (_, entries) = RemoteSnapshotRepo.mount(reg, "lake")
+      assert(entries.map(_.path).sorted == Seq("a/data.txt", "b/data.txt"))
+      val a = entries.find(_.path == "a/data.txt").get
+      val in = RemoteSnapshotRepo.openFile(reg, a,
+        Files.createTempDirectory("shard2-cache").toString)
+      val got = new Array[Byte](a.size.toInt)
+      in.readFully(0L, got, 0, got.length)
+      in.close()
+      assert(new String(got, UTF_8) == "a-v2")
+    } finally srv.stop()
+  }
+
   test("remotely replaced block under an open reader is a torn read") {
     val srv = new FakeGcs(keyPair)
     try {
