@@ -49,6 +49,14 @@ object Cli {
     case "serve-remote" :: scheme :: endpoint :: bucket :: prefix :: label :: rest =>
       serveRemote(scheme, endpoint, bucket, prefix, label,
         rest.headOption.map(_.toInt).getOrElse(0))
+    case "gc-remote" :: scheme :: endpoint :: bucket :: prefix :: Nil =>
+      remoteRegistry(scheme, endpoint, bucket, prefix) match {
+        case None => 1
+        case Some(reg) =>
+          val (blocks, leases) = graft.sources.RemoteSnapshotRepo.gc(reg)
+          println(s"collected $blocks blocks, dropped $leases expired leases")
+          0
+      }
     case "link" :: backing :: path :: url :: Nil   => link(backing, path, url)
     case _ =>
       System.err.println(
@@ -65,6 +73,7 @@ object Cli {
           |  rollback <repo> <label> <manifestSha>
           |  serve <repo> <ref> [port]
           |  serve-remote <gs|s3> <endpoint> <bucket> <prefix> <label> [port]
+          |  gc-remote <gs|s3> <endpoint> <bucket> <prefix>
           |      (gs: GOOGLE_APPLICATION_CREDENTIALS key file;
           |       s3: AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY[/AWS_REGION])
           |  link <backingDir> <path> <url>""".stripMargin)
@@ -239,31 +248,38 @@ object Cli {
     * same read-only daemon — the "front a bucket snapshot for non-Spark
     * tools" role of the reference's mount+serve loop. Credentials ride
     * the conventional environment, never argv. */
+  /** Build a registry client from the scheme + conventional env
+    * credentials; None (with a usage message) when they're absent. */
+  private def remoteRegistry(scheme: String, endpoint: String,
+      bucket: String, prefix: String): Option[BlockRegistry] = scheme match {
+    case "gs" =>
+      sys.env.get("GOOGLE_APPLICATION_CREDENTIALS") match {
+        case None =>
+          System.err.println(s"$scheme registry: set GOOGLE_APPLICATION_CREDENTIALS")
+          None
+        case Some(keyFile) => Some(new GcsRefRegistry(endpoint, bucket,
+          prefix, new GcsAuth.TokenProvider(GcsAuth.fromKeyFile(keyFile))))
+      }
+    case "s3" =>
+      (sys.env.get("AWS_ACCESS_KEY_ID"), sys.env.get("AWS_SECRET_ACCESS_KEY")) match {
+        case (Some(ak), Some(sk)) => Some(new S3RefRegistry(endpoint, bucket,
+          prefix, sys.env.getOrElse("AWS_REGION", "us-east-1"),
+          SigV4.Credentials(ak, sk)))
+        case _ =>
+          System.err.println(
+            "s3 registry: set AWS_ACCESS_KEY_ID and AWS_SECRET_ACCESS_KEY")
+          None
+      }
+    case other =>
+      System.err.println(s"unknown registry scheme '$other' (gs|s3)")
+      None
+  }
+
   private def serveRemote(scheme: String, endpoint: String, bucket: String,
       prefix: String, label: String, port: Int): Int = {
-    val reg: BlockRegistry = scheme match {
-      case "gs" =>
-        val keyFile = sys.env.get("GOOGLE_APPLICATION_CREDENTIALS")
-        if (keyFile.isEmpty) {
-          System.err.println("serve-remote gs: set GOOGLE_APPLICATION_CREDENTIALS")
-          return 1
-        }
-        new GcsRefRegistry(endpoint, bucket, prefix,
-          new GcsAuth.TokenProvider(GcsAuth.fromKeyFile(keyFile.get)))
-      case "s3" =>
-        val (ak, sk) = (sys.env.get("AWS_ACCESS_KEY_ID"),
-          sys.env.get("AWS_SECRET_ACCESS_KEY"))
-        if (ak.isEmpty || sk.isEmpty) {
-          System.err.println(
-            "serve-remote s3: set AWS_ACCESS_KEY_ID and AWS_SECRET_ACCESS_KEY")
-          return 1
-        }
-        new S3RefRegistry(endpoint, bucket, prefix,
-          sys.env.getOrElse("AWS_REGION", "us-east-1"),
-          SigV4.Credentials(ak.get, sk.get))
-      case other =>
-        System.err.println(s"serve-remote: unknown scheme '$other' (gs|s3)")
-        return 1
+    val reg = remoteRegistry(scheme, endpoint, bucket, prefix) match {
+      case None => return 1
+      case Some(r) => r
     }
     val cacheDir =
       java.nio.file.Files.createTempDirectory("graft-serve-cache").toString

@@ -38,6 +38,24 @@ trait BlockRegistry {
     * is captured here, so a block replaced under the open reader fails
     * with TornReadException instead of mixing generations. */
   def openBlock(bidHex: String): RemoteStore
+
+  // -- enumeration + removal: the GC surface (reference gcs.go root/lease
+  //    listing + object delete, driven by core RunGC reachability) --
+
+  /** All stored CAS block ids. */
+  def listBlocks(): Seq[String]
+
+  /** All named root pointers. */
+  def listRoots(): Seq[String]
+
+  /** All lease names. */
+  def listLeases(): Seq[String]
+
+  /** Remove a CAS block; idempotent. */
+  def deleteBlock(bidHex: String): Unit
+
+  /** Remove a lease; idempotent. */
+  def deleteLease(name: String): Unit
 }
 
 /** S3-protocol registry — the same root/lease/CAS layout as
@@ -84,6 +102,20 @@ final class S3RefRegistry(endpoint: String, bucket: String,
     val (_, etag) = S3Store.head(endpoint, bucket, key, region, creds)
     new S3Store(endpoint, bucket, key, region, creds, etag)
   }
+
+  private def listNames(prefix: String): Seq[String] =
+    S3Store.list(endpoint, bucket, prefix, region, creds)
+      .map(_._1.substring(prefix.length)).filter(_.nonEmpty)
+
+  def listBlocks(): Seq[String] = listNames(casPrefix)
+  def listRoots(): Seq[String] = listNames(rootPrefix)
+  def listLeases(): Seq[String] = listNames(leasePrefix)
+
+  def deleteBlock(bidHex: String): Unit =
+    S3Store.delete(endpoint, bucket, casPrefix + bidHex, region, creds)
+
+  def deleteLease(name: String): Unit =
+    S3Store.delete(endpoint, bucket, leasePrefix + name, region, creds)
 }
 
 /** Serializable recipe for a `BlockRegistry` — what a Spark task needs to

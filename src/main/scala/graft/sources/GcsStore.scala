@@ -265,6 +265,19 @@ object GcsStore {
     } finally conn.disconnect()
   }
 
+  /** Delete an object; idempotent (404 = already gone). The GC primitive
+    * (the reference's remote removal half of RunGC). */
+  def delete(endpoint: String, bucket: String, key: String,
+      tokens: GcsAuth.TokenProvider): Unit = {
+    val conn = open("DELETE", endpoint,
+      s"/storage/v1/b/$bucket/o/${encodeObject(key)}", tokens)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200 && code != 204 && code != 404)
+        throw new IOException(s"GCS delete gs://$bucket/$key returned $code")
+    } finally conn.disconnect()
+  }
+
   /** Download a whole small object (root/lease pointer reads). None if
     * the object does not exist. */
   def get(endpoint: String, bucket: String, key: String,
@@ -385,6 +398,20 @@ final class GcsRefRegistry(endpoint: String, bucket: String,
   }
 
   def blockSize(bidHex: String): Long = blockSource(bidHex)._2
+
+  private def listNames(prefix: String): Seq[String] =
+    GcsStore.listChildren(endpoint, bucket, prefix, tokens)
+      .filterNot(_.isDir).map(_.name)
+
+  def listBlocks(): Seq[String] = listNames(casPrefix)
+  def listRoots(): Seq[String] = listNames(rootPrefix)
+  def listLeases(): Seq[String] = listNames(leasePrefix)
+
+  def deleteBlock(bidHex: String): Unit =
+    GcsStore.delete(endpoint, bucket, casPrefix + bidHex, tokens)
+
+  def deleteLease(name: String): Unit =
+    GcsStore.delete(endpoint, bucket, leasePrefix + name, tokens)
 
   /** A pinned ranged reader over a stored block. */
   def openBlock(bidHex: String): GcsStore = {

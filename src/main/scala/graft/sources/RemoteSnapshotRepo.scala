@@ -261,6 +261,55 @@ object RemoteSnapshotRepo {
     }
   }
 
+  /** Garbage-collect the remote registry: everything reachable from a
+    * root pointer or an UNEXPIRED lease stays; every other CAS block is
+    * deleted, and expired leases are removed — the reference's RunGC
+    * reachability contract (datastore.go:48-51; leases renewLeases
+    * 240-253), applied to the bucket. Reachability walks flat and
+    * sharded roots alike (index → shard manifests → file blocks) and
+    * reads only MANIFEST blocks, never file data. Returns (blocks
+    * deleted, expired leases removed).
+    *
+    * Concurrent-publish safety is the lease contract: a publisher that
+    * cannot finish before a GC horizon takes `setLease` on its manifest
+    * first (the same discipline the local store's publish applies);
+    * blocks of a half-pushed closure whose pointer never flipped and
+    * that holds no lease are exactly the garbage this removes. */
+  def gc(reg: BlockRegistry,
+      now: Long = System.currentTimeMillis()): (Int, Int) = {
+    val live = scala.collection.mutable.Set[String]()
+    def addManifest(sha: String): Unit = {
+      if (!live.add(sha)) return
+      val text =
+        try readBlockText(reg, sha)
+        catch { case _: java.io.IOException => return } // dangling pointer
+      if (text.startsWith(IndexHeader)) parseIndex(text).foreach { s =>
+        if (live.add(s.sha))
+          try parseManifest(readBlockText(reg, s.sha))
+            .foreach(e => live += e.sha256)
+          catch { case _: java.io.IOException => }
+      }
+      else parseManifest(text).foreach(e => live += e.sha256)
+    }
+    reg.listRoots().foreach { name =>
+      reg.getRoot(name).foreach(bid => addManifest(new String(bid, UTF_8)))
+    }
+    var leasesDropped = 0
+    reg.listLeases().foreach { name =>
+      reg.getLease(name) match {
+        case Some((expiry, bid)) if expiry > now =>
+          addManifest(new String(bid, UTF_8))
+        case _ =>
+          reg.deleteLease(name); leasesDropped += 1
+      }
+    }
+    var deleted = 0
+    reg.listBlocks().foreach { bid =>
+      if (!live.contains(bid)) { reg.deleteBlock(bid); deleted += 1 }
+    }
+    (deleted, leasesDropped)
+  }
+
   /** A generation-pinned lazy reader over one mounted file, fed through
     * the pufs:// chunk cache: only the chunks the caller touches are
     * pulled, re-reads are local, and a block replaced remotely under the

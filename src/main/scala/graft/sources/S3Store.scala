@@ -174,18 +174,26 @@ object S3Store {
   private[sources] def signedConnection(method: String, endpoint: String,
       bucket: String, key: String, region: String,
       creds: SigV4.Credentials, payloadSha: String,
-      extraHeaders: Seq[(String, String)]): HttpURLConnection = {
+      extraHeaders: Seq[(String, String)],
+      queries: Seq[(String, String)] = Nil): HttpURLConnection = {
     val path = s"/$bucket/$key"
     // the wire URL carries the RFC 3986-encoded path (keys may hold
     // spaces etc.); the service decodes it before re-canonicalizing, so
-    // signing the decoded `path` below stays correct
-    val uri = URI.create(endpoint + SigV4.uriEncode(path, keepSlash = true))
+    // signing the decoded `path` below stays correct. The wire query is
+    // built exactly as canonicalized (sorted, encoded) so the signature
+    // the service re-derives from the wire matches.
+    val queryStr = queries
+      .map { case (k, v) => (SigV4.uriEncode(k, keepSlash = false),
+        SigV4.uriEncode(v, keepSlash = false)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val uri = URI.create(endpoint + SigV4.uriEncode(path, keepSlash = true) +
+      (if (queryStr.isEmpty) "" else s"?$queryStr"))
     val hostHeader = uri.getHost +
       (if (uri.getPort > 0) s":${uri.getPort}" else "")
     val amzDate = SigV4.nowAmzDate()
     val signed = Seq("host" -> hostHeader, "x-amz-date" -> amzDate,
       "x-amz-content-sha256" -> payloadSha) ++ extraHeaders
-    val auth = SigV4.authorization(method, path, Nil, signed, payloadSha,
+    val auth = SigV4.authorization(method, path, queries, signed, payloadSha,
       region, "s3", creds, amzDate)
     val conn = uri.toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
@@ -244,6 +252,51 @@ object S3Store {
       if (code != 200 && code != 201)
         throw new IOException(s"S3 PUT s3://$bucket/$key returned $code")
     } finally conn.disconnect()
+  }
+
+  /** Delete an object; idempotent (404 = already gone). */
+  def delete(endpoint: String, bucket: String, key: String, region: String,
+      creds: SigV4.Credentials): Unit = {
+    val conn = signedConnection("DELETE", endpoint, bucket, key, region,
+      creds, SigV4.EmptySha, Nil)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200 && code != 204 && code != 404)
+        throw new IOException(s"S3 DELETE s3://$bucket/$key returned $code")
+    } finally conn.disconnect()
+  }
+
+  /** Flat ListObjectsV2 under `prefix` (no delimiter): (key, size) pairs,
+    * paginated via continuation tokens. The minimal XML parse covers the
+    * fixed `<Key>`/`<Size>` shape; registry keys here are sha-hex and
+    * fixed path segments, never XML-escaped characters. */
+  def list(endpoint: String, bucket: String, prefix: String, region: String,
+      creds: SigV4.Credentials): Seq[(String, Long)] = {
+    val keyPat = "<Key>([^<]*)</Key>".r
+    val sizePat = "<Size>([0-9]+)</Size>".r
+    val tokPat = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
+    val out = Seq.newBuilder[(String, Long)]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        token.map("continuation-token" -> _)
+      val conn = signedConnection("GET", endpoint, bucket, "", region,
+        creds, SigV4.EmptySha, Nil, q)
+      val xml = try {
+        if (conn.getResponseCode != 200)
+          throw new IOException(
+            s"S3 LIST s3://$bucket/$prefix returned ${conn.getResponseCode}")
+        val in = conn.getInputStream
+        try new String(in.readAllBytes(), UTF_8) finally in.close()
+      } finally conn.disconnect()
+      val keys = keyPat.findAllMatchIn(xml).map(_.group(1)).toSeq
+      val sizes = sizePat.findAllMatchIn(xml).map(_.group(1).toLong).toSeq
+      out ++= keys.zip(sizes)
+      token = tokPat.findFirstMatchIn(xml).map(_.group(1))
+      more = token.isDefined
+    }
+    out.result()
   }
 
   /** Download a whole small object (pointer reads); None if absent. */

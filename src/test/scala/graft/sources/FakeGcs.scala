@@ -142,7 +142,11 @@ class FakeGcs(keyPair: java.security.KeyPair, verifyAuth: Boolean = true,
       } else if (raw.startsWith("/storage/v1/b/bkt/o/")) {
         val key = decode(raw.stripPrefix("/storage/v1/b/bkt/o/"))
         val o = objects.get(key)
-        if (o == null) ex.sendResponseHeaders(404, -1)
+        if (ex.getRequestMethod == "DELETE") {
+          if (o == null) ex.sendResponseHeaders(404, -1)
+          else { objects.remove(key); ex.sendResponseHeaders(204, -1) }
+        }
+        else if (o == null) ex.sendResponseHeaders(404, -1)
         else if (q.get("alt").contains("media")) {
           if (q.get("ifGenerationMatch").exists(_.toLong != o.generation))
             ex.sendResponseHeaders(412, -1)

@@ -7,7 +7,7 @@ package graft.sources
   * mismatch — the way the real service verifies. Shared by S3StoreSpec,
   * RemoteSnapshotRepoSpec and ApiServerSpec (the S3 analog of FakeGcs). */
 class FakeS3(creds: SigV4.Credentials, verifySig: Boolean = true,
-    ignoreRange: Boolean = false) {
+    ignoreRange: Boolean = false, listPageSize: Int = 1000) {
   case class Obj(bytes: Array[Byte], etag: String)
   val objects = new java.util.concurrent.ConcurrentHashMap[String, Obj]()
   val requests = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -18,6 +18,17 @@ class FakeS3(creds: SigV4.Credentials, verifySig: Boolean = true,
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+
+  /** Query params reconstructed from the raw wire query string — part of
+    * the canonical request, so list-style requests are signature-checked
+    * too. */
+  private def wireQuery(ex: com.sun.net.httpserver.HttpExchange): Seq[(String, String)] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = (kv.split("=", 2) ++ Array("")).take(2)
+        (java.net.URLDecoder.decode(k, "UTF-8"),
+          java.net.URLDecoder.decode(v, "UTF-8"))
+      }
 
   private def sigOk(ex: com.sun.net.httpserver.HttpExchange,
       payloadSha: String): Boolean = {
@@ -39,7 +50,7 @@ class FakeS3(creds: SigV4.Credentials, verifySig: Boolean = true,
           name -> (if (v == null) "" else v)
         }
         val expected = SigV4.authorization(ex.getRequestMethod,
-          ex.getRequestURI.getPath, Nil, hdrs, payloadSha,
+          ex.getRequestURI.getPath, wireQuery(ex), hdrs, payloadSha,
           parts(2), parts(3), creds, amzDate)
         val expSig = expected match { case sigPat(s) => s; case _ => "" }
         expSig == sig
@@ -60,6 +71,32 @@ class FakeS3(creds: SigV4.Credentials, verifySig: Boolean = true,
             (body.nonEmpty && SigV4.sha256Hex(body) != payloadSha))) {
         ex.sendResponseHeaders(403, -1)
       } else ex.getRequestMethod match {
+        case "GET" if key.isEmpty &&
+            wireQuery(ex).exists(_._1 == "list-type") =>
+          // minimal ListObjectsV2: flat keys under prefix, paginated
+          val q = wireQuery(ex).toMap
+          val prefix = q.getOrElse("prefix", "")
+          val all = {
+            import scala.jdk.CollectionConverters._
+            objects.keySet.asScala.toSeq.sorted.filter(_.startsWith(prefix))
+          }
+          val start = q.get("continuation-token").map(_.toInt).getOrElse(0)
+          val page = all.slice(start, start + listPageSize)
+          val truncated = start + listPageSize < all.length
+          val xml = ("<?xml version=\"1.0\"?><ListBucketResult>" +
+            s"<IsTruncated>$truncated</IsTruncated>" +
+            (if (truncated)
+              s"<NextContinuationToken>${start + listPageSize}</NextContinuationToken>"
+            else "") +
+            page.map(k =>
+              s"<Contents><Key>$k</Key><Size>${objects.get(k).bytes.length}</Size></Contents>")
+              .mkString + "</ListBucketResult>").getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type", "application/xml")
+          ex.sendResponseHeaders(200, xml.length)
+          ex.getResponseBody.write(xml)
+        case "DELETE" =>
+          if (objects.remove(key) == null) ex.sendResponseHeaders(404, -1)
+          else ex.sendResponseHeaders(204, -1)
         case "PUT" =>
           val ifNone = ex.getRequestHeaders.getFirst("If-None-Match")
           if (ifNone == "*" && objects.containsKey(key))

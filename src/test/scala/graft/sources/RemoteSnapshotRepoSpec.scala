@@ -310,6 +310,82 @@ class RemoteSnapshotRepoSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("remote gc: reachability from roots + leases, expired leases dropped") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      val src = newSrc()
+      val repo = Files.createTempDirectory("gc-repo").toString
+      SnapshotStore.publish(src, repo, "v1")
+      val v1sha = SnapshotStore.getRoot(repo, "v1").get
+      RemoteSnapshotRepo.push(repo, "v1", reg, "main")
+      // supersede v1: the old a.txt block + old manifest become garbage
+      Files.write(Paths.get(src, "a.txt"), "alpha-v2".getBytes(UTF_8))
+      SnapshotStore.publish(src, repo, "v2")
+      RemoteSnapshotRepo.push(repo, "v2", reg, "main")
+
+      // an unexpired lease pins the superseded snapshot: nothing moves
+      val hour = 60L * 60 * 1000
+      reg.setLease("pin-v1", System.currentTimeMillis() + hour,
+        v1sha.getBytes(UTF_8))
+      assert(RemoteSnapshotRepo.gc(reg) == ((0, 0)))
+      assert(reg.blockSize(v1sha) > 0) // v1 manifest still present
+
+      // lease expired → v1's closure is garbage, the lease is dropped
+      reg.setLease("pin-v1", System.currentTimeMillis() - 1,
+        v1sha.getBytes(UTF_8))
+      val (deleted, dropped) = RemoteSnapshotRepo.gc(reg)
+      assert(deleted == 2 && dropped == 1, s"($deleted, $dropped)")
+      intercept[java.io.IOException] { reg.blockSize(v1sha) }
+
+      // the live label is untouched and still fully readable
+      val (_, entries) = RemoteSnapshotRepo.mount(reg, "main")
+      val a = entries.find(_.path == "a.txt").get
+      val in = RemoteSnapshotRepo.openFile(reg, a,
+        Files.createTempDirectory("gc-cache").toString)
+      val got = new Array[Byte](a.size.toInt)
+      in.readFully(0L, got, 0, got.length)
+      in.close()
+      assert(new String(got, UTF_8) == "alpha-v2")
+      // idempotent: a second pass finds a clean registry
+      assert(RemoteSnapshotRepo.gc(reg) == ((0, 0)))
+    } finally srv.stop()
+  }
+
+  test("remote gc over S3 with sharded roots and paginated listing") {
+    val creds = SigV4.Credentials("AKIDTEST", "testsecretkey")
+    val srv = new FakeS3(creds, listPageSize = 3) // forces continuation tokens
+    try {
+      val reg = new S3RefRegistry(srv.endpoint, "bkt", "depot/", "test-1", creds)
+      val src = Files.createTempDirectory("gcs3-src").toString
+      Seq("a", "b").foreach { t =>
+        Files.createDirectories(Paths.get(src, t))
+        Files.write(Paths.get(src, s"$t/data.txt"), s"$t-v1".getBytes(UTF_8))
+      }
+      val repo = Files.createTempDirectory("gcs3-repo").toString
+      SnapshotStore.publish(src, repo, "v1")
+      RemoteSnapshotRepo.pushSharded(repo, "v1", reg, "lake")
+      Files.write(Paths.get(src, "a/data.txt"), "a-v2".getBytes(UTF_8))
+      SnapshotStore.publish(src, repo, "v2")
+      RemoteSnapshotRepo.pushSharded(repo, "v2", reg, "lake")
+      // garbage = v1's a-block + v1's a-shard manifest + v1's index
+      val (deleted, dropped) = RemoteSnapshotRepo.gc(reg)
+      assert(deleted == 3 && dropped == 0, s"($deleted, $dropped)")
+      // the sharded mount still serves post-gc
+      val orders = RemoteSnapshotRepo.mountShard(reg, "lake", "a")
+      assert(orders.map(_.path) == Seq("a/data.txt"))
+      val e = orders.head
+      val in = RemoteSnapshotRepo.openFile(reg, e,
+        Files.createTempDirectory("gcs3-cache").toString)
+      val got = new Array[Byte](e.size.toInt)
+      in.readFully(0L, got, 0, got.length)
+      in.close()
+      assert(new String(got, UTF_8) == "a-v2")
+      assert(RemoteSnapshotRepo.gc(reg) == ((0, 0)))
+    } finally srv.stop()
+  }
+
   test("remotely replaced block under an open reader is a torn read") {
     val srv = new FakeGcs(keyPair)
     try {
