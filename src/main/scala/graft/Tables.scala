@@ -19,10 +19,14 @@ object Tables {
   /** Load one testdata table. Parquet scan → Catalyst handles column
     * pruning + predicate pushdown; callers must NOT cache or collect.
     *
-    * `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; we read nanos as long (legacy conf) and convert to a
-    * microsecond TimestampType column (lossless for this data — the
-    * generator emits whole microseconds). */
+    * `events.parquet` has shipped with three different `ts` physical
+    * types across driver generations: TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long via the legacy conf
+    * and convert), plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * (read as TIMESTAMP_NTZ — cast to TimestampType; sessions pin UTC so
+    * the instant is identical), or a session-zoned TIMESTAMP (use as-is).
+    * Branching on the OBSERVED schema keeps every lane working no matter
+    * which generation of testdata is mounted. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path =
       if (sys.env.get("SPARK_GRAFT_PUFS").contains("1")) {
@@ -39,10 +43,17 @@ object Tables {
         s"$prefix/$name.parquet"
       } else s"$dir/$name.parquet"
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case LongType => // nanos-as-long generation
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => // micros, not UTC-adjusted
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(path)
     }

@@ -1105,6 +1105,32 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L51: EXACT TF-IDF — l14's HashingTF lane made oracle-checkable by
+    // dropping the hash trick: exact term frequencies (split/explode/count),
+    // exact document frequencies over the tf table, idf = ln(N/df). One
+    // multiply per OUTPUT ROW (never a float sum — summation order breaks
+    // cross-engine parity), rounded after the arithmetic; tf ≥ 3 bounds the
+    // output to informative terms. At 100 TB the shape is two hash
+    // aggregations + a shuffle join on term — the hash trick (l14) trades
+    // the df join for a fixed-width vector when the term table won't fit.
+    "l51_tfidf_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(dfT, "term")
+        .crossJoin(broadcast(nDocs))
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+            .as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
     // L16: Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): word
     // count bounds, mean word length band, alphabetic-word ratio, distinct
     // stopword floor — the standard pretraining-corpus filter, one rule per
@@ -1731,6 +1757,23 @@ object LlmOps {
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*)
         |    AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "l51_tfidf_exact" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE length(term) > 0 GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), nd AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(CAST(tf AS DOUBLE)
+        |        * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+        |FROM tf JOIN dfq USING (term) CROSS JOIN nd
+        |WHERE tf >= 3 ORDER BY doc_id, term""".stripMargin,
 
     "l6_langid" ->
       """WITH s AS (
