@@ -218,9 +218,34 @@ object Bench {
     })
   )
 
+  /** Host-speed calibration: a fixed pure-JVM workload (SHA-256 over a
+    * constant byte volume) timed at `nThreads` parallelism before Spark
+    * starts. Query seconds only compare across rounds when the host's
+    * speed is known — the same suite on identical code+data has measured
+    * 2x apart hours apart on this shared host. The pair (1-thread,
+    * all-thread) lets a reader normalize both serial speed and effective
+    * parallel capacity out of a round-over-round comparison. */
+  private def calibrate(nThreads: Int, mbTotal: Int): Double = {
+    val buf = Array.fill[Byte](1 << 16)(0x5a)
+    val perThread = mbTotal * 16 / nThreads // 64 KiB blocks per thread
+    val t0 = System.nanoTime()
+    val ts = (1 to nThreads).map { _ =>
+      new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        var i = 0
+        while (i < perThread) { md.update(buf); i += 1 }
+        md.digest(): Unit
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calib1t = calibrate(1, 256)
+    val calibNt = calibrate(cpus.toInt, 4096)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -280,11 +305,12 @@ object Bench {
     // former ~2.5 KB line (median + per-iteration arrays inline) came back
     // truncated mid-JSON -> "parsed": null. Diagnostics (median + raw
     // iterations) go to a sidecar file instead.
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,"sf":"$sfDir"}"""
+    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,$calib,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

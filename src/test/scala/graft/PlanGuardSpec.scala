@@ -24,7 +24,8 @@ class PlanGuardSpec extends SparkSpec {
     "a34_tpch_q22"        -> "1-row avg-balance scalar subquery broadcast (Q22)",
     "t5_watermark_ontime" -> "1-row watermark threshold joined to the stream frame",
     "l47_triangle_count"  -> "three 1-row summary aggregates cross-joined into the report row",
-    "l50_rrf_hybrid"      -> "1-row probe vector broadcast against the corpus (vector side of RRF)"
+    "l50_rrf_hybrid"      -> "1-row probe vector broadcast against the corpus (vector side of RRF)",
+    "l51_tfidf_exact"     -> "1-row corpus-count aggregate broadcast (the idf denominator)"
   )
 
   /** Exchange SinglePartition is fine exactly when the single-partition
@@ -48,6 +49,7 @@ class PlanGuardSpec extends SparkSpec {
     "t5_watermark_ontime" -> "1-row watermark threshold",
     "w2_lag_lead"      -> "day-aggregated frame (≤ date-range rows, documented)",
     "w4_moving_avg"    -> "day-aggregated frame (≤ date-range rows, documented)",
+    "l51_tfidf_exact"  -> "1-row corpus-count aggregate (the idf denominator)",
     "w5_ntile"         -> "32-row bucket-offset frame (two-pass rank)",
     "w8_distribution"  -> "32-row bucket-offset frame (two-pass rank)"
   )
