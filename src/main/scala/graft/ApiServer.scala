@@ -164,28 +164,54 @@ object ApiServer {
     })
 
     server.createContext("/v1/read", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      // every outcome is an HTTP response — a malformed Range or a backend
+      // read failure must surface as 416/500 JSON, never as a dropped
+      // connection (the catch covers a.toLong parse throws and
+      // TornReadException from a pinned remote reader alike)
+      def sendBytes(e: SnapshotStore.ManifestEntry, start: Long, len: Long,
+          status: Int): Unit = {
+        ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        if (len == 0) ex.sendResponseHeaders(status, -1)
+        else {
+          val bytes = readRange(e, start, len.toInt)
+          ex.sendResponseHeaders(status, len)
+          ex.getResponseBody.write(bytes)
+        }
+      }
       try {
         val p = queryPath(ex)
-        bySuffix.get(p) match {
-          case None => error(ex, 404, s"no such file: $p")
-          case Some(e) =>
-            val range = Option(ex.getRequestHeaders.getFirst("Range"))
-              .map { r =>
-                val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
-                val start = a.toLong
-                val end = if (b.isEmpty) e.size - 1 else math.min(b.toLong, e.size - 1)
-                (start, end)
+        val hdr = Option(ex.getRequestHeaders.getFirst("Range"))
+        try {
+          bySuffix.get(p) match {
+            case None => error(ex, 404, s"no such file: $p")
+            case Some(e) =>
+              hdr match {
+                case None =>
+                  sendBytes(e, 0L, e.size, status = 200) // empty file => empty 200
+                case Some(r) if !r.startsWith("bytes=") ||
+                    r.contains(',') => // multi-range unsupported
+                  error(ex, 416, s"unsupported range: $r")
+                case Some(r) =>
+                  // RFC 7233 single ranges: bytes=a-b, bytes=a-, bytes=-n
+                  val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+                  val (start, end) =
+                    if (a.isEmpty) { // suffix range: last n bytes
+                      val n = b.toLong
+                      (math.max(0L, e.size - n), e.size - 1)
+                    } else
+                      (a.toLong,
+                        if (b.isEmpty) e.size - 1
+                        else math.min(b.toLong, e.size - 1))
+                  if (start < 0 || start > end || end >= e.size)
+                    error(ex, 416, s"range $start-$end outside 0-${e.size - 1}")
+                  else sendBytes(e, start, end - start + 1, status = 206)
               }
-            val (start, end) = range.getOrElse((0L, e.size - 1))
-            if (start < 0 || start > end || end >= e.size)
-              error(ex, 416, s"range $start-$end outside 0-${e.size - 1}")
-            else {
-              val len = (end - start + 1).toInt
-              val bytes = readRange(e, start, len)
-              ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-              ex.sendResponseHeaders(if (range.isDefined) 206 else 200, len)
-              ex.getResponseBody.write(bytes)
-            }
+          }
+        } catch {
+          case _: NumberFormatException | _: MatchError =>
+            error(ex, 416, s"malformed range: ${hdr.getOrElse("")}")
+          case t: Exception =>
+            error(ex, 500, s"read failed: ${t.getMessage}")
         }
       } finally ex.close()
     })

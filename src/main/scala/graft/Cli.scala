@@ -218,6 +218,20 @@ object Cli {
     * operational form of AddRemoteURL (reference pufs/cmd/ `add`):
     * attributes probed remotely, bytes pulled lazily on first read. */
   private def link(backing: String, path: String, url: String): Int = {
+    // a gs:// link needs GCS access registered BEFORE addRemoteUrl probes
+    // the object's attrs — wire it from the same conventional env as
+    // serve-remote (http(s) links need nothing)
+    if (url.startsWith("gs://")) {
+      sys.env.get("GOOGLE_APPLICATION_CREDENTIALS") match {
+        case None =>
+          System.err.println("gs:// link: set GOOGLE_APPLICATION_CREDENTIALS")
+          return 1
+        case Some(keyFile) =>
+          PufsFileSystem.registerGcs(
+            sys.env.getOrElse("GCS_ENDPOINT", "https://storage.googleapis.com"),
+            new GcsAuth.TokenProvider(GcsAuth.fromKeyFile(keyFile)))
+      }
+    }
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set("fs.pufs.impl", classOf[PufsFileSystem].getName)
     conf.set("fs.pufs.backing", backing)

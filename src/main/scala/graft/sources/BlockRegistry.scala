@@ -39,6 +39,13 @@ trait BlockRegistry {
     * with TornReadException instead of mixing generations. */
   def openBlock(bidHex: String): RemoteStore
 
+  /** Pinned reader AND size from ONE metadata probe. The default pays
+    * two round-trips; both bundled registries override it — every
+    * manifest/shard read in mount and gc rides this, so the probe count
+    * is the metadata cost of a mount. */
+  def openBlockSized(bidHex: String): (RemoteStore, Long) =
+    (openBlock(bidHex), blockSize(bidHex))
+
   // -- enumeration + removal: the GC surface (reference gcs.go root/lease
   //    listing + object delete, driven by core RunGC reachability) --
 
@@ -97,10 +104,12 @@ final class S3RefRegistry(endpoint: String, bucket: String,
   def blockSize(bidHex: String): Long =
     S3Store.head(endpoint, bucket, casPrefix + bidHex, region, creds)._1
 
-  def openBlock(bidHex: String): RemoteStore = {
+  def openBlock(bidHex: String): RemoteStore = openBlockSized(bidHex)._1
+
+  override def openBlockSized(bidHex: String): (RemoteStore, Long) = {
     val key = casPrefix + bidHex
-    val (_, etag) = S3Store.head(endpoint, bucket, key, region, creds)
-    new S3Store(endpoint, bucket, key, region, creds, etag)
+    val (size, etag) = S3Store.head(endpoint, bucket, key, region, creds)
+    (new S3Store(endpoint, bucket, key, region, creds, etag), size)
   }
 
   private def listNames(prefix: String): Seq[String] =

@@ -157,9 +157,13 @@ final class GcsStore(endpoint: String, bucket: String, key: String,
     try {
       conn.setRequestProperty("Range", s"bytes=$start-${start + len - 1}")
       conn.getResponseCode match {
-        case 200 if start > 0 || conn.getContentLengthLong < len =>
+        case 200 if start > 0 ||
+            { val cl = conn.getContentLengthLong; cl >= 0 && cl < len } =>
           // body starts at offset 0 — serving it as [start, start+len)
-          // would be silent corruption (same guard as S3Store.readOnce)
+          // would be silent corruption (same guard as S3Store.readOnce).
+          // Content-Length -1 (chunked/streamed) is NOT a violation at
+          // start == 0: the body is still the object from offset 0 and a
+          // truly short object surfaces as a short-read IOException below.
           throw new java.net.ProtocolException(
             s"GCS endpoint did not honor Range bytes=$start-${start + len - 1} " +
               s"for gs://$bucket/$key (got 200 with length ${conn.getContentLengthLong})")
@@ -301,6 +305,41 @@ object GcsStore {
     * `prefixes` array, (size, generation) for objects. */
   case class Entry(name: String, isDir: Boolean, size: Long, generation: Long)
 
+  /** List EVERY object under `prefix` (no delimiter), names relative to
+    * the prefix. Registry enumeration (roots/leases/blocks) must use this
+    * rather than listChildren: a root named `datasets/v1` is one OBJECT
+    * whose key contains '/', and a delimiter listing would report it as
+    * the dir `datasets` — filterNot(_.isDir) would then drop it and GC
+    * would treat the still-referenced label as unreachable. */
+  def listFlat(endpoint: String, bucket: String, prefix: String,
+      tokens: GcsAuth.TokenProvider): Seq[Entry] = {
+    val out = Seq.newBuilder[Entry]
+    var pageToken: Option[String] = None
+    var more = true
+    while (more) {
+      val query = s"prefix=${SigV4.uriEncode(prefix, keepSlash = false)}" +
+        pageToken.map(t => s"&pageToken=${SigV4.uriEncode(t, keepSlash = false)}").getOrElse("")
+      val conn = open("GET", endpoint, s"/storage/v1/b/$bucket/o?$query", tokens)
+      try {
+        if (conn.getResponseCode != 200)
+          throw new IOException(
+            s"GCS list gs://$bucket/$prefix returned ${conn.getResponseCode}")
+        val n = mapper.readTree(conn.getInputStream)
+        val items = n.path("items")
+        (0 until items.size).foreach { i =>
+          val it = items.get(i)
+          val name = it.path("name").asText.substring(prefix.length)
+          if (name.nonEmpty)
+            out += Entry(name, isDir = false, it.path("size").asText("0").toLong,
+              it.path("generation").asText("0").toLong)
+        }
+        pageToken = Option(n.path("nextPageToken").asText(null)).filter(_.nonEmpty)
+        more = pageToken.isDefined
+      } finally conn.disconnect()
+    }
+    out.result()
+  }
+
   /** List immediate children of `prefix` (delimiter "/"), names relative
     * to the prefix. Paginates via nextPageToken. */
   def listChildren(endpoint: String, bucket: String, prefix: String,
@@ -399,9 +438,11 @@ final class GcsRefRegistry(endpoint: String, bucket: String,
 
   def blockSize(bidHex: String): Long = blockSource(bidHex)._2
 
+  // flat listing — a delimiter listing would report a root/lease whose
+  // NAME contains '/' (e.g. "datasets/v1") as a dir and lose it, making
+  // GC see the label as unreachable and delete its live blocks
   private def listNames(prefix: String): Seq[String] =
-    GcsStore.listChildren(endpoint, bucket, prefix, tokens)
-      .filterNot(_.isDir).map(_.name)
+    GcsStore.listFlat(endpoint, bucket, prefix, tokens).map(_.name)
 
   def listBlocks(): Seq[String] = listNames(casPrefix)
   def listRoots(): Seq[String] = listNames(rootPrefix)
@@ -417,5 +458,10 @@ final class GcsRefRegistry(endpoint: String, bucket: String,
   def openBlock(bidHex: String): GcsStore = {
     val (key, _, gen) = blockSource(bidHex)
     new GcsStore(endpoint, bucket, key, gen, tokens)
+  }
+
+  override def openBlockSized(bidHex: String): (RemoteStore, Long) = {
+    val (key, size, gen) = blockSource(bidHex) // one attrs probe for both
+    (new GcsStore(endpoint, bucket, key, gen, tokens), size)
   }
 }

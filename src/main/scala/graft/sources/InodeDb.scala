@@ -37,18 +37,35 @@ object InodeDb {
     if (f.isFile) {
       replaying = true
       try {
-        new String(Files.readAllBytes(f.toPath), UTF_8).split("\n")
-          .filter(_.nonEmpty).foreach(applyLine)
+        val content = new String(Files.readAllBytes(f.toPath), UTF_8)
+        // every append ends in \n, so a torn final write leaves the file
+        // unterminated — drop the trailing fragment OUTRIGHT: a number cut
+        // mid-digits ("123" of "1234") parses fine but restores a WRONG,
+        // older generation, which is exactly the aliasing the journal
+        // exists to prevent
+        val whole =
+          if (content.isEmpty || content.endsWith("\n")) content
+          else content.substring(0, content.lastIndexOf('\n') + 1)
+        val replayed = whole.split("\n").filter(_.nonEmpty)
+        replayed.foreach(applyLine)
+        // seed the compaction counter with the replayed length: a daemon
+        // that appends under CompactAt lines per run would otherwise reset
+        // to 0 every restart and the journal would grow without bound
+        lines = replayed.length
       } finally replaying = false
+      if (lines >= CompactAt) compact()
     }
   }
 
   def detach(): Unit = synchronized { journal = None }
 
-  /** One journal line; malformed (torn) lines are ignored. */
+  /** One journal line; malformed (torn) lines are ignored. A torn line
+    * can have the right FIELD COUNT with a truncated value ("gen\tk\t12"
+    * cut mid-number or at ""), so the numeric parse is guarded too —
+    * crash-safety must hold for any prefix of a valid line. */
   private def applyLine(line: String): Unit = line.split("\t", -1) match {
     case Array("gen", key, v) =>
-      PufsFileSystem.restoreGeneration(key, v.toLong)
+      v.toLongOption.foreach(PufsFileSystem.restoreGeneration(key, _))
     case Array("mount", path, repo, sha) =>
       try PufsFileSystem.mountSnapshotAt(path, repo, sha)
       catch { case _: Exception => } // repo gone since journaling — skip

@@ -137,8 +137,10 @@ object RemoteSnapshotRepo {
     new String(reg.getRoot(label).getOrElse(
       throw new java.io.FileNotFoundException(s"no remote root: $label")), UTF_8)
 
-  private def readBlockText(reg: BlockRegistry, sha: String): String =
-    new String(reg.openBlock(sha).read(0, reg.blockSize(sha).toInt), UTF_8)
+  private def readBlockText(reg: BlockRegistry, sha: String): String = {
+    val (store, size) = reg.openBlockSized(sha) // one metadata probe
+    new String(store.read(0, size.toInt), UTF_8)
+  }
 
   private def parseManifest(text: String): Seq[SnapshotStore.ManifestEntry] =
     text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
@@ -175,21 +177,15 @@ object RemoteSnapshotRepo {
       ShardInfo(p, s, f.toInt, b.toLong)
     }
 
-  /** Push `repo`@`ref` under `label` with a SHARDED root: file blocks,
-    * then one shard manifest block per top-level directory, then the
-    * index block, then the pointer — still pointer-last. Re-pushing
-    * after a one-file change uploads that block + its shard + the index;
-    * every untouched shard is CAS-skipped. */
-  def pushSharded(repo: String, ref: String, reg: BlockRegistry,
-      label: String): PushStats = {
-    val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
-    val entries = SnapshotStore.mountAt(repo, sha)
-    var up = 0; var skip = 0
-    def cas(bidHex: String, body: => Array[Byte]): Unit =
-      if (reg.pushBlock(bidHex, body)) up += 1 else skip += 1
-    entries.map(_.sha256).distinct.foreach { blockSha =>
-      cas(blockSha, SnapshotStore.readBlock(repo, blockSha))
-    }
+  /** Shared commit half of the sharded publishers: shard manifest block
+    * per top-level directory, then the index block, then the pointer —
+    * pointer LAST. The shard/index wire format lives HERE ONLY, so the
+    * "direct publish yields the same root sha as stage-then-push"
+    * invariant cannot rot by the two callers drifting apart. `cas`
+    * counts an upload or a skip per block. */
+  private def commitShardedRoot(entries: Seq[SnapshotStore.ManifestEntry],
+      reg: BlockRegistry, label: String,
+      cas: (String, Array[Byte]) => Unit): String = {
     val shards = entries.groupBy(e => shardKey(e.path)).toSeq.sortBy(_._1)
       .map { case (prefix, es) =>
         val bytes = es.sortBy(_.path)
@@ -205,6 +201,25 @@ object RemoteSnapshotRepo {
     val indexSha = PufsFileSystem.sha256Bytes(indexBytes)
     cas(indexSha, indexBytes)
     reg.setRoot(label, indexSha.getBytes(UTF_8))
+    indexSha
+  }
+
+  /** Push `repo`@`ref` under `label` with a SHARDED root: file blocks,
+    * then one shard manifest block per top-level directory, then the
+    * index block, then the pointer — still pointer-last. Re-pushing
+    * after a one-file change uploads that block + its shard + the index;
+    * every untouched shard is CAS-skipped. */
+  def pushSharded(repo: String, ref: String, reg: BlockRegistry,
+      label: String): PushStats = {
+    val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
+    val entries = SnapshotStore.mountAt(repo, sha)
+    var up = 0; var skip = 0
+    def cas(bidHex: String, body: Array[Byte]): Unit =
+      if (reg.pushBlock(bidHex, body)) up += 1 else skip += 1
+    entries.map(_.sha256).distinct.foreach { blockSha =>
+      cas(blockSha, SnapshotStore.readBlock(repo, blockSha))
+    }
+    commitShardedRoot(entries, reg, label, cas)
     PushStats(up, skip)
   }
 
@@ -220,21 +235,7 @@ object RemoteSnapshotRepo {
       if (reg.pushBlock(bidHex, body)) up += 1 else skip += 1
     val entries = hashed
       .map { case (p, sz, sha, _) => SnapshotStore.ManifestEntry(p, sz, sha) }
-    val shards = entries.groupBy(e => shardKey(e.path)).toSeq.sortBy(_._1)
-      .map { case (prefix, es) =>
-        val bytes = es.sortBy(_.path)
-          .map(e => s"${e.path}\t${e.size}\t${e.sha256}").mkString("\n")
-          .getBytes(UTF_8)
-        val shardSha = PufsFileSystem.sha256Bytes(bytes)
-        cas(shardSha, bytes)
-        ShardInfo(prefix, shardSha, es.size, es.map(_.size).sum)
-      }
-    val indexBytes =
-      (IndexHeader +: shards.map(s => s"${s.prefix}\t${s.sha}\t${s.files}\t${s.bytes}"))
-        .mkString("\n").getBytes(UTF_8)
-    val indexSha = PufsFileSystem.sha256Bytes(indexBytes)
-    cas(indexSha, indexBytes)
-    reg.setRoot(label, indexSha.getBytes(UTF_8))
+    val indexSha = commitShardedRoot(entries, reg, label, cas)
     (indexSha, PushStats(up, skip))
   }
 
@@ -283,13 +284,22 @@ object RemoteSnapshotRepo {
       val text =
         try readBlockText(reg, sha)
         catch { case _: java.io.IOException => return } // dangling pointer
-      if (text.startsWith(IndexHeader)) parseIndex(text).foreach { s =>
-        if (live.add(s.sha))
-          try parseManifest(readBlockText(reg, s.sha))
-            .foreach(e => live += e.sha256)
-          catch { case _: java.io.IOException => }
-      }
-      else parseManifest(text).foreach(e => live += e.sha256)
+      // A pointer may target a block that is NOT a manifest we wrote (a
+      // label set straight to a file block's sha, a half-written pointer,
+      // a foreign object under root/). Unparseable content is treated as
+      // a LEAF — the pointed-at block stays live, its (nonexistent)
+      // children are skipped — so one bad pointer can never abort the GC
+      // run with leases unexpired and garbage uncollected. Partial adds
+      // before a parse throw only over-retain, which is the safe side.
+      try {
+        if (text.startsWith(IndexHeader)) parseIndex(text).foreach { s =>
+          if (live.add(s.sha))
+            try parseManifest(readBlockText(reg, s.sha))
+              .foreach(e => live += e.sha256)
+            catch { case scala.util.control.NonFatal(_) => }
+        }
+        else parseManifest(text).foreach(e => live += e.sha256)
+      } catch { case scala.util.control.NonFatal(_) => }
     }
     reg.listRoots().foreach { name =>
       reg.getRoot(name).foreach(bid => addManifest(new String(bid, UTF_8)))

@@ -135,11 +135,14 @@ final class S3Store(endpoint: String, bucket: String, key: String,
       region, creds, SigV4.EmptySha, extra)
     try {
       conn.getResponseCode match {
-        case 200 if start > 0 || conn.getContentLengthLong < len =>
+        case 200 if start > 0 ||
+            { val cl = conn.getContentLengthLong; cl >= 0 && cl < len } =>
           // The endpoint ignored the Range header (real S3 honors it, but
           // this class targets any S3-compatible service): a 200 body
           // starts at offset 0, so reading `len` bytes from it would
           // silently return the wrong region for any start > 0.
+          // Content-Length -1 (chunked) at start == 0 is still a correct
+          // full-body read — a short object hits the short-read guard.
           throw new java.net.ProtocolException(
             s"S3 endpoint did not honor Range bytes=$start-${start + len - 1} " +
               s"for s3://$bucket/$key (got 200 with length ${conn.getContentLengthLong})")

@@ -97,6 +97,58 @@ class ApiServerSpec extends AnyFunSuite {
     assert(get("/v1/read?path=ghost")._1 == 404)
   }
 
+  test("read: suffix ranges, malformed ranges, and empty files are HTTP " +
+      "responses, never dropped connections") {
+    val expected = Array.tabulate(5000)(i => (i % 251).toByte)
+    // RFC 7233 suffix range: last n bytes
+    val (c1, b1) = get("/v1/read?path=sub/deep/c.bin",
+      Map("Range" -> "bytes=-500"))
+    assert(c1 == 206 && java.util.Arrays.equals(b1,
+      java.util.Arrays.copyOfRange(expected, 4500, 5000)))
+    // a suffix longer than the file clamps to the whole file
+    val (c2, b2) = get("/v1/read?path=sub/deep/c.bin",
+      Map("Range" -> "bytes=-99999"))
+    assert(c2 == 206 && java.util.Arrays.equals(b2, expected))
+    // multi-range and garbage specs: 416 with an errorMsg body — the old
+    // handler threw NumberFormatException out of the exchange and the
+    // client saw a closed socket with no status line at all
+    val (c3, b3) = get("/v1/read?path=sub/deep/c.bin",
+      Map("Range" -> "bytes=0-4,10-20"))
+    assert(c3 == 416 && json(b3).has("errorMsg"))
+    val (c4, b4) = get("/v1/read?path=sub/deep/c.bin",
+      Map("Range" -> "bytes=abc-def"))
+    assert(c4 == 416 && json(b4).has("errorMsg"))
+    assert(get("/v1/read?path=sub/deep/c.bin",
+      Map("Range" -> "lines=1-2"))._1 == 416)
+  }
+
+  test("read of a zero-byte file is 200 with an empty body") {
+    val src = Files.createTempDirectory("api-empty-src").toString
+    Files.write(Paths.get(src, "empty.txt"), Array.emptyByteArray)
+    Files.write(Paths.get(src, "full.txt"), "x".getBytes(UTF_8))
+    val repo2 = Files.createTempDirectory("api-empty-repo").toString
+    SnapshotStore.publish(src, repo2, "main")
+    val h = ApiServer.start(repo2, "main")
+    try {
+      def g(path: String, hdrs: Map[String, String] = Map.empty) = {
+        val conn = URI.create(s"http://127.0.0.1:${h.port}$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        try {
+          hdrs.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          val code = conn.getResponseCode
+          val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+          (code, if (in == null) Array.emptyByteArray
+                 else try in.readAllBytes() finally in.close())
+        } finally conn.disconnect()
+      }
+      val (c, b) = g("/v1/read?path=empty.txt")
+      assert(c == 200, s"plain GET of an empty file returned $c")
+      assert(b.isEmpty)
+      // any byte range against a zero-byte file is unsatisfiable
+      assert(g("/v1/read?path=empty.txt", Map("Range" -> "bytes=0-"))._1 == 416)
+    } finally h.stop()
+  }
+
   test("startRemote fronts a bucket label: pinned lazy reads, live cache fill") {
     val keyPair = {
       val g = java.security.KeyPairGenerator.getInstance("RSA")

@@ -60,6 +60,36 @@ class InodeDbSpec extends AnyFunSuite {
     }
   }
 
+  test("torn tail with valid field count but truncated number is dropped") {
+    // the dangerous torn write: "gen\tkey\t12" cut from "gen\tkey\t1234"
+    // parses as a VALID line restoring an older generation — exactly the
+    // block-id aliasing the journal exists to prevent. The unterminated
+    // final line (no trailing \n) must be dropped outright.
+    val dbDir = Files.createTempDirectory("inodedb-t").toString
+    InodeDb.attach(dbDir)
+    try {
+      val backing = Files.createTempDirectory("inodedb-t-backing").toString
+      (1 to 12).foreach(_ => PufsFileSystem.bumpGeneration(backing, "a.bin"))
+      // crash mid-append: the digits of the new generation are cut short
+      Files.write(Paths.get(dbDir, "inodes.log"),
+        s"gen\t$backing/a.bin\t1".getBytes(UTF_8), StandardOpenOption.APPEND)
+      PufsFileSystem.simulateRestart()
+      InodeDb.attach(dbDir)
+      assert(PufsFileSystem.generationOf(backing, "a.bin") == 12,
+        "truncated-number torn tail rolled a generation BACKWARD")
+      InodeDb.compact() // rewrite clean (drops the torn fragment)
+      // a COMPLETE line with a non-numeric value (right field count,
+      // terminated) must be skipped, not crash attach for every later
+      // process — defense in depth under the newline-drop rule
+      Files.write(Paths.get(dbDir, "inodes.log"),
+        s"gen\t$backing/a.bin\tnotanum\n".getBytes(UTF_8),
+        StandardOpenOption.APPEND)
+      PufsFileSystem.simulateRestart()
+      InodeDb.attach(dbDir) // NumberFormatException here = the bug
+      assert(PufsFileSystem.generationOf(backing, "a.bin") == 12)
+    } finally InodeDb.detach()
+  }
+
   test("torn trailing line is dropped; compaction preserves state") {
     val dbDir = Files.createTempDirectory("inodedb-c").toString
     InodeDb.attach(dbDir)

@@ -353,6 +353,57 @@ class RemoteSnapshotRepoSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("gc keeps labels whose NAMES contain '/' (flat registry listing)") {
+    // regression: listRoots/listLeases once used a delimiter listing, so a
+    // root named "datasets/v1" was reported as the dir "datasets" and
+    // filtered out — gc then saw its closure as unreachable and deleted
+    // the live blocks
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      val src = newSrc()
+      val repo = Files.createTempDirectory("nested-repo").toString
+      SnapshotStore.publish(src, repo, "main")
+      RemoteSnapshotRepo.push(repo, "main", reg, "datasets/v1")
+      assert(RemoteSnapshotRepo.gc(reg) == ((0, 0)),
+        "gc deleted blocks reachable only from a nested label name")
+      // the nested label still mounts and reads after gc
+      val (_, entries) = RemoteSnapshotRepo.mount(reg, "datasets/v1")
+      assert(entries.map(_.path).sorted == Seq("a.txt", "sub/b.bin"))
+      // nested LEASE names must survive the same way
+      val sha = new String(reg.getRoot("datasets/v1").get, UTF_8)
+      reg.setLease("team/pin", System.currentTimeMillis() + 3600000,
+        sha.getBytes(UTF_8))
+      assert(RemoteSnapshotRepo.gc(reg)._2 == 0, "nested lease dropped as unlisted")
+    } finally srv.stop()
+  }
+
+  test("gc survives a root that points at a non-manifest block") {
+    val srv = new FakeGcs(keyPair)
+    try {
+      val reg = new GcsRefRegistry(srv.endpoint, "bkt", "depot/",
+        new GcsAuth.TokenProvider(srv.account))
+      val src = newSrc()
+      val repo = Files.createTempDirectory("badptr-repo").toString
+      SnapshotStore.publish(src, repo, "main")
+      RemoteSnapshotRepo.push(repo, "main", reg, "main")
+      // a label set DIRECTLY at a file block (not a manifest): its text is
+      // binary garbage for the manifest parser — gc must treat it as a
+      // leaf, not abort the whole run
+      val (_, entries) = RemoteSnapshotRepo.mount(reg, "main")
+      val fileSha = entries.find(_.path == "sub/b.bin").get.sha256
+      reg.setRoot("raw-block", fileSha.getBytes(UTF_8))
+      // real garbage to collect: an orphaned CAS block with no referrer
+      val orphan = "ff" * 32
+      reg.pushBlock(orphan, "orphan-bytes".getBytes(UTF_8))
+      val (deleted, _) = RemoteSnapshotRepo.gc(reg)
+      assert(deleted == 1, s"expected only the orphan deleted, got $deleted")
+      assert(reg.blockSize(fileSha) > 0, "leaf-rooted block was collected")
+      intercept[java.io.IOException] { reg.blockSize(orphan) }
+    } finally srv.stop()
+  }
+
   test("remote gc over S3 with sharded roots and paginated listing") {
     val creds = SigV4.Credentials("AKIDTEST", "testsecretkey")
     val srv = new FakeS3(creds, listPageSize = 3) // forces continuation tokens
