@@ -57,6 +57,21 @@ object Cli {
           println(s"collected $blocks blocks, dropped $leases expired leases")
           0
       }
+    case "push-remote" :: scheme :: endpoint :: bucket :: prefix ::
+        repo :: ref :: label :: rest =>
+      remoteRegistry(scheme, endpoint, bucket, prefix) match {
+        case None => 1
+        case Some(reg) =>
+          // --sharded: per-top-dir shard manifests + index root, the
+          // 10M-file lake layout; default is the flat manifest
+          val stats =
+            if (rest.contains("--sharded"))
+              graft.sources.RemoteSnapshotRepo.pushSharded(repo, ref, reg, label)
+            else graft.sources.RemoteSnapshotRepo.push(repo, ref, reg, label)
+          println(s"pushed $repo@$ref -> $scheme://$bucket/$prefix@$label " +
+            s"(${stats.uploaded} uploaded, ${stats.skipped} already present)")
+          0
+      }
     case "link" :: backing :: path :: url :: Nil   => link(backing, path, url)
     case _ =>
       System.err.println(
@@ -74,6 +89,7 @@ object Cli {
           |  serve <repo> <ref> [port]
           |  serve-remote <gs|s3> <endpoint> <bucket> <prefix> <label> [port]
           |  gc-remote <gs|s3> <endpoint> <bucket> <prefix>
+          |  push-remote <gs|s3> <endpoint> <bucket> <prefix> <repo> <ref> <label> [--sharded]
           |      (gs: GOOGLE_APPLICATION_CREDENTIALS key file;
           |       s3: AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY[/AWS_REGION])
           |  link <backingDir> <path> <url>""".stripMargin)
@@ -262,10 +278,16 @@ object Cli {
     * same read-only daemon — the "front a bucket snapshot for non-Spark
     * tools" role of the reference's mount+serve loop. Credentials ride
     * the conventional environment, never argv. */
+  /** Test seam: specs inject an in-process registry here because the real
+    * credential path is environment variables, which a JVM test cannot
+    * set. Production dispatch never touches it. */
+  private[graft] var registryOverride: Option[BlockRegistry] = None
+
   /** Build a registry client from the scheme + conventional env
     * credentials; None (with a usage message) when they're absent. */
   private def remoteRegistry(scheme: String, endpoint: String,
-      bucket: String, prefix: String): Option[BlockRegistry] = scheme match {
+      bucket: String, prefix: String): Option[BlockRegistry] =
+    if (registryOverride.isDefined) registryOverride else scheme match {
     case "gs" =>
       sys.env.get("GOOGLE_APPLICATION_CREDENTIALS") match {
         case None =>

@@ -126,6 +126,48 @@ class CliSpec extends SparkSpec {
       s"expected a strict subset of the 4 data files:\n$o3")
   }
 
+  test("push-remote / gc-remote drive a bucket registry through the verb " +
+      "dispatch") {
+    val keyPair = {
+      val g = java.security.KeyPairGenerator.getInstance("RSA")
+      g.initialize(2048); g.generateKeyPair()
+    }
+    val srv = new graft.sources.FakeGcs(keyPair)
+    try {
+      val reg = new graft.sources.GcsRefRegistry(srv.endpoint, "bkt", "d/",
+        new graft.sources.GcsAuth.TokenProvider(srv.account))
+      Cli.registryOverride = Some(reg) // env credentials are unreachable in-test
+      val src = Files.createTempDirectory("cli-pr-src").toString
+      Files.createDirectories(Paths.get(src, "t"))
+      Files.write(Paths.get(src, "t/a.txt"), "alpha".getBytes)
+      val repo = Files.createTempDirectory("cli-pr-repo").toString
+      assert(captureOut(Cli.run(List("push", src, repo, "main")))._1 == 0)
+
+      val (c1, o1) = captureOut(Cli.run(List("push-remote", "gs", "e", "b",
+        "p/", repo, "main", "lake")))
+      assert(c1 == 0 && o1.contains("2 uploaded"), o1) // file block + manifest
+      // idempotent re-push uploads nothing
+      val (c2, o2) = captureOut(Cli.run(List("push-remote", "gs", "e", "b",
+        "p/", repo, "main", "lake")))
+      assert(c2 == 0 && o2.contains("0 uploaded"), o2)
+      // the pushed label mounts from the registry
+      val (_, entries) = graft.sources.RemoteSnapshotRepo.mount(reg, "lake")
+      assert(entries.map(_.path) == Seq("t/a.txt"))
+      // sharded layout through the same verb
+      val (c3, o3) = captureOut(Cli.run(List("push-remote", "gs", "e", "b",
+        "p/", repo, "main", "lake-sharded", "--sharded")))
+      assert(c3 == 0, o3)
+      assert(graft.sources.RemoteSnapshotRepo.mountShard(reg, "lake-sharded", "t")
+        .map(_.path) == Seq("t/a.txt"))
+      // gc through the verb: everything is label-reachable
+      val (c4, o4) = captureOut(Cli.run(List("gc-remote", "gs", "e", "b", "p/")))
+      assert(c4 == 0 && o4.contains("collected 0 blocks"), o4)
+    } finally {
+      Cli.registryOverride = None
+      srv.stop()
+    }
+  }
+
   test("sql verb queries a pushed parquet snapshot through pufs://") {
     val src = Files.createTempDirectory("cli-sql-src").toString
     spark.range(0, 100).selectExpr("id", "id * 2 AS v")
