@@ -465,6 +465,26 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L52: classifier EVALUATION — the confusion matrix + per-class recall
+    // of the l6 language-ID heuristic against the gold `lang` column: the
+    // standard calibrate-before-you-filter step of every pipeline that
+    // gates data on a model's prediction (a quality/langid cut is only as
+    // good as its measured error profile). Counts are exact integers; the
+    // recall fraction is ONE division of identical cross-engine operands.
+    // At 100 TB: two hash aggregations over (gold, pred) — the matrix is
+    // |langs|² rows, the corpus is read once through l6's scorer.
+    "l52_langid_eval" -> ((s, d) => {
+      val pred = queries("l6_langid")(s, d).select(col("doc_id"), col("pred_lang"))
+      val gold = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val conf = gold.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val totals = conf.groupBy("lang").agg(sum(col("n")).as("gold_total"))
+      conf.join(totals, "lang")
+        .select(col("lang"), col("pred_lang"), col("n"), col("gold_total"),
+          (col("n").cast("double") / col("gold_total").cast("double")).as("frac"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // L7: quality scoring — length / punctuation / stopword-ratio heuristics.
     "l7_quality" -> ((s, d) => {
       val tk = split(lower(col("text")), " ")
@@ -1796,6 +1816,39 @@ object LlmOps {
         |       ELSE 'und' END AS pred_lang,
         |  en_s, de_s, fr_s, es_s
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "l52_langid_eval" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS en_s,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('der', 'die', 'das'))) AS BIGINT) AS de_s,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('le', 'la', 'et'))) AS BIGINT) AS fr_s,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('el', 'los', 'y'))) AS BIGINT) AS es_s
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en_s >= de_s AND en_s >= fr_s AND en_s >= es_s AND en_s > 0
+        |           THEN 'en'
+        |         WHEN de_s >= fr_s AND de_s >= es_s AND de_s > 0 THEN 'de'
+        |         WHEN fr_s >= es_s AND fr_s > 0 THEN 'fr'
+        |         WHEN es_s > 0 THEN 'es'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM s),
+        |conf AS (
+        |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN pred p USING (doc_id)
+        |  GROUP BY d.lang, p.pred_lang),
+        |tot AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS gold_total
+        |  FROM conf GROUP BY lang)
+        |SELECT lang, pred_lang, n, gold_total,
+        |  CAST(n AS DOUBLE) / CAST(gold_total AS DOUBLE) AS frac
+        |FROM conf JOIN tot USING (lang)
+        |ORDER BY lang, pred_lang""".stripMargin,
 
     "l7_quality" ->
       """SELECT doc_id, n_chars,
