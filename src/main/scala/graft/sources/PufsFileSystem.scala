@@ -67,7 +67,10 @@ class PufsFileSystem extends FileSystem {
       .getOrElse(conf.get("fs.pufs.backing"))
     require(backingRoot != null,
       "fs.pufs.backing (or a registered pufs://<token>/ authority) is required")
-    cacheRoot = conf.get("fs.pufs.cache",
+    // conf.get's default argument is evaluated EAGERLY — the two-arg form
+    // would create (and discard) a fresh pufs-cache* temp dir on every
+    // instantiation even when fs.pufs.cache is configured
+    cacheRoot = Option(conf.get("fs.pufs.cache")).getOrElse(
       Files.createTempDirectory("pufs-cache").toString)
     chunkSize = conf.getLong("fs.pufs.chunk.size", PufsFileSystem.DefaultChunkSize)
     readahead = conf.getLong("fs.pufs.readahead", PufsFileSystem.DefaultReadahead)
@@ -199,6 +202,21 @@ class PufsFileSystem extends FileSystem {
   private def bumpGeneration(f: Path): Unit =
     PufsFileSystem.bumpGeneration(backingRoot, rel(f))
 
+  /** Relative paths of every FILE under `dir` (empty when not a dir) —
+    * collected BEFORE a directory-level rename/delete so each descendant's
+    * generation can be bumped. Bumping only the directory path would leave
+    * the per-FILE synthetic block ids unchanged: replace /tbl wholesale
+    * with same-size same-mtime files (rename preserves mtime, cp -p too)
+    * and a reader would be served the OLD file's cached chunks. */
+  private def descendantRels(dir: File): Seq[String] = {
+    def walk(f: File): Seq[File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+    if (!dir.isDirectory) Seq.empty
+    else walk(dir).map(f =>
+      dir.toPath.relativize(f.toPath).toString.replace(File.separatorChar, '/'))
+  }
+
   override def open(f: Path, bufferSize: Int): FSDataInputStream = resolveMount(f) match {
     case Some((m, sub)) =>
       val e = m.entries.getOrElse(sub,
@@ -287,8 +305,15 @@ class PufsFileSystem extends FileSystem {
       throw new java.io.IOException("snapshot mounts are read-only")
     val s = backingFile(src); val d = backingFile(dst)
     d.getParentFile.mkdirs()
+    val subs = descendantRels(s) // pre-rename snapshot of the subtree
     val ok = s.renameTo(d)
-    if (ok) { bumpGeneration(src); bumpGeneration(dst) }
+    if (ok) {
+      bumpGeneration(src); bumpGeneration(dst)
+      subs.foreach { r =>
+        PufsFileSystem.bumpGeneration(backingRoot, s"${rel(src)}/$r")
+        PufsFileSystem.bumpGeneration(backingRoot, s"${rel(dst)}/$r")
+      }
+    }
     ok
   }
 
@@ -309,7 +334,11 @@ class PufsFileSystem extends FileSystem {
       ok
     }
     else if (recursive) {
-      org.apache.commons.io.FileUtils.deleteDirectory(bf); bumpGeneration(f); true
+      val subs = descendantRels(bf)
+      org.apache.commons.io.FileUtils.deleteDirectory(bf)
+      bumpGeneration(f)
+      subs.foreach(r => PufsFileSystem.bumpGeneration(backingRoot, s"${rel(f)}/$r"))
+      true
     }
     else if (bf.list().isEmpty) { val ok = bf.delete(); if (ok) bumpGeneration(f); ok }
     else throw new java.io.IOException(s"dir not empty: $f (reference DirNotEmptyErr)")
@@ -483,12 +512,17 @@ object PufsFileSystem {
     entries.computeIfAbsent(s"$cacheRoot|$blockId", _ => {
       val f = new File(new File(cacheRoot, "chunks"), blockId)
       f.getParentFile.mkdirs()
+      val log = new File(new File(cacheRoot, "chunks"), blockId + ".regions")
       if (!f.exists()) {
+        // the data file is gone (partial arena cleanup): a surviving
+        // .regions log would replay "populated" over the freshly created
+        // all-zeros sparse file and reads would serve zeros as content —
+        // the log lives and dies with its data file
+        log.delete()
         val raf = new RandomAccessFile(f, "rw")
         try raf.setLength(size) finally raf.close() // sparse local file (B2)
       }
       val mask = maskFor(s"$cacheRoot|$blockId")
-      val log = new File(new File(cacheRoot, "chunks"), blockId + ".regions")
       // replay the append-only region log so partial population survives a
       // process restart with ZERO re-fetches (reference core/freezer.go:
       // 420-469 load replay; persisted 481-509; asserted by the reference's

@@ -95,6 +95,15 @@ object SnapshotStore {
         }
       finally s.close()
     }
+    // the manifest and stat cache are tab/newline-delimited text: a path
+    // carrying either separator would publish "successfully" and then
+    // MatchError every later mount/gc/diff of the snapshot — reject it
+    // loudly at the only write point instead
+    files.find(_._1.exists(c => c == '\t' || c == '\n')).foreach { case (p, _, _) =>
+      throw new IllegalArgumentException(
+        s"publish: path contains a tab or newline (unrepresentable in the " +
+          s"manifest): '${p.replace("\t", "\\t").replace("\n", "\\n")}'")
+    }
     val prev = readStatCache(repo, label)
     val (clean, dirty) = files.partition { case (p, sz, mt) =>
       prev.get(p).exists { case (psz, pmt, psha) =>
@@ -239,7 +248,7 @@ object SnapshotStore {
     val live = scala.collection.mutable.Set[String]()
     def addReachable(manifestSha: String): Unit = {
       val mf = casDir(repo).resolve(manifestSha)
-      if (Files.exists(mf)) {
+      if (manifestSha.nonEmpty && Files.isRegularFile(mf)) {
         live += manifestSha
         new String(Files.readAllBytes(mf), "UTF-8").split("\n")
           .filter(_.nonEmpty).foreach { line => live += line.split("\t")(2) }
@@ -248,12 +257,24 @@ object SnapshotStore {
     def listDir(p: JPath): Seq[JPath] =
       if (!Files.exists(p)) Seq.empty
       else { val s = Files.list(p); try s.toArray.map(_.asInstanceOf[JPath]).toSeq finally s.close() }
-    listDir(rootDir(repo)).foreach { r =>
+    // pointer dirs only list REGULAR non-dot files: .part temps from a
+    // crashed atomic write (renewLease / setRoot stage as .lease*/.root*
+    // before the move) are not pointers and must neither be parsed (a
+    // 0-byte temp would MatchError and abort EVERY later gc) nor treated
+    // as roots. Same filter as labels(). The CAS listing below stays
+    // unfiltered — parquet zone-map sidecars are DIRECTORIES.
+    def listPointers(p: JPath): Seq[JPath] =
+      listDir(p).filter(f => Files.isRegularFile(f) &&
+        !f.getFileName.toString.startsWith("."))
+    listPointers(rootDir(repo)).foreach { r =>
       addReachable(new String(Files.readAllBytes(r), "UTF-8").trim)
     }
-    listDir(leaseDir(repo)).foreach { l =>
-      val Array(sha, expiry) = new String(Files.readAllBytes(l), "UTF-8").split("\t")
-      if (Instant.ofEpochMilli(expiry.toLong).isAfter(now)) addReachable(sha)
+    listPointers(leaseDir(repo)).foreach { l =>
+      new String(Files.readAllBytes(l), "UTF-8").split("\t") match {
+        case Array(sha, expiry) if expiry.nonEmpty && expiry.forall(_.isDigit) =>
+          if (Instant.ofEpochMilli(expiry.toLong).isAfter(now)) addReachable(sha)
+        case _ => // malformed/torn lease — conservative no-op, never abort gc
+      }
     }
     var deleted = 0
     listDir(casDir(repo)).foreach { b =>
@@ -294,8 +315,18 @@ object SnapshotStore {
     * copied). */
   def uploadTree(spark: SparkSession, srcDir: String, repo: String,
       prefix: String): (PublishStats, Int) = {
-    val prevShas: Map[String, String] =
-      getRoot(repo, prefix) match {
+    // The previous-state source is a marker written AFTER the copy loop
+    // completes — NOT the label pointer: publish() advances the pointer
+    // before the copies run, so a crash mid-copy would otherwise make the
+    // rerun read the already-advanced root, see an empty dirty set, and
+    // leave objects/<prefix> permanently stale.
+    val uploadedMarker = Paths.get(repo, "objects", prefix, ".uploaded-manifest")
+    val prevShas: Map[String, String] = {
+      val prevSha =
+        if (Files.exists(uploadedMarker))
+          Some(new String(Files.readAllBytes(uploadedMarker), "UTF-8").trim)
+        else None
+      prevSha match {
         case Some(sha) if Files.exists(casDir(repo).resolve(sha)) =>
           new String(Files.readAllBytes(casDir(repo).resolve(sha)), "UTF-8")
             .split("\n").filter(_.nonEmpty).map { line =>
@@ -303,6 +334,7 @@ object SnapshotStore {
             }.toMap
         case _ => Map.empty
       }
+    }
     val stats = publish(spark, srcDir, repo, prefix)
     val entries = mount(repo, prefix)
     val dirty = entries.filter(e => !prevShas.get(e.path).contains(e.sha256))
@@ -328,6 +360,13 @@ object SnapshotStore {
           StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    // record the completed upload LAST — the rerun of a crash anywhere
+    // above re-copies from the old marker state, which only over-copies
+    Files.createDirectories(uploadedMarker.getParent)
+    val mtmp = Files.createTempFile(uploadedMarker.getParent, ".upm", ".part")
+    Files.write(mtmp, stats.manifestSha.getBytes("UTF-8"))
+    Files.move(mtmp, uploadedMarker, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     (stats, dirty.size)
   }
 

@@ -17,6 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object StreamJobs {
 
+  /** Committed-batch markers and pointers go through the HADOOP
+    * filesystem of the target path, not java.io/java.nio: a java.io.File
+    * of "hdfs://nn/idx/commits/0" never exists and java.nio would write
+    * to a local directory literally named "hdfs:" — silently breaking
+    * replay idempotence for any non-local index/out/agg dir (the same
+    * trap DedupIndex documents for its bloom sidecar). */
+  private def hadoopFs(s: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def markerExists(s: org.apache.spark.sql.SparkSession,
+      dir: String, batchId: Long): Boolean = {
+    val (fs, p) = hadoopFs(s, s"$dir/commits/$batchId")
+    fs.exists(p)
+  }
+
+  private def writeMarker(s: org.apache.spark.sql.SparkSession,
+      dir: String, batchId: Long): Unit = {
+    val (fs, p) = hadoopFs(s, s"$dir/commits/$batchId")
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
   /** Tumbling 1-hour counts; with a 10-minute watermark when streaming. */
   def tumblingCounts(ev: DataFrame, watermark: Boolean = false): DataFrame = {
     val in = if (watermark) ev.withWatermark("ts", "10 minutes") else ev
@@ -42,9 +67,17 @@ object StreamJobs {
       .select(col("user_id"), col("w.start").as("session_start"), col("cnt"))
   }
 
-  /** Streaming dedup by event_id; state expires past the watermark. */
+  /** Streaming dedup by event_id; state expires past the watermark.
+    * dropDuplicatesWithinWatermark, NOT dropDuplicates("event_id"): with
+    * the event-time column absent from the dedup keys, plain
+    * dropDuplicates keeps every event_id ever seen in the state store
+    * forever (no watermark predicate on the keys) — unbounded state over
+    * an unbounded id space. The WithinWatermark variant evicts a key once
+    * the watermark passes its event time, which is the documented
+    * contract here. */
   def dedupWithinWatermark(ev: DataFrame): DataFrame =
-    ev.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+    ev.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream inner join bounded by an event-time range: a view joins
     * a click by the same user when the view happened within the 5 minutes
@@ -71,12 +104,33 @@ object StreamJobs {
     * tracks the batch, not the table. */
   def publishEachBatch(ev: DataFrame, stagingDir: String, repo: String,
       label: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    ev.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      batch.write.mode("append").parquet(stagingDir)
-      graft.sources.SnapshotStore.publish(
-        batch.sparkSession, stagingDir, repo, label)
-      ()
+    ev.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyPublishBatch(batch, batchId, stagingDir, repo, label)
     }
+
+  /** One micro-batch of the streaming publish, replay-safe (package-
+    * visible so the replay matrix is directly testable): a committed
+    * marker skips fully-applied replays, and rows land in a per-batch
+    * partition under DYNAMIC overwrite so a partial replay rewrites its
+    * own partition instead of appending the batch twice — an
+    * unconditional append would commit duplicated rows into the labeled
+    * snapshot on every foreachBatch replay. Markers live in the repo
+    * (always local), outside the published tree. */
+  private[graft] def applyPublishBatch(batch: DataFrame, batchId: Long,
+      stagingDir: String, repo: String, label: String): Unit = {
+    val s = batch.sparkSession
+    if (!markerExists(s, s"$repo/.stream-commits/$label", batchId)) {
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(stagingDir)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      graft.sources.SnapshotStore.publish(s, stagingDir, repo, label)
+      writeMarker(s, s"$repo/.stream-commits/$label", batchId)
+    }
+  }
 
   /** Streaming ingestion dedup against the standing DedupIndex: each
     * micro-batch is first deduped within itself (min doc_id per content),
@@ -99,8 +153,7 @@ object StreamJobs {
       // the marker re-appends hash entries on replay, which the index
       // tolerates (bloom stays a superset, the exact anti-join is
       // unaffected by duplicate index rows).
-      val marker = new java.io.File(s"$indexDir/commits/$batchId")
-      if (!marker.exists()) {
+      if (!markerExists(s, indexDir, batchId)) {
         val inBatch = batch.groupBy(col("text"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id", "text")
@@ -116,8 +169,7 @@ object StreamJobs {
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         graft.operators.DedupIndex.append(s, indexDir, novel)
         novel.unpersist()
-        marker.getParentFile.mkdirs()
-        java.nio.file.Files.createFile(marker.toPath)
+        writeMarker(s, indexDir, batchId)
       }
       ()
     }
@@ -140,8 +192,7 @@ object StreamJobs {
       k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     probes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
-      val marker = new java.io.File(s"$outDir/commits/$batchId")
-      if (!marker.exists()) {
+      if (!markerExists(s, outDir, batchId)) {
         val answers = graft.operators.AnnIndex.queryProbes(s, indexDir,
           batch.select(col("probe_id"), col("pv")), k)
         val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -151,8 +202,7 @@ object StreamJobs {
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$outDir/answers")
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-        marker.getParentFile.mkdirs()
-        java.nio.file.Files.createFile(marker.toPath)
+        writeMarker(s, outDir, batchId)
       }
       ()
     }
@@ -187,8 +237,7 @@ object StreamJobs {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
-      val marker = new java.io.File(s"$indexDir/commits/$batchId")
-      if (!marker.exists()) {
+      if (!markerExists(s, indexDir, batchId)) {
         val rows = batch.select("doc_id", "text").persist()
         val losers = graft.operators.NearDupIndex.pairsWithin(rows)
           .select(col("b").as("doc_id")).distinct()
@@ -208,8 +257,7 @@ object StreamJobs {
         graft.operators.NearDupIndex.append(s, indexDir, accepted)
         accepted.unpersist()
         rows.unpersist()
-        marker.getParentFile.mkdirs()
-        java.nio.file.Files.createFile(marker.toPath)
+        writeMarker(s, indexDir, batchId)
       }
       ()
     }
@@ -245,38 +293,58 @@ object StreamJobs {
   private[graft] def applyAggBatch(batch: DataFrame, batchId: Long,
       aggDir: String): Unit = {
     val s = batch.sparkSession
-    val marker = new java.io.File(s"$aggDir/commits/$batchId")
-    val ptr = new java.io.File(s"$aggDir/CURRENT")
-    val alreadySwapped = ptr.exists() &&
-      java.nio.file.Files.readString(ptr.toPath).trim == s"v$batchId"
-    if (!marker.exists() && alreadySwapped) {
+    val (fs, ptr) = hadoopFs(s, s"$aggDir/CURRENT")
+    def readPtr(): Option[String] =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    val current = readPtr()
+    val alreadySwapped = current.contains(s"v$batchId")
+    if (!markerExists(s, aggDir, batchId) && alreadySwapped) {
       // crashed between the pointer swap and the marker: the batch's
       // effects are fully visible, only the marker is missing
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.createFile(marker.toPath)
-    } else if (!marker.exists()) {
-      val base =
-        if (ptr.exists())
-          s.read.parquet(s"$aggDir/" + java.nio.file.Files.readString(ptr.toPath).trim)
-        else {
+      writeMarker(s, aggDir, batchId)
+    } else if (!markerExists(s, aggDir, batchId)) {
+      val base = current match {
+        case Some(v) => s.read.parquet(s"$aggDir/$v")
+        case None =>
           import org.apache.spark.sql.types._
           s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             StructType(Seq(StructField("grp", LongType),
               StructField("cnt", LongType),
               StructField("total", DecimalType(18, 2)))))
-        }
+      }
       val deltas = batch.select(col("grp").cast("long").as("grp"),
         lit(1L).as("dCnt"), col("value").cast("decimal(18,2)").as("dTotal"))
       graft.operators.IncrementalAgg.applyDeltas(base, deltas)
         .select(col("grp"), col("cnt"), col("total").cast("decimal(18,2)").as("total"))
         .write.mode("overwrite").parquet(s"$aggDir/v$batchId")
-      val tmp = new java.io.File(s"$aggDir/CURRENT.tmp$batchId")
-      java.nio.file.Files.writeString(tmp.toPath, s"v$batchId")
-      java.nio.file.Files.move(tmp.toPath, ptr.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.createFile(marker.toPath)
+      // pointer swap: write-temp + atomic rename on the TARGET filesystem
+      val tmp = new org.apache.hadoop.fs.Path(s"$aggDir/CURRENT.tmp$batchId")
+      val out = fs.create(tmp, true)
+      try out.write(s"v$batchId".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // FileContext rename+OVERWRITE is atomic on HDFS and local — a
+      // delete-then-rename would open a window with NO pointer, and a
+      // crash there would replay against an empty base (losing history)
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(ptr.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      writeMarker(s, aggDir, batchId)
+      // reclaim superseded versions: once the marker is down, only
+      // v<batchId> is ever read again (markers stop old-batch replays),
+      // so a long-running stream does not accumulate O(batches) full
+      // snapshots of the aggregate table
+      val stale = fs.globStatus(new org.apache.hadoop.fs.Path(s"$aggDir/v*"))
+      if (stale != null) stale.foreach { st =>
+        if (st.getPath.getName != s"v$batchId")
+          fs.delete(st.getPath, true)
+      }
     }
   }
 

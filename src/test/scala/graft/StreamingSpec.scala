@@ -70,6 +70,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("publish replay matrix: a replayed batch never duplicates rows") {
+    import graft.SparkSpec.spark.implicits._
+    import graft.sources.SnapshotStore
+    val staging = java.nio.file.Files.createTempDirectory("rp-stage").toString
+    val repo = java.nio.file.Files.createTempDirectory("rp-repo").toString
+    def batchDf(ids: Long*) = ids.toDF("event_id")
+    def mountedIds(): Seq[Long] =
+      SnapshotStore.mount(repo, "live").filter(_.path.endsWith(".parquet"))
+        .flatMap { e =>
+          val tmp = java.nio.file.Files.createTempFile("rp", ".parquet")
+          java.nio.file.Files.write(tmp, SnapshotStore.readBlock(repo, e.sha256))
+          spark.read.parquet(tmp.toString).select("event_id")
+            .collect().map(_.getLong(0)).toSeq
+        }.sorted
+    StreamJobs.applyPublishBatch(batchDf(1L, 2L), 0L, staging, repo, "live")
+    assert(mountedIds() == Seq(1L, 2L))
+    // full replay of a committed batch (crash after marker): no-op
+    StreamJobs.applyPublishBatch(batchDf(1L, 2L), 0L, staging, repo, "live")
+    assert(mountedIds() == Seq(1L, 2L), "committed replay duplicated rows")
+    // partial replay (crash between the staging write and the marker):
+    // the batch rewrites ITS OWN partition, never appends a second copy —
+    // simulate by removing the marker and replaying
+    StreamJobs.applyPublishBatch(batchDf(3L), 1L, staging, repo, "live")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      repo, ".stream-commits", "live", "commits", "1"))
+    StreamJobs.applyPublishBatch(batchDf(3L), 1L, staging, repo, "live")
+    assert(mountedIds() == Seq(1L, 2L, 3L),
+      "uncommitted replay duplicated the batch into the snapshot")
+  }
+
   test("dropDuplicates within watermark dedups by event_id") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

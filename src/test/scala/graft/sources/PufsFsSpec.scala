@@ -650,4 +650,31 @@ class PufsFsSpec extends SparkSpec {
         "parquet read did not reach readVectored — sequential fallback used")
     } finally hc.unset("parquet.hadoop.vectored.io.enabled")
   }
+
+  test("directory rename/delete bumps every DESCENDANT file's generation") {
+    // the staleness trap: replace /tbl wholesale with same-size same-mtime
+    // files (rename preserves mtime) — if only the DIRECTORY path's
+    // generation moves, each file's synthetic block id is unchanged and a
+    // reader is served the old file's cached chunks
+    val backing = tmpDir("pufs-genb")
+    Files.createDirectories(Paths.get(backing, "tbl"))
+    Files.write(Paths.get(backing, "tbl/f.bin"), "v1".getBytes)
+    val fs = newFs(backing, tmpDir("pufs-genc"))
+    try {
+      val g0 = PufsFileSystem.generationOf(backing, "tbl/f.bin")
+      assert(fs.rename(new org.apache.hadoop.fs.Path("/tbl"),
+        new org.apache.hadoop.fs.Path("/bak")))
+      assert(PufsFileSystem.generationOf(backing, "tbl/f.bin") > g0,
+        "rename-away did not bump the descendant's generation")
+      val gBak = PufsFileSystem.generationOf(backing, "bak/f.bin")
+      assert(fs.rename(new org.apache.hadoop.fs.Path("/bak"),
+        new org.apache.hadoop.fs.Path("/tbl")))
+      assert(PufsFileSystem.generationOf(backing, "bak/f.bin") > gBak)
+      // recursive delete bumps descendants too
+      val gDel = PufsFileSystem.generationOf(backing, "tbl/f.bin")
+      assert(fs.delete(new org.apache.hadoop.fs.Path("/tbl"), true))
+      assert(PufsFileSystem.generationOf(backing, "tbl/f.bin") > gDel,
+        "recursive delete did not bump the descendant's generation")
+    } finally fs.close()
+  }
 }

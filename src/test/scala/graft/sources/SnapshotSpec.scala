@@ -185,6 +185,50 @@ class SnapshotSpec extends SparkSpec {
       "sibling object must survive the delete")
   }
 
+  test("uploadTree resumes after a crash between publish and the copies") {
+    // publish() advances the label pointer BEFORE the copy loop runs: if
+    // the dirty set were derived from that pointer, a crash mid-copy would
+    // make the rerun see an empty diff and leave objects/ stale forever.
+    // The completed-upload marker is the source of truth instead.
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-crash").toString
+    SnapshotStore.uploadTree(spark, src, repo, "drop")
+    // simulate the crash: the tree changes and publish() runs (advancing
+    // the pointer) but the copy loop never does
+    Files.write(Paths.get(src, "a.txt"), "alpha-crashed".getBytes)
+    SnapshotStore.publish(spark, src, repo, "drop")
+    assert(new String(Files.readAllBytes(
+      Paths.get(repo, "objects", "drop", "a.txt")), "UTF-8") != "alpha-crashed",
+      "precondition: objects/ must be stale before the resumed upload")
+    // the resumed upload must notice and re-copy despite the identical root
+    val (_, copied) = SnapshotStore.uploadTree(spark, src, repo, "drop")
+    assert(copied == 1, s"resumed upload copied $copied files, expected 1")
+    assert(new String(Files.readAllBytes(
+      Paths.get(repo, "objects", "drop", "a.txt")), "UTF-8") == "alpha-crashed")
+  }
+
+  test("gc tolerates crashed-write debris and publish rejects manifest-" +
+      "breaking paths") {
+    val src = mkTree()
+    val repo = Files.createTempDirectory("snap-debris").toString
+    SnapshotStore.publish(src, repo, "main")
+    // 0-byte .part temps from a crashed renewLease/setRoot atomic write:
+    // gc must skip them, not MatchError and abort forever
+    Files.createFile(Paths.get(repo, "lease", ".lease123.part"))
+    Files.createFile(Paths.get(repo, "root", ".root456.part"))
+    // and a malformed COMPLETE lease (e.g. hand-edited): skipped too
+    Files.write(Paths.get(repo, "lease", "broken"), "not-a-lease".getBytes)
+    assert(SnapshotStore.gc(repo) == 0) // label still pins everything
+    // a path with a tab would publish fine and then MatchError every later
+    // mount of the snapshot — publish must reject it loudly instead
+    val badSrc = Files.createTempDirectory("snap-bad")
+    Files.write(badSrc.resolve("a\tb"), "x".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.publish(badSrc.toString, repo, "bad")
+    }
+    assert(e.getMessage.contains("tab"))
+  }
+
   test("zone-map sidecar prunes files by range; results never change") {
     import org.apache.spark.sql.functions._
     // a range-clustered table: 4 parquet files with disjoint key ranges
