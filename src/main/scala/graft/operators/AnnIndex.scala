@@ -23,26 +23,31 @@ object AnnIndex {
 
   /** One pass over the vectors: (vec_id, band, sig) signature rows plus
     * a co-located copy of the vectors, written under `dir`. */
-  def build(spark: SparkSession, sfDir: String, dir: String): Unit = {
-    graft.functions.VectorExpressions.register(spark)
-    val e = graft.Tables.t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    e.select(col("vec_id"), posexplode(
-        expr(s"sign_lsh(embedding, $Tables, $Bits)")).as(Seq("band", "sig")))
-      .write.mode("overwrite").parquet(s"$dir/signatures")
-    e.write.mode("overwrite").parquet(s"$dir/vectors")
-  }
+  def build(spark: SparkSession, sfDir: String, dir: String): Unit =
+    writeIndex(spark, graft.Tables.t(spark, sfDir, "embeddings"),
+      dir, mode = "overwrite")
 
   /** Incremental maintenance: signatures are per-row, so new vectors
     * append without touching the existing index (the write-once model —
     * no rebuild, no rewrite). `newVecs`: (vec_id, embedding). */
-  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit =
+    writeIndex(spark, newVecs, dir, mode = "append")
+
+  /** Shared write half: the input is PERSISTED across the two writes —
+    * signatures/ and vectors/ must come from the SAME evaluation, or a
+    * non-deterministic input (sample/limit, a re-read table that changed
+    * between writes) leaves them inconsistent and queryProbes' inner join
+    * silently drops or strands vectors. Also one corpus scan, not two. */
+  private def writeIndex(spark: SparkSession, vecs: DataFrame, dir: String,
+      mode: String): Unit = {
     graft.functions.VectorExpressions.register(spark)
-    val e = newVecs.select(col("vec_id"), col("embedding"))
-    e.select(col("vec_id"), posexplode(
-        expr(s"sign_lsh(embedding, $Tables, $Bits)")).as(Seq("band", "sig")))
-      .write.mode("append").parquet(s"$dir/signatures")
-    e.write.mode("append").parquet(s"$dir/vectors")
+    val e = vecs.select(col("vec_id"), col("embedding")).persist()
+    try {
+      e.select(col("vec_id"), posexplode(
+          expr(s"sign_lsh(embedding, $Tables, $Bits)")).as(Seq("band", "sig")))
+        .write.mode(mode).parquet(s"$dir/signatures")
+      e.write.mode(mode).parquet(s"$dir/vectors")
+    } finally { e.unpersist(); () }
   }
 
   /** Top-k neighbors for every vector with `vec_id < nProbes`, served

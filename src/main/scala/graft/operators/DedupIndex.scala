@@ -33,8 +33,12 @@ object DedupIndex {
     * with one bloom per shard at this capacity. */
   private val BloomCapacity = 1L << 20
 
+  // coalesce: sha2(NULL) is NULL, and NULL = NULL never matches in the
+  // confirm join — a NULL-text doc would pass the anti-join as "new" on
+  // EVERY batch (while build() groups all NULLs into one keeper), so the
+  // index would re-admit it forever. NULL text dedups as the empty string.
   private def withSha(docs: DataFrame): DataFrame =
-    docs.withColumn("sha", sha2(col("text"), 256))
+    docs.withColumn("sha", sha2(coalesce(col("text"), lit("")), 256))
       .withColumn("h", xxhash64(col("sha")))
 
   private def bloomOf(df: DataFrame): BloomFilter = {
@@ -65,6 +69,24 @@ object DedupIndex {
     val (fs, p) = fsFor(spark, indexDir)
     val in = fs.open(p)
     try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Exclusive lock around the bloom read-merge-write when the index is
+    * on a lockable local filesystem; elsewhere the single-writer contract
+    * applies (see append's scaladoc). */
+  private def withBloomLock[A](spark: SparkSession, indexDir: String)(body: => A): A = {
+    val (fs, _) = fsFor(spark, indexDir)
+    if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      val lockPath = java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(indexDir).toUri.getPath, ".bloom.lock")
+      java.nio.file.Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    } else body
   }
 
   /** Dedup `docs` internally (min doc_id survives) and persist the index.
@@ -100,19 +122,31 @@ object DedupIndex {
     val confirmed = hashed.filter(maybeSeen)
       .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),
         Seq("sha"), "left_anti")
-    definitelyNew.unionByName(confirmed).drop("h")
+    // drop BOTH internal columns — leaking sha would pollute the
+    // documented rows-of-docs output schema (append recomputes it)
+    definitelyNew.unionByName(confirmed).drop("h", "sha")
   }
 
   /** Index a batch of (already internally-deduped) new rows: bloom first
-    * (screen stays a superset of hashes/ at every instant), then rows. */
+    * (screen stays a superset of hashes/ at every instant), then rows.
+    *
+    * The bloom update is a read-merge-write; concurrent appenders to ONE
+    * index would lose each other's bits and break the superset invariant
+    * ("bloom miss proves new" would then admit duplicates silently). A
+    * local-FS index takes an exclusive file lock around the merge so two
+    * JVMs serialize; on object stores without locks the contract is
+    * single-writer-per-index (the streaming builders satisfy it: one
+    * query owns one indexDir). */
   def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
     val hashes = withSha(docs)
       .groupBy("sha").agg(min(col("doc_id")).as("keeper_id"),
         first(col("h")).as("h"))
       .persist()
-    val merged = readBloom(spark, indexDir)
-    merged.mergeInPlace(bloomOf(hashes))
-    writeBloom(spark, indexDir, merged)
+    withBloomLock(spark, indexDir) {
+      val merged = readBloom(spark, indexDir)
+      merged.mergeInPlace(bloomOf(hashes))
+      writeBloom(spark, indexDir, merged)
+    }
     hashes.select("sha", "keeper_id")
       .write.mode("append").parquet(s"$indexDir/hashes")
     hashes.unpersist()

@@ -35,7 +35,16 @@ object IncrementalAgg {
     * coalesce to 0 so the deltas mirror SUM's null-skipping exactly: a
     * changed row whose value went NULL->x contributes +x, x->NULL
     * contributes -x, and an added/removed NULL-valued row contributes
-    * only its count. */
+    * only its count.
+    *
+    * PRECONDITION: the grouping column must be immutable under "changed"
+    * (part of the row's identity, like the diff key itself). A changed
+    * row carries ONE grp and dCnt = 0 — if the group key itself moved,
+    * the departure group would keep the row's count and the arrival
+    * group would never gain it. Feeds whose group key can change must
+    * model the move as removed(old grp) + added(new grp) before calling
+    * this (o8's key-based diff does exactly that when grp is derived
+    * from the key). */
   def deltasFromDiff(changes: DataFrame): DataFrame = {
     val oldV = coalesce(col("oldVal"), lit(0))
     val newV = coalesce(col("newVal"), lit(0))
@@ -62,16 +71,29 @@ object IncrementalAgg {
   /** Sketch-based distinct-count maintenance: HLL sketches form a
     * commutative monoid under union (register-wise max), so maintaining a
     * standing per-group sketch by merging the new batch's sketch yields
-    * the SAME estimate as re-sketching all of version 2 — at O(changed
-    * groups · sketch size) cost, with bounded state per group (the same
-    * reason a7 prefers the sketch at 100 TB). Append-only by nature:
+    * the SAME estimate as re-sketching all of version 2 — with bounded
+    * state per group (the same reason a7 prefers the sketch at 100 TB).
+    * Union-merge work is confined to the TOUCHED groups: the batch's
+    * per-group sketches are aggregated first (small — O(changed groups)
+    * rows), base rows for untouched groups pass through by a broadcast
+    * anti join against that small set, and only touched base rows enter
+    * the hll_union_agg — so the merge is O(changed groups · sketch size)
+    * and the 100 TB base is never re-aggregated. Append-only by nature:
     * sketches cannot subtract, so removals fall back to maintainByRescan.
     * base: (grp, sk) from hll_sketch_agg; added: raw new rows (grp, v). */
-  def maintainSketch(base: DataFrame, added: DataFrame): DataFrame =
-    base.select(col("grp"), col("sk"))
-      .unionByName(added.groupBy("grp").agg(hll_sketch_agg(col("v")).as("sk")))
+  def maintainSketch(base: DataFrame, added: DataFrame): DataFrame = {
+    val batch = added.groupBy("grp").agg(hll_sketch_agg(col("v")).as("sk"))
+    val touched = batch.select(col("grp").as("__tgrp")).distinct()
+    val untouched = base.join(broadcast(touched),
+      base("grp") <=> touched("__tgrp"), "left_anti")
+    val merged = base.join(broadcast(touched),
+      base("grp") <=> touched("__tgrp"), "left_semi")
+      .select(col("grp"), col("sk"))
+      .unionByName(batch)
       .groupBy("grp")
       .agg(hll_union_agg(col("sk")).as("sk"))
+    untouched.select(col("grp"), col("sk")).unionByName(merged)
+  }
 
   /** Maintenance for NON-group aggregates (min/max/distinct-count): keep
     * base rows for groups the change feed never touched, re-aggregate

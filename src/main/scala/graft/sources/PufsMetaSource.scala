@@ -165,13 +165,20 @@ class PufsMetaReader(root: String, sub: String, maxDepth: Int,
 
   private val iter: Iterator[(File, Int)] =
     if (sub.isEmpty) {
-      // root partition: root itself + its top-level FILES only (subdirs are
-      // covered by their own partitions). The root's listing counts once.
-      Iterator.single((rootFile, 0)) ++ {
-        PufsMetaTable.dirsListed.incrementAndGet()
-        Option(rootFile.listFiles()).getOrElse(Array.empty).iterator
-          .filter(_.isFile).filter(_ => maxDepth >= 1).map(f => (f, 1))
-      }
+      // root partition: root itself + its top-level NON-DIRECTORY entries
+      // (subdirs are covered by their own partitions; non-regular entries
+      // — dangling symlinks, fifos — are emitted like LazyWalk emits them
+      // one level down, so visibility does not depend on depth). The
+      // root's listing counts once, is name-sorted like LazyWalk's, and
+      // is SKIPPED entirely at maxDepth = 0 — listing children every one
+      // of which the budget discards would both waste the IO and break
+      // the deferred-listing observable.
+      Iterator.single((rootFile, 0)) ++ (
+        if (maxDepth >= 1) {
+          PufsMetaTable.dirsListed.incrementAndGet()
+          Option(rootFile.listFiles()).getOrElse(Array.empty)
+            .filter(!_.isDirectory).sortBy(_.getName).iterator.map(f => (f, 1))
+        } else Iterator.empty)
     } else new LazyWalk(new File(rootFile, sub), 1)
 
   private var cur: (File, Int) = _
@@ -180,35 +187,48 @@ class PufsMetaReader(root: String, sub: String, maxDepth: Int,
     if (iter.hasNext) { cur = iter.next(); true } else false
   }
 
+  /** Projected column ordinals resolved ONCE per reader (not a per-row
+    * Map of boxed closures): the scan hot path fills the row from a
+    * switch, and expensive fields stay lazy so pruning actually prunes —
+    * `SELECT ext, size` never computes a path string or a per-row
+    * SHA-256 block id (the class-doc promise; a strict per-row blockId
+    * would pay hash+hex for every row of a million-file listing). */
+  private val colIdx: Array[Int] =
+    required.fields.map(fd => PufsMetaTable.schema.fieldIndex(fd.name))
+
   override def get(): InternalRow = {
     val (f, depth) = cur
-    val relPath = rootFile.toPath.relativize(f.toPath).toString
-    val name = if (relPath.isEmpty) "." else f.getName
-    val parent = Option(new File(relPath).getParent).getOrElse("")
-    val ext = {
-      val n = f.getName
-      val i = n.lastIndexOf('.')
-      if (!f.isFile || i <= 0) "" else n.substring(i + 1)
-    }
-    val size = if (f.isFile) f.length() else 0L
-    val blockId = PufsFileSystem.syntheticBlockId(root, relPath, size,
+    lazy val relPath = rootFile.toPath.relativize(f.toPath).toString
+    lazy val blockId = PufsFileSystem.syntheticBlockId(root, relPath,
+      if (f.isFile) f.length() else 0L,
       f.lastModified(), PufsFileSystem.generationOf(root, relPath))
     // M2: join the block cache's population state into the listing row
-    lazy val (popBytes, regions) =
+    lazy val stats =
       if (f.isFile && wantsStats) statsById.getOrElse(blockId, (0L, 0)) else (0L, 0)
-    val full = Map[String, () => Any](
-      "path" -> (() => UTF8String.fromString(relPath)),
-      "name" -> (() => UTF8String.fromString(name)),
-      "parent" -> (() => UTF8String.fromString(parent)),
-      "isDir" -> (() => f.isDirectory),
-      "size" -> (() => size),
-      "modTime" -> (() => f.lastModified() * 1000L), // micros
-      "depth" -> (() => depth),
-      "ext" -> (() => UTF8String.fromString(ext)),
-      "blockId" -> (() => UTF8String.fromString(blockId)),
-      "populatedBytes" -> (() => popBytes),
-      "regionCount" -> (() => regions))
-    InternalRow.fromSeq(required.fields.map(fd => full(fd.name)()).toIndexedSeq)
+    val vals = new Array[Any](colIdx.length)
+    var i = 0
+    while (i < colIdx.length) {
+      vals(i) = colIdx(i) match {
+        case 0 => UTF8String.fromString(relPath)
+        case 1 => UTF8String.fromString(if (relPath.isEmpty) "." else f.getName)
+        case 2 => UTF8String.fromString(
+          Option(new File(relPath).getParent).getOrElse(""))
+        case 3 => f.isDirectory
+        case 4 => if (f.isFile) f.length() else 0L
+        case 5 => f.lastModified() * 1000L // micros
+        case 6 => depth
+        case 7 =>
+          val n = f.getName
+          val d = n.lastIndexOf('.')
+          UTF8String.fromString(
+            if (!f.isFile || d <= 0) "" else n.substring(d + 1))
+        case 8 => UTF8String.fromString(blockId)
+        case 9 => stats._1
+        case 10 => stats._2
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
   override def close(): Unit = ()

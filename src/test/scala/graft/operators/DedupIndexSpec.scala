@@ -47,6 +47,23 @@ class DedupIndexSpec extends SparkSpec {
       Set(22L))
   }
 
+  test("NULL-text docs dedup instead of being re-admitted every batch") {
+    // sha2(NULL) is NULL and NULL = NULL never matches the confirm join —
+    // without the coalesce a NULL-text doc would screen as "new" forever
+    // and the index would grow a duplicate row per batch
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-null").toString
+    val corpus = Seq((1L, Option("real text")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.build(spark, corpus, indexDir) == 2)
+    val batch = Seq((10L, Option.empty[String]), (11L, Option("novel")))
+      .toDF("doc_id", "text")
+    val fresh = DedupIndex.newAgainst(spark, indexDir, batch)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "the NULL-text doc must match the indexed NULL-text content")
+    // the screen output carries ONLY the caller's columns (no sha/h leak)
+    assert(fresh.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("bloom screen keeps definite-new rows away from the confirm join") {
     // structural guarantee: rows failing the bloom take the no-join arm.
     // With 500 novel docs and 1% fpp, at most a handful may false-positive

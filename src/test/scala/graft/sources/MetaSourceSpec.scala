@@ -119,6 +119,15 @@ class MetaSourceSpec extends SparkSpec {
     assert(rows == Seq(("", true), ("d1", true), ("top.csv", false)))
   }
 
+  test("maxDepth=0 performs NO listings at all") {
+    PufsMetaTable.dirsListed.set(0)
+    val rows = spark.read.format("pufs-meta").option("maxDepth", "0")
+      .load(fixture).select("path").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq(""), s"only the root row can be emitted, got $rows")
+    assert(PufsMetaTable.dirsListed.get() == 0,
+      "a zero budget still listed children it must discard")
+  }
+
   test("deferred listing: a LIMIT over a wide tree doesn't walk the world") {
     // 200 dirs x 5 files = 1200 entries; a limit(3) scan must list only a
     // tiny fraction of the directories (M19: fetch children on touch)
