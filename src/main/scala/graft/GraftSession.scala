@@ -29,6 +29,11 @@ object GraftSession {
     graft.functions.BloomMembership.register(spark)
     graft.functions.ZOrder.register(spark)
     graft.plans.RangeChunks.register(spark)
+    // the banded range-join rewrite binds to no data path — attach must
+    // expose the same engine surface as the extensions route, or a
+    // SQL-first user setting spark.graft.rangeJoin.bandWidth would
+    // silently keep the nested-loop plan with nothing signalling why
+    graft.plans.BandedRangeJoinRule.register(spark)
     spark.udf.register("interval_union",
       udaf(new IntervalUnion, Encoders.product[Interval]))
   }

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * customers/orders/suppliers, same per-key row counts). Dimension
   * tables (region, nation) stay fixed, like real scale-ups: per-nation
   * group sizes grow K×, stressing partial aggregation the right way.
-  * Document text gets a per-replica suffix token so cross-replica rows
-  * are not near-duplicates of each other (minhash/dedup workloads scale
-  * by corpus size, not by a synthetic K²-pair explosion).
+  * Document text gets a per-replica marker appended to EVERY token —
+  * one suffix token would leave all original shingles (and hence the
+  * per-band MinHash minima) intact across replicas, making every
+  * replica pair an LSH candidate: exactly the synthetic K²-pair
+  * explosion this scheme exists to avoid. Per-token salting makes every
+  * shingle differ, so minhash/dedup workloads scale by corpus size.
   *
   *   SPARK_GRAFT_SCALE_K     replicas (default 10)
   *   SPARK_GRAFT_SF_DIR      base dir (default /root/testdata/sf0.1)
@@ -74,7 +77,8 @@ object ScaleBench {
     replicate(spark, base, out, k, "events", Seq("user_id"))
     replicate(spark, base, out, k, "documents", Seq("doc_id"),
       (d, i) => if (i == 0) d
-        else d.withColumn("text", concat(col("text"), lit(s" zrep$i"))))
+        else d.withColumn("text", concat(
+          regexp_replace(col("text"), " ", s"~$i "), lit(s"~$i"))))
     replicate(spark, base, out, k, "embeddings", Seq("vec_id"))
   }
 
@@ -98,6 +102,14 @@ object ScaleBench {
     if (!java.nio.file.Files.exists(done)) {
       generate(spark, base, out, k)
       java.nio.file.Files.write(done, k.toString.getBytes)
+    } else {
+      // the marker records the K the data was GENERATED at — silently
+      // reusing K=10 data while normalizing ratios by a different K
+      // would bias every reported number
+      val prev = new String(java.nio.file.Files.readAllBytes(done)).trim
+      require(prev == k.toString,
+        s"$out was generated at K=$prev but this run wants K=$k — " +
+          s"delete the dir or set SPARK_GRAFT_SCALE_K=$prev")
     }
 
     val suite = Bench.headline.filter { case (n, _) =>
@@ -119,13 +131,17 @@ object ScaleBench {
     }
     val baseT = scala.collection.mutable.LinkedHashMap[String, Double]()
     val scaleT = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a query that fails AT SCALE (OOM, blow-up) is the probe's most
+    // important signal — record it by name instead of silently reporting
+    // a healthy mean over the survivors
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     for (_ <- 1 to 2; (name, fn) <- suite) {
       try {
         val b = timeOne(fn, base)
         baseT(name) = math.min(baseT.getOrElse(name, Double.MaxValue), b)
         val s = timeOne(fn, out)
         scaleT(name) = math.min(scaleT.getOrElse(name, Double.MaxValue), s)
-      } catch { case _: Throwable => () }
+      } catch { case _: Throwable => failed += name }
     }
     def jm(m: scala.collection.Map[String, Double]): String =
       m.map { case (q, v) => "\"" + q + "\":" + f"$v%.3f" }
@@ -136,7 +152,8 @@ object ScaleBench {
     }
     val mean =
       if (ratios.isEmpty) -1.0 else ratios.values.sum / ratios.size
-    println(f"""{"metric":"scale_ratio_mean","value":$mean%.3f,"unit":"x_per_k","k":$k,"base":${jm(baseT)},"scaled":${jm(scaleT)},"ratio_per_k":${jm(ratios)}}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"scale_ratio_mean","value":$mean%.3f,"unit":"x_per_k","k":$k,"base":${jm(baseT)},"scaled":${jm(scaleT)},"ratio_per_k":${jm(ratios)},"failed":$failedJson}""")
     spark.stop()
   }
 }

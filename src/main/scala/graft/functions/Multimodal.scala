@@ -74,11 +74,18 @@ object Multimodal {
       rows.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
         val vec = new Array[Float](dim)
+        // one digest per 32-component block — digest() RESETS the engine,
+        // so calling it per component would hash the empty message for
+        // every i not straight after an update(): 62 of 64 components
+        // were payload-independent constants
+        var block = Array.emptyByteArray
         var i = 0
         while (i < dim) {
-          if (i % 32 == 0) { md.reset(); md.update(payload); md.update(i.toByte) }
-          val h = md.digest()
-          vec(i) = ((h(i % 32) & 0xff) - 128) / 128.0f
+          if (i % 32 == 0) {
+            md.reset(); md.update(payload); md.update(i.toByte)
+            block = md.digest()
+          }
+          vec(i) = ((block(i % 32) & 0xff) - 128) / 128.0f
           i += 1
         }
         Row.fromSeq(r.toSeq :+ vec.toSeq)

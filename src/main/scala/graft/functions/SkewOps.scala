@@ -52,9 +52,12 @@ object SkewOps {
         lit(saltBuckets)))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
+    // qualify BOTH key refs like the __salt comparison: a bare col(key)
+    // is ambiguous whenever the name exists on both sides (self-joins —
+    // the canonical skew case — or same-named keys) and fails analysis
     saltedLeft.join(explodedRight,
         saltedLeft("__salt") === explodedRight("__salt") &&
-          col(leftKey) === col(rightKey))
+          saltedLeft(leftKey) === explodedRight(rightKey))
       .drop("__salt")
   }
 }

@@ -46,4 +46,15 @@ class SkewOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("saltedJoin works when both sides share the key name (self-join)") {
+    // the canonical skew case: a frame joined against itself — unqualified
+    // col(key) refs were ambiguous and failed analysis
+    import graft.SparkSpec.spark.implicits._
+    val small = (0L to 20L).map(k => (k % 5, s"v_$k")).toDF("k", "v")
+    val plain = small.as("a").join(small.as("b"),
+      col("a.k") === col("b.k")).count()
+    val salted = SkewOps.saltedJoin(small, small.toDF("k", "v2"), "k", "k")
+    assert(salted.count() == plain)
+  }
 }

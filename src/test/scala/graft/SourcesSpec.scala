@@ -162,6 +162,16 @@ class SourcesSpec extends SparkSpec {
     assert(out(1L) == out(2L), "same payload must embed identically")
     assert(out(1L) != out(3L), "different payloads must differ")
     assert(out(1L).forall(v => v >= -1.0f && v <= 1.0f))
+    // EVERY 32-component block must be payload-dependent — a digest()
+    // call per component (which resets the engine) once made 62 of 64
+    // components the constant sha256("") and vec(1..31) == vec(33..63)
+    val (a, b) = (out(1L), out(3L))
+    assert((1 until 32).exists(i => a(i) != b(i)),
+      "components 1-31 are payload-independent — digest misuse regressed")
+    assert((33 until 64).exists(i => a(i) != b(i)),
+      "components 33-63 are payload-independent — digest misuse regressed")
+    assert(a.slice(1, 32) != a.slice(33, 64),
+      "block 0 and block 1 must differ (the i.toByte domain separator)")
   }
 
   test("multimodal resize caps the longer side and preserves aspect") {
