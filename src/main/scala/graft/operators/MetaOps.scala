@@ -18,41 +18,63 @@ object MetaOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Build (wipe + rebuild) the fixture tree under java.io.tmpdir:
-    * for each nation row, three `r<region>/n<NK>_<j>.bin` files (j<3) of
-    * size 64+13*nk+j bytes, and for nk%7==0 one `r<region>/deep/n<NK>.idx`
+  /** Build-if-absent the fixture tree under java.io.tmpdir: for each
+    * nation row, three `r<region>/n<NK>_<j>.bin` files (j<3) of size
+    * 64+13*nk+j bytes, and for nk%7==0 one `r<region>/deep/n<NK>.idx`
     * of size 32+nk — so every path, size, depth, and extension the meta
-    * source reports is derivable from `nation` in SQL. Rebuilding on
-    * every call keeps the listing deterministic even if an older fixture
-    * shape is still on disk. */
+    * source reports is derivable from `nation` in SQL.
+    *
+    * Hermetic by construction: the directory name is content-addressed
+    * (sha of the nation rows + fixture version), the tree is built into
+    * a private temp dir and published with one atomic rename, and a
+    * published fixture is NEVER modified or deleted — so any number of
+    * concurrent lanes/processes see either nothing (and build their own
+    * candidate) or a complete immutable tree. If the testdata is
+    * regenerated with different nation rows, the sha changes and a new
+    * fixture dir is built; stale ones are inert. */
   private[graft] def fixture(s: SparkSession, d: String): String = {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_meta_fixture")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
     val rows = s.read.parquet(s"$d/nation.parquet")
       .select("n_nationkey", "n_regionkey").collect() // 25 rows: dim-sized
-    rows.foreach { r =>
-      val nk = r.getInt(0); val rk = r.getInt(1)
-      val dir = new java.io.File(root, s"r$rk")
-      dir.mkdirs()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
+    val spec = "v2|" + rows.map { case (nk, rk) => s"$nk:$rk" }.mkString(",")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(spec.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val target = tmp.resolve(s"graft_meta_fixture_$sha")
+    if (java.nio.file.Files.isDirectory(target)) return target.toString
+    val build =
+      java.nio.file.Files.createTempDirectory(tmp, s"graft_meta_build_$sha.")
+    rows.foreach { case (nk, rk) =>
+      val dir = build.resolve(s"r$rk")
+      java.nio.file.Files.createDirectories(dir)
       (0 until 3).foreach { j =>
         java.nio.file.Files.write(
-          new java.io.File(dir, f"n$nk%02d_$j.bin").toPath,
-          new Array[Byte](64 + 13 * nk + j))
+          dir.resolve(f"n$nk%02d_$j.bin"), new Array[Byte](64 + 13 * nk + j))
       }
       if (nk % 7 == 0) {
-        val deep = new java.io.File(dir, "deep")
-        deep.mkdirs()
+        val deep = dir.resolve("deep")
+        java.nio.file.Files.createDirectories(deep)
         java.nio.file.Files.write(
-          new java.io.File(deep, f"n$nk%02d.idx").toPath,
-          new Array[Byte](32 + nk))
+          deep.resolve(f"n$nk%02d.idx"), new Array[Byte](32 + nk))
       }
     }
-    root.toString
+    try
+      java.nio.file.Files.move(
+        build, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        // if the target now exists, another lane/process published the
+        // identical tree first: keep theirs, discard our candidate;
+        // anything else is a real failure
+        if (!java.nio.file.Files.isDirectory(target)) throw e
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(build.toFile)
+    }
+    target.toString
   }
 
   val queries: Map[String, Q] = Map(

@@ -68,6 +68,31 @@ class MetaSourceSpec extends SparkSpec {
     assert(listing.count() == expectRows)
   }
 
+  test("l5 fixture is content-addressed, build-once, and immutable") {
+    val p1 = graft.operators.MetaOps.fixture(spark, sfDir)
+    assert(p1.matches(".*graft_meta_fixture_[0-9a-f]{16}$"),
+      s"fixture dir is not content-addressed: $p1")
+    // record a file's mtime, then re-invoke concurrently from many
+    // threads — the published tree must never be rebuilt or touched
+    val probe = Files.walk(Paths.get(p1)).filter(Files.isRegularFile(_))
+      .findFirst().get()
+    val mtime = Files.getLastModifiedTime(probe)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val paths = Await.result(
+      Future.sequence((1 to 8).map(_ =>
+        Future(graft.operators.MetaOps.fixture(spark, sfDir)))), 60.seconds)
+    assert(paths.forall(_ == p1), s"concurrent fixture paths diverge: $paths")
+    assert(Files.getLastModifiedTime(probe) == mtime,
+      "an existing published fixture was modified by a later call")
+    // no half-built debris left behind by the losing builders
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val debris = Files.list(tmp).toArray.map(_.toString)
+      .filter(_.contains("graft_meta_build_"))
+    assert(debris.isEmpty, s"builder temp dirs leaked: ${debris.toSeq}")
+  }
+
   test("l5d small-file report flags debris dirs and clears healthy ones") {
     val root = Files.createTempDirectory("meta-smallfiles").toString
     Files.createDirectories(Paths.get(root, "debris"))
