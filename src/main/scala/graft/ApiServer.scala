@@ -188,8 +188,13 @@ object ApiServer {
               hdr match {
                 case None =>
                   sendBytes(e, 0L, e.size, status = 200) // empty file => empty 200
-                case Some(r) if !r.startsWith("bytes=") ||
-                    r.contains(',') => // multi-range unsupported
+                case Some(r) if !r.startsWith("bytes=") =>
+                  // RFC 7233 §3.1: a range unit the server does not
+                  // understand is IGNORED, not an error — serve 200 full
+                  sendBytes(e, 0L, e.size, status = 200)
+                case Some(r) if r.contains(',') =>
+                  // multi-range unsupported (pragmatic 416: the unit IS
+                  // understood, the request is just not satisfiable here)
                   error(ex, 416, s"unsupported range: $r")
                 case Some(r) =>
                   // RFC 7233 single ranges: bytes=a-b, bytes=a-, bytes=-n

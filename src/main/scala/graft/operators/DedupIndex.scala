@@ -1,7 +1,7 @@
 package graft.operators
 
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -11,27 +11,34 @@ import org.apache.spark.util.sketch.BloomFilter
   * ever rescanning the corpus.
   *
   * Layout at `indexDir`:
-  *   hashes/   parquet (sha, keeper_id) — one row per distinct content
-  *   bloom.bin serialized Bloom over xxhash64(sha) — always a SUPERSET of
-  *             hashes/ (append puts new hashes before writing rows), so a
-  *             bloom miss proves a document is new and skips the join
-  *             entirely; bloom hits (~dup rate + fpp of the batch) are the
-  *             only rows that reach the exact anti-join confirm.
+  *   hashes/              parquet (sha, keeper_id) — one row per distinct
+  *                        content
+  *   blooms/shard-<i>.bin 16 serialized Blooms over xxhash64(sha), sharded
+  *                        by the first hex nibble of sha. Each shard is
+  *                        always a SUPERSET of its slice of hashes/ (append
+  *                        merges blooms before writing rows), so a bloom
+  *                        miss proves a document is new and skips the join
+  *                        entirely; bloom hits (~dup rate + fpp of the
+  *                        batch) are the only rows that reach the exact
+  *                        anti-join confirm.
   *
   * At scale: the index is hash-partitioned parquet the confirm join
-  * shuffles against; the bloom is a fixed-size broadcast (9.6 bits per
-  * indexed doc at 1% fpp). Append merges a batch-built bloom into the
-  * standing one (same size/seed → mergeInPlace), keeping the screen
-  * superset invariant without rebuilding.
+  * shuffles against; each shard bloom is a fixed-size broadcast (9.6 bits
+  * per indexed doc at 1% fpp). Sharding by sha prefix makes total capacity
+  * Shards × ShardCapacity while keeping every bloom ever built for a shard
+  * mergeable (mergeInPlace requires identical bit size + hash count), and
+  * lets appends touching few shards lock/rewrite only those. Growing a
+  * deployment = raising Shards (a rebuild), not resizing blooms in place.
   */
 object DedupIndex {
 
   private val Fpp = 0.01
-  /** Fixed capacity so every bloom ever built for an index is mergeable
-    * (mergeInPlace requires identical bit size + hash count). Sized for
-    * the test corpus tier; a production index would shard by hash prefix
-    * with one bloom per shard at this capacity. */
-  private val BloomCapacity = 1L << 20
+  /** Shard count; sha's first hex nibble routes a document to its shard. */
+  private[operators] val Shards = 16
+  /** Per-shard capacity — fixed so all blooms of a shard are mergeable.
+    * 16 shards × 1 Mi ≈ 16.8 M distinct contents at 1% fpp (~2.4 MB of
+    * bloom per shard); production raises Shards, not this constant. */
+  private val ShardCapacity = 1L << 20
 
   // coalesce: sha2(NULL) is NULL, and NULL = NULL never matches in the
   // confirm join — a NULL-text doc would pass the anti-join as "new" on
@@ -41,52 +48,109 @@ object DedupIndex {
     docs.withColumn("sha", sha2(coalesce(col("text"), lit("")), 256))
       .withColumn("h", xxhash64(col("sha")))
 
-  private def bloomOf(df: DataFrame): BloomFilter = {
-    // build at the SHARED capacity via the aggregate path (stat.bloomFilter
-    // sizes bits from expectedItems, so pass the fixed capacity)
-    df.stat.bloomFilter("h", BloomCapacity, Fpp)
+  /** First hex nibble of sha as an int in [0, 16) — codegen'd. */
+  private def shardExpr: Column =
+    conv(substring(col("sha"), 1, 1), 16, 10).cast("int")
+
+  /** All shard blooms in ONE distributed pass (lazy per-partition arrays;
+    * only non-empty shards materialize before the final fill). */
+  private def bloomsOf(df: DataFrame): Array[BloomFilter] = {
+    val agg = df.select(shardExpr.as("shard"), col("h"))
+      .rdd.treeAggregate(new Array[BloomFilter](Shards))(
+        (acc, row) => {
+          val s = row.getInt(0)
+          if (acc(s) == null) acc(s) = BloomFilter.create(ShardCapacity, Fpp)
+          acc(s).putLong(row.getLong(1))
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < Shards) {
+            if (a(i) == null) a(i) = b(i)
+            else if (b(i) != null) a(i).mergeInPlace(b(i))
+            i += 1
+          }
+          a
+        })
+    agg.map(bf =>
+      if (bf == null) BloomFilter.create(ShardCapacity, Fpp) else bf)
   }
 
   // Bloom I/O rides the Hadoop FileSystem of the indexDir's scheme so a
   // non-local index (hdfs://, pufs://) works end-to-end — java.nio would
   // treat "hdfs://x" as a relative local path and silently write a local
   // directory literally named "hdfs:" (ADVICE r5 class of bug).
-  private def fsFor(spark: SparkSession, indexDir: String) = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, "bloom.bin")
+  private def fsFor(spark: SparkSession, indexDir: String, shard: Int) = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, f"blooms/shard-$shard%x.bin")
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def writeBloom(spark: SparkSession, indexDir: String,
+  private def writeBloom(spark: SparkSession, indexDir: String, shard: Int,
       bf: BloomFilter): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val (fs, p) = fsFor(spark, indexDir)
+    val (fs, p) = fsFor(spark, indexDir, shard)
     val out = fs.create(p, true)
     try out.write(bos.toByteArray) finally out.close()
   }
 
-  private def readBloom(spark: SparkSession, indexDir: String): BloomFilter = {
-    val (fs, p) = fsFor(spark, indexDir)
+  private def readBloomBytes(spark: SparkSession, indexDir: String,
+      shard: Int): Array[Byte] = {
+    val (fs, p) = fsFor(spark, indexDir, shard)
     val in = fs.open(p)
-    try BloomFilter.readFrom(in) finally in.close()
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
   }
 
-  /** Exclusive lock around the bloom read-merge-write when the index is
-    * on a lockable local filesystem; elsewhere the single-writer contract
+  private def readBloom(spark: SparkSession, indexDir: String,
+      shard: Int): BloomFilter =
+    BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(readBloomBytes(spark, indexDir, shard)))
+
+  /** OS file locks are process-level: a second lock() on the same path in
+    * the same JVM throws OverlappingFileLockException instead of waiting.
+    * Same-JVM appenders (two streaming queries in one Spark app) serialize
+    * on a per-canonical-path monitor BEFORE taking the cross-process file
+    * lock. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Exclusive append-scope lock: a per-indexDir JVM monitor (OS file
+    * locks are process-level and would throw OverlappingFileLockException
+    * for a second same-JVM appender) and, on a lockable local filesystem,
+    * a cross-process file lock. The lock covers the WHOLE append — bloom
+    * merges AND the parquet row append — because concurrent parquet
+    * appends to one directory also clobber each other's _temporary commit
+    * staging. Elsewhere (object stores) the single-writer contract
     * applies (see append's scaladoc). */
-  private def withBloomLock[A](spark: SparkSession, indexDir: String)(body: => A): A = {
-    val (fs, _) = fsFor(spark, indexDir)
-    if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
-      val lockPath = java.nio.file.Paths.get(
-        new org.apache.hadoop.fs.Path(indexDir).toUri.getPath, ".bloom.lock")
-      java.nio.file.Files.createDirectories(lockPath.getParent)
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try { val l = ch.lock(); try body finally l.release() }
-      finally ch.close()
-    } else body
+  private def withAppendLock[A](spark: SparkSession, indexDir: String)
+      (body: => A): A = {
+    val (fs, _) = fsFor(spark, indexDir, 0)
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val key =
+      if (local)
+        java.nio.file.Paths.get(
+          new org.apache.hadoop.fs.Path(indexDir).toUri.getPath)
+          .toAbsolutePath.normalize.toString
+      else indexDir
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      if (local) {
+        val lockPath = java.nio.file.Paths.get(key, ".append.lock")
+        java.nio.file.Files.createDirectories(lockPath.getParent)
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { val l = ch.lock(); try body finally l.release() }
+        finally ch.close()
+      } else body
+    }
   }
 
   /** Dedup `docs` internally (min doc_id survives) and persist the index.
@@ -101,7 +165,9 @@ object DedupIndex {
     try {
       hashes.select("sha", "keeper_id")
         .write.mode("overwrite").parquet(s"$indexDir/hashes")
-      writeBloom(spark, indexDir, bloomOf(hashes))
+      bloomsOf(hashes).zipWithIndex.foreach { case (bf, i) =>
+        writeBloom(spark, indexDir, i, bf)
+      }
       hashes.count()
     } finally { hashes.unpersist(); () }
   }
@@ -109,46 +175,59 @@ object DedupIndex {
   /** Rows of `docs` whose content is NOT in the index. Bloom misses are
     * new by construction (no false negatives) and never reach the join;
     * only bloom hits are confirmed against hashes/ (left_anti kills the
-    * false positives). */
+    * false positives). The screen is a 16-arm CASE over the shard nibble,
+    * each arm a codegen'd might_contain against that shard's bloom
+    * literal. */
   def newAgainst(spark: SparkSession, indexDir: String,
       docs: DataFrame): DataFrame = {
     import graft.functions.BloomMembership
-    val bos = new java.io.ByteArrayOutputStream()
-    readBloom(spark, indexDir).writeTo(bos)
-    val bloomLit = lit(bos.toByteArray)
-    val hashed = withSha(docs)
-    val maybeSeen = BloomMembership.mightContain(spark, bloomLit, col("h"))
+    val hashed = withSha(docs).withColumn("shard", shardExpr)
+    val maybeSeen = (1 until Shards).foldLeft(
+      when(col("shard") === 0, BloomMembership.mightContain(spark,
+        lit(readBloomBytes(spark, indexDir, 0)), col("h")))) { (acc, i) =>
+      acc.when(col("shard") === i, BloomMembership.mightContain(spark,
+        lit(readBloomBytes(spark, indexDir, i)), col("h")))
+    }
     val definitelyNew = hashed.filter(!maybeSeen)
     val confirmed = hashed.filter(maybeSeen)
       .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),
         Seq("sha"), "left_anti")
-    // drop BOTH internal columns — leaking sha would pollute the
+    // drop ALL internal columns — leaking sha would pollute the
     // documented rows-of-docs output schema (append recomputes it)
-    definitelyNew.unionByName(confirmed).drop("h", "sha")
+    definitelyNew.unionByName(confirmed).drop("h", "sha", "shard")
   }
 
-  /** Index a batch of (already internally-deduped) new rows: bloom first
-    * (screen stays a superset of hashes/ at every instant), then rows.
+  /** Index a batch of (already internally-deduped) new rows: blooms first
+    * (each shard's screen stays a superset of its slice of hashes/ at
+    * every instant), then rows. Only shards the batch actually touches
+    * are locked and rewritten.
     *
-    * The bloom update is a read-merge-write; concurrent appenders to ONE
-    * index would lose each other's bits and break the superset invariant
-    * ("bloom miss proves new" would then admit duplicates silently). A
-    * local-FS index takes an exclusive file lock around the merge so two
-    * JVMs serialize; on object stores without locks the contract is
-    * single-writer-per-index (the streaming builders satisfy it: one
-    * query owns one indexDir). */
+    * A shard's bloom update is a read-merge-write, and a parquet append
+    * stages its commit in a shared _temporary dir; concurrent appenders
+    * would lose each other's bloom bits (breaking the superset invariant
+    * — "bloom miss proves new" would then admit duplicates silently) and
+    * clobber each other's staging files. Appends to one index therefore
+    * serialize under an append-scope lock (same-JVM monitor +
+    * cross-process file lock on local FS); on object stores without
+    * locks the contract is single-writer-per-index (the streaming
+    * builders satisfy it: one query owns one indexDir). */
   def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
     val hashes = withSha(docs)
       .groupBy("sha").agg(min(col("doc_id")).as("keeper_id"),
         first(col("h")).as("h"))
       .persist()
-    withBloomLock(spark, indexDir) {
-      val merged = readBloom(spark, indexDir)
-      merged.mergeInPlace(bloomOf(hashes))
-      writeBloom(spark, indexDir, merged)
+    val batchBlooms = bloomsOf(hashes)
+    val touched = hashes.select(shardExpr.as("shard")).distinct()
+      .collect().map(_.getInt(0)).toSet // ≤16 rows
+    withAppendLock(spark, indexDir) {
+      touched.foreach { i =>
+        val merged = readBloom(spark, indexDir, i)
+        merged.mergeInPlace(batchBlooms(i))
+        writeBloom(spark, indexDir, i, merged)
+      }
+      hashes.select("sha", "keeper_id")
+        .write.mode("append").parquet(s"$indexDir/hashes")
     }
-    hashes.select("sha", "keeper_id")
-      .write.mode("append").parquet(s"$indexDir/hashes")
     hashes.unpersist()
     ()
   }

@@ -29,6 +29,16 @@ object StreamJobs {
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
 
+  /** SnapshotStore addresses the repo via java.nio — always the LOCAL
+    * filesystem — so repo-relative marker paths are pinned to `file:`
+    * explicitly. A scheme-less path would otherwise resolve against
+    * fs.defaultFS (e.g. HDFS), landing the publish markers on a
+    * different filesystem than the repo whose commits they record. */
+  private def localRepoPath(path: String): String =
+    if (new org.apache.hadoop.fs.Path(path).toUri.getScheme == null)
+      s"file:$path"
+    else path
+
   private def markerExists(s: org.apache.spark.sql.SparkSession,
       dir: String, batchId: Long): Boolean = {
     val (fs, p) = hadoopFs(s, s"$dir/commits/$batchId")
@@ -119,7 +129,8 @@ object StreamJobs {
   private[graft] def applyPublishBatch(batch: DataFrame, batchId: Long,
       stagingDir: String, repo: String, label: String): Unit = {
     val s = batch.sparkSession
-    if (!markerExists(s, s"$repo/.stream-commits/$label", batchId)) {
+    val markerDir = localRepoPath(s"$repo/.stream-commits/$label")
+    if (!markerExists(s, markerDir, batchId)) {
       val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
       try {
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -128,7 +139,7 @@ object StreamJobs {
           .parquet(stagingDir)
       } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
       graft.sources.SnapshotStore.publish(s, stagingDir, repo, label)
-      writeMarker(s, s"$repo/.stream-commits/$label", batchId)
+      writeMarker(s, markerDir, batchId)
     }
   }
 
@@ -336,14 +347,20 @@ object StreamJobs {
         .getFileContext(ptr.toUri, s.sparkContext.hadoopConfiguration)
         .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       writeMarker(s, aggDir, batchId)
-      // reclaim superseded versions: once the marker is down, only
-      // v<batchId> is ever read again (markers stop old-batch replays),
-      // so a long-running stream does not accumulate O(batches) full
-      // snapshots of the aggregate table
+      // reclaim superseded versions: once the marker is down, replays
+      // never read them again (markers stop old-batch replays), so a
+      // long-running stream does not accumulate O(batches) full
+      // snapshots. The IMMEDIATELY-previous version is retained: an
+      // external reader that resolved CURRENT just before the pointer
+      // swap may still be mid-scan on it; deleting it would turn a
+      // linearizable read into FileNotFoundException. Anything older is
+      // unreachable through any pointer value still in flight.
       val stale = fs.globStatus(new org.apache.hadoop.fs.Path(s"$aggDir/v*"))
-      if (stale != null) stale.foreach { st =>
-        if (st.getPath.getName != s"v$batchId")
-          fs.delete(st.getPath, true)
+      if (stale != null) {
+        val others = stale.map(_.getPath)
+          .filter(_.getName != s"v$batchId")
+          .sortBy(_.getName.drop(1).toLong)
+        others.dropRight(1).foreach(fs.delete(_, true))
       }
     }
   }

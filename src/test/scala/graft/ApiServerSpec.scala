@@ -118,8 +118,11 @@ class ApiServerSpec extends AnyFunSuite {
     val (c4, b4) = get("/v1/read?path=sub/deep/c.bin",
       Map("Range" -> "bytes=abc-def"))
     assert(c4 == 416 && json(b4).has("errorMsg"))
-    assert(get("/v1/read?path=sub/deep/c.bin",
-      Map("Range" -> "lines=1-2"))._1 == 416)
+    // RFC 7233 §3.1: an unknown range UNIT is ignored, not an error — the
+    // server must act as if no Range header were present (200, full body)
+    val (c5, b5) = get("/v1/read?path=sub/deep/c.bin",
+      Map("Range" -> "lines=1-2"))
+    assert(c5 == 200 && java.util.Arrays.equals(b5, expected))
   }
 
   test("read of a zero-byte file is 200 with an empty body") {

@@ -477,6 +477,18 @@ class StreamingSpec extends SparkSpec {
     StreamJobs.applyAggBatch(b1, 1L, aggDir)
     assert(JFiles.exists(marker), "replay must recreate the missing marker")
     assert(standing == want, "swap-but-no-marker replay double-applied deltas")
+    // version retention: the immediately-previous snapshot survives each
+    // commit (a reader that resolved CURRENT just before the swap may
+    // still be scanning it); everything older is reclaimed
+    val b2 = Seq(2L -> 3.0).toDF("grp", "value")
+    StreamJobs.applyAggBatch(b2, 2L, aggDir)
+    val versions = JFiles.list(JPaths.get(aggDir)).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(n => n.matches("v\\d+")).sorted.toSeq
+    assert(versions == Seq("v1", "v2"),
+      s"expected current + immediately-previous versions only, got $versions")
+    // the retained previous version is still a readable snapshot
+    assert(spark.read.parquet(s"$aggDir/v1").count() == 2)
   }
 
   test("stream-static join enriches streaming rows with dimension data") {
