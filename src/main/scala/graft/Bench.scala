@@ -225,6 +225,17 @@ object Bench {
     * 2x apart hours apart on this shared host. The pair (1-thread,
     * all-thread) lets a reader normalize both serial speed and effective
     * parallel capacity out of a round-over-round comparison. */
+  /** The 1-thread calibration figure of the quiet host that produced the
+    * earliest calibrated rounds (SCALE.md "Host-speed drift": BENCH_r07's
+    * 0.284 s was ~1.9x this). `value_calib_adjusted` = raw total scaled
+    * by quiet/observed calib — the cross-round comparable number, emitted
+    * in the artifact so round-over-round diffs need no manual drift
+    * math. */
+  private[graft] val QuietCalib1t = 0.15
+
+  private[graft] def adjustedTotal(total: Double, calib1t: Double): Double =
+    if (calib1t <= 0) total else total * (QuietCalib1t / calib1t)
+
   private def calibrate(nThreads: Int, mbTotal: Int): Double = {
     val buf = Array.fill[Byte](1 << 16)(0x5a)
     val perThread = mbTotal * 16 / nThreads // 64 KiB blocks per thread
@@ -305,7 +316,8 @@ object Bench {
     // former ~2.5 KB line (median + per-iteration arrays inline) came back
     // truncated mid-JSON -> "parsed": null. Diagnostics (median + raw
     // iterations) go to a sidecar file instead.
-    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f}"""
+    val adj = adjustedTotal(total, calib1t)
+    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f},"value_calib_adjusted":$adj%.3f"""
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,$calib,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

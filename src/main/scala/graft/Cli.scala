@@ -73,6 +73,10 @@ object Cli {
           0
       }
     case "link" :: backing :: path :: url :: Nil   => link(backing, path, url)
+    // reference verb name (pufs/cmd/add.go:84) for the same operation
+    case "add-url" :: backing :: path :: url :: Nil => link(backing, path, url)
+    case "init" :: repo :: rest                    => init(repo, rest)
+    case "dump" :: journalDir :: Nil               => dump(journalDir)
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
@@ -92,7 +96,10 @@ object Cli {
           |  push-remote <gs|s3> <endpoint> <bucket> <prefix> <repo> <ref> <label> [--sharded]
           |      (gs: GOOGLE_APPLICATION_CREDENTIALS key file;
           |       s3: AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY[/AWS_REGION])
-          |  link <backingDir> <path> <url>""".stripMargin)
+          |  link <backingDir> <path> <url>
+          |  add-url <backingDir> <path> <url>   (alias of link)
+          |  init <repo> [bucket [prefix]]
+          |  dump <journalDir>""".stripMargin)
       1
   }
 
@@ -233,6 +240,45 @@ object Cli {
   /** Link a remote HTTP(S)/gs:// object into a pufs backing tree — the
     * operational form of AddRemoteURL (reference pufs/cmd/ `add`):
     * attributes probed remotely, bytes pulled lazily on first read. */
+  /** Create the repo skeleton (reference pufs/cmd/init.go:150-233): the
+    * CAS/ and root/ dirs SnapshotStore writes into, plus `.pufs/info`
+    * recording the repo type and (optionally) its remote registry
+    * coordinates — the same config keys the reference writes
+    * (type=repo, bucketName, keyPrefix). Refuses to re-init. */
+  private def init(repo: String, rest: List[String]): Int = {
+    val root = java.nio.file.Paths.get(repo)
+    val info = root.resolve(".pufs").resolve("info")
+    if (java.nio.file.Files.exists(info)) {
+      System.err.println(s"$repo: already initialized"); return 1
+    }
+    java.nio.file.Files.createDirectories(root.resolve("CAS"))
+    java.nio.file.Files.createDirectories(root.resolve("root"))
+    java.nio.file.Files.createDirectories(info.getParent)
+    val bucket = rest.headOption.getOrElse("")
+    val prefix = rest.drop(1).headOption.getOrElse("")
+    java.nio.file.Files.write(info,
+      s"type=repo\nbucketName=$bucket\nkeyPrefix=$prefix\n".getBytes("UTF-8"))
+    println(s"initialized repo at $repo")
+    0
+  }
+
+  /** Debug-dump the durable inode journal (reference pufs/cmd/dump.go:72):
+    * replay it, print the live generation pins and the mount table, then
+    * a summary line. */
+  private def dump(journalDir: String): Int = {
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(journalDir))) {
+      System.err.println(s"no such dir: $journalDir"); return 1
+    }
+    graft.sources.InodeDb.attach(journalDir)
+    try {
+      val lines = graft.sources.InodeDb.dumpState()
+      lines.foreach(println)
+      println(s"${lines.count(_.startsWith("gen\t"))} generations, " +
+        s"${lines.count(_.startsWith("mount\t"))} mounts")
+      0
+    } finally graft.sources.InodeDb.detach()
+  }
+
   private def link(backing: String, path: String, url: String): Int = {
     // a gs:// link needs GCS access registered BEFORE addRemoteUrl probes
     // the object's attrs — wire it from the same conventional env as

@@ -93,6 +93,15 @@ object InodeDb {
   private[sources] def recordUnmount(path: String): Unit =
     append(s"unmount\t$path")
 
+  /** The replayed live state in journal-line form (one `gen` line per
+    * pinned generation, one `mount` line per live mount) — the `dump`
+    * CLI verb's surface (reference pufs/cmd/dump.go:72), and exactly
+    * what compact() would write. */
+  def dumpState(): Seq[String] = synchronized {
+    PufsFileSystem.liveGenerations.map { case (k, v) => s"gen\t$k\t$v" } ++
+      PufsFileSystem.liveMounts.map { case (p, r, s) => s"mount\t$p\t$r\t$s" }
+  }
+
   /** Rewrite the journal as a snapshot of current state (one line per
     * live generation + mount), atomically — the boltdb B-tree's
     * compaction analog for a log. */

@@ -58,6 +58,80 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(List("frobnicate")) == 1)
   }
 
+  test("init creates a usable repo skeleton; re-init refuses") {
+    val repo = Files.createTempDirectory("cli-init").resolve("repo").toString
+    val (c1, o1) = captureOut(Cli.run(List("init", repo, "mybucket", "lake/a")))
+    assert(c1 == 0 && o1.contains("initialized"))
+    assert(Files.isDirectory(Paths.get(repo, "CAS")))
+    assert(Files.isDirectory(Paths.get(repo, "root")))
+    val info = new String(
+      Files.readAllBytes(Paths.get(repo, ".pufs", "info")), "UTF-8")
+    assert(info.contains("type=repo") && info.contains("bucketName=mybucket")
+      && info.contains("keyPrefix=lake/a"), info)
+    // an initialized repo takes a push without further ceremony
+    val src = Files.createTempDirectory("cli-init-src").toString
+    Files.write(Paths.get(src, "a.txt"), "hello".getBytes("UTF-8"))
+    assert(captureOut(Cli.run(List("push", src, repo, "main")))._1 == 0)
+    assert(captureOut(Cli.run(List("cat", repo, "main", "a.txt")))._2
+      .contains("hello"))
+    // second init refuses instead of clobbering
+    assert(Cli.run(List("init", repo)) == 1)
+  }
+
+  test("dump prints the replayed inode journal: generations and mounts") {
+    import graft.sources.{InodeDb, PufsFileSystem}
+    val dbDir = Files.createTempDirectory("cli-dump").toString
+    val src = Files.createTempDirectory("cli-dump-src").toString
+    Files.write(Paths.get(src, "t.txt"), "x".getBytes("UTF-8"))
+    val repo = Files.createTempDirectory("cli-dump-repo").toString
+    val (sha, _) = SnapshotStore.publish(src, repo, "main")
+    val backing = Files.createTempDirectory("cli-dump-backing").toString
+    // the journal a prior process left behind: one generation pin, one
+    // mount (same line format InodeDb itself writes)
+    Files.write(Paths.get(dbDir, "inodes.log"),
+      (s"gen\t$backing/data/hot.bin\t3\n" +
+        s"mount\tcli/snap\t$repo\t$sha\n").getBytes("UTF-8"))
+    PufsFileSystem.simulateRestart() // clear generation pins of other suites
+    val (code, out) = captureOut(Cli.run(List("dump", dbDir)))
+    assert(code == 0, out)
+    assert(out.contains(s"gen\t$backing/data/hot.bin\t3"), out)
+    assert(out.contains(s"mount\tcli/snap\t$repo\t$sha"), out)
+    // summary counts cover at least the two journaled records (mounts are
+    // process-global, other suites may hold more)
+    assert(out.linesIterator.exists(
+      _.matches("\\d+ generations, \\d+ mounts")), out)
+    PufsFileSystem.unmountSnapshot("cli/snap") // dump's replay re-mounted it
+    assert(Cli.run(List("dump", "/no/such/dir")) == 1)
+  }
+
+  test("add-url is the reference-named alias of link") {
+    val data = "added-bytes".getBytes("UTF-8")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/o", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        ex.getResponseHeaders.set("ETag", "\"au-v1\"")
+        if (ex.getRequestMethod == "HEAD") {
+          ex.getResponseHeaders.set("Content-Length", data.length.toString)
+          ex.sendResponseHeaders(200, -1)
+        } else {
+          ex.sendResponseHeaders(200, data.length)
+          ex.getResponseBody.write(data)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val backing = Files.createTempDirectory("cli-addurl").toString
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/o"
+      val (code, out) =
+        captureOut(Cli.run(List("add-url", backing, "/ext/o.bin", url)))
+      assert(code == 0 && out.contains(s"${data.length} bytes"), out)
+      assert(Files.exists(Paths.get(backing, "ext/o.bin.pufslink")),
+        "add-url must write the same link sidecar as link")
+    } finally server.stop(0)
+  }
+
   test("link verb attaches an HTTP object to a backing tree") {
     val data = "linked-bytes-via-cli".getBytes("UTF-8")
     val server = com.sun.net.httpserver.HttpServer.create(
