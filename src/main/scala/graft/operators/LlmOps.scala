@@ -2502,16 +2502,21 @@ object LlmOps {
 
   /** The fused cosine_f32 replayed per pair: three ascending-index double
     * folds (dot, |a|², |b|²) then dot/(√na·√nb) — bit-identical to the
-    * Catalyst kernel's op sequence. */
+    * Catalyst kernel's op sequence. All three folds run over
+    * min(len a, len b), exactly the kernel's shared loop bound (equal
+    * lengths in practice; ragged data must not diverge the norms). */
   private def cosinePairSql =
     """SELECT c.a, c.b,
-      |  list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+      |  list_aggregate(list_transform(
+      |    range(1, least(len(ea.embedding), len(eb.embedding)) + 1),
       |    i -> CAST(ea.embedding[i] AS DOUBLE)
       |      * CAST(eb.embedding[i] AS DOUBLE)), 'sum')
-      |  / (sqrt(list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+      |  / (sqrt(list_aggregate(list_transform(
+      |      range(1, least(len(ea.embedding), len(eb.embedding)) + 1),
       |      i -> CAST(ea.embedding[i] AS DOUBLE)
       |        * CAST(ea.embedding[i] AS DOUBLE)), 'sum'))
-      |    * sqrt(list_aggregate(list_transform(range(1, len(eb.embedding) + 1),
+      |    * sqrt(list_aggregate(list_transform(
+      |      range(1, least(len(ea.embedding), len(eb.embedding)) + 1),
       |      i -> CAST(eb.embedding[i] AS DOUBLE)
       |        * CAST(eb.embedding[i] AS DOUBLE)), 'sum'))) AS cos
       |FROM cands c
@@ -2573,7 +2578,9 @@ object LlmOps {
     * `D a D D b D` with `D ab D` — left-to-right, non-overlapping, and
     * able to match immediately-adjacent next pairs (the inner delimiter
     * pair is split between consecutive matches), which is exactly
-    * bpeEncode's single-pass scan. */
+    * bpeEncode's single-pass scan. The delimiter chr(1) sits outside the
+    * document generator's charset (ASCII 32..121 observed) — a corpus
+    * that could contain control chars would need a wider sentinel. */
   private def l41OracleSql: String = {
     val D = "chr(1)"
     val base = s"$D || $D || array_to_string(" +
