@@ -95,6 +95,55 @@ object IncrementalAgg {
     untouched.select(col("grp"), col("sk")).unionByName(merged)
   }
 
+  /** Fixed-bin histogram sketch — the mergeable QUANTILE state. Rows
+    * (grp, v: double) → (grp, bin, cnt) with integer bin = floor(v/width).
+    * Bin counts are exact BIGINTs, so unlike HLL the sketch forms a
+    * commutative GROUP, not just a monoid: merging adds counts and
+    * removals subtract them, so the same delta discipline that maintains
+    * counts (applyDeltas) maintains quantiles in O(changed bins) — and
+    * because the state is exact integers, the maintained estimate is
+    * bit-identical to a full re-sketch, engine-independently. Estimate
+    * error is bounded by `width` by construction; state per group is
+    * bounded by the value range / width, not the row count. */
+  def binHistogram(rows: DataFrame, width: Double): DataFrame =
+    rows.groupBy(col("grp"),
+        floor(col("v") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Standing histogram + a (grp, bin, dCnt) delta feed → the version-2
+    * histogram: one union + partial-agg groupBy over |base bins| +
+    * |changed bins|; bins whose count reaches zero drop, matching a
+    * direct re-sketch of version 2. */
+  def maintainHistogram(base: DataFrame, deltas: DataFrame): DataFrame =
+    base.select(col("grp"), col("bin"), col("cnt"))
+      .unionByName(deltas.select(col("grp"), col("bin"),
+        col("dCnt").as("cnt")))
+      .groupBy("grp", "bin").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") > 0)
+
+  /** Histogram → per-group quantile estimates at integer percentiles.
+    * The estimate for percentile p is the UPPER EDGE (bin+1)·width of
+    * the first ascending bin whose cumulative count reaches
+    * ceil(p·N/100). The selection is all-integer (cum·100 ≥ p·N — for
+    * integer cum that IS the ceil test), so two engines cannot disagree
+    * at a boundary; the only float op is the final edge multiply of
+    * identical operands. The true order statistic lies inside the chosen
+    * bin, i.e. within `width` below the reported edge. */
+  def histogramQuantiles(hist: DataFrame, width: Double,
+      pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("grp").orderBy("bin")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+    val qCols = pcts.map { p =>
+      min(when(col("cum") * 100 >= col("n") * p,
+        (col("bin") + 1) * lit(width))).as(s"p$p")
+    }
+    cum.groupBy("grp")
+      .agg(max("n").as("n_rows"), qCols: _*)
+  }
+
   /** Maintenance for NON-group aggregates (min/max/distinct-count): keep
     * base rows for groups the change feed never touched, re-aggregate
     * version 2 only for the groups it did. `rescanned` must already be

@@ -357,9 +357,17 @@ object LlmOps {
     * form CLIQUE unions, every component is regular, and PageRank on a
     * regular graph is exactly uniform — nothing to rank. The tree is
     * non-regular (leaf deg 1, internal deg 3), so centrality genuinely
-    * orders nodes. Double summation order varies with partitioning, so
-    * this is a spec lane (NearDupSpec pins rank-mass conservation,
-    * positivity, and degree-dominance), not an oracle one. */
+    * orders nodes.
+    *
+    * The arithmetic is exact fixed-point BIGINT at SCALE = 10^12: a
+    * node's per-edge contribution is `rank_fp div deg`, damping applies
+    * as `(85·mass) div 100`, and the damping-floor constant is computed
+    * once on the driver — every operation is integer, so BIGINT sums are
+    * independent of partitioning/summation order and the lane is fully
+    * DuckDB-oracle-checkable (the earlier double formulation could
+    * never cross-engine hash-match: float summation order varies with
+    * the physical plan). Ranks differ from true float PageRank by
+    * < one part in 10^9 (floor losses are ≤ 1 unit per division). */
   private[operators] def pagerank(s: SparkSession, d: String,
       iters: Int = 8): DataFrame = {
     val keys = t(s, d, "customer").select(col("c_custkey").as("k"))
@@ -375,22 +383,69 @@ object LlmOps {
       .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()
-    var ranks = deg.select(col("src").as("v"), lit(1.0 / n).as("rank"))
+    val init = PrScale / n          // floor(SCALE / n)
+    val base = PrScale * 15 / 100 / n // floor(0.15·SCALE / n): damping floor
+    var ranks = deg.select(col("src").as("v"), lit(init).as("rank_fp"))
       .persist()
     for (_ <- 1 to iters) {
       val next = edges.join(deg, "src")
         .join(ranks, col("src") === col("v"))
-        .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
+        .select(col("dst"), expr("rank_fp div deg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_mass"))
         .select(col("dst").as("v"),
-          (lit(0.15 / n) + lit(0.85) * col("in_mass")).as("rank"))
+          (lit(base) + expr("in_mass * 85 div 100")).as("rank_fp"))
         .persist()
       ranks.unpersist()
       ranks = next
     }
     ranks.join(deg, col("v") === col("src"))
-      .select(col("v").as("node_id"), col("rank"), col("deg"))
-      .orderBy(desc("rank"), col("node_id"))
+      .select(col("v").as("node_id"), col("rank_fp"), col("deg"))
+      .orderBy(desc("rank_fp"), col("node_id"))
+  }
+
+  /** Fixed-point scale for [[pagerank]]: 10^12 rank units = mass 1.0. */
+  private[operators] val PrScale = 1000000000000L
+
+  /** DuckDB replay of the fixed-point PageRank: the k power-iteration
+    * rounds unroll into chained CTEs (pr1..prK), each one the same
+    * edge-join + floor-division + integer-damped sum as the Spark round.
+    * BIGINT arithmetic makes the replay exact — `//` (DuckDB floor div)
+    * ≡ `div` (Spark integral div) on the all-positive domain. DuckDB
+    * SUM(BIGINT) widens to HUGEINT, so each round casts back. */
+  private def l33OracleSql: String = {
+    val iters = 8
+    val head =
+      s"""WITH keys AS (SELECT c_custkey AS k FROM customer),
+         |down AS (
+         |  SELECT src, dst FROM (
+         |    SELECT k AS src, k * 2 AS dst FROM keys
+         |    UNION ALL
+         |    SELECT k AS src, k * 2 + 1 AS dst FROM keys) d
+         |  WHERE src >= 1 AND dst IN (SELECT k FROM keys)),
+         |edges AS (SELECT src, dst FROM down
+         |          UNION ALL SELECT dst AS src, src AS dst FROM down),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |prm AS (SELECT CAST($PrScale // COUNT(*) AS BIGINT) AS init,
+         |               CAST(${PrScale * 15 / 100} // COUNT(*) AS BIGINT) AS base
+         |        FROM deg),
+         |pr0 AS (SELECT src AS v, init AS rank_fp FROM deg, prm)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |pr$i AS (
+         |  SELECT e.dst AS v,
+         |    (SELECT base FROM prm)
+         |      + CAST(SUM(p.rank_fp // dg.deg) AS BIGINT) * 85 // 100 AS rank_fp
+         |  FROM pr${i - 1} p
+         |  JOIN edges e ON e.src = p.v
+         |  JOIN deg dg ON dg.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT p.v AS node_id, CAST(p.rank_fp AS BIGINT) AS rank_fp, d.deg
+         |FROM pr$iters p JOIN deg d ON d.src = p.v
+         |ORDER BY p.rank_fp DESC, node_id""".stripMargin
+    head + rounds + tail
   }
 
   val queries: Map[String, Q] = Map(
@@ -2473,7 +2528,8 @@ object LlmOps {
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "l10_embed_neardup" -> l10OracleSql,
     "l42_semantic_dedup" -> l42OracleSql,
-    "l41_bpe_encode" -> l41OracleSql
+    "l41_bpe_encode" -> l41OracleSql,
+    "l33_pagerank" -> l33OracleSql
   )
 
   /** Shared SQL fragment: ±1 hyperplane list per plane index p (64 dims,

@@ -398,6 +398,40 @@ object ScanOps {
         .orderBy("grp")
     }),
 
+    // O15: quantile maintenance by exact-binned histogram sketch — the
+    // percentile counterpart of o12's HLL distinct-count maintenance.
+    // The standing state is a per-(group, bin) exact count table
+    // (IncrementalAgg.binHistogram): counts form a commutative group, so
+    // an append adds +1 deltas and a removal adds -1 deltas and BOTH
+    // maintain exactly — where HLL sketches can only union. Per-group
+    // state is bounded by value-range/width, never by row count, and the
+    // quantile selection is all-integer (cum·100 ≥ p·N), so the
+    // incrementally-maintained estimate is bit-identical to a full
+    // re-sketch of version 2 — which is exactly what the DuckDB oracle
+    // computes: a hash match proves the O(changed bins) maintenance path
+    // ≡ the O(table) recompute.
+    "o15_incremental_quantile" -> ((s, d) => {
+      val width = 10.0
+      val e = t(s, d, "events")
+        .select(col("event_type").as("grp"), col("value").as("v"),
+          col("event_id").as("key"))
+      val v1 = e.filter(col("key") % 5 =!= 0)
+      val added = e.filter(col("key") % 5 === 0)
+      val removed = e.filter(col("key") % 5 =!= 0 && col("key") % 17 === 0)
+      val base = IncrementalAgg.binHistogram(
+        v1.select(col("grp"), col("v")), width)
+      val deltas = added
+        .select(col("grp"), floor(col("v") / width).cast("long").as("bin"),
+          lit(1L).as("dCnt"))
+        .unionByName(removed.select(col("grp"),
+          floor(col("v") / width).cast("long").as("bin"),
+          lit(-1L).as("dCnt")))
+        .groupBy("grp", "bin").agg(sum("dCnt").as("dCnt"))
+      val hist = IncrementalAgg.maintainHistogram(base, deltas)
+      IncrementalAgg.histogramQuantiles(hist, width, Seq(50, 90, 99))
+        .orderBy("grp")
+    }),
+
     // Q-F8: JSON → map: from_json into map<string,bigint>, exploded to
     // key/value rows. (The events generator emits single-key objects
     // {"k": n}; the oracle leans on that.)
@@ -649,6 +683,26 @@ object ScanOps {
         |          AS DECIMAL(18,2)) AS p2
         |  FROM orders WHERE o_orderkey % 5 <> 0) v2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "o15_incremental_quantile" ->
+      """WITH v2 AS (
+        |  SELECT event_type AS grp, value AS v FROM events
+        |  WHERE event_id % 5 = 0
+        |     OR (event_id % 5 <> 0 AND event_id % 17 <> 0)),
+        |hist AS (
+        |  SELECT grp, CAST(floor(v / 10.0) AS BIGINT) AS bin,
+        |    COUNT(*) AS cnt
+        |  FROM v2 GROUP BY grp, bin),
+        |c AS (
+        |  SELECT grp, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS n
+        |  FROM hist)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  MIN(CASE WHEN cum * 100 >= 50 * n THEN (bin + 1) * 10.0 END) AS p50,
+        |  MIN(CASE WHEN cum * 100 >= 90 * n THEN (bin + 1) * 10.0 END) AS p90,
+        |  MIN(CASE WHEN cum * 100 >= 99 * n THEN (bin + 1) * 10.0 END) AS p99
+        |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
 
     "o13_scd2" ->
       """WITH v1 AS (

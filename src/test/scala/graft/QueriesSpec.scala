@@ -197,6 +197,42 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("o15 histogram-quantile maintenance ≡ full re-sketch, within one bin of exact") {
+    import graft.Tables.t
+    import graft.operators.IncrementalAgg
+    val width = 10.0
+    val e = t(spark, sfDir, "events")
+      .select(col("event_type").as("grp"), col("value").as("v"),
+        col("event_id").as("key"))
+    // version 2 = base minus the removal set plus the appended batch —
+    // must equal what the lane maintains incrementally
+    val v2 = e.filter(col("key") % 5 === 0 ||
+      (col("key") % 5 =!= 0 && col("key") % 17 =!= 0))
+    val full = IncrementalAgg.histogramQuantiles(
+        IncrementalAgg.binHistogram(v2.select(col("grp"), col("v")), width),
+        width, Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val incr = SparkEntry.queries("o15_incremental_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(incr == full,
+      s"maintained histogram quantiles diverge from full re-sketch:\n$incr\nvs\n$full")
+    // error contract: the reported upper edge is >= the exact order
+    // statistic and within one bin width above it
+    val byGrp = v2.collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    incr.foreach { case (g, (n, p50, p90, p99)) =>
+      val vs = byGrp(g)
+      assert(n == vs.length, s"group $g row count $n != ${vs.length}")
+      Seq(50 -> p50, 90 -> p90, 99 -> p99).foreach { case (p, est) =>
+        val exact = vs((math.ceil(p * n / 100.0).toInt - 1).max(0))
+        assert(est >= exact && est - exact <= width,
+          s"group $g p$p: est $est vs exact $exact (width $width)")
+      }
+    }
+  }
+
   test("o11 rescans only the groups the change feed touched") {
     // the point of maintainByRescan: the localized mutation (keys
     // 500-599 removed, 2000-2999 repriced) must touch a small fraction
