@@ -315,6 +315,45 @@ object AggOps {
     // the 32 partials (shuffle 2 moves one row per (key, salt)). Values
     // ride exact integer cents so the two-phase re-association is
     // hash-identical to the oracle's single-phase sum.
+    // A40: correlation / covariance / least-squares regression per group
+    // — the bivariate face of a35's exact-moment trick. Built-in
+    // corr()/covar_pop()/regr_slope() can't cross-engine hash-match
+    // (their double partial sums depend on partition order), so the five
+    // moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINTs —
+    // x = quantity (≤ 50), y = floor(price) (≤ ~105k) keep every sum
+    // under 2^53 at the test SFs, so the cast to double is EXACT in both
+    // engines — and each statistic is one fixed tree of identical IEEE
+    // ops at the end. At larger scale the sums widen to DECIMAL(38,0)
+    // (the a35 discipline); the shape — one partial-agg groupBy, O(1)
+    // state per group — is the 100 TB plan either way.
+    "a40_exact_corr" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val sxxD = col("sxx").cast("double")
+      val syyD = col("syy").cast("double")
+      val num = nD * sxyD - sxD * syD
+      val slope = num / (nD * sxxD - sxD * sxD)
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          (num / (nD * nD)).as("covar_pop"),
+          (num / (sqrt(nD * sxxD - sxD * sxD)
+            * sqrt(nD * syyD - syD * syD))).as("corr"),
+          slope.as("slope"),
+          ((syD - slope * sxD) / nD).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     "a37_salted_hot_key" -> ((s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_type"),
@@ -897,6 +936,28 @@ object AggOps {
         |UNION ALL SELECT yr, 'O', o FROM wide
         |UNION ALL SELECT yr, 'P', p FROM wide
         |ORDER BY yr, status""".stripMargin,
+
+    "a40_exact_corr" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS n_d,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n_d * sxy - sx * sy) / (n_d * n_d) AS covar_pop,
+        |  (n_d * sxy - sx * sy)
+        |    / (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy)) AS corr,
+        |  (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) AS slope,
+        |  (sy - ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)) * sx) / n_d
+        |    AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "a35_group_stats" ->
       """WITH q AS (

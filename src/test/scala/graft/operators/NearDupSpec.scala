@@ -125,6 +125,25 @@ class NearDupSpec extends SparkSpec {
     approx.map(_._1).foreach(p => assert(approx.count(_._1 == p) <= 5))
   }
 
+  test("l53 PQ-ADC ANN recall clears its floor with 32x-compressed codes") {
+    val approx = LlmOps.queries("l53_ann_pq")(spark, sfDir)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = LlmOps.queries("l3_knn_cosine")(spark, sfDir)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"PQ recall@5 vs exact: $recall%.2f " +
+      f"(m=${LlmOps.PqM}, k=${LlmOps.PqK}, rerank=${LlmOps.PqRerank})")
+    // the ADC scan reads 8 codes per vector instead of 64 floats; the
+    // exact re-rank of the top-C candidates recovers ranking quality on
+    // this NEAR-RANDOM corpus (the hardest case for a quantizer — real
+    // embedding corpora cluster and quantize far better). Floor leaves
+    // seed/partitioning headroom under the measured value.
+    assert(recall >= 0.6, f"PQ recall $recall%.2f under 0.6")
+    approx.map(_._1).foreach(p => assert(approx.count(_._1 == p) <= 5))
+  }
+
   test("l42 SemDeDup invariants: removed ⇒ kept canonical nearby, kept ⇒ mutually distinct") {
     graft.functions.VectorExpressions.register(spark)
     val tau = 0.35
