@@ -181,6 +181,12 @@ object Bench {
     "l44_line_dedup" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l44_line_dedup")(s, d)),
 
+    // exact all-pairs Jaccard join via prefix filtering (L55 class:
+    // rare-token postings self-join + exact intersection verify — the
+    // exact-similarity-join shape, distinct from l2's approximate bands)
+    "l55_allpairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l55_allpairs_jaccard")(s, d)),
+
     // referential-integrity audit: three parallel anti joins (O14 class —
     // the anti-join/runtime-filter path has no other headline)
     "o14_fk_audit" -> ((s: SparkSession, d: String) =>

@@ -94,6 +94,26 @@ object LlmOps {
         array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
   }
 
+  /** 32-bit SimHash per document (doc_id, simhash) — per-token
+    * md5-derived hash, per-bit majority vote, expressed relationally
+    * (explode bits → two partial-agg groupBys) so DuckDB replays it
+    * exactly; shared by the l9 signature lane and the l54 Hamming
+    * near-dup join. */
+  private[graft] def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("k"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, k) % 2") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "k")
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), k)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
   /** Fit a configured KMeans on a content-deterministic sample of at most
     * `cap` rows, never the full frame — the 100 TB shape for every
     * quantizer in this file (l20 IVF, l42 SemDeDup): k-means only needs a
@@ -667,20 +687,103 @@ object LlmOps {
     // L9: SimHash (32-bit) — per-token md5-derived hash, per-bit majority
     // vote. Expressed relationally (explode bits) for oracle parity; the
     // scale path is the same plan with partial aggregation per (doc, bit).
-    "l9_simhash" -> ((s, d) => {
+    "l9_simhash" -> ((s, d) => simhashDf(s, d).orderBy("doc_id")),
+
+    // L54: SimHash NEAR-DUP JOIN — the Hamming-radius companion of l9
+    // (Charikar 2002 / Manku et al. 2007, the Google web-crawl dedup
+    // design): pairs within Hamming distance ≤ 3 of each other's 32-bit
+    // SimHash. The screen is the pigeonhole band trick of Manku §3: split
+    // the 32 bits into 4 bands of 8 — a pair differing in ≤ 3 bits leaves
+    // at least one band UNTOUCHED, so every true pair shares an exact
+    // (band, byte) key and the self-join is a plain equi join on that key,
+    // O(Σ bucket²) with 2^8 buckets per band, never O(n²). The exact
+    // bit_count(xor) verify then erases the band collisions that differ in
+    // > 3 bits — screening is provably COMPLETE, so the banded plan is
+    // hash-identical to the brute-force DuckDB oracle. Where l2/l10 answer
+    // set-similarity (MinHash on shingles, cosine on embeddings), SimHash
+    // Hamming answers weighted-feature similarity with a 4-byte signature —
+    // the cheapest standing near-dup key a 100 TB crawl can keep per doc.
+    "l54_simhash_neardup" -> ((s, d) => {
+      // both sides of the candidate self-join read the signatures: compute
+      // the corpus pass once, persist the tiny (doc_id, simhash) table
+      val sh = simhashDf(s, d).persist()
+      sh.count()
+      val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("shiftright(simhash, band * 8) % 256"))
+      val pairs = bands.select(col("band"), col("bv"),
+          col("doc_id").as("a"), col("simhash").as("ha"))
+        .join(bands.select(col("band").as("band2"), col("bv").as("bv2"),
+            col("doc_id").as("b"), col("simhash").as("hb")),
+          col("band") === col("band2") && col("bv") === col("bv2") &&
+            col("a") < col("b"))
+        // a pair may agree on several bands — dedup the id pair (the
+        // carried 8-byte signatures are functions of the ids)
+        .select("a", "b", "ha", "hb").distinct()
+      pairs
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    }),
+
+    // L55: EXACT all-pairs Jaccard join (τ = 3/5) by prefix filtering —
+    // the AllPairs/PPJoin family (Bayardo et al. 2007, Xiao et al. 2008):
+    // where l2's MinHash answers set similarity APPROXIMATELY with a
+    // fixed-size signature, this is the exact counterpart for when recall
+    // guarantees matter (legal dedup, eval decontamination audits). The
+    // similarity unit is the distinct 5-gram shingle set (l2/l12's);
+    // shingles get a global canonical order (rarest first: ascending
+    // document frequency, text tiebreak); each doc indexes only its
+    // PREFIX — the first |d| − ⌈τ·|d|⌉ + 1 shingles — because two sets with
+    // |A∩B| ≥ ⌈τ·|A|⌉ provably share a prefix token. Candidates come from
+    // an equi self-join on the prefix token (rare tokens → tiny postings →
+    // O(Σ posting²) bounded, never O(n²)); the exact intersection count
+    // then keeps only true pairs, so the screened plan hash-matches the
+    // brute-force oracle. All threshold arithmetic is integer-exact:
+    // ⌈3n/5⌉ = (3n+4) DIV 5 and the final test 5·∩ ≥ 3·(|A|+|B|−∩) — no
+    // float ever decides membership; the reported jaccard is one division
+    // of identical BIGINT operands, rounded after.
+    "l55_allpairs_jaccard" -> ((s, d) => {
+      // distinct 5-gram shingle set per doc (l2/l12's similarity unit —
+      // unigram sets over a bounded vocabulary saturate: EVERY pair of
+      // this fixture's docs exceeds τ on shared single words, a 57%-dense
+      // O(n²) output no algorithm could make sparse), shared by the
+      // order/size/verify passes
       val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      toks
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("k"))
-        .withColumn("contrib",
-          when(expr("shiftright(h, k) % 2") === 1, 1).otherwise(-1))
-        .groupBy("doc_id", "k")
-        .agg(sum(col("contrib")).as("s"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), k)"))
-          .otherwise(0L)).as("simhash"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            i => concat_ws(" ", slice(col("tk"), i, lit(5)))))).as("tok"))
+        .persist()
+      toks.count()
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val prefix = toks.join(dfreq, "tok")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+        .join(sizes, "doc_id")
+        .filter(col("rn") <= expr("n - ((3 * n + 4) DIV 5) + 1"))
+        .select("tok", "doc_id")
+      val cands = prefix.select(col("tok"), col("doc_id").as("a"))
+        .join(prefix.select(col("tok").as("tok2"), col("doc_id").as("b")),
+          col("tok") === col("tok2") && col("a") < col("b"))
+        .select("a", "b").distinct()
+      val tb = toks.select(col("doc_id").as("b2"), col("tok").as("tokb"))
+      val inter = cands
+        .join(toks.select(col("doc_id").as("a"), col("tok")), "a")
+        .join(tb, col("b") === col("b2") && col("tok") === col("tokb"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+        .filter(col("n_common") * 5 >= (col("n_a") + col("n_b") - col("n_common")) * 3)
+        .select(col("a"), col("b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+        .orderBy("a", "b")
     }),
 
     // L10: embedding near-dup via banded sign-random-projection LSH —
@@ -2061,6 +2164,57 @@ object LlmOps {
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
         |    AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Brute force over all pairs: the banded screen is provably complete
+    // (pigeonhole: ≤3 differing bits leave one of 4 bands intact), so the
+    // Spark plan must hash-match the unscreened formulation exactly.
+    "l54_simhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN (h >> k) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)
+        |  GROUP BY doc_id, k),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+        |      AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // Brute force: exact Jaccard over every token-sharing pair — the
+    // prefix-filtered Spark plan must match it exactly (screen complete,
+    // verify exact, all threshold arithmetic integer).
+    "l55_allpairs_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS tok
+        |  FROM tk WHERE len(tk) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b, CAST(i.i AS BIGINT) AS n_common,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.a
+        |JOIN sz sb ON sb.doc_id = i.b
+        |WHERE 5 * i.i >= 3 * (sa.n + sb.n - i.i)
+        |ORDER BY a, b""".stripMargin,
 
     "l12_jaccard_verify" ->
       """WITH toks AS (

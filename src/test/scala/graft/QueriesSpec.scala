@@ -10,7 +10,8 @@ class QueriesSpec extends SparkSpec {
   // Legitimately empty at sf0.001 (tiny data, selective predicates):
   private val mayBeEmpty =
     Set("l2_minhash_lsh", "l10_embed_neardup", "j4_anti", "l12_jaccard_verify",
-      "a20_tpch_q7") // nation-pair × two-year filter: no survivors at sf0.001
+      "a20_tpch_q7", // nation-pair × two-year filter: no survivors at sf0.001
+      "l54_simhash_neardup", "l55_allpairs_jaccard") // no near-dups at sf0.001
 
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -60,6 +61,51 @@ class QueriesSpec extends SparkSpec {
     val a = graft.operators.LlmOps.queries("l26_decontaminate")(spark, sfDir)
     val b = graft.operators.LlmOps.queries("l29_decontaminate_bloom")(spark, sfDir)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("l54 banded SimHash screen ≡ brute-force Hamming join") {
+    // the 4×8-bit pigeonhole screen is provably complete for radius 3;
+    // this pins the banded plan against the unscreened formulation on a
+    // corpus that actually contains near-dup pairs (sf0.01 — sf0.001 has
+    // none, making the comparison vacuous)
+    val d = "/root/testdata/sf0.01"
+    val sh = graft.operators.LlmOps.simhashDf(spark, d)
+    val brute = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")),
+        col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+    val banded = graft.operators.LlmOps.queries("l54_simhash_neardup")(spark, d)
+    assert(banded.count() > 0, "fixture lost its near-dup pairs")
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+  }
+
+  test("l55 prefix-filtered exact Jaccard join ≡ brute force") {
+    // prefix filtering is an optimization, not a semantics change: the
+    // exact intersection verify must keep exactly the pairs the
+    // all-token-sharing-pairs formulation finds
+    val d = "/root/testdata/sf0.01"
+    val toks = Tables.t(spark, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", slice(col("tk"), i, lit(5)))))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = toks.select(col("doc_id").as("a"), col("tok"))
+      .join(toks.select(col("doc_id").as("b"), col("tok").as("tokb")),
+        col("tok") === col("tokb") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .filter(col("n_common") * 5 >= (col("n_a") + col("n_b") - col("n_common")) * 3)
+      .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"))
+    val screened = graft.operators.LlmOps
+      .queries("l55_allpairs_jaccard")(spark, d)
+      .select("a", "b", "n_common", "n_a", "n_b")
+    assert(screened.count() > 0, "fixture lost its near-dup pairs")
+    assert(screened.exceptAll(brute).isEmpty && brute.exceptAll(screened).isEmpty)
   }
 
   test("l40 distributed BPE training ≡ sequential reference implementation") {
