@@ -82,6 +82,16 @@ object ScaleBench {
     replicate(spark, base, out, k, "embeddings", Seq("vec_id"))
   }
 
+  /** Scale-probed lanes that are not bench headlines: the probe wants
+    * every new join/screen shape measured at K×, the headline suite
+    * wants cross-round comparability. */
+  private[graft] def extraProbes
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l54_simhash_neardup" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l54_simhash_neardup")(s, d)),
+    "l56_dsir_weights" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l56_dsir_weights")(s, d)))
+
   def main(args: Array[String]): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,7 +122,7 @@ object ScaleBench {
           s"delete the dir or set SPARK_GRAFT_SCALE_K=$prev")
     }
 
-    val suite = Bench.headline.filter { case (n, _) =>
+    val suite = (Bench.headline ++ extraProbes).filter { case (n, _) =>
       only.isEmpty || only(n)
     }
     def timeOne(fn: (SparkSession, String) => DataFrame, d: String): Double = {

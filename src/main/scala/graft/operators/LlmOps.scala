@@ -786,6 +786,62 @@ object LlmOps {
         .orderBy("a", "b")
     }),
 
+    // L56: DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling") — the data-selection
+    // op behind domain-matched pretraining mixes: score every raw doc by
+    // how much more likely a TARGET domain's hashed-n-gram language model
+    // finds it than the RAW corpus's model. Target = the labeled-'en'
+    // slice; features = unigrams hashed into 256 md5-derived buckets
+    // (the paper's hashed n-gram generative model); per-bucket
+    // log-likelihood ratio λ(b) = ln p_target(b) − ln p_raw(b) with
+    // add-one smoothing; per-doc log importance weight = Σ_b c_d(b)·λ(b).
+    // Cross-engine exactness rides the l33 fixed-point discipline: λ is
+    // computed ONCE per bucket as one fixed tree of identical IEEE ops
+    // and quantized to BIGINT (λ_fp = floor(λ·2^32) — a 256-row model
+    // table), so every per-doc weight is an exact INTEGER sum,
+    // independent of partitioning/summation order, and the lane is fully
+    // DuckDB-oracle-checked. At 100 TB: the model is a 256-row broadcast
+    // table built in one corpus pass; scoring is one partial-agg groupBy
+    // per doc — the same shape as l39's bigram scorer. (The paper
+    // resamples by weight + Gumbel noise; selection here is the
+    // deterministic weight>0 cut — docs more target-like than raw-like —
+    // keeping the lane RNG-free and engine-portable.)
+    "l56_dsir_weights" -> ((s, d) => {
+      val feats = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256"))
+        .persist()
+      // model-sizing scalars (two tiny count jobs; the oracle recomputes
+      // them as scalar subqueries — integers, so they agree exactly)
+      val tR = feats.count()
+      val tT = feats.filter(col("lang") === "en").count()
+      val raw = feats.groupBy("bucket").agg(count(lit(1)).as("rc"))
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("tc"))
+      // the 256-row model: λ_fp per bucket, one fixed expression tree
+      // (left-associated adds, same text in the oracle SQL)
+      val lam = raw.join(tgt, Seq("bucket"), "left")
+        .select(col("bucket"), expr(
+          s"""CAST(floor((ln(coalesce(tc, 0) + 1) - ln(${tT}L + 256)
+             | - ln(rc + 1) + ln(${tR}L + 256)) * 4294967296.0) AS BIGINT)"""
+            .stripMargin.replace("\n", "")).as("lam_fp"))
+      val dc = feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      dc.join(broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("lam_fp")).as("weight_fp"))
+        .select(col("doc_id"), col("weight_fp"),
+          when(col("weight_fp") > 0, 1L).otherwise(0L).as("keep"),
+          // + 0.0 canonicalizes IEEE −0.0 (a tiny negative weight rounded
+          // to zero keeps its sign bit, and the engines render it
+          // differently) to +0.0; every other value is unchanged
+          (round(col("weight_fp").cast("double") / 4294967296.0, 4) + 0.0)
+            .as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // L10: embedding near-dup via banded sign-random-projection LSH —
     // candidate = same signature in ANY band (OR-amplification, like l2's
     // MinHash bands), exact cosine only on candidates. Signature width
@@ -2215,6 +2271,40 @@ object LlmOps {
         |JOIN sz sb ON sb.doc_id = i.b
         |WHERE 5 * i.i >= 3 * (sa.n + sb.n - i.i)
         |ORDER BY a, b""".stripMargin,
+
+    // The λ model replays bucket-for-bucket: identical ln/floor tree,
+    // identical scalar totals, then exact integer weight sums.
+    "l56_dsir_weights" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang, tok,
+        |    CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 256 AS bucket
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0),
+        |tot AS (
+        |  SELECT count(*) AS tr,
+        |    count(*) FILTER (WHERE lang = 'en') AS tt FROM feats),
+        |raw AS (SELECT bucket, count(*) AS rc FROM feats GROUP BY 1),
+        |tgt AS (SELECT bucket, count(*) AS tc FROM feats
+        |        WHERE lang = 'en' GROUP BY 1),
+        |lam AS (
+        |  SELECT r.bucket,
+        |    CAST(floor((ln(coalesce(t.tc, 0) + 1)
+        |      - ln((SELECT tt FROM tot) + 256)
+        |      - ln(r.rc + 1)
+        |      + ln((SELECT tr FROM tot) + 256)) * 4294967296.0) AS BIGINT)
+        |      AS lam_fp
+        |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket),
+        |dc AS (SELECT doc_id, bucket, count(*) AS c FROM feats GROUP BY 1, 2)
+        |SELECT dc.doc_id,
+        |  CAST(SUM(dc.c * lam.lam_fp) AS BIGINT) AS weight_fp,
+        |  CAST(CASE WHEN SUM(dc.c * lam.lam_fp) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep,
+        |  round(CAST(SUM(dc.c * lam.lam_fp) AS DOUBLE) / 4294967296.0, 4)
+        |    + 0.0 AS log_weight
+        |FROM dc JOIN lam ON lam.bucket = dc.bucket
+        |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
 
     "l12_jaccard_verify" ->
       """WITH toks AS (
