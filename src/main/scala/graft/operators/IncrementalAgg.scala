@@ -144,6 +144,27 @@ object IncrementalAgg {
       .agg(max("n").as("n_rows"), qCols: _*)
   }
 
+  /** Append-only top-k maintenance: per-group top-k under a total order
+    * is a bounded MERGEABLE structure — topK(topK(A) ∪ B) = topK(A ∪ B),
+    * because any row of A outside its group's top k is dominated by k
+    * rows that are all still present in topK(A) and can never re-enter.
+    * So the standing (|groups|·k)-row state absorbs an appended batch in
+    * O(state + batch): union, one per-group window over ≤ k + |batch
+    * rows in group| rows, never the base table. The order is
+    * (v DESC, key ASC) — the key tiebreak makes ranks total, so two
+    * engines (or two runs) cannot disagree on membership. Removals are
+    * NOT maintainable this way (evicted rows are gone from the state);
+    * use maintainByRescan for feeds with deletes, as with min/max.
+    * Schema in and out: (grp, key, v) [+ rnk out]. */
+  def maintainTopK(base: DataFrame, added: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    base.select("grp", "key", "v")
+      .unionByName(added.select("grp", "key", "v"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v").desc, col("key"))))
+      .filter(col("rnk") <= k)
+  }
+
   /** Maintenance for NON-group aggregates (min/max/distinct-count): keep
     * base rows for groups the change feed never touched, re-aggregate
     * version 2 only for the groups it did. `rescanned` must already be

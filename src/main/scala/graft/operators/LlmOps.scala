@@ -114,6 +114,59 @@ object LlmOps {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** Hashed-unigram DSIR features: one (doc_id, bucket) row per token,
+    * bucket = md5-derived hash into [0, 256) — the shared feature space
+    * of the l56 model builder and scorer. */
+  private def dsirFeats(docs: DataFrame): DataFrame =
+    docs
+      .select(docs.columns.map(col) :+
+        explode(split(lower(col("text")), " ")).as("tok"): _*)
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256"))
+
+  /** The 256-row DSIR model (bucket, lam_fp) from a labeled corpus:
+    * λ(b) = ln p_target(b) − ln p_raw(b) with add-one smoothing, target =
+    * the `targetLang`-labeled slice, quantized once per bucket to BIGINT
+    * fixed point (floor(λ·2^32)) so downstream weight sums are exact
+    * integers (see the l56 lane comment). One corpus pass + two tiny
+    * count jobs; the result is a broadcast-sized table — persist it or
+    * write it to parquet as the standing model. */
+  private[graft] def dsirModelOf(docs: DataFrame,
+      targetLang: String = "en"): DataFrame = {
+    val feats = dsirFeats(docs.select("doc_id", "lang", "text")).persist()
+    // model-sizing scalars (two tiny count jobs; the l56 oracle recomputes
+    // them as scalar subqueries — integers, so they agree exactly)
+    val tR = feats.count()
+    val tT = feats.filter(col("lang") === targetLang).count()
+    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tgt = feats.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    // λ_fp per bucket: one fixed expression tree (left-associated adds,
+    // same text in the l56 oracle SQL)
+    val lam = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), expr(
+        s"""CAST(floor((ln(coalesce(tc, 0) + 1) - ln(${tT}L + 256)
+           | - ln(rc + 1) + ln(${tR}L + 256)) * 4294967296.0) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("lam_fp"))
+      .persist()
+    lam.count() // materialize before the features cache is released
+    feats.unpersist()
+    lam
+  }
+
+  /** Exact-integer DSIR weight per document of `docs` (doc_id, text ...)
+    * against a standing (bucket, lam_fp) model: weight_fp =
+    * Σ_b c_d(b)·λ_fp(b) — one partial-agg groupBy + a broadcast model
+    * join, the scoring pass a 100 TB corpus or a streaming micro-batch
+    * runs without touching the model-build corpus. */
+  private[graft] def dsirScore(docs: DataFrame, lam: DataFrame): DataFrame =
+    dsirFeats(docs.select("doc_id", "text"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lam_fp")).as("weight_fp"))
+
   /** Fit a configured KMeans on a content-deterministic sample of at most
     * `cap` rows, never the full frame — the 100 TB shape for every
     * quantizer in this file (l20 IVF, l42 SemDeDup): k-means only needs a
@@ -807,31 +860,8 @@ object LlmOps {
     // deterministic weight>0 cut — docs more target-like than raw-like —
     // keeping the lane RNG-free and engine-portable.)
     "l56_dsir_weights" -> ((s, d) => {
-      val feats = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .withColumn("bucket",
-          expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256"))
-        .persist()
-      // model-sizing scalars (two tiny count jobs; the oracle recomputes
-      // them as scalar subqueries — integers, so they agree exactly)
-      val tR = feats.count()
-      val tT = feats.filter(col("lang") === "en").count()
-      val raw = feats.groupBy("bucket").agg(count(lit(1)).as("rc"))
-      val tgt = feats.filter(col("lang") === "en")
-        .groupBy("bucket").agg(count(lit(1)).as("tc"))
-      // the 256-row model: λ_fp per bucket, one fixed expression tree
-      // (left-associated adds, same text in the oracle SQL)
-      val lam = raw.join(tgt, Seq("bucket"), "left")
-        .select(col("bucket"), expr(
-          s"""CAST(floor((ln(coalesce(tc, 0) + 1) - ln(${tT}L + 256)
-             | - ln(rc + 1) + ln(${tR}L + 256)) * 4294967296.0) AS BIGINT)"""
-            .stripMargin.replace("\n", "")).as("lam_fp"))
-      val dc = feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-      dc.join(broadcast(lam), "bucket")
-        .groupBy("doc_id")
-        .agg(sum(col("c") * col("lam_fp")).as("weight_fp"))
+      val docs = t(s, d, "documents")
+      dsirScore(docs, dsirModelOf(docs))
         .select(col("doc_id"), col("weight_fp"),
           when(col("weight_fp") > 0, 1L).otherwise(0L).as("keep"),
           // + 0.0 canonicalizes IEEE −0.0 (a tiny negative weight rounded

@@ -432,6 +432,32 @@ object ScanOps {
         .orderBy("grp")
     }),
 
+    // O16: top-k maintenance — the ranking counterpart of o12/o15: the
+    // standing per-group top-5 table absorbs an appended batch by
+    // re-ranking state ∪ batch (IncrementalAgg.maintainTopK: top-k is a
+    // bounded mergeable structure, topK(topK(A) ∪ B) = topK(A ∪ B)), in
+    // O(groups·k + batch) — the base is never re-read. Order is
+    // (price DESC, key ASC): the key tiebreak totalizes the rank, so the
+    // maintained table is hash-identical to the DuckDB oracle ranking
+    // version 2 directly — the hash match proves maintenance ≡ recompute.
+    // Price stays DECIMAL through the ordering (exact ties both engines)
+    // and casts to double only in the output projection.
+    "o16_incremental_topk" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          col("o_orderkey").as("key"), col("o_totalprice").as("v"))
+      val v1 = o.filter(col("key") % 5 =!= 0)
+      val added = o.filter(col("key") % 5 === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("v").desc, col("key"))
+      val base = v1.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5).drop("rnk")
+      IncrementalAgg.maintainTopK(base, added, 5)
+        .select(col("grp"), col("rnk"), col("key"),
+          col("v").cast("double").as("price"))
+        .orderBy("grp", "rnk")
+    }),
+
     // Q-F8: JSON → map: from_json into map<string,bigint>, exploded to
     // key/value rows. (The events generator emits single-key objects
     // {"k": n}; the oracle leans on that.)
@@ -703,6 +729,19 @@ object ScanOps {
         |  MIN(CASE WHEN cum * 100 >= 90 * n THEN (bin + 1) * 10.0 END) AS p90,
         |  MIN(CASE WHEN cum * 100 >= 99 * n THEN (bin + 1) * 10.0 END) AS p99
         |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Version 2 ranked directly — hash match proves the maintenance path
+    // (state ∪ batch re-rank) ≡ this O(table) recompute.
+    "o16_incremental_topk" ->
+      """WITH v2 AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS key, o_totalprice AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, key, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC, key) AS rnk
+        |  FROM v2)
+        |SELECT grp, CAST(rnk AS INT) AS rnk, key, CAST(v AS DOUBLE) AS price
+        |FROM r WHERE rnk <= 5 ORDER BY grp, rnk""".stripMargin,
 
     "o13_scd2" ->
       """WITH v1 AS (

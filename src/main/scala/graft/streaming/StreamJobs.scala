@@ -218,6 +218,58 @@ object StreamJobs {
       ()
     }
 
+  /** Build the standing DSIR model table — the train half of the
+    * streaming quality gate: LlmOps.dsirModelOf over a labeled reference
+    * corpus, written as a 256-row parquet under `modelDir/model`. Run
+    * once (or on a retrain cadence); the gate below never re-reads the
+    * reference corpus. */
+  def buildDsirModel(labeledDocs: DataFrame, modelDir: String,
+      targetLang: String = "en"): Unit = {
+    graft.operators.LlmOps.dsirModelOf(labeledDocs, targetLang)
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/model")
+    ()
+  }
+
+  /** Streaming DSIR quality gate — the serve half of l56's importance
+    * weighting under a stream: each arriving (doc_id, text) micro-batch
+    * is scored against the STANDING model table (a 256-row broadcast
+    * join + one partial-agg sum per doc — the model is a table, never
+    * driver or executor state) and only target-like docs (weight_fp > 0)
+    * land in `outDir/accepted`, each carrying its weight. The gating
+    * step of a domain-matched ingestion pipeline: cost per batch is
+    * O(batch tokens), the model-build corpus is never rescanned.
+    *
+    * at-least-once replay safety: committed-batch marker + per-batch
+    * dynamic partition overwrite (the annServeEachBatch pieces —
+    * scoring mutates no state, so a replay is a byte-stable rewrite of
+    * the batch's own partition). Docs with no tokens have no features
+    * and are dropped (no weight is defined for them). */
+  def dsirGateEachBatch(docs: DataFrame, modelDir: String, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyDsirGateBatch(batch, batchId, modelDir, outDir)
+    }
+
+  private[graft] def applyDsirGateBatch(batch: DataFrame, batchId: Long,
+      modelDir: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    if (!markerExists(s, outDir, batchId)) {
+      val lam = s.read.parquet(s"$modelDir/model")
+      val kept = graft.operators.LlmOps
+        .dsirScore(batch.select("doc_id", "text"), lam)
+        .filter(col("weight_fp") > 0)
+        .join(batch.select("doc_id", "text"), Seq("doc_id"))
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        kept.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$outDir/accepted")
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      writeMarker(s, outDir, batchId)
+    }
+  }
+
   /** Streaming NEAR-dup ingestion — dedupIngest's fuzzy sibling, wiring
     * the standing NearDupIndex into foreachBatch: each arriving batch is
     * (1) greedily deduped within itself (a doc drops if it LSH-pairs with

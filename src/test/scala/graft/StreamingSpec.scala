@@ -379,6 +379,54 @@ class StreamingSpec extends SparkSpec {
     assert(served.map(_._1) == Set(3L, 7L, 11L))
   }
 
+  test("streaming DSIR gate scores batches against the standing model, batch ≡ stream") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val modelDir = java.nio.file.Files.createTempDirectory("dsir-model").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dsir-out").toString
+    val corpus = graft.Tables.t(spark, sfDir, "documents")
+    StreamJobs.buildDsirModel(corpus, modelDir)
+    assert(spark.read.parquet(s"$modelDir/model").count() <= 256)
+    val rows = corpus.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamJobs.dsirGateEachBatch(docs, modelDir, outDir).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id", "weight_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // parity: the streamed gate keeps EXACTLY the batch path's positive-
+    // weight docs with identical fixed-point weights (the model is shared
+    // state; scoring is deterministic integer arithmetic)
+    val direct = graft.operators.LlmOps
+      .dsirScore(corpus.select("doc_id", "text"),
+        spark.read.parquet(s"$modelDir/model"))
+      .filter(col("weight_fp") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == direct)
+    assert(streamed.nonEmpty && streamed.size < rows.length,
+      s"gate should pass some and cut some: ${streamed.size}/${rows.length}")
+    // at-least-once replay: re-applying a committed batch is a no-op (the
+    // marker short-circuits), and re-applying after a lost marker is a
+    // byte-stable rewrite of that batch's own partition — never duplicates
+    val replay = b1.toSeq.toDF("doc_id", "text")
+    StreamJobs.applyDsirGateBatch(replay, 0L, modelDir, outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/commits/0"), false)
+    StreamJobs.applyDsirGateBatch(replay, 0L, modelDir, outDir)
+    val afterReplay = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id", "weight_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(afterReplay.length == afterReplay.distinct.length,
+      "replay must not duplicate accepted rows")
+    assert(afterReplay.toSet == direct)
+  }
+
   test("streaming near-dup ingestion: candidates drop, survivors join the index") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
