@@ -85,13 +85,35 @@ object DedupIndex {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Publish a shard bloom ATOMICALLY: write to a temp name, then one
+    * rename. `newAgainst` takes no lock (screens are read-only and the
+    * append lock only serializes writers), so an in-place overwrite
+    * would expose a concurrent reader to a torn bloom — EOF on a
+    * truncated file at best, a silently bit-incomplete screen (breaking
+    * the "bloom miss proves new" superset invariant) at worst. With
+    * rename-publish a reader sees the old complete bloom or the new
+    * complete bloom, never bytes in between. Filesystems without a
+    * FileContext binding (pufs://) fall back to delete+rename — there
+    * the single-writer contract already governs (see append). */
   private def writeBloom(spark: SparkSession, indexDir: String, shard: Int,
       bf: BloomFilter): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val (fs, p) = fsFor(spark, indexDir, shard)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
     try out.write(bos.toByteArray) finally out.close()
+    try
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, spark.sessionState.newHadoopConf())
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"bloom publish rename failed: $p")
+    }
   }
 
   private def readBloomBytes(spark: SparkSession, indexDir: String,
@@ -172,21 +194,52 @@ object DedupIndex {
     } finally { hashes.unpersist(); () }
   }
 
+  /** Rebuild the shard blooms from hashes/ when the index predates the
+    * sharded layout (a lone bloom.bin): the screen is DERIVED state —
+    * the authoritative content set lives in the parquet rows — so
+    * migration is one distributed pass over hashes/, after which the
+    * legacy file is inert. Without this, the first touch of an index
+    * persisted by the single-bloom version would die in Hadoop FS code
+    * with a bare FileNotFoundException on blooms/shard-0.bin, stranding
+    * valid index data. Idempotent and safe under races: every migrator
+    * computes identical blooms and publishes each by atomic rename. */
+  private def ensureShardedLayout(spark: SparkSession,
+      indexDir: String): Unit = {
+    val (fs, p0) = fsFor(spark, indexDir, 0)
+    if (fs.exists(p0)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir, "bloom.bin")))
+      return // fresh index: build() writes the shard blooms itself
+    val hashes = spark.read.parquet(s"$indexDir/hashes")
+      .withColumn("h", xxhash64(col("sha")))
+    bloomsOf(hashes).zipWithIndex.foreach { case (bf, i) =>
+      writeBloom(spark, indexDir, i, bf)
+    }
+  }
+
   /** Rows of `docs` whose content is NOT in the index. Bloom misses are
     * new by construction (no false negatives) and never reach the join;
     * only bloom hits are confirmed against hashes/ (left_anti kills the
-    * false positives). The screen is a 16-arm CASE over the shard nibble,
-    * each arm a codegen'd might_contain against that shard's bloom
-    * literal. */
+    * false positives). The screen is a CASE over the shard nibble with
+    * one codegen'd might_contain arm per shard the batch actually
+    * touches — shard blooms are ~1.2 MB plan literals each, so loading
+    * all 16 (~19 MB shipped with every task's serialized plan) for a
+    * small streaming batch that hashes into two shards would pay 8× the
+    * necessary plan weight; the touched set costs one tiny distinct
+    * over the batch. */
   def newAgainst(spark: SparkSession, indexDir: String,
       docs: DataFrame): DataFrame = {
     import graft.functions.BloomMembership
+    ensureShardedLayout(spark, indexDir)
     val hashed = withSha(docs).withColumn("shard", shardExpr)
-    val maybeSeen = (1 until Shards).foldLeft(
-      when(col("shard") === 0, BloomMembership.mightContain(spark,
-        lit(readBloomBytes(spark, indexDir, 0)), col("h")))) { (acc, i) =>
-      acc.when(col("shard") === i, BloomMembership.mightContain(spark,
-        lit(readBloomBytes(spark, indexDir, i)), col("h")))
+    val touched = hashed.select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤16 rows
+    if (touched.isEmpty) return docs // empty batch: nothing to screen
+    val maybeSeen = touched.tail.foldLeft(
+      when(col("shard") === touched.head, BloomMembership.mightContain(spark,
+        lit(readBloomBytes(spark, indexDir, touched.head)), col("h")))) {
+      (acc, i) =>
+        acc.when(col("shard") === i, BloomMembership.mightContain(spark,
+          lit(readBloomBytes(spark, indexDir, i)), col("h")))
     }
     val definitelyNew = hashed.filter(!maybeSeen)
     val confirmed = hashed.filter(maybeSeen)
@@ -220,6 +273,7 @@ object DedupIndex {
     val touched = hashes.select(shardExpr.as("shard")).distinct()
       .collect().map(_.getInt(0)).toSet // ≤16 rows
     withAppendLock(spark, indexDir) {
+      ensureShardedLayout(spark, indexDir)
       touched.foreach { i =>
         val merged = readBloom(spark, indexDir, i)
         merged.mergeInPlace(batchBlooms(i))

@@ -79,19 +79,30 @@ object LlmOps {
     * frame — the l2 signature scheme factored out so the standing
     * NearDupIndex indexes bit-identical signatures to the inline lane. */
   private[operators] def minhashSigs(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-      .filter(size(col("tk")) >= 5)
-    val shingles = toks.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("tk")) - 4),
-        i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
     val bandMins = (0 to 3).map(b =>
       min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
-    shingles
+    shingleRows(docs, distinctPerDoc = false)
       .groupBy("doc_id")
       .agg(bandMins.head, bandMins.tail: _*)
       .select(col("doc_id"), posexplode(
         array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
+  }
+
+  /** Exploded 5-word shingle rows (doc_id, sh) for a (doc_id, text)
+    * frame — THE similarity unit of this file, shared by MinHash (l2 /
+    * NearDupIndex, multiset form) and the exact AllPairs join (l55, set
+    * form via distinctPerDoc) so the shingle definition (lowercasing,
+    * width, tokenization) cannot drift between screens that must agree.
+    * Docs under 5 tokens have no shingles. */
+  private[graft] def shingleRows(docs: DataFrame,
+      distinctPerDoc: Boolean): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+    val arr = transform(sequence(lit(1), size(col("tk")) - 4),
+      i => concat_ws(" ", slice(col("tk"), i, lit(5))))
+    toks.select(col("doc_id"),
+      explode(if (distinctPerDoc) array_distinct(arr) else arr).as("sh"))
   }
 
   /** 32-bit SimHash per document (doc_id, simhash) — per-token
@@ -142,12 +153,22 @@ object LlmOps {
     val raw = feats.groupBy("bucket").agg(count(lit(1)).as("rc"))
     val tgt = feats.filter(col("lang") === targetLang)
       .groupBy("bucket").agg(count(lit(1)).as("tc"))
-    // λ_fp per bucket: one fixed expression tree (left-associated adds,
-    // same text in the l56 oracle SQL)
-    val lam = raw.join(tgt, Seq("bucket"), "left")
+    // λ_fp per bucket over the FULL 256-bucket domain, not just buckets
+    // the build corpus happened to populate: the model's consumers score
+    // OTHER corpora (the streaming gate), and a scored token hashing to
+    // an unmodeled bucket must get the add-one-smoothed unseen-bucket λ
+    // — an inner model join would silently drop it (and a doc made
+    // entirely of unmodeled buckets would vanish from the gate's output
+    // with no record). One fixed expression tree (left-associated adds,
+    // same text in the l56 oracle SQL).
+    val domain = docs.sparkSession.range(256)
+      .select(col("id").cast("long").as("bucket"))
+    val lam = domain
+      .join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
       .select(col("bucket"), expr(
         s"""CAST(floor((ln(coalesce(tc, 0) + 1) - ln(${tT}L + 256)
-           | - ln(rc + 1) + ln(${tR}L + 256)) * 4294967296.0) AS BIGINT)"""
+           | - ln(coalesce(rc, 0) + 1) + ln(${tR}L + 256)) * 4294967296.0) AS BIGINT)"""
           .stripMargin.replace("\n", "")).as("lam_fp"))
       .persist()
     lam.count() // materialize before the features cache is released
@@ -803,12 +824,8 @@ object LlmOps {
       // this fixture's docs exceeds τ on shared single words, a 57%-dense
       // O(n²) output no algorithm could make sparse), shared by the
       // order/size/verify passes
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), size(col("tk")) - 4),
-            i => concat_ws(" ", slice(col("tk"), i, lit(5)))))).as("tok"))
+      val toks = shingleRows(t(s, d, "documents"), distinctPerDoc = true)
+        .withColumnRenamed("sh", "tok")
         .persist()
       toks.count()
       val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -853,7 +870,12 @@ object LlmOps {
     // and quantized to BIGINT (λ_fp = floor(λ·2^32) — a 256-row model
     // table), so every per-doc weight is an exact INTEGER sum,
     // independent of partitioning/summation order, and the lane is fully
-    // DuckDB-oracle-checked. At 100 TB: the model is a 256-row broadcast
+    // DuckDB-oracle-checked. Honest scope: +,−,×,/ are IEEE-pinned but
+    // ln() is not — a libm whose last ulp differs from the JVM's could
+    // flip a floor() by one unit (verified to agree on the gate host;
+    // everything downstream of λ_fp is exact integers regardless, and a
+    // production deployment would persist the λ table once rather than
+    // recompute it per engine). At 100 TB: the model is a 256-row broadcast
     // table built in one corpus pass; scoring is one partial-agg groupBy
     // per doc — the same shape as l39's bigram scorer. (The paper
     // resamples by weight + Gumbel noise; selection here is the
@@ -2319,13 +2341,15 @@ object LlmOps {
         |tgt AS (SELECT bucket, count(*) AS tc FROM feats
         |        WHERE lang = 'en' GROUP BY 1),
         |lam AS (
-        |  SELECT r.bucket,
+        |  SELECT b.bucket,
         |    CAST(floor((ln(coalesce(t.tc, 0) + 1)
         |      - ln((SELECT tt FROM tot) + 256)
-        |      - ln(r.rc + 1)
+        |      - ln(coalesce(r.rc, 0) + 1)
         |      + ln((SELECT tr FROM tot) + 256)) * 4294967296.0) AS BIGINT)
         |      AS lam_fp
-        |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket),
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) b
+        |  LEFT JOIN raw r ON r.bucket = b.bucket
+        |  LEFT JOIN tgt t ON t.bucket = b.bucket),
         |dc AS (SELECT doc_id, bucket, count(*) AS c FROM feats GROUP BY 1, 2)
         |SELECT dc.doc_id,
         |  CAST(SUM(dc.c * lam.lam_fp) AS BIGINT) AS weight_fp,

@@ -420,12 +420,15 @@ object ScanOps {
       val removed = e.filter(col("key") % 5 =!= 0 && col("key") % 17 === 0)
       val base = IncrementalAgg.binHistogram(
         v1.select(col("grp"), col("v")), width)
-      val deltas = added
-        .select(col("grp"), floor(col("v") / width).cast("long").as("bin"),
-          lit(1L).as("dCnt"))
-        .unionByName(removed.select(col("grp"),
-          floor(col("v") / width).cast("long").as("bin"),
-          lit(-1L).as("dCnt")))
+      // deltas go through binHistogram too: the maintenance is exact only
+      // because added/removed rows bin EXACTLY like base rows, so the bin
+      // expression must have a single authoritative definition
+      val deltas = IncrementalAgg
+        .binHistogram(added.select(col("grp"), col("v")), width)
+        .select(col("grp"), col("bin"), col("cnt").as("dCnt"))
+        .unionByName(IncrementalAgg
+          .binHistogram(removed.select(col("grp"), col("v")), width)
+          .select(col("grp"), col("bin"), (-col("cnt")).as("dCnt")))
         .groupBy("grp", "bin").agg(sum("dCnt").as("dCnt"))
       val hist = IncrementalAgg.maintainHistogram(base, deltas)
       IncrementalAgg.histogramQuantiles(hist, width, Seq(50, 90, 99))

@@ -86,12 +86,9 @@ class QueriesSpec extends SparkSpec {
     // exact intersection verify must keep exactly the pairs the
     // all-token-sharing-pairs formulation finds
     val d = "/root/testdata/sf0.01"
-    val toks = Tables.t(spark, d, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("tk")) - 4),
-          i => concat_ws(" ", slice(col("tk"), i, lit(5)))))).as("tok"))
+    val toks = graft.operators.LlmOps
+      .shingleRows(Tables.t(spark, d, "documents"), distinctPerDoc = true)
+      .withColumnRenamed("sh", "tok")
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val brute = toks.select(col("doc_id").as("a"), col("tok"))
       .join(toks.select(col("doc_id").as("b"), col("tok").as("tokb")),

@@ -386,7 +386,10 @@ class StreamingSpec extends SparkSpec {
     val outDir = java.nio.file.Files.createTempDirectory("dsir-out").toString
     val corpus = graft.Tables.t(spark, sfDir, "documents")
     StreamJobs.buildDsirModel(corpus, modelDir)
-    assert(spark.read.parquet(s"$modelDir/model").count() <= 256)
+    // the model covers the FULL bucket domain — a scored doc hashing to a
+    // bucket the build corpus never populated must still get the
+    // smoothed unseen-bucket lambda, not silently drop
+    assert(spark.read.parquet(s"$modelDir/model").count() == 256)
     val rows = corpus.select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val mem = MemoryStream[(Long, String)]

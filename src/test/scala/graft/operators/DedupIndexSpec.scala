@@ -47,6 +47,36 @@ class DedupIndexSpec extends SparkSpec {
       Set(22L))
   }
 
+  test("pre-shard (bloom.bin) index migrates in place: screen and append still exact") {
+    // an index persisted by the single-bloom layout has hashes/ plus
+    // bloom.bin; the first touch must rebuild the shard blooms from the
+    // authoritative row table instead of dying on a missing
+    // blooms/shard-0.bin — the standing index's durability promise
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-legacy").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "jumped over the lazy dog")
+    ).toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, indexDir)
+    // simulate the legacy layout: drop the shard blooms, plant bloom.bin
+    val blooms = new java.io.File(indexDir, "blooms")
+    blooms.listFiles().foreach(f => assert(f.delete()))
+    assert(blooms.delete())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "bloom.bin"), Array[Byte](1, 2, 3))
+    val batch = Seq(
+      (10L, "the quick brown fox"), // dup of the pre-migration index
+      (11L, "a wholly new document")
+    ).toDF("doc_id", "text")
+    val fresh = DedupIndex.newAgainst(spark, indexDir, batch)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "migrated screen must still know the pre-shard contents")
+    DedupIndex.append(spark, indexDir, fresh)
+    assert(DedupIndex.newAgainst(spark, indexDir, batch).isEmpty)
+    assert(new java.io.File(indexDir, "blooms/shard-0.bin").exists,
+      "migration must materialize the sharded layout")
+  }
+
   test("NULL-text docs dedup instead of being re-admitted every batch") {
     // sha2(NULL) is NULL and NULL = NULL never matches the confirm join —
     // without the coalesce a NULL-text doc would screen as "new" forever
