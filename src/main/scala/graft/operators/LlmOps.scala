@@ -507,87 +507,19 @@ object LlmOps {
   /** ADC candidates kept per probe for the exact re-rank. */
   private[operators] val PqRerank = 50
 
-  /** Product-quantization kNN (see the l53 lane comment). Build: one
-    * seeded sample-fit k-means per 8-dim subspace (the codebook table is
-    * m·k = 128 rows — broadcast by construction), encode = nearest
-    * codeword per slice via a bounded-heap best-1 aggregation (L2, the
-    * PQ metric). Query: per-probe distance tables d²(probe slice,
-    * codeword) are broadcast, the codes table joins them and a partial
-    * agg sums the m per-subspace terms into the ADC distance; top-C by
-    * bounded heap, exact cosine re-rank last. The corpus's raw vectors
-    * are touched only at build time and for the ≤C re-rank rows. */
+  /** Product-quantization kNN (see the l53 lane comment): the PqIndex
+    * frame functions composed inline — fit+encode (one seeded
+    * sample-fit k-means per subspace, nearest-codeword best-1 encode),
+    * then the ADC scan + bounded exact re-rank for the ten standard
+    * probes. The standing-index form of the same computation is
+    * PqIndex.build/queryProbes (NearDupSpec pins stored ≡ inline). */
   private[operators] def annPq(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    graft.functions.VectorExpressions.register(s)
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding")).persist()
-    val n = vecs.count()
-    val dim = vecs.select(size(col("embedding"))).first().getInt(0)
-    val subDim = dim / PqM
-    // per-subspace codebooks; k-means is seeded + sample-fit, so the
-    // codebook (and everything downstream) is deterministic run-to-run
-    val codebooks = (0 until PqM).flatMap { sub =>
-      val sliceDf = vecs.select(col("vec_id"),
-        array_to_vector(expr(s"slice(embedding, ${sub * subDim + 1}, $subDim)"))
-          .as("features"))
-      fitKMeansOnSample(
-        new KMeans().setK(PqK).setSeed(42 + sub).setMaxIter(8),
-        sliceDf, "vec_id", n)
-        .clusterCenters.zipWithIndex
-        .map { case (c, i) => (sub, i, c.toArray.map(_.toFloat)) }
-    }
-    val cb = { import s.implicits._; codebooks.toDF("sub", "code", "cvec") }
-    // squared L2 via the fused dot kernel: |a-b|² = a·a + b·b - 2a·b
-    def d2(a: String, b: String) =
-      expr(s"dot_f32($a, $a) + dot_f32($b, $b) - 2 * dot_f32($a, $b)")
-    // ENCODE: explode each vector into its m slices, nearest codeword
-    // per slice — the stored index is (vec_id, sub, code)
-    val best1 = udaf(new graft.functions.TopK(1),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val codes = vecs
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
-      .select(col("vec_id"), col("sub"),
-        expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("svec"))
-      .join(broadcast(cb), "sub")
-      .withColumn("negd2", -d2("svec", "cvec"))
-      .groupBy("vec_id", "sub")
-      .agg(best1(col("negd2"), col("code").cast("long")).as("nb"))
-      .select(col("vec_id"), col("sub"),
-        col("nb.id").getItem(0).cast("int").as("code"))
-      .persist()
-    codes.count() // materialize before the per-probe fan-out reads it
-    // ADC distance tables: probes × codebook = 10·128 broadcast rows
-    val dt = broadcast(vecs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv")))
-      .crossJoin(broadcast(cb))
-      .select(col("probe_id"), col("sub"), col("code"), col("cvec"),
-        expr(s"slice(pv, sub * $subDim + 1, $subDim)").as("pslice"))
-      .withColumn("pd2", d2("pslice", "cvec"))
-      .select("probe_id", "sub", "code", "pd2")
-    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
-      .filter(col("probe_id") =!= col("vec_id"))
-      .groupBy("probe_id", "vec_id")
-      .agg(sum("pd2").as("approx_d2"))
-    val topC = udaf(new graft.functions.TopK(PqRerank),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val cands = adc.groupBy("probe_id")
-      .agg(topC(-col("approx_d2"), col("vec_id")).as("nb"))
-      .select(col("probe_id"), explode(col("nb.id")).as("vec_id"))
-    val probeVecs = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val topk = udaf(new graft.functions.TopK(5),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    cands.join(vecs, "vec_id")
-      .join(broadcast(probeVecs), "probe_id")
-      .withColumn("cos", expr("cosine_f32(pv, embedding)"))
-      .groupBy("probe_id")
-      .agg(topk(col("cos"), col("vec_id")).as("nb"))
-      .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
-      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
-        col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
-      .orderBy("probe_id", "rnk")
+    val (cb, codes) = PqIndex.buildFrames(s, vecs)
+    PqIndex.scoreProbes(s, cb, codes, vecs,
+      vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), 5)
   }
 
   /** DuckDB replay of the fixed-point PageRank: the k power-iteration

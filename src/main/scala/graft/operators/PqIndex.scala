@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted product-quantization index — the build/query split of the
+  * PQ ANN family (the l53 lane), mirroring [[AnnIndex]] for sign-LSH:
+  * `build` fits the per-subspace codebooks and encodes the corpus ONCE,
+  * writing three tables under `dir`:
+  *
+  *   codebooks/  m·k rows (sub, code, cvec) — broadcast-sized model
+  *   codes/      n·m rows (vec_id, sub, code) — the ~32×-compressed
+  *               corpus every ADC query scans INSTEAD of the vectors
+  *   vectors/    the raw vectors, touched only by the bounded exact
+  *               re-rank of each probe's top-C ADC candidates
+  *
+  * At 100 TB this is the family for when the raw vectors don't fit the
+  * query path's IO budget: queries read codes/ (~3% of the bytes) plus
+  * O(probes·C) vector rows, and the expensive fit+encode runs once per
+  * corpus change. The same immutable build/serve split as AnnIndex —
+  * rebuild on corpus change, the serving tables are write-once.
+  *
+  * Parameters and arithmetic are shared with the inline l53 lane
+  * (LlmOps.annPq composes the same frame functions), so stored-index
+  * results match the lane exactly — NearDupSpec pins the parity.
+  */
+object PqIndex {
+
+  import LlmOps.{PqM, PqK, PqRerank}
+
+  /** Squared L2 via the fused dot kernel: |a−b|² = a·a + b·b − 2a·b. */
+  private def d2(a: String, b: String) =
+    expr(s"dot_f32($a, $a) + dot_f32($b, $b) - 2 * dot_f32($a, $b)")
+
+  /** Fit + encode as pure frames: (codebooks(sub, code, cvec),
+    * codes(vec_id, sub, code)). One seeded sample-fit k-means per
+    * subspace (deterministic run-to-run), then nearest-codeword
+    * encoding via a bounded-heap best-1 aggregation. `codes` comes back
+    * persisted+materialized — callers unpersist (or let the session's
+    * cache teardown reclaim it). */
+  private[operators] def buildFrames(s: SparkSession, vecs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorExpressions.register(s)
+    val n = vecs.count()
+    val dim = vecs.select(size(col("embedding"))).first().getInt(0)
+    val subDim = dim / PqM
+    val codebooks = (0 until PqM).flatMap { sub =>
+      val sliceDf = vecs.select(col("vec_id"),
+        array_to_vector(expr(s"slice(embedding, ${sub * subDim + 1}, $subDim)"))
+          .as("features"))
+      LlmOps.fitKMeansOnSample(
+        new KMeans().setK(PqK).setSeed(42 + sub).setMaxIter(8),
+        sliceDf, "vec_id", n)
+        .clusterCenters.zipWithIndex
+        .map { case (c, i) => (sub, i, c.toArray.map(_.toFloat)) }
+    }
+    val cb = { import s.implicits._; codebooks.toDF("sub", "code", "cvec") }
+    val best1 = udaf(new graft.functions.TopK(1),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val codes = vecs
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("svec"))
+      .join(broadcast(cb), "sub")
+      .withColumn("negd2", -d2("svec", "cvec"))
+      .groupBy("vec_id", "sub")
+      .agg(best1(col("negd2"), col("code").cast("long")).as("nb"))
+      .select(col("vec_id"), col("sub"),
+        col("nb.id").getItem(0).cast("int").as("code"))
+      .persist()
+    codes.count() // materialize before downstream fan-out reads it twice
+    (cb, codes)
+  }
+
+  /** ADC scan + bounded exact re-rank against supplied frames: per-probe
+    * distance tables d²(probe slice, codeword) broadcast (probes × m·k
+    * scalars), the codes table joins them and a partial agg sums the m
+    * per-subspace terms, top-C by bounded heap, exact cosine over the
+    * ≤C candidate vectors last. */
+  private[operators] def scoreProbes(s: SparkSession, cb: DataFrame,
+      codes: DataFrame, vecs: DataFrame, probeVecs: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    val dt = broadcast(probeVecs)
+      .crossJoin(broadcast(cb))
+      .select(col("probe_id"), col("sub"), col("code"), col("cvec"),
+        expr(s"slice(pv, sub * $subDim + 1, $subDim)").as("pslice"))
+      .withColumn("pd2", d2("pslice", "cvec"))
+      .select("probe_id", "sub", "code", "pd2")
+    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("pd2").as("approx_d2"))
+    val topC = udaf(new graft.functions.TopK(PqRerank),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val cands = adc.groupBy("probe_id")
+      .agg(topC(-col("approx_d2"), col("vec_id")).as("nb"))
+      .select(col("probe_id"), explode(col("nb.id")).as("vec_id"))
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    cands.join(vecs, "vec_id")
+      .join(broadcast(probeVecs), "probe_id")
+      .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+      .groupBy("probe_id")
+      .agg(topk(col("cos"), col("vec_id")).as("nb"))
+      .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Build the index from the standard embeddings table. */
+  def build(spark: SparkSession, sfDir: String, dir: String): Unit =
+    buildFrom(spark,
+      graft.Tables.t(spark, sfDir, "embeddings"), dir)
+
+  /** Build from an arbitrary (vec_id, embedding) frame. The input is
+    * persisted across the codebook fit, the encode, and the vector copy
+    * — the three reads must see ONE evaluation or a non-deterministic
+    * input leaves codes/ and vectors/ inconsistent (the AnnIndex
+    * writeIndex discipline). */
+  def buildFrom(spark: SparkSession, vecsIn: DataFrame, dir: String): Unit = {
+    val vecs = vecsIn.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val (cb, codes) = buildFrames(spark, vecs)
+      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+      codes.unpersist()
+      ()
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Incremental maintenance — the FAISS `add` semantics: new vectors
+    * are encoded against the EXISTING codebooks (the model is frozen at
+    * build time; codes are per-row, so they append without touching the
+    * stored corpus) and land in codes/ + vectors/. Quantization quality
+    * for the appended rows is the build-time codebooks' — after enough
+    * distribution drift, rebuild (the write-once snapshot discipline:
+    * a rebuild is a NEW index, not an in-place mutation). */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    graft.functions.VectorExpressions.register(spark)
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    val vecs = newVecs.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val best1 = udaf(new graft.functions.TopK(1),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      vecs
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
+        .select(col("vec_id"), col("sub"),
+          expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("svec"))
+        .join(broadcast(cb), "sub")
+        .withColumn("negd2", -d2("svec", "cvec"))
+        .groupBy("vec_id", "sub")
+        .agg(best1(col("negd2"), col("code").cast("long")).as("nb"))
+        .select(col("vec_id"), col("sub"),
+          col("nb.id").getItem(0).cast("int").as("code"))
+        .write.mode("append").parquet(s"$dir/codes")
+      vecs.write.mode("append").parquet(s"$dir/vectors")
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Top-k neighbors for an arbitrary probe set (probe_id, pv), served
+    * from the stored index: the corpus is read as CODES, raw vectors
+    * only for the bounded re-rank. */
+  def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
+      k: Int): DataFrame =
+    scoreProbes(spark,
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"),
+      probeVecs, k)
+}

@@ -144,6 +144,43 @@ class NearDupSpec extends SparkSpec {
     approx.map(_._1).foreach(p => assert(approx.count(_._1 == p) <= 5))
   }
 
+  test("persisted PQ index: query-from-store matches the inline l53 lane") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString
+    PqIndex.build(spark, sfDir, dir)
+    val probes = graft.Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val fromIndex = PqIndex.queryProbes(spark, dir, probes, 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inline = LlmOps.queries("l53_ann_pq")(spark, sfDir)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromIndex == inline,
+      s"stored-index results diverge from the inline lane: " +
+        s"only-index=${fromIndex -- inline} only-inline=${inline -- fromIndex}")
+    // the serving plan scans the STORED codes, not a re-encode: no
+    // k-means fit happens at query time (buildFrames is never called)
+    // and the executed plan reads codes/ from the index dir
+    val plan = PqIndex.queryProbes(spark, dir, probes, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("/codes"), plan.take(1500))
+
+    // incremental append: a copy of probe 0's vector encodes to probe
+    // 0's exact codes under the frozen codebooks, so it shares every ADC
+    // bucket and must surface as the top-1 neighbor at cosine ≈ 1
+    import graft.SparkSpec.spark.implicits._
+    val v0 = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    PqIndex.append(spark, dir, Seq((99999L, v0)).toDF("vec_id", "embedding"))
+    val top = PqIndex.queryProbes(spark, dir,
+        probes.filter(col("probe_id") === 0L), 1)
+      .select("neighbor_id", "sim").collect()(0)
+    assert(top.getLong(0) == 99999L && math.abs(top.getDouble(1) - 1.0) < 1e-9,
+      s"appended exact-dup not found as top neighbor: $top")
+  }
+
   test("l42 SemDeDup invariants: removed ⇒ kept canonical nearby, kept ⇒ mutually distinct") {
     graft.functions.VectorExpressions.register(spark)
     val tau = 0.35
