@@ -29,7 +29,17 @@ object AnnIndex {
 
   /** Incremental maintenance: signatures are per-row, so new vectors
     * append without touching the existing index (the write-once model —
-    * no rebuild, no rewrite). `newVecs`: (vec_id, embedding). */
+    * no rebuild, no rewrite). `newVecs`: (vec_id, embedding).
+    *
+    * NOT atomic across signatures/ and vectors/ and NOT idempotent: a
+    * crash between the writes leaves the batch un-servable but harmless
+    * (signature rows without vectors drop at the candidate-vector inner
+    * join; vectors without signatures are never candidates), while
+    * blindly re-running the whole append duplicates rows — duplicate
+    * VECTOR rows reach the top-k heap twice and can occupy two result
+    * slots. Recovery from a failed append is re-appending only the
+    * missing table's rows, or a rebuild; replay-safe ingestion belongs
+    * behind a committed-batch marker (the StreamJobs discipline). */
   def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit =
     writeIndex(spark, newVecs, dir, mode = "append")
 

@@ -1077,11 +1077,16 @@ object LlmOps {
     }),
 
     // L40: BPE tokenizer training — the learned merge-rule table after 8
-    // rounds (see bpeTrain). No oracle: the iterative argmax-and-rewrite
-    // loop isn't SQL-expressible; QueriesSpec proves the distributed
-    // implementation ≡ a sequential in-test reference implementation on a
-    // fixture, and pins the max-pair-count invariant (non-increasing by
-    // round: every new pair (x, ab) is a sub-occurrence of an old (x, a)).
+    // rounds (see bpeTrain). Oracle: the iterative argmax-and-rewrite
+    // loop is not expressible as ONE generic SQL query, but at the lane's
+    // FIXED k=8 it unrolls exactly into chained CTEs (the l33 PageRank
+    // trick): each round recounts freq-weighted adjacent pairs, picks the
+    // (cnt DESC, a, b) winner, and rewrites by leftmost non-overlapping
+    // replace() over l41's double-delimited symbol string — replace()'s
+    // scan semantics are bit-equivalent to mergeUdf's single pass.
+    // QueriesSpec additionally proves the distributed implementation ≡ a
+    // sequential in-test reference (the general-k guarantee the unrolled
+    // oracle can't give) and pins the non-increasing max-count invariant.
     "l40_bpe_train" -> ((s, d) =>
       bpeTrain(t(s, d, "documents").select("text"), 8)),
 
@@ -2864,15 +2869,17 @@ object LlmOps {
     "l10_embed_neardup" -> l10OracleSql,
     "l42_semantic_dedup" -> l42OracleSql,
     "l41_bpe_encode" -> l41OracleSql,
+    "l40_bpe_train" -> l40OracleSql,
+    "l13_ann_lsh" -> l13OracleSql,
     "l33_pagerank" -> l33OracleSql
   )
 
   /** Shared SQL fragment: ±1 hyperplane list per plane index p (64 dims,
     * j-ordered), derived from md5("p:j") first-byte parity — the exact
     * LshKernels.planesFor derivation. `nPlanes` is a SQL expression over
-    * `prm`; DuckDB's range() table function only takes constants, so 128
-    * candidate planes are generated and filtered (bits ≤ 63 by sign_lsh's
-    * own type check, so 128 always covers 2·bits). */
+    * `prm`; DuckDB's range() table function only takes constants, so 256
+    * candidate planes are generated and filtered (covers l10/l42's
+    * 2·bits with bits ≤ 63 AND l13's 24 tables × 8 bits = 192). */
   private def planesSql(nPlanes: String): String =
     s"""planes AS (
        |  SELECT p, list(CASE WHEN substring(
@@ -2880,7 +2887,7 @@ object LlmOps {
        |      IN ('1','3','5','7','9','b','d','f')
        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
        |    ORDER BY j) AS pl
-       |  FROM (SELECT p FROM range(0, 128) t(p), prm
+       |  FROM (SELECT p FROM range(0, 256) t(p), prm
        |        WHERE p < $nPlanes),
        |       (SELECT j FROM range(0, 64) u(j))
        |  GROUP BY p),
@@ -2935,6 +2942,43 @@ object LlmOps {
        |SELECT a, b, cos AS sim FROM cos
        |WHERE cos > CAST(0.35 AS DOUBLE) ORDER BY a, b""".stripMargin
 
+  /** DuckDB replay of the l13 multi-table LSH ANN — approximate BY
+    * CONSTRUCTION yet fully deterministic, so it oracle-checks exactly:
+    * the 24×8 = 192 md5-derived planes, per-(vec, table) 8-bit
+    * signatures, the probe-side Hamming≤1 multiprobe (own bucket + 8
+    * one-bit flips), the distinct candidate set, and the exact fused
+    * cosine re-rank (cosinePairSql ≡ the cosine_f32 kernel, proven by
+    * l10) with the TopK heap's (score DESC, id ASC) order replayed as a
+    * window rank. */
+  private def l13OracleSql: String =
+    s"""WITH prm AS (SELECT 8 AS bits),
+       |${planesSql("(SELECT 24 * bits FROM prm)")},
+       |sigs AS (
+       |  SELECT d.vec_id, CAST(d.p // prm.bits AS INT) AS band,
+       |    sum(CASE WHEN d.dot > 0
+       |      THEN (CAST(1 AS BIGINT) << (d.p % prm.bits))
+       |      ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM dots d, prm GROUP BY 1, 2),
+       |probeb AS (
+       |  SELECT s.vec_id AS probe_id, s.band AS pband,
+       |    CASE WHEN t.f = 8 THEN s.sig
+       |      ELSE xor(s.sig, (CAST(1 AS BIGINT) << t.f)) END AS bsig
+       |  FROM sigs s, range(0, 9) t(f)
+       |  WHERE s.vec_id < 10),
+       |cands AS (
+       |  SELECT DISTINCT p.probe_id AS a, s.vec_id AS b
+       |  FROM probeb p JOIN sigs s
+       |    ON s.band = p.pband AND s.sig = p.bsig
+       |      AND s.vec_id <> p.probe_id),
+       |cos AS ($cosinePairSql),
+       |r AS (
+       |  SELECT a AS probe_id, b AS neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY a
+       |      ORDER BY cos DESC, b) AS INT) AS rnk
+       |  FROM cos)
+       |SELECT probe_id, rnk, neighbor_id, round(cos, 4) AS sim
+       |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   private def l42OracleSql: String =
     s"""WITH RECURSIVE prm AS (
        |  SELECT GREATEST(4, CAST(ceil(
@@ -2972,6 +3016,49 @@ object LlmOps {
     * bpeEncode's single-pass scan. The delimiter chr(1) sits outside the
     * document generator's charset (ASCII 32..121 observed) — a corpus
     * that could contain control chars would need a wider sentinel. */
+  /** DuckDB replay of BPE TRAINING (l40, batch=1): the 8 merge rounds
+    * unroll into chained CTEs — pair counts from freq-weighted adjacent
+    * positions (overlapping occurrences counted per position, exactly
+    * like the Spark transform), winner by (cnt DESC, a, b), rewrite by
+    * leftmost non-overlapping replace() over the l41 double-delimited
+    * symbol string (replace() scans left and never rescans replaced
+    * output — the same contract as mergeUdf's single pass, so "aaa" +
+    * (a,a) → [aa, a] in both). Trailing w8 CTE is unreferenced and
+    * unevaluated (CTEs are lazy). */
+  private def l40OracleSql: String = {
+    val D = "chr(1)"
+    val DD = s"$D || $D"
+    val iters = 8
+    val head =
+      s"""WITH w0 AS (
+         |  SELECT $DD || array_to_string(
+         |      list_append(string_split(w, ''), '</w>'), $DD) || $DD AS s,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s""",
+         |p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt
+         |  FROM (SELECT list_filter(string_split(s, $DD), x -> x <> '')
+         |          AS syms, freq FROM w${r - 1}),
+         |    unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |win$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(s, $D || m.a || $DD || m.b || $D,
+         |      $D || m.a || m.b || $D) AS s, freq
+         |  FROM w${r - 1}, win$r m)""".stripMargin
+    }.mkString
+    val tail = "\n" + (1 to iters).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS "left", b AS "right",
+         |  a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM win$r""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    head + rounds + tail
+  }
+
   private def l41OracleSql: String = {
     val D = "chr(1)"
     val base = s"$D || $D || array_to_string(" +

@@ -141,7 +141,17 @@ object PqIndex {
     * stored corpus) and land in codes/ + vectors/. Quantization quality
     * for the appended rows is the build-time codebooks' — after enough
     * distribution drift, rebuild (the write-once snapshot discipline:
-    * a rebuild is a NEW index, not an in-place mutation). */
+    * a rebuild is a NEW index, not an in-place mutation).
+    *
+    * NOT atomic across the two tables and NOT idempotent: a crash
+    * between the writes leaves the batch's vectors invisible (codes/ is
+    * the only candidate source — a safe partial state), but blindly
+    * re-running the whole append would duplicate code rows, and the ADC
+    * sum counts every (sub, code) row — duplicated codes DOUBLE a
+    * vector's approx distance. Recovery from a failed append is
+    * re-appending only the missing table's rows, or a rebuild; callers
+    * needing replay-safe ingestion wrap appends in a committed-batch
+    * marker like the StreamJobs foreachBatch builders do. */
   def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
     graft.functions.VectorExpressions.register(spark)
     val cb = spark.read.parquet(s"$dir/codebooks")
