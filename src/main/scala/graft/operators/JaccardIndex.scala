@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standing EXACT-Jaccard near-dup index — the exact-recall sibling of
+  * [[NearDupIndex]] (which screens by MinHash bands, approximately): the
+  * corpus's distinct 5-gram shingle sets are stored ONCE; each arriving
+  * batch is screened by AllPairs prefix filtering (the l55 lane's
+  * algorithm) and every reported (index doc `a`, batch doc `b`) pair
+  * carries an exact integer-verified Jaccard ≥ 3/5 — no false
+  * positives, no false negatives, by construction.
+  *
+  * Layout at `indexDir`:
+  *   shingles/ (doc_id, sh)  distinct shingle rows — the corpus's sets
+  *   sizes/    (doc_id, n)   set cardinalities
+  *
+  * Completeness under a GROWING index is the subtle part: the classic
+  * two-sided prefix join (l55) requires BOTH sets' prefixes under ONE
+  * global token order, but a standing index's token frequencies drift
+  * with every append — stored prefixes computed under yesterday's order
+  * would silently lose recall today. The screen here is ONE-SIDED:
+  * only the BATCH doc's prefix is used, joined against the corpus's
+  * FULL shingle rows. One-sided prefix filtering is complete under ANY
+  * total order of the probe's own shingles — if J(A,B) ≥ τ then
+  * |A∩B| ≥ ⌈τ·|B|⌉ (∪ ⊇ B), and B's first |B| − ⌈τ·|B|⌉ + 1 shingles
+  * under any fixed order must contain an element of A∩B by pigeonhole
+  * on B alone — so no order is frozen, nothing migrates on append. The
+  * order still matters for COST, not correctness: prefixes sort
+  * rarest-first by the INDEX's document frequencies (unseen shingles
+  * rank rarest — their postings are empty, so probing them is free).
+  *
+  * At scale: screen cost is Σ over batch-prefix shingles of the stored
+  * posting length; the verify join touches only candidate pairs.
+  * Appends are per-row parquet appends (write-once; same two-table
+  * non-atomicity contract as AnnIndex.append — re-run only a failed
+  * table, or rebuild).
+  */
+object JaccardIndex {
+
+  /** Integer-exact τ = 3/5 machinery (the l55 discipline): prefix
+    * length |B| − ⌈3|B|/5⌉ + 1 with ⌈3n/5⌉ = (3n+4) DIV 5, and the
+    * final test 5·∩ ≥ 3·(|A|+|B|−∩). No float ever decides membership. */
+  private val PrefixLenExpr = "n - ((3 * n + 4) DIV 5) + 1"
+
+  private def shingleSets(docs: DataFrame): DataFrame =
+    LlmOps.shingleRows(docs.select("doc_id", "text"), distinctPerDoc = true)
+
+  /** Exact intersection count + integer threshold over candidate id
+    * pairs: `aSh`/`bSh` are (doc_id, sh) rows, `aSz`/`bSz` (doc_id, n). */
+  private def verify(cands: DataFrame, aSh: DataFrame, aSz: DataFrame,
+      bSh: DataFrame, bSz: DataFrame): DataFrame = {
+    val inter = cands
+      .join(aSh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(bSh.select(col("doc_id").as("b2"), col("sh").as("shb")),
+        col("b") === col("b2") && col("sh") === col("shb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(aSz.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(bSz.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .filter(col("n_common") * 5 >=
+        (col("n_a") + col("n_b") - col("n_common")) * 3)
+      .select("a", "b", "n_common", "n_a", "n_b")
+  }
+
+  /** Rarest-first probe prefixes of `sh` under the given df table:
+    * (sh, b) rows, one per prefix shingle per doc. */
+  private def probePrefix(sh: DataFrame, dfreq: DataFrame,
+      sizes: DataFrame): DataFrame =
+    sh.join(dfreq, Seq("sh"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= expr(PrefixLenExpr))
+      .select(col("sh"), col("doc_id").as("b"))
+
+  /** Index a corpus: distinct shingle rows + set sizes. Docs under 5
+    * tokens have no shingles and screen as never-similar (exact
+    * CONTENT dedup is DedupIndex's job). */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val sh = shingleSets(docs).persist()
+    try {
+      sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$indexDir/sizes")
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Grow the index with new (already screened/accepted) docs — per-row
+    * appends, nothing rewritten. NOT atomic across the two tables and
+    * not idempotent (the AnnIndex.append contract); a crash between the
+    * writes leaves the batch's docs candidate-visible but size-less —
+    * the verify's inner size join drops them, never emits wrong pairs. */
+  def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
+    val sh = shingleSets(docs).persist()
+    try {
+      sh.write.mode("append").parquet(s"$indexDir/shingles")
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(s"$indexDir/sizes")
+    } finally { sh.unpersist(); () }
+  }
+
+  private def indexExists(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** All (index doc `a`, batch doc `b`) pairs with exact Jaccard ≥ 3/5
+    * and the verified counts: (a, b, n_common, n_a, n_b). The batch's
+    * shingle sets are computed here; the corpus is read as stored rows
+    * and never re-shingled. Pairs with a = b are excluded — a doc
+    * screened against an index already holding its own rows (an
+    * at-least-once replay) must not match itself. An index that was
+    * never built screens everything as novel (empty result). */
+  def pairsAgainst(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val bsh = shingleSets(batch).persist()
+    bsh.count()
+    val bsizes = bsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    if (!indexExists(spark, indexDir))
+      return verify(bsh.select(col("doc_id").as("a"),
+          col("doc_id").as("b")).limit(0),
+        bsh, bsizes, bsh, bsizes)
+    val stored = spark.read.parquet(s"$indexDir/shingles")
+    val storedSizes = spark.read.parquet(s"$indexDir/sizes")
+    val dfreq = stored.groupBy("sh").agg(count(lit(1)).as("df"))
+    val cands = probePrefix(bsh, dfreq, bsizes)
+      .join(stored.select(col("sh"), col("doc_id").as("a")), "sh")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    verify(cands, stored, storedSizes, bsh, bsizes)
+  }
+
+  /** Exact τ-pairs WITHIN one frame, a < b — the one-sided screen
+    * applied reflexively (prefix side is the larger id `b`, joined
+    * against the frame's full rows): the within-batch pass of the
+    * streaming ingest. */
+  def pairsWithin(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs).persist()
+    sh.count()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val cands = probePrefix(sh, dfreq, sizes)
+      .join(sh.select(col("sh"), col("doc_id").as("a")), "sh")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verify(cands, sh, sizes, sh, sizes)
+  }
+}

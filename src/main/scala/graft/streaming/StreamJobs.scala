@@ -325,6 +325,50 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming EXACT-Jaccard near-dup ingestion — nearDedupIngest with
+    * recall guarantees: within-batch exact τ-pairs drop the larger id
+    * (JaccardIndex.pairsWithin), survivors screen against the standing
+    * index with the one-sided prefix filter (provably complete, so a
+    * true near-dup can NEVER slip past — where the MinHash screen is
+    * probabilistic), and accepted docs join the index.
+    *
+    * at-least-once replay safety, the nearDedupIngest argument made
+    * exact: marker, per-batch dynamic partition overwrite, append last.
+    * A replay after the append screens the batch against an index
+    * already holding its own survivors — a doc's match with its own
+    * stored rows is excluded (a ≠ b), and two within-batch SURVIVORS
+    * have exact J < τ by construction (else pairsWithin would have
+    * dropped one), so the re-screen admits exactly the original
+    * accepted set and the partition rewrite is byte-stable. */
+  def exactDedupIngest(docs: DataFrame, indexDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      if (!markerExists(s, indexDir, batchId)) {
+        val rows = batch.select("doc_id", "text").persist()
+        val losers = graft.operators.JaccardIndex.pairsWithin(rows)
+          .select(col("b").as("doc_id")).distinct()
+        val inBatch = rows.join(losers, Seq("doc_id"), "left_anti")
+        val dups = graft.operators.JaccardIndex
+          .pairsAgainst(s, indexDir, inBatch)
+          .select(col("b").as("doc_id")).distinct()
+        val accepted = inBatch.join(dups, Seq("doc_id"), "left_anti")
+          .persist()
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          accepted.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexDir/accepted")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        graft.operators.JaccardIndex.append(s, indexDir, accepted)
+        accepted.unpersist()
+        rows.unpersist()
+        writeMarker(s, indexDir, batchId)
+      }
+      ()
+    }
+
   /** Streaming incremental-aggregate maintenance — the streaming face of
     * o10: a standing per-group (cnt, total) parquet table absorbs each
     * micro-batch as "added" deltas via IncrementalAgg.applyDeltas, cost

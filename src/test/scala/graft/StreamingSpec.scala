@@ -430,6 +430,35 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay.toSet == direct)
   }
 
+  test("streaming exact-Jaccard ingestion: true near-dups can never slip past") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("stream-jaccard").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamJobs.exactDedupIngest(docs, indexDir).start()
+    // batch 1 hits an EMPTY index: 11 is a last-word-changed near-dup of
+    // 10 (J = 7/9 ≥ 3/5 — dropped within batch, min id survives), 12 is
+    // unrelated
+    mem.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (12L, "one two three four five six seven eight nine ten eleven twelve"))
+    q.processAllAvailable()
+    // batch 2: 20 is a near-dup of INDEXED 10 (exact screen must catch
+    // it), 21 is novel, 22 has no shingles (sub-5-token) and passes
+    mem.addData(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"),
+      (21L, "red orange yellow green blue indigo violet white black grey pink brown"),
+      (22L, "tiny doc"))
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(s"$indexDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(10L, 12L, 21L, 22L),
+      s"exact screen must drop 11 (within batch) and 20 (vs index): $accepted")
+  }
+
   test("streaming near-dup ingestion: candidates drop, survivors join the index") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -77,6 +77,52 @@ class DedupIndexSpec extends SparkSpec {
       "migration must materialize the sharded layout")
   }
 
+  test("exact-Jaccard index: screened pairs ≡ brute force across generations") {
+    val indexDir = java.nio.file.Files.createTempDirectory("jac-idx").toString
+    def brute(index: Seq[(Long, String)], batch: Seq[(Long, String)]) = {
+      val sh = LlmOps.shingleRows(
+        (index ++ batch).toDF("doc_id", "text"), distinctPerDoc = true)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val idxIds = index.map(_._1).toSet
+      val batIds = batch.map(_._1).toSet
+      sh.select(col("doc_id").as("a"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")),
+          col("sh") === col("shb"))
+        .filter(col("a").isin(idxIds.toSeq: _*) &&
+          col("b").isin(batIds.toSeq: _*))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("i") * 5 >= (col("na") + col("nb") - col("i")) * 3)
+        .select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val gen1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+    JaccardIndex.build(spark, gen1.toDF("doc_id", "text"), indexDir)
+    // 10 = near-dup of 1 (last token changed: 7 of 9 union shingles
+    // shared, J ≈ 0.78); 11 unrelated; 12 too short for any shingle
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (11L, "red orange yellow green blue indigo violet white black grey pink brown"),
+      (12L, "tiny doc"))
+    val p1 = JaccardIndex.pairsAgainst(spark, indexDir, batch1.toDF("doc_id", "text"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == brute(gen1, batch1) && p1 == Set((1L, 10L)),
+      s"gen-1 screen: $p1")
+    JaccardIndex.append(spark, indexDir, batch1.toDF("doc_id", "text"))
+    // 20 = near-dup of the APPENDED 10 (and of 1 transitively close):
+    // the screen must consult BOTH generations; brute force is the judge
+    val batch2 = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"),
+      (21L, "red orange yellow green blue indigo violet white black grey pink brown"))
+    val p2 = JaccardIndex.pairsAgainst(spark, indexDir, batch2.toDF("doc_id", "text"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == brute(gen1 ++ batch1, batch2), s"gen-2 screen: $p2")
+    assert(p2.contains((10L, 20L)) && p2.contains((11L, 21L)), s"p2: $p2")
+  }
+
   test("NULL-text docs dedup instead of being re-admitted every batch") {
     // sha2(NULL) is NULL and NULL = NULL never matches the confirm join —
     // without the coalesce a NULL-text doc would screen as "new" forever
