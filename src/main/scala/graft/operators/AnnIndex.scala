@@ -73,9 +73,15 @@ object AnnIndex {
     * rows only (tiny); candidates come from the bucket-join against the
     * signatures table; exact cosine re-ranks. This is the serving path —
     * batch callers pass a slice of the corpus (`query`), streaming
-    * callers pass each arriving micro-batch of probes. */
+    * callers pass each arriving micro-batch of probes.
+    *
+    * `excludeSelf` (default true) drops candidates whose vec_id equals
+    * the probe_id — correct when probes ARE corpus vectors. Pass false
+    * for EXTERNAL probes whose ids merely share the corpus's id space,
+    * or a corpus vector that happens to carry a probe's number silently
+    * vanishes from that probe's results. */
   def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val sigs = spark.read.parquet(s"$dir/signatures")
     val vecs = spark.read.parquet(s"$dir/vectors")
@@ -87,7 +93,7 @@ object AnnIndex {
     val cands = broadcast(probeBuckets.select("probe_id", "pband", "bsig"))
       .join(sigs,
         col("pband") === col("band") && col("bsig") === col("sig") &&
-          col("probe_id") =!= col("vec_id"))
+          (if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true)))
       .select("probe_id", "vec_id").distinct()
     val topk = udaf(new graft.functions.TopK(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])

@@ -48,17 +48,24 @@ object JaccardIndex {
     LlmOps.shingleRows(docs.select("doc_id", "text"), distinctPerDoc = true)
 
   /** Exact intersection count + integer threshold over candidate id
-    * pairs: `aSh`/`bSh` are (doc_id, sh) rows, `aSz`/`bSz` (doc_id, n). */
+    * pairs: `aSh`/`bSh` are (doc_id, sh) rows, `aSz`/`bSz` (doc_id, n).
+    * DUPLICATE-TOLERANT by construction: n_common counts DISTINCT
+    * shared shingles and sizes aggregate by max — so stored rows
+    * duplicated by an at-least-once re-append (append is not
+    * idempotent) inflate nothing; a plain count would double n_common
+    * and admit false pairs at an effective threshold far below τ. */
   private def verify(cands: DataFrame, aSh: DataFrame, aSz: DataFrame,
       bSh: DataFrame, bSz: DataFrame): DataFrame = {
     val inter = cands
       .join(aSh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
       .join(bSh.select(col("doc_id").as("b2"), col("sh").as("shb")),
         col("b") === col("b2") && col("sh") === col("shb"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .groupBy("a", "b").agg(countDistinct(col("sh")).as("n_common"))
+    val aN = aSz.groupBy("doc_id").agg(max("n").as("n"))
+    val bN = bSz.groupBy("doc_id").agg(max("n").as("n"))
     inter
-      .join(aSz.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
-      .join(bSz.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .join(aN.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(bN.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
       .filter(col("n_common") * 5 >=
         (col("n_a") + col("n_b") - col("n_common")) * 3)
       .select("a", "b", "n_common", "n_a", "n_b")
@@ -89,10 +96,12 @@ object JaccardIndex {
   }
 
   /** Grow the index with new (already screened/accepted) docs — per-row
-    * appends, nothing rewritten. NOT atomic across the two tables and
-    * not idempotent (the AnnIndex.append contract); a crash between the
-    * writes leaves the batch's docs candidate-visible but size-less —
-    * the verify's inner size join drops them, never emits wrong pairs. */
+    * appends, nothing rewritten. Not atomic across the two tables: a
+    * crash between the writes leaves the batch's docs candidate-visible
+    * but size-less — the verify's inner size join drops them, never
+    * emits wrong pairs. RE-appending the same batch (an at-least-once
+    * replay) is tolerated: the screens count distinct shingles and
+    * max-aggregate sizes, so duplicated stored rows change nothing. */
   def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
     val sh = shingleSets(docs).persist()
     try {
@@ -102,22 +111,46 @@ object JaccardIndex {
     } finally { sh.unpersist(); () }
   }
 
+  /** Both tables present → true; neither → false (never built — screen
+    * everything as novel); exactly one → fail fast: a build crashed
+    * between its two writes, and silently treating the corpus as empty
+    * (or failing later with a bare path error inside a streaming query)
+    * hides the repair the operator must make. */
   private def indexExists(spark: SparkSession, indexDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val conf = spark.sessionState.newHadoopConf()
+    def ex(name: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+      p.getFileSystem(conf).exists(p)
+    }
+    (ex("shingles"), ex("sizes")) match {
+      case (true, true)   => true
+      case (false, false) => false
+      case (sh, _) =>
+        throw new IllegalStateException(
+          s"half-built JaccardIndex at $indexDir (" +
+            (if (sh) "shingles/ without sizes/" else "sizes/ without shingles/") +
+            ") — rebuild it")
+    }
   }
 
   /** All (index doc `a`, batch doc `b`) pairs with exact Jaccard ≥ 3/5
     * and the verified counts: (a, b, n_common, n_a, n_b). The batch's
     * shingle sets are computed here; the corpus is read as stored rows
-    * and never re-shingled. Pairs with a = b are excluded — a doc
-    * screened against an index already holding its own rows (an
-    * at-least-once replay) must not match itself. An index that was
-    * never built screens everything as novel (empty result). */
+    * and never re-shingled. Probe prefixes order by the BATCH's own
+    * document frequencies — any fixed probe-side order is complete, and
+    * batch-local rarity approximates global rarity without paying a
+    * full index scan per screen (the index's df would order postings
+    * slightly better at O(index) per call). Pairs with a = b are
+    * excluded — a doc screened against an index already holding its own
+    * rows (an at-least-once replay) must not match itself. An index
+    * that was never built screens everything as novel (empty result). */
   def pairsAgainst(spark: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
-    val bsh = shingleSets(batch).persist()
-    bsh.count()
+    // eager localCheckpoint, NOT persist: screens run once per
+    // micro-batch under exactDedupIngest and a pinned cache per call
+    // accumulates forever (the NearDupIndex.pairsWithin lesson);
+    // checkpointed RDDs release with the ContextCleaner
+    val bsh = shingleSets(batch).localCheckpoint(true)
     val bsizes = bsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     if (!indexExists(spark, indexDir))
       return verify(bsh.select(col("doc_id").as("a"),
@@ -125,7 +158,7 @@ object JaccardIndex {
         bsh, bsizes, bsh, bsizes)
     val stored = spark.read.parquet(s"$indexDir/shingles")
     val storedSizes = spark.read.parquet(s"$indexDir/sizes")
-    val dfreq = stored.groupBy("sh").agg(count(lit(1)).as("df"))
+    val dfreq = bsh.groupBy("sh").agg(count(lit(1)).as("df"))
     val cands = probePrefix(bsh, dfreq, bsizes)
       .join(stored.select(col("sh"), col("doc_id").as("a")), "sh")
       .filter(col("a") =!= col("b"))
@@ -138,8 +171,7 @@ object JaccardIndex {
     * against the frame's full rows): the within-batch pass of the
     * streaming ingest. */
   def pairsWithin(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs).persist()
-    sh.count()
+    val sh = shingleSets(docs).localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val cands = probePrefix(sh, dfreq, sizes)

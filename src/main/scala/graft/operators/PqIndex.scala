@@ -57,9 +57,18 @@ object PqIndex {
         .map { case (c, i) => (sub, i, c.toArray.map(_.toFloat)) }
     }
     val cb = { import s.implicits._; codebooks.toDF("sub", "code", "cvec") }
+    val codes = encode(cb, subDim, vecs).persist()
+    codes.count() // materialize before downstream fan-out reads it twice
+    (cb, codes)
+  }
+
+  /** Nearest-codeword encoding of (vec_id, embedding) rows under the
+    * given codebooks — ONE definition shared by build and append, so
+    * append-encoded codes can never drift from build-encoded ones. */
+  private def encode(cb: DataFrame, subDim: Int, vecs: DataFrame): DataFrame = {
     val best1 = udaf(new graft.functions.TopK(1),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val codes = vecs
+    vecs
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
       .select(col("vec_id"), col("sub"),
@@ -70,9 +79,6 @@ object PqIndex {
       .agg(best1(col("negd2"), col("code").cast("long")).as("nb"))
       .select(col("vec_id"), col("sub"),
         col("nb.id").getItem(0).cast("int").as("code"))
-      .persist()
-    codes.count() // materialize before downstream fan-out reads it twice
-    (cb, codes)
   }
 
   /** ADC scan + bounded exact re-rank against supplied frames: per-probe
@@ -82,7 +88,7 @@ object PqIndex {
     * ≤C candidate vectors last. */
   private[operators] def scoreProbes(s: SparkSession, cb: DataFrame,
       codes: DataFrame, vecs: DataFrame, probeVecs: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val subDim = cb.select(size(col("cvec"))).first().getInt(0)
     val dt = broadcast(probeVecs)
@@ -92,7 +98,7 @@ object PqIndex {
       .withColumn("pd2", d2("pslice", "cvec"))
       .select("probe_id", "sub", "code", "pd2")
     val adc = codes.join(broadcast(dt), Seq("sub", "code"))
-      .filter(col("probe_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
       .groupBy("probe_id", "vec_id")
       .agg(sum("pd2").as("approx_d2"))
     val topC = udaf(new graft.functions.TopK(PqRerank),
@@ -158,32 +164,26 @@ object PqIndex {
     val subDim = cb.select(size(col("cvec"))).first().getInt(0)
     val vecs = newVecs.select(col("vec_id"), col("embedding")).persist()
     try {
-      val best1 = udaf(new graft.functions.TopK(1),
-        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-      vecs
-        .select(col("vec_id"),
-          explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
-        .select(col("vec_id"), col("sub"),
-          expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("svec"))
-        .join(broadcast(cb), "sub")
-        .withColumn("negd2", -d2("svec", "cvec"))
-        .groupBy("vec_id", "sub")
-        .agg(best1(col("negd2"), col("code").cast("long")).as("nb"))
-        .select(col("vec_id"), col("sub"),
-          col("nb.id").getItem(0).cast("int").as("code"))
-        .write.mode("append").parquet(s"$dir/codes")
+      encode(cb, subDim, vecs).write.mode("append").parquet(s"$dir/codes")
       vecs.write.mode("append").parquet(s"$dir/vectors")
     } finally { vecs.unpersist(); () }
   }
 
   /** Top-k neighbors for an arbitrary probe set (probe_id, pv), served
     * from the stored index: the corpus is read as CODES, raw vectors
-    * only for the bounded re-rank. */
+    * only for the bounded re-rank.
+    *
+    * `excludeSelf` (default true) drops candidates whose vec_id equals
+    * the probe_id — correct when probes ARE corpus vectors (the l53
+    * lane, "neighbors of vector N"). Pass false for EXTERNAL probes
+    * whose ids merely share the corpus's id space, or a corpus vector
+    * that happens to carry a probe's number silently vanishes from that
+    * probe's results. */
   def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
-      k: Int): DataFrame =
+      k: Int, excludeSelf: Boolean = true): DataFrame =
     scoreProbes(spark,
       spark.read.parquet(s"$dir/codebooks"),
       spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/vectors"),
-      probeVecs, k)
+      probeVecs, k, excludeSelf)
 }

@@ -339,7 +339,11 @@ object StreamJobs {
     * stored rows is excluded (a ≠ b), and two within-batch SURVIVORS
     * have exact J < τ by construction (else pairsWithin would have
     * dropped one), so the re-screen admits exactly the original
-    * accepted set and the partition rewrite is byte-stable. */
+    * accepted set and the partition rewrite is byte-stable. The replay
+    * then RE-APPENDS those rows; the index tolerates that because the
+    * verify counts DISTINCT shingles and max-aggregates sizes — with a
+    * plain count, duplicated stored rows would double n_common and
+    * admit false pairs for every later batch. */
   def exactDedupIngest(docs: DataFrame, indexDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>

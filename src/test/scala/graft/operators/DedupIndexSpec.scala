@@ -117,10 +117,22 @@ class DedupIndexSpec extends SparkSpec {
     val batch2 = Seq(
       (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"),
       (21L, "red orange yellow green blue indigo violet white black grey pink brown"))
-    val p2 = JaccardIndex.pairsAgainst(spark, indexDir, batch2.toDF("doc_id", "text"))
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def detail(): Set[(Long, Long, Long, Long, Long)] =
+      JaccardIndex.pairsAgainst(spark, indexDir, batch2.toDF("doc_id", "text"))
+        .select("a", "b", "n_common", "n_a", "n_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val p2d = detail()
+    val p2 = p2d.map(t => (t._1, t._2))
     assert(p2 == brute(gen1 ++ batch1, batch2), s"gen-2 screen: $p2")
     assert(p2.contains((10L, 20L)) && p2.contains((11L, 21L)), s"p2: $p2")
+    // at-least-once tolerance: a replayed append duplicates stored rows;
+    // the screen counts DISTINCT shingles and max-aggregates sizes, so
+    // neither the pair set nor any verified count may move — a plain
+    // count would double n_common and admit false pairs
+    JaccardIndex.append(spark, indexDir, batch1.toDF("doc_id", "text"))
+    assert(detail() == p2d,
+      "duplicated stored rows changed the screened pairs or their counts")
   }
 
   test("NULL-text docs dedup instead of being re-admitted every batch") {
