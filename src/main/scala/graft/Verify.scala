@@ -17,6 +17,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clearCache() below unpersists the JaccardIndex screens' eager
+    // localCheckpoints; each emits a WARN ("lineage truncated, cannot
+    // be recomputed") that is expected here — the RDDs are dead by
+    // construction once a lane's dump is written. Silence just that
+    // logger so real warnings stay visible in the dump log.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.LocalCheckpointRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -110,13 +110,42 @@ object DedupIndex {
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(p)) fs.delete(p, false)
-        if (!fs.rename(tmp, p))
-          throw new java.io.IOException(s"bloom publish rename failed: $p")
+        // Try the plain rename FIRST: on a fresh publish (no target) it
+        // succeeds directly and no no-file window ever opens. Only when
+        // the target exists (rename-without-overwrite fails) do we
+        // displace it — that brief gap is covered by the reader-side
+        // FNF retry in readBloomBytes, so lock-free screens never die
+        // on a concurrent republish.
+        if (!fs.rename(tmp, p)) {
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(s"bloom publish rename failed: $p")
+        }
     }
   }
 
   private def readBloomBytes(spark: SparkSession, indexDir: String,
+      shard: Int): Array[Byte] = {
+    // Bounded FNF retry: on filesystems without FileContext the publish
+    // fallback is delete-then-rename, so a lock-free reader can observe
+    // a sub-millisecond no-file window between a concurrent appender's
+    // delete and rename. Waiting out that window keeps newAgainst
+    // entirely lock-free instead of dragging every screen through the
+    // append lock.
+    var attempt = 0
+    while (true) {
+      try return readBloomBytesOnce(spark, indexDir, shard)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readBloomBytesOnce(spark: SparkSession, indexDir: String,
       shard: Int): Array[Byte] = {
     val (fs, p) = fsFor(spark, indexDir, shard)
     val in = fs.open(p)
@@ -175,6 +204,19 @@ object DedupIndex {
     }
   }
 
+  /** Publish a full set of shard blooms with shard 0 LAST. Shard 0 is
+    * the layout sentinel (`ensureShardedLayout` and `newAgainst` probe
+    * it), so ordering it last makes "shard-0.bin exists ⟹ every shard
+    * exists" a crash-safe invariant: a build or migration that dies
+    * mid-publish leaves shard 0 absent and the next touch re-runs the
+    * whole publish, instead of stranding an index whose sentinel is
+    * present but whose shards 1..15 are missing. */
+  private def publishBlooms(spark: SparkSession, indexDir: String,
+      blooms: Array[BloomFilter]): Unit = {
+    (1 until Shards).foreach(i => writeBloom(spark, indexDir, i, blooms(i)))
+    writeBloom(spark, indexDir, 0, blooms(0))
+  }
+
   /** Dedup `docs` internally (min doc_id survives) and persist the index.
     * Returns the number of distinct contents indexed. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String): Long = {
@@ -187,9 +229,7 @@ object DedupIndex {
     try {
       hashes.select("sha", "keeper_id")
         .write.mode("overwrite").parquet(s"$indexDir/hashes")
-      bloomsOf(hashes).zipWithIndex.foreach { case (bf, i) =>
-        writeBloom(spark, indexDir, i, bf)
-      }
+      publishBlooms(spark, indexDir, bloomsOf(hashes))
       hashes.count()
     } finally { hashes.unpersist(); () }
   }
@@ -201,8 +241,18 @@ object DedupIndex {
     * legacy file is inert. Without this, the first touch of an index
     * persisted by the single-bloom version would die in Hadoop FS code
     * with a bare FileNotFoundException on blooms/shard-0.bin, stranding
-    * valid index data. Idempotent and safe under races: every migrator
-    * computes identical blooms and publishes each by atomic rename. */
+    * valid index data.
+    *
+    * Crash- and race-safety: blooms publish with shard 0 LAST
+    * (publishBlooms), so the `exists(shard-0)` fast path only fires once
+    * ALL shards are in place — a migrator that dies halfway re-runs in
+    * full on the next touch. Callers MUST hold the append lock (append
+    * already does; newAgainst takes it only when shard 0 is absent):
+    * an unlocked migrator racing a concurrent append could snapshot
+    * hashes/ before the appended batch, then publish blooms missing the
+    * batch's bits over the appender's merged bloom — breaking the
+    * "bloom miss proves new" superset invariant and silently admitting
+    * duplicates. */
   private def ensureShardedLayout(spark: SparkSession,
       indexDir: String): Unit = {
     val (fs, p0) = fsFor(spark, indexDir, 0)
@@ -211,9 +261,7 @@ object DedupIndex {
       return // fresh index: build() writes the shard blooms itself
     val hashes = spark.read.parquet(s"$indexDir/hashes")
       .withColumn("h", xxhash64(col("sha")))
-    bloomsOf(hashes).zipWithIndex.foreach { case (bf, i) =>
-      writeBloom(spark, indexDir, i, bf)
-    }
+    publishBlooms(spark, indexDir, bloomsOf(hashes))
   }
 
   /** Rows of `docs` whose content is NOT in the index. Bloom misses are
@@ -229,18 +277,29 @@ object DedupIndex {
   def newAgainst(spark: SparkSession, indexDir: String,
       docs: DataFrame): DataFrame = {
     import graft.functions.BloomMembership
-    ensureShardedLayout(spark, indexDir)
+    // The screen itself is lock-free; only a legacy-layout migration
+    // mutates the index, and that must serialize with appenders (see
+    // ensureShardedLayout), so the lock is taken IFF shard 0 is absent.
+    val (fs0, p0) = fsFor(spark, indexDir, 0)
+    if (!fs0.exists(p0))
+      withAppendLock(spark, indexDir) { ensureShardedLayout(spark, indexDir) }
     val hashed = withSha(docs).withColumn("shard", shardExpr)
     val touched = hashed.select("shard").distinct()
       .collect().map(_.getInt(0)).sorted // ≤16 rows
     if (touched.isEmpty) return docs // empty batch: nothing to screen
+    // .otherwise(true): the CASE must be TOTAL. If `docs` re-evaluates
+    // nondeterministically and a row lands in a shard not observed at
+    // the collect(), a NULL arm would silently drop it from BOTH filter
+    // branches; routing it to the exact confirm join instead is correct
+    // for any row (the anti-join against hashes/ is bloom-independent),
+    // just not bloom-screened.
     val maybeSeen = touched.tail.foldLeft(
       when(col("shard") === touched.head, BloomMembership.mightContain(spark,
         lit(readBloomBytes(spark, indexDir, touched.head)), col("h")))) {
       (acc, i) =>
         acc.when(col("shard") === i, BloomMembership.mightContain(spark,
           lit(readBloomBytes(spark, indexDir, i)), col("h")))
-    }
+    }.otherwise(lit(true))
     val definitelyNew = hashed.filter(!maybeSeen)
     val confirmed = hashed.filter(maybeSeen)
       .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),

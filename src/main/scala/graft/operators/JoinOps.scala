@@ -200,7 +200,10 @@ object JoinOps {
         .withColumn("hi", col("d1") + 7)
       val points = t(s, d, "orders")
         .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("d2"))
-      bandedRangeJoin(points, "d2", probes, "lo", "hi", bandWidth = 8)
+      // adaptive width: p95 span of the probe windows (7 days → w=7),
+      // re-derived per corpus so a drifted span distribution re-tunes
+      // the banding instead of thickening a stale constant
+      bandedRangeJoin(points, "d2", probes, "lo", "hi")
         .filter(col("k2") =!= col("k"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"))
@@ -222,8 +225,8 @@ object JoinOps {
       val b = t(s, d, "orders").filter(col("o_orderkey") % 20 === 10)
         .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("blo"))
         .withColumn("bhi", col("blo") + 13)
-      bandedIntervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi",
-          bandWidth = 16)
+      // adaptive width: max of the two sides' p95 spans (14 days → w=14)
+      bandedIntervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi")
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")
     }),
@@ -302,6 +305,36 @@ object JoinOps {
     * exact predicate. The reference's region-overlap queries (RegionMask
     * intersection, core region model) are this shape.
     */
+  /** Band width derived FROM the data: the p95 interval span across the
+    * given (df, lo, hi) interval sets, clamped to ≥1. Width ≈ the typical
+    * span keeps replication ≤ ~2× for 95% of intervals while bands stay
+    * as narrow as the data allows — and narrow bands are what bound the
+    * join's quadratic term (every candidate pair sharing a band key pays
+    * a predicate evaluation, so per-band membership is the cost driver).
+    * A fixed constant tuned on one corpus generation goes stale when
+    * span distributions drift (the K-replication probes showed exactly
+    * this: densified fixtures thickened every 16-wide band); deriving
+    * the width per call costs one approxQuantile pass over just the two
+    * bound columns. The width only shapes the PLAN — any positive value
+    * returns identical rows — so the approximation cannot affect
+    * correctness. */
+  def adaptiveBandWidth(intervalSets: (DataFrame, String, String)*): Long = {
+    val p95s = intervalSets.map { case (df, lo, hi) =>
+      val spans = df.select(
+        (col(hi).cast("double") - col(lo).cast("double") + 1.0).as("span"))
+      val q = spans.stat.approxQuantile("span", Array(0.95), 0.01)
+      if (q.isEmpty) 1.0 else q(0)
+    }
+    math.max(1L, math.ceil(p95s.max).toLong)
+  }
+
+  /** bandedRangeJoin with the width derived from the interval side's
+    * span distribution (see adaptiveBandWidth). */
+  def bandedRangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String): DataFrame =
+    bandedRangeJoin(points, pointCol, intervals, loCol, hiCol,
+      adaptiveBandWidth((intervals, loCol, hiCol)))
+
   def bandedRangeJoin(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bandWidth: Long): DataFrame = {
@@ -331,6 +364,13 @@ object JoinOps {
     * pair is counted ONLY in its canonical band — the band holding
     * `greatest(aLo, bLo)`, the overlap's left edge, which both sides
     * provably span. Result: exact overlap pairs, one shuffle, no dedup. */
+  /** bandedIntervalOverlapJoin with the width derived from BOTH sides'
+    * span distributions (see adaptiveBandWidth). */
+  def bandedIntervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String): DataFrame =
+    bandedIntervalOverlapJoin(left, lLo, lHi, right, rLo, rHi,
+      adaptiveBandWidth((left, lLo, lHi), (right, rLo, rHi)))
+
   def bandedIntervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
       right: DataFrame, rLo: String, rHi: String,
       bandWidth: Long): DataFrame = {

@@ -2986,9 +2986,9 @@ object LlmOps {
        |      / ln(CAST(2.0 AS DOUBLE))) AS INT)) AS bits),
        |${planesSql("(SELECT bits FROM prm)")},
        |cells AS (
-       |  SELECT d.vec_id, sum(CASE WHEN d.dot > 0
+       |  SELECT d.vec_id, CAST(sum(CASE WHEN d.dot > 0
        |      THEN (CAST(1 AS BIGINT) << (d.p % prm.bits))
-       |      ELSE CAST(0 AS BIGINT) END) AS cell
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
        |  FROM dots d, prm GROUP BY 1),
        |cands AS (
        |  SELECT c1.vec_id AS a, c2.vec_id AS b

@@ -148,7 +148,8 @@ object MetaOps {
   val oracleSql: Map[String, String] = Map(
     "l5_meta_agg" ->
       s"""WITH files AS ($FixtureFilesSql)
-         |SELECT ext, count(*) AS n_files, sum(size) AS total_size
+         |SELECT ext, count(*) AS n_files,
+         |       CAST(sum(size) AS BIGINT) AS total_size
          |FROM files GROUP BY ext ORDER BY ext""".stripMargin,
     "l5b_meta_listing" ->
       s"""WITH files AS ($FixtureFilesSql)
@@ -166,7 +167,8 @@ object MetaOps {
          |) ORDER BY path""".stripMargin,
     "l5d_small_file_report" ->
       s"""WITH files AS ($FixtureFilesSql)
-         |SELECT dir, count(*) AS n_files, sum(size) AS total_bytes,
+         |SELECT dir, count(*) AS n_files,
+         |       CAST(sum(size) AS BIGINT) AS total_bytes,
          |       CAST(sum(size) AS DOUBLE) / count(*) AS avg_bytes,
          |       max(size) AS max_bytes,
          |       (count(*) > 8 AND

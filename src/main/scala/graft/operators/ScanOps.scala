@@ -728,9 +728,12 @@ object ScanOps {
         |    SUM(cnt) OVER (PARTITION BY grp) AS n
         |  FROM hist)
         |SELECT grp, CAST(MAX(n) AS BIGINT) AS n_rows,
-        |  MIN(CASE WHEN cum * 100 >= 50 * n THEN (bin + 1) * 10.0 END) AS p50,
-        |  MIN(CASE WHEN cum * 100 >= 90 * n THEN (bin + 1) * 10.0 END) AS p90,
-        |  MIN(CASE WHEN cum * 100 >= 99 * n THEN (bin + 1) * 10.0 END) AS p99
+        |  CAST(MIN(CASE WHEN cum * 100 >= 50 * n
+        |           THEN (bin + 1) * 10.0 END) AS DOUBLE) AS p50,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 90 * n
+        |           THEN (bin + 1) * 10.0 END) AS DOUBLE) AS p90,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 99 * n
+        |           THEN (bin + 1) * 10.0 END) AS DOUBLE) AS p99
         |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
 
     // Version 2 ranked directly — hash match proves the maintenance path

@@ -67,6 +67,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("adaptive band width tracks the span distribution, results width-invariant") {
+    import graft.SparkSpec.spark.implicits._
+    // spans: 98× length-5, 2× length-50 outliers → p95 = 5, so the
+    // derived width must follow the TYPICAL span, not the max (max-
+    // driven width would thicken every band to the outlier's size)
+    val iv = (1 to 100).map(i =>
+        (i.toLong, i * 100L, i * 100L + (if (i > 98) 49L else 4L)))
+      .toDF("id", "lo", "hi")
+    val w = graft.operators.JoinOps.adaptiveBandWidth((iv, "lo", "hi"))
+    assert(w == 5L, s"p95 span is 5, got $w")
+    // the width shapes only the plan: auto and any fixed width agree
+    val pts = (1 to 2000).map(i => (i.toLong, i * 5L)).toDF("pid", "p")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(
+      graft.operators.JoinOps.bandedRangeJoin(pts, "p", iv, "lo", "hi"))
+    val fixed = pairs(
+      graft.operators.JoinOps.bandedRangeJoin(pts, "p", iv, "lo", "hi", 16L))
+    assert(auto.nonEmpty && auto == fixed)
+  }
+
   test("j13 fuzzy join is an equi join on deletion variants, no cross join") {
     val p = plan("j13_fuzzy_neighbors")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -77,6 +77,44 @@ class DedupIndexSpec extends SparkSpec {
       "migration must materialize the sharded layout")
   }
 
+  test("partial migration self-heals: crash before shard 0 re-runs in full") {
+    // migration publishes shard 0 LAST, so any crash leaves shard 0
+    // absent and the next touch re-migrates. The stranded state the old
+    // order could produce (sentinel present, shards 1..15 missing) is
+    // unreachable; this simulates the reachable crash shape — a few
+    // non-zero shards landed, sentinel missing — and proves the next
+    // screen completes the layout instead of dying on missing shards.
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-crash").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "jumped over the lazy dog")
+    ).toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, indexDir)
+    // legacy layout again: shard blooms gone, lone bloom.bin present
+    val blooms = new java.io.File(indexDir, "blooms")
+    blooms.listFiles().foreach(f => assert(f.delete()))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "bloom.bin"), Array[Byte](1, 2, 3))
+    // a migrator crashed after publishing shards 3 and 7 (stale bytes to
+    // prove they get overwritten), before reaching shard 0
+    Seq(3, 7).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(indexDir, f"blooms/shard-$i%x.bin"),
+        Array[Byte](9, 9, 9))
+    }
+    val batch = Seq(
+      (10L, "the quick brown fox"), // dup of the indexed corpus
+      (11L, "a wholly new document")
+    ).toDF("doc_id", "text")
+    val fresh = DedupIndex.newAgainst(spark, indexDir, batch)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "re-run migration must screen exactly")
+    (0 until 16).foreach { i =>
+      assert(new java.io.File(indexDir, f"blooms/shard-$i%x.bin").exists,
+        s"shard $i must exist after the healed migration")
+    }
+  }
+
   test("exact-Jaccard index: screened pairs ≡ brute force across generations") {
     val indexDir = java.nio.file.Files.createTempDirectory("jac-idx").toString
     def brute(index: Seq[(Long, String)], batch: Seq[(Long, String)]) = {

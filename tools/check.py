@@ -10,6 +10,39 @@ rows in dumped order). Purely a dev tool — NOT part of the library.
 import json, math, sys, glob, os
 import duckdb
 
+def type_class(t):
+    """Bucket a DuckDB type into the classes that matter for driver
+    canonicalization (which goes through pandas: HUGEINT and DECIMAL
+    render as float64/objects and hash-mismatch against Spark's int64
+    even when fetchall() values compare equal as Python ints)."""
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    return t
+
+def type_parity_errors(sdf, odf, cols):
+    """Oracle-vs-Spark column type lint. Returns a list of fatal drift
+    messages: an oracle column whose DuckDB type is HUGEINT or DECIMAL
+    while the Spark parquet dump holds a plain int/float is exactly the
+    class of bug that passes fetchall() comparison but goes red in any
+    dataframe-based canonicalization."""
+    stypes = dict(zip(sdf.columns, sdf.types))
+    otypes = dict(zip(odf.columns, odf.types))
+    errs = []
+    for c in cols:
+        sc, oc = type_class(stypes[c]), type_class(otypes[c])
+        if oc in ("hugeint", "decimal") and sc in ("int", "float"):
+            errs.append(f"col {c}: oracle {otypes[c]} vs spark {stypes[c]}"
+                        f" — cast the oracle to BIGINT/DOUBLE")
+    return errs
+
 def canon(rows):
     out = []
     for r in rows:
@@ -46,6 +79,9 @@ def main(sfdir, outdir):
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
         if scols != ocols:
             fails.append((name, f"cols spark={scols} oracle={ocols}")); continue
+        terrs = type_parity_errors(sdf, odf, scols)
+        if terrs:
+            fails.append((name, "type drift: " + "; ".join(terrs))); continue
         srows = canon(sdf.select(", ".join(f'"{c}"' for c in scols)).fetchall())
         orows = canon(odf.select(", ".join(f'"{c}"' for c in ocols)).fetchall())
         if len(srows) != len(orows):
