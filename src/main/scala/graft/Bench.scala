@@ -210,6 +210,49 @@ object Bench {
     "t11_ewma" -> ((s: SparkSession, d: String) =>
       graft.operators.StreamOps.queries("t11_ewma")(s, d)),
 
+    // ---- standing-index SERVE lanes: the steady-state cost of a
+    // standing index is its per-batch screen/probe, not its build. The
+    // index is built ONCE per data dir (warmup pass pays it, see
+    // ServeIndexes); timed iterations measure serving only. Probe/batch
+    // sizes are pinned to base-replica ids so ScaleBench's K× corpus
+    // growth scales the INDEX side while the arriving batch stays
+    // fixed — exactly the 100 TB serving question ("does screen cost
+    // track the batch or the corpus?") made measurable.
+
+    // exact-dedup screen: sharded-bloom CASE + exact confirm of hits
+    // (DedupIndex.newAgainst; half the batch duplicates the corpus,
+    // half is novel, so both the miss and the confirm paths are hot)
+    "idx_dedup_screen" -> ((s: SparkSession, d: String) => {
+      val dir = ServeIndexes.dedup(s, d)
+      val batch = t(s, d, "documents").filter(col("doc_id") < 500)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" novel-"), col("doc_id")))
+            .as("text"))
+      graft.operators.DedupIndex.newAgainst(s, dir, batch)
+    }),
+
+    // ANN probe batch: broadcast multiprobe buckets → signature-table
+    // bucket join → exact cosine re-rank (AnnIndex.queryProbes; 50
+    // fixed probes, k=5)
+    "idx_ann_probe" -> ((s: SparkSession, d: String) => {
+      val dir = ServeIndexes.ann(s, d)
+      val probes = t(s, d, "embeddings").filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      graft.operators.AnnIndex.queryProbes(s, dir, probes, 5)
+    }),
+
+    // exact-Jaccard screen: one-sided prefix probe against the stored
+    // postings + integer-exact verify (JaccardIndex.pairsAgainst; the
+    // batch near-duplicates corpus docs, so candidates flow end-to-end)
+    "idx_jaccard_screen" -> ((s: SparkSession, d: String) => {
+      val dir = ServeIndexes.jaccard(s, d)
+      val batch = t(s, d, "documents").filter(col("doc_id") < 250)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      graft.operators.JaccardIndex.pairsAgainst(s, dir, batch)
+    }),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(
@@ -223,6 +266,33 @@ object Bench {
         .groupBy("g").agg(iu(col("start"), col("end")).as("covered"))
     })
   )
+
+  /** Build-once registry for the standing-index serve lanes: one index
+    * per (kind, data dir), built lazily on the warmup sweep and reused
+    * by every timed iteration — so the lanes time the SERVE path only.
+    * Keyed by data dir because ScaleBench drives the same lane fn at
+    * both the base and the K×-scaled dir in one JVM. Serve calls are
+    * read-only, so repeated timed iterations see identical state. */
+  private[graft] object ServeIndexes {
+    private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def cached(kind: String, d: String)(build: String => Unit): String =
+      dirs.computeIfAbsent(s"$kind:$d", _ => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-$kind").toString
+        build(dir)
+        dir
+      })
+    def dedup(s: SparkSession, d: String): String =
+      cached("dedupidx", d) { dir =>
+        graft.operators.DedupIndex.build(s, t(s, d, "documents"), dir); ()
+      }
+    def ann(s: SparkSession, d: String): String =
+      cached("annidx", d)(dir => graft.operators.AnnIndex.build(s, d, dir))
+    def jaccard(s: SparkSession, d: String): String =
+      cached("jacidx", d) { dir =>
+        graft.operators.JaccardIndex.build(s, t(s, d, "documents"), dir)
+      }
+  }
 
   /** Host-speed calibration: a fixed pure-JVM workload (SHA-256 over a
     * constant byte volume) timed at `nThreads` parallelism before Spark

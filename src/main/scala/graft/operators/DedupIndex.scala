@@ -267,16 +267,27 @@ object DedupIndex {
   /** Rows of `docs` whose content is NOT in the index. Bloom misses are
     * new by construction (no false negatives) and never reach the join;
     * only bloom hits are confirmed against hashes/ (left_anti kills the
-    * false positives). The screen is a CASE over the shard nibble with
-    * one codegen'd might_contain arm per shard the batch actually
-    * touches — shard blooms are ~1.2 MB plan literals each, so loading
-    * all 16 (~19 MB shipped with every task's serialized plan) for a
-    * small streaming batch that hashes into two shards would pay 8× the
-    * necessary plan weight; the touched set costs one tiny distinct
-    * over the batch. */
+    * false positives).
+    *
+    * The touched shard blooms ride ONE broadcast, probed by a small UDF
+    * over (shard, h) — not per-shard plan literals. Literal embedding
+    * was measured at ~10 s of pure overhead for a 500-doc screen
+    * touching all 16 shards: each ~1.2 MB bloom literal is rehashed by
+    * driver-side optimizer passes and re-shipped inside EVERY task's
+    * serialized plan (twice, once per union branch), so plan weight was
+    * O(shards × tasks). The broadcast moves each bloom to each executor
+    * once and deserializes it once; per-row cost is a map lookup + one
+    * bloom probe. Trading whole-stage codegen for that is a clear win —
+    * the screen's cost driver is bloom bytes, not row arithmetic. The
+    * touched set (one tiny distinct over the batch) still keeps a
+    * two-shard streaming batch from paying all 16 shards' broadcast.
+    *
+    * Totality: a row whose shard was not observed at the collect()
+    * (a nondeterministically re-evaluating `docs`) finds no bloom in
+    * the broadcast map and screens as maybe-seen, routing to the exact
+    * confirm join — correct for any row, never silently dropped. */
   def newAgainst(spark: SparkSession, indexDir: String,
       docs: DataFrame): DataFrame = {
-    import graft.functions.BloomMembership
     // The screen itself is lock-free; only a legacy-layout migration
     // mutates the index, and that must serialize with appenders (see
     // ensureShardedLayout), so the lock is taken IFF shard 0 is absent.
@@ -287,19 +298,11 @@ object DedupIndex {
     val touched = hashed.select("shard").distinct()
       .collect().map(_.getInt(0)).sorted // ≤16 rows
     if (touched.isEmpty) return docs // empty batch: nothing to screen
-    // .otherwise(true): the CASE must be TOTAL. If `docs` re-evaluates
-    // nondeterministically and a row lands in a shard not observed at
-    // the collect(), a NULL arm would silently drop it from BOTH filter
-    // branches; routing it to the exact confirm join instead is correct
-    // for any row (the anti-join against hashes/ is bloom-independent),
-    // just not bloom-screened.
-    val maybeSeen = touched.tail.foldLeft(
-      when(col("shard") === touched.head, BloomMembership.mightContain(spark,
-        lit(readBloomBytes(spark, indexDir, touched.head)), col("h")))) {
-      (acc, i) =>
-        acc.when(col("shard") === i, BloomMembership.mightContain(spark,
-          lit(readBloomBytes(spark, indexDir, i)), col("h")))
-    }.otherwise(lit(true))
+    val bcBlooms = spark.sparkContext.broadcast(
+      touched.map(i => i -> readBloom(spark, indexDir, i)).toMap)
+    val maybeSeen = udf((shard: Int, h: Long) =>
+      bcBlooms.value.get(shard).forall(_.mightContainLong(h)))
+      .apply(col("shard"), col("h"))
     val definitelyNew = hashed.filter(!maybeSeen)
     val confirmed = hashed.filter(maybeSeen)
       .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),
