@@ -210,6 +210,13 @@ object Bench {
     "t11_ewma" -> ((s: SparkSession, d: String) =>
       graft.operators.StreamOps.queries("t11_ewma")(s, d)),
 
+    // the composed six-stage curation pipeline (L57): quality → exact
+    // dedup → LSH near-dup drop → decontaminate → split → pack, one
+    // plan — surfaces persist-boundary/stage-interaction costs the
+    // per-stage lanes can't
+    "l57_pipeline" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l57_pipeline")(s, d)),
+
     // ---- standing-index SERVE lanes: the steady-state cost of a
     // standing index is its per-batch screen/probe, not its build. The
     // index is built ONCE per data dir (warmup pass pays it, see

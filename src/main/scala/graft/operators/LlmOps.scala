@@ -212,8 +212,14 @@ object LlmOps {
     km.fit(fitSet)
   }
 
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(t(s, d, "documents")).persist()
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(t(s, d, "documents"))
+
+  /** MinHash-LSH candidate pairs (a < b) over an arbitrary (doc_id,
+    * text) frame — l2's screen as a reusable stage (the l57 pipeline
+    * runs it over dedup survivors, not the raw table). */
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigs(docs).persist()
     // materialize the cache BEFORE the self-join fans out: without this,
     // both join sides' shuffle-map stages run concurrently, each computing
     // the not-yet-cached partitions — under a full task-slot pool the
@@ -823,6 +829,100 @@ object LlmOps {
           // differently) to +0.0; every other value is unchanged
           (round(col("weight_fp").cast("double") / 4294967296.0, 4) + 0.0)
             .as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // L57: THE pipeline — the full corpus-curation user journey as ONE
+    // DataFrame chain, the composition every per-stage lane exists to
+    // serve: quality gate (l7's keep rule) → exact dedup (l1, min-id
+    // survivor) → MinHash near-dup drop (l2's bands; the larger id of
+    // each candidate pair drops — the pairwise survivor policy; l21's
+    // component canonicals are the cluster-exact alternative) →
+    // benchmark decontamination (l26's 8-gram overlap vs the doc_id<50
+    // eval set, eval side broadcast) → stratified split (l48's
+    // content-hash rule) → sequence packing of the train split (l27's
+    // bucketed global cumsum). Per-doc output: every surviving doc with
+    // its split, token count, and (train only) packed start offset/bin.
+    //
+    // At 100 TB each stage keeps its per-lane scale shape: hash aggs and
+    // semi/anti joins shuffle once on their keys; the LSH screen
+    // shuffles |docs|×|bands| signature rows, never pairs; the eval
+    // shingle set broadcasts; packing is the two-pass bucket cumsum (no
+    // global window). Stages pipeline inside one plan — the persist
+    // boundaries are exactly the frames ≥2 stages re-read (survivors,
+    // signatures via minhashPairsOf).
+    "l57_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      // the eval benchmark is external, fixed: doc_id < 50; the
+      // training corpus is everything else
+      val corpus = docs.filter(col("doc_id") >= 50)
+      // stage 1: quality gate (l7 rule)
+      val q = corpus.filter(col("n_chars").between(100, 5000) &&
+        size(split(lower(col("text")), " ")) >= 20)
+      // stage 2: exact dedup — min doc_id per content hash survives
+      val keepIds = q.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val e = q.join(keepIds, Seq("doc_id"), "left_semi").persist()
+      // stage 3: near-dup drop — LSH candidate pairs over the survivors
+      val losers = minhashPairsOf(e.select(col("doc_id"), col("text")))
+        .select(col("b").as("doc_id")).distinct()
+      val nd = e.join(losers, Seq("doc_id"), "left_anti")
+      // stage 4: decontamination — drop docs sharing any 8-gram shingle
+      // with the eval set (exact equi-join on hashed shingles; the eval
+      // side is tiny and broadcast — l29's bloom screen is the drop-in
+      // when even the eval shingle set outgrows a broadcast)
+      def sh8(f: DataFrame) = f
+        .withColumn("tk", split(lower(col("text")), " "))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 7),
+          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+      val evalSh = sh8(docs.filter(col("doc_id") < 50))
+        .select("sh").distinct()
+      val contaminated = sh8(nd.select("doc_id", "text"))
+        .join(broadcast(evalSh), "sh").select("doc_id").distinct()
+      val dc = nd.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 5: stratified split (l48's content-hash rule)
+      val b2 = substring(md5(col("text")), 1, 2)
+      val sp = dc.select(col("doc_id"),
+        when(b2 < "cd", "train").when(b2 < "e6", "val")
+          .otherwise("test").as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .persist()
+      // stage 6: pack the train split (l27's bucketed global cumsum —
+      // per-bucket offsets broadcast, never a single-partition window)
+      val ctx = 2048L
+      val nb = 32
+      val train = sp.filter(col("split") === "train")
+        .select("doc_id", "n_tok")
+      val maxIdRow = train.agg(max("doc_id")).head()
+      val packed =
+        if (maxIdRow.isNullAt(0)) // no train docs: nothing to pack
+          train.select(col("doc_id"), col("n_tok").as("start_tok"))
+            .limit(0).withColumn("bin", lit(0L))
+        else {
+          val maxId = maxIdRow.getLong(0)
+          val pid = least(floor(col("doc_id") * nb / (maxId + 1)),
+            lit(nb - 1)).cast("int")
+          val parted = train.withColumn("pid", pid)
+          val offW = Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = parted.groupBy("pid").agg(sum("n_tok").as("toks"))
+            .select(col("pid"),
+              coalesce(sum("toks").over(offW), lit(0L)).as("off"))
+          val localW = Window.partitionBy("pid").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          parted
+            .withColumn("lcum", coalesce(sum("n_tok").over(localW), lit(0L)))
+            .join(broadcast(offsets), "pid")
+            .withColumn("start_tok", col("off") + col("lcum"))
+            .select(col("doc_id"), col("start_tok"),
+              floor(col("start_tok") / ctx).cast("long").as("bin"))
+        }
+      sp.join(packed.select("doc_id", "start_tok", "bin"),
+          Seq("doc_id"), "left")
+        .select("doc_id", "split", "n_tok", "start_tok", "bin")
         .orderBy("doc_id")
     }),
 
@@ -2296,6 +2396,79 @@ object LlmOps {
         |    + 0.0 AS log_weight
         |FROM dc JOIN lam ON lam.bucket = dc.bucket
         |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Stage-for-stage replay of the six-stage pipeline: quality cut,
+    // sha256 min-id dedup, the l2 minhash bands over the survivors,
+    // 8-gram eval-overlap decontamination, the l48 split rule, and the
+    // packing cumsum (DuckDB does it as one global window; the Spark
+    // side's bucketed two-pass computes the identical prefix sums).
+    "l57_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 50),
+        |q AS (
+        |  SELECT doc_id, text FROM corpus
+        |  WHERE n_chars BETWEEN 100 AND 5000
+        |    AND len(string_split(lower(text), ' ')) >= 20),
+        |keep AS (
+        |  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |  FROM q GROUP BY sha256(text)),
+        |e AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+        |toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM e),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 5),
+        |bs AS (
+        |  SELECT doc_id, b, min(substr(md5(sh), b * 8 + 1, 8)) AS sig
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+        |  GROUP BY doc_id, b),
+        |losers AS (
+        |  SELECT DISTINCT y.doc_id
+        |  FROM bs x JOIN bs y
+        |    ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |nd AS (
+        |  SELECT * FROM e
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |etoks AS (
+        |  SELECT string_split(lower(text), ' ') AS tk
+        |  FROM documents WHERE doc_id < 50),
+        |esh AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, len(tk) - 7),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh
+        |  FROM etoks WHERE len(tk) >= 8),
+        |ntoks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM nd),
+        |nsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(tk[i:i+7], ' ')) AS sh
+        |  FROM ntoks, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+        |  WHERE len(tk) >= 8),
+        |contaminated AS (
+        |  SELECT DISTINCT nsh.doc_id FROM nsh JOIN esh USING (sh)),
+        |dc AS (
+        |  SELECT * FROM nd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM dc),
+        |pk AS (
+        |  SELECT doc_id,
+        |    coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM sp WHERE split = 'train')
+        |SELECT sp.doc_id, sp.split, sp.n_tok,
+        |  CAST(pk.start_tok AS BIGINT) AS start_tok,
+        |  CAST(floor(pk.start_tok / 2048.0) AS BIGINT) AS bin
+        |FROM sp LEFT JOIN pk ON sp.doc_id = pk.doc_id
+        |ORDER BY sp.doc_id""".stripMargin,
 
     "l12_jaccard_verify" ->
       """WITH toks AS (

@@ -43,6 +43,7 @@ class PlanGuardSpec extends SparkSpec {
     "a31_tpch_q11"     -> "1-row scalar-subquery threshold",
     "a34_tpch_q22"     -> "1-row avg-balance scalar subquery",
     "l27_pack_sequences" -> "32-row bucket-offset frame of the two-pass prefix sum",
+    "l57_pipeline"     -> "32-row bucket-offset frame of the pack stage (l27's machinery)",
     "l47_triangle_count" -> "1-row summary aggregates",
     "l49_global_shuffle" -> "32-row bucket-offset frame of the two-pass global rank",
     "o14_fk_audit"     -> "three 1-row audit counts",

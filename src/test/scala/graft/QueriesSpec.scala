@@ -350,6 +350,32 @@ class QueriesSpec extends SparkSpec {
       }
   }
 
+  test("l57 pipeline: stages only shrink, packing is gap-free, eval never leaks") {
+    val out = graft.operators.LlmOps.queries("l57_pipeline")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // the eval benchmark (doc_id < 50) must never appear in the output
+    assert(out.forall(_.getLong(0) >= 50), "eval doc leaked into the corpus")
+    // the pipeline only removes: output ⊆ corpus
+    val corpusN = graft.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") >= 50).count()
+    assert(out.length <= corpusN)
+    // every row has a split; only train rows are packed
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(1))))
+    assert(out.forall(r => (r.getString(1) == "train") == !r.isNullAt(3)))
+    // packing is a gap-free cumsum over train docs in doc_id order:
+    // each start_tok equals the previous start_tok + n_tok
+    val train = out.filter(_.getString(1) == "train")
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    train.foldLeft(0L) { case (expected, (id, nTok, start, bin)) =>
+      assert(start == expected, s"doc $id start_tok $start != $expected")
+      assert(bin == start / 2048, s"doc $id bin")
+      expected + nTok
+    }
+    ()
+  }
+
   test("t12 approx inter-arrival percentiles within 15% of t10's exact") {
     val rows = graft.operators.StreamOps.queries("t12_approx_interarrival")(spark, sfDir)
       .collect()
