@@ -234,14 +234,16 @@ object DedupIndex {
     } finally { hashes.unpersist(); () }
   }
 
-  /** Rebuild the shard blooms from hashes/ when the index predates the
-    * sharded layout (a lone bloom.bin): the screen is DERIVED state —
-    * the authoritative content set lives in the parquet rows — so
-    * migration is one distributed pass over hashes/, after which the
-    * legacy file is inert. Without this, the first touch of an index
-    * persisted by the single-bloom version would die in Hadoop FS code
-    * with a bare FileNotFoundException on blooms/shard-0.bin, stranding
-    * valid index data.
+  /** Rebuild the shard blooms from hashes/ whenever rows exist but the
+    * sharded layout doesn't: the screen is DERIVED state — the
+    * authoritative content set lives in the parquet rows — so migration
+    * is one distributed pass over hashes/. This self-heals every
+    * blooms-missing state from one code path: an index persisted by the
+    * legacy single-bloom version (its bloom.bin becomes inert), a build
+    * that crashed between the row write and the bloom publication, and
+    * a migration that crashed halfway. A dir with NO hashes/ is a
+    * never-built index and is left untouched (screens treat it as
+    * empty, the first append publishes the full shard set).
     *
     * Crash- and race-safety: blooms publish with shard 0 LAST
     * (publishBlooms), so the `exists(shard-0)` fast path only fires once
@@ -257,8 +259,8 @@ object DedupIndex {
       indexDir: String): Unit = {
     val (fs, p0) = fsFor(spark, indexDir, 0)
     if (fs.exists(p0)) return
-    if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir, "bloom.bin")))
-      return // fresh index: build() writes the shard blooms itself
+    if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir, "hashes")))
+      return // never-built index: the first build/append publishes blooms
     val hashes = spark.read.parquet(s"$indexDir/hashes")
       .withColumn("h", xxhash64(col("sha")))
     publishBlooms(spark, indexDir, bloomsOf(hashes))
@@ -294,6 +296,12 @@ object DedupIndex {
     val (fs0, p0) = fsFor(spark, indexDir, 0)
     if (!fs0.exists(p0))
       withAppendLock(spark, indexDir) { ensureShardedLayout(spark, indexDir) }
+    // still no sentinel after the heal pass ⇒ the index was never built:
+    // an empty index knows nothing, so the whole batch is new. This is
+    // the streaming bootstrap (curateIngest/dedupIngest start against an
+    // empty dir; the first append publishes the full shard set) —
+    // JaccardIndex.pairsAgainst has the same contract.
+    if (!fs0.exists(p0)) return docs
     val hashed = withSha(docs).withColumn("shard", shardExpr)
     val touched = hashed.select("shard").distinct()
       .collect().map(_.getInt(0)).sorted // ≤16 rows
@@ -336,11 +344,18 @@ object DedupIndex {
       .collect().map(_.getInt(0)).toSet // ≤16 rows
     withAppendLock(spark, indexDir) {
       ensureShardedLayout(spark, indexDir)
-      touched.foreach { i =>
-        val merged = readBloom(spark, indexDir, i)
-        merged.mergeInPlace(batchBlooms(i))
-        writeBloom(spark, indexDir, i, merged)
-      }
+      val (fs0, p0) = fsFor(spark, indexDir, 0)
+      if (!fs0.exists(p0))
+        // never-built index: this append IS the build's bloom
+        // publication — all 16 shards (empties included) land with
+        // shard 0 last, establishing the sentinel invariant
+        publishBlooms(spark, indexDir, batchBlooms)
+      else
+        touched.foreach { i =>
+          val merged = readBloom(spark, indexDir, i)
+          merged.mergeInPlace(batchBlooms(i))
+          writeBloom(spark, indexDir, i, merged)
+        }
       hashes.select("sha", "keeper_id")
         .write.mode("append").parquet(s"$indexDir/hashes")
     }

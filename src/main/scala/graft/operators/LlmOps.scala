@@ -88,6 +88,18 @@ object LlmOps {
         array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
   }
 
+  /** Exploded md5(8-word shingle) rows (doc_id, sh) — THE
+    * decontamination unit (l26/l38/l57 semantics; docs under 8 tokens
+    * have no shingles and are never contaminated), shared with the
+    * streaming curation so the batch and stream pipelines cannot drift
+    * on the shingle definition. */
+  private[graft] def shingles8(docs: DataFrame): DataFrame = docs
+    .withColumn("tk", split(lower(col("text")), " "))
+    .filter(size(col("tk")) >= 8)
+    .select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("tk")) - 7),
+      i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+
   /** Exploded 5-word shingle rows (doc_id, sh) for a (doc_id, text)
     * frame — THE similarity unit of this file, shared by MinHash (l2 /
     * NearDupIndex, multiset form) and the exact AllPairs join (l55, set
@@ -872,15 +884,9 @@ object LlmOps {
       // with the eval set (exact equi-join on hashed shingles; the eval
       // side is tiny and broadcast — l29's bloom screen is the drop-in
       // when even the eval shingle set outgrows a broadcast)
-      def sh8(f: DataFrame) = f
-        .withColumn("tk", split(lower(col("text")), " "))
-        .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("tk")) - 7),
-          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
-      val evalSh = sh8(docs.filter(col("doc_id") < 50))
+      val evalSh = shingles8(docs.filter(col("doc_id") < 50))
         .select("sh").distinct()
-      val contaminated = sh8(nd.select("doc_id", "text"))
+      val contaminated = shingles8(nd.select("doc_id", "text"))
         .join(broadcast(evalSh), "sh").select("doc_id").distinct()
       val dc = nd.join(contaminated, Seq("doc_id"), "left_anti")
       // stage 5: stratified split (l48's content-hash rule)

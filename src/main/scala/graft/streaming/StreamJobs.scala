@@ -185,6 +185,107 @@ object StreamJobs {
       ()
     }
 
+  /** One-time setup for the streaming curation: persist the eval
+    * benchmark's distinct 8-gram shingle set as a standing table — the
+    * decontamination model, built once from the benchmark corpus and
+    * broadcast-joined at every batch (the dsirGate standing-model
+    * pattern; the shingle definition is shared with the batch l26/l57
+    * lanes via LlmOps.shingles8, so stream and batch cannot drift). */
+  def buildDecontamModel(evalDocs: DataFrame, modelDir: String): Unit =
+    graft.operators.LlmOps.shingles8(
+        evalDocs.select(col("doc_id"), col("text")))
+      .select("sh").distinct()
+      .write.mode("overwrite").parquet(modelDir)
+
+  /** Streaming corpus CURATION — the l57 pipeline under foreachBatch:
+    * each arriving micro-batch runs quality gate (l7's rule, n_chars
+    * computed as length(text)) → within-batch exact dedup (min id per
+    * content) → exact screen against the standing DedupIndex →
+    * within-batch near-dup drop (exact Jaccard τ=3/5, larger id loses) →
+    * near-dup screen against the standing JaccardIndex → 8-gram
+    * decontamination vs the stored eval model → split assignment (l48's
+    * content-hash rule); accepted rows land in `pipeDir/accepted` and
+    * BOTH indexes advance before the batch commits. State is the two
+    * persisted indexes + the 256-row-class model table — never executor
+    * memory — so the pipeline survives restarts and is shared with the
+    * batch lanes.
+    *
+    * at-least-once replay safety with TWO standing indexes: committed-
+    * batch marker + per-batch dynamic partition overwrite as everywhere,
+    * plus an APPEND ORDER that makes every crash point idempotent. The
+    * exact-dedup screen is the replay FUSE: once the batch's contents
+    * are in the exact index, a replay's flow empties at stage 2 and
+    * touches nothing (an empty frame overwrites no partition). So the
+    * exact append must be LAST of the two — Jaccard first, exact
+    * second, marker third:
+    *  - crash before any append: replay recomputes identically;
+    *  - crash between the appends (Jaccard in, exact not): the replay's
+    *    exact screen passes the full batch; the Jaccard re-screen now
+    *    sees the batch's own stored rows, but a=b self-matches are
+    *    excluded and accepted docs are pairwise below τ by
+    *    construction, so the same set survives and the re-append's
+    *    duplicate rows are tolerated (the verify counts DISTINCT
+    *    shingles);
+    *  - crash after the exact append: the replay empties, both indexes
+    *    already hold the batch, accepted/ is untouched.
+    * Appending the exact index FIRST instead would let a crash strand
+    * the Jaccard index permanently: the emptied replay would never
+    * deliver the batch's shingle rows, silently losing near-dup recall
+    * for every future batch. */
+  def curateIngest(docs: DataFrame, modelDir: String, pipeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      if (!markerExists(s, pipeDir, batchId)) {
+        // stage 1: quality gate (stateless, deterministic)
+        val q = batch.select(col("doc_id"), col("text"))
+          .filter(length(col("text")).between(100, 5000) &&
+            size(split(lower(col("text")), " ")) >= 20)
+        // stage 2: exact dedup — within batch, then vs the standing index
+        val inBatch = q.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id", "text")
+        val exactNew = graft.operators.DedupIndex
+          .newAgainst(s, s"$pipeDir/exact", inBatch).persist()
+        // stage 3: near-dup — within batch, then vs the standing index
+        val inLosers = graft.operators.JaccardIndex.pairsWithin(exactNew)
+          .select(col("b").as("doc_id")).distinct()
+        val ndSurvivors = exactNew.join(inLosers, Seq("doc_id"), "left_anti")
+        val idxDups = graft.operators.JaccardIndex
+          .pairsAgainst(s, s"$pipeDir/jaccard", ndSurvivors)
+          .select(col("b").as("doc_id")).distinct()
+        val nd = ndSurvivors.join(idxDups, Seq("doc_id"), "left_anti")
+        // stage 4: decontamination vs the standing eval shingle model
+        val evalSh = s.read.parquet(modelDir)
+        val contaminated = graft.operators.LlmOps.shingles8(nd)
+          .join(broadcast(evalSh), "sh").select("doc_id").distinct()
+        val dc = nd.join(contaminated, Seq("doc_id"), "left_anti")
+        // stage 5: split + accept (per-batch partition, dynamic overwrite)
+        val b2 = substring(md5(col("text")), 1, 2)
+        val accepted = dc.select(col("doc_id"), col("text"),
+          when(b2 < "cd", "train").when(b2 < "e6", "val")
+            .otherwise("test").as("split"))
+          .persist()
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          accepted.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$pipeDir/accepted")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        // index appends: Jaccard FIRST, exact LAST (the replay fuse —
+        // see scaladoc), marker after both
+        graft.operators.JaccardIndex.append(s, s"$pipeDir/jaccard",
+          accepted.select("doc_id", "text"))
+        graft.operators.DedupIndex.append(s, s"$pipeDir/exact",
+          accepted.select("doc_id", "text"))
+        accepted.unpersist()
+        exactNew.unpersist()
+        writeMarker(s, pipeDir, batchId)
+      }
+      ()
+    }
+
   /** Streaming ANN serving — the query half of a vector store put under a
     * stream: probes `(probe_id, pv)` arrive as micro-batches, each batch
     * is answered from the standing AnnIndex (broadcast probe buckets →

@@ -494,6 +494,57 @@ class StreamingSpec extends SparkSpec {
       s"index must hold accepted docs' signatures: $indexed")
   }
 
+  test("streaming curation runs the full pipeline per batch against standing state") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pipeDir = java.nio.file.Files.createTempDirectory("stream-curate").toString
+    val modelDir = s"$pipeDir/eval-model"
+    // the eval benchmark: one doc whose 8-gram shingles define
+    // contamination
+    StreamJobs.buildDecontamModel(
+      Seq((1L, "exam question secret alpha bravo charlie delta echo " +
+        "foxtrot golf hotel")).toDF("doc_id", "text"),
+      modelDir)
+    // 40-token base docs (~240 chars: inside the l7 quality window;
+    // long enough that a one-token edit keeps exact Jaccard ≥ 3/5)
+    def doc(prefix: String): String =
+      (1 to 40).map(i => s"$prefix$i").mkString(" ")
+    val docA = doc("alpha")
+    val docANear1 = docA.replace("alpha20", "changed")
+    val docANear2 = docA.replace("alpha21", "different")
+    val docB = doc("bravo")
+    val docC = doc("civic")
+    // contaminated: carries the eval doc's 8-gram run inside a
+    // quality-passing doc
+    val docDirty = doc("delta") +
+      " exam question secret alpha bravo charlie delta echo foxtrot"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamJobs.curateIngest(
+      mem.toDF().toDF("doc_id", "text"), modelDir, pipeDir).start()
+    // batch 1 against EMPTY indexes
+    mem.addData(
+      (10L, docA),
+      (11L, docA),        // exact dup within batch → dropped
+      (12L, docANear1),   // near-dup of 10 within batch → dropped
+      (13L, "tiny doc"),  // fails quality
+      (14L, docDirty),    // contaminated → dropped
+      (15L, docB))
+    q.processAllAvailable()
+    // batch 2 against the advanced indexes
+    mem.addData(
+      (20L, docA),        // exact dup of INDEXED 10 → dropped
+      (21L, docANear2),   // near-dup of INDEXED 10 → dropped
+      (22L, docC))        // novel → accepted
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(s"$pipeDir/accepted")
+    val ids = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 15L, 22L),
+      s"curation must keep exactly the clean novel docs: $ids")
+    val splits = accepted.select("split").collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
   test("maintainAggEachBatch keeps the standing aggregate ≡ full recompute") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -115,6 +115,34 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("never-built index bootstraps: screen sees everything new, first append builds") {
+    // the streaming-ingestion cold start: no build() ever ran. The
+    // screen must treat the empty dir as an empty index (all new, like
+    // JaccardIndex.pairsAgainst), and the first append must establish
+    // the full sharded layout so later screens/appends find every shard.
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-fresh").toString + "/idx"
+    val batch = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "pack my box with five dozen jugs")
+    ).toDF("doc_id", "text")
+    val fresh = DedupIndex.newAgainst(spark, indexDir, batch)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L), "empty index must screen the whole batch as new")
+    DedupIndex.append(spark, indexDir, fresh)
+    (0 until 16).foreach { i =>
+      assert(new java.io.File(indexDir, f"blooms/shard-$i%x.bin").exists,
+        s"first append must publish shard $i")
+    }
+    assert(DedupIndex.newAgainst(spark, indexDir, batch).isEmpty,
+      "after the bootstrap append the batch is known")
+    val batch2 = Seq(
+      (20L, "the quick brown fox"), // dup of bootstrap gen
+      (21L, "never before seen")
+    ).toDF("doc_id", "text")
+    assert(DedupIndex.newAgainst(spark, indexDir, batch2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
+  }
+
   test("exact-Jaccard index: screened pairs ≡ brute force across generations") {
     val indexDir = java.nio.file.Files.createTempDirectory("jac-idx").toString
     def brute(index: Seq[(Long, String)], batch: Seq[(Long, String)]) = {
