@@ -260,6 +260,29 @@ object Bench {
       graft.operators.JaccardIndex.pairsAgainst(s, dir, batch)
     }),
 
+    // MinHash near-dup screen: batch signatures bucket-joined against
+    // the stored signature table (NearDupIndex.candidatesAgainst —
+    // the approximate sibling of idx_jaccard_screen)
+    "idx_neardup_screen" -> ((s: SparkSession, d: String) => {
+      val dir = ServeIndexes.neardup(s, d)
+      val batch = t(s, d, "documents").filter(col("doc_id") < 250)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" novel-"), col("doc_id")))
+            .as("text"))
+      graft.operators.NearDupIndex.candidatesAgainst(s, dir, batch)
+    }),
+
+    // PQ probe batch: broadcast per-probe ADC distance tables scanned
+    // over the 32x-compressed codes + bounded exact re-rank
+    // (PqIndex.queryProbes — the vectors-don't-fit serving path)
+    "idx_pq_probe" -> ((s: SparkSession, d: String) => {
+      val dir = ServeIndexes.pq(s, d)
+      val probes = t(s, d, "embeddings").filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      graft.operators.PqIndex.queryProbes(s, dir, probes, 5)
+    }),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(
@@ -299,6 +322,12 @@ object Bench {
       cached("jacidx", d) { dir =>
         graft.operators.JaccardIndex.build(s, t(s, d, "documents"), dir)
       }
+    def neardup(s: SparkSession, d: String): String =
+      cached("ndidx", d) { dir =>
+        graft.operators.NearDupIndex.build(s, t(s, d, "documents"), dir); ()
+      }
+    def pq(s: SparkSession, d: String): String =
+      cached("pqidx", d)(dir => graft.operators.PqIndex.build(s, d, dir))
   }
 
   /** Host-speed calibration: a fixed pure-JVM workload (SHA-256 over a

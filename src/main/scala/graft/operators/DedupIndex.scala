@@ -308,9 +308,16 @@ object DedupIndex {
     if (touched.isEmpty) return docs // empty batch: nothing to screen
     val bcBlooms = spark.sparkContext.broadcast(
       touched.map(i => i -> readBloom(spark, indexDir, i)).toMap)
-    val maybeSeen = udf((shard: Int, h: Long) =>
-      bcBlooms.value.get(shard).forall(_.mightContainLong(h)))
-      .apply(col("shard"), col("h"))
+    // coalesce(..., true): shard/h are non-null by construction (sha is
+    // computed over coalesce(text, '')), but a primitive-arg UDF yields
+    // NULL without being called if an input were ever null — and a NULL
+    // predicate silently drops the row from BOTH filter branches. Route
+    // that impossible case to the exact confirm instead of losing rows.
+    val maybeSeen = coalesce(
+      udf((shard: Int, h: Long) =>
+        bcBlooms.value.get(shard).forall(_.mightContainLong(h)))
+        .apply(col("shard"), col("h")),
+      lit(true))
     val definitelyNew = hashed.filter(!maybeSeen)
     val confirmed = hashed.filter(maybeSeen)
       .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),

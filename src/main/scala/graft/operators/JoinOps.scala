@@ -319,13 +319,20 @@ object JoinOps {
     * returns identical rows — so the approximation cannot affect
     * correctness. */
   def adaptiveBandWidth(intervalSets: (DataFrame, String, String)*): Long = {
-    val p95s = intervalSets.map { case (df, lo, hi) =>
-      val spans = df.select(
+    // ONE job for all sets (not one approxQuantile job per set — the
+    // derivation is pure scheduling overhead at bench scale): each set
+    // is tagged and unioned, per-set p95s come from one grouped
+    // percentile_approx, and the MAX wins — per-set p95s (not the
+    // union's) so a small set of long intervals still widens the band
+    // enough to keep its own replication ≤ ~2×.
+    val spans = intervalSets.zipWithIndex.map { case ((df, lo, hi), i) =>
+      df.select(lit(i).as("g"),
         (col(hi).cast("double") - col(lo).cast("double") + 1.0).as("span"))
-      val q = spans.stat.approxQuantile("span", Array(0.95), 0.01)
-      if (q.isEmpty) 1.0 else q(0)
-    }
-    math.max(1L, math.ceil(p95s.max).toLong)
+    }.reduce(_.unionByName(_))
+    val p95s = spans.groupBy("g")
+      .agg(percentile_approx(col("span"), lit(0.95), lit(1000)).as("p"))
+      .collect().flatMap(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    math.max(1L, math.ceil(if (p95s.isEmpty) 1.0 else p95s.max).toLong)
   }
 
   /** bandedRangeJoin with the width derived from the interval side's
