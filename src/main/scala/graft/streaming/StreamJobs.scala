@@ -235,6 +235,13 @@ object StreamJobs {
   def curateIngest(docs: DataFrame, modelDir: String, pipeDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyCurateBatch(batch, batchId, modelDir, pipeDir)
+    }
+
+  /** One micro-batch of the streaming curation (package-visible so the
+    * replay matrix is directly testable — the applyAggBatch pattern). */
+  private[graft] def applyCurateBatch(batch: DataFrame, batchId: Long,
+      modelDir: String, pipeDir: String): Unit = {
       val s = batch.sparkSession
       if (!markerExists(s, pipeDir, batchId)) {
         // stage 1: quality gate (stateless, deterministic)

@@ -545,6 +545,65 @@ class StreamingSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("curation replay is a no-op at every crash point, incl. between the appends") {
+    import graft.SparkSpec.spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val pipeDir = JFiles.createTempDirectory("curate-replay").toString
+    val modelDir = s"$pipeDir/eval-model"
+    StreamJobs.buildDecontamModel(
+      Seq((1L, "exam question secret alpha bravo charlie delta echo " +
+        "foxtrot golf hotel")).toDF("doc_id", "text"), modelDir)
+    def doc(prefix: String): String =
+      (1 to 40).map(i => s"$prefix$i").mkString(" ")
+    val docA = doc("alpha")
+    val docB = doc("bravo")
+    def accepted: Set[Long] =
+      spark.read.parquet(s"$pipeDir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b0 = Seq((10L, docA), (15L, docB)).toDF("doc_id", "text")
+    StreamJobs.applyCurateBatch(b0, 0L, modelDir, pipeDir)
+    assert(accepted == Set(10L, 15L))
+    // crash point A: after the marker — replay is a plain no-op
+    StreamJobs.applyCurateBatch(b0, 0L, modelDir, pipeDir)
+    assert(accepted == Set(10L, 15L), "post-marker replay changed accepted/")
+    // crash point B: both appends done, marker missing — the replay's
+    // exact screen empties the flow (an empty frame overwrites no
+    // partition), so accepted/ survives and the marker is recreated
+    val marker = JPaths.get(s"$pipeDir/commits/0")
+    JFiles.delete(marker)
+    StreamJobs.applyCurateBatch(b0, 0L, modelDir, pipeDir)
+    assert(JFiles.exists(marker), "replay must recreate the missing marker")
+    assert(accepted == Set(10L, 15L), "append-complete replay lost rows")
+    // crash point C: Jaccard appended, exact NOT (the window the append
+    // ORDER exists for) — simulated by reverting the exact index to its
+    // pre-append (empty) state with the Jaccard rows + accepted/ intact.
+    // The replay must pass the batch through the exact screen, survive
+    // its own stored rows in the Jaccard re-screen (a=b excluded,
+    // accepted docs pairwise below τ), rewrite accepted/ byte-stably,
+    // and re-append the exact index.
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (JFiles.isDirectory(p))
+        JFiles.list(p).toArray.foreach(c => deleteRec(c.asInstanceOf[java.nio.file.Path]))
+      JFiles.delete(p)
+    }
+    deleteRec(JPaths.get(s"$pipeDir/exact"))
+    JFiles.delete(marker)
+    StreamJobs.applyCurateBatch(b0, 0L, modelDir, pipeDir)
+    assert(accepted == Set(10L, 15L), "between-appends replay changed accepted/")
+    // both indexes are now healthy: a later batch dedups against them —
+    // 20 exact-dups indexed 10, 21 near-dups indexed 10 (one token
+    // changed), 22 is novel. The Jaccard index holds DUPLICATE stored
+    // rows for 10/15 after the double append; the distinct-count verify
+    // must not let that admit or reject anything wrongly.
+    val b1 = Seq(
+      (20L, docA),
+      (21L, docA.replace("alpha20", "changed")),
+      (22L, doc("civic"))).toDF("doc_id", "text")
+    StreamJobs.applyCurateBatch(b1, 1L, modelDir, pipeDir)
+    assert(accepted == Set(10L, 15L, 22L),
+      s"post-recovery batch must dedup against both indexes: $accepted")
+  }
+
   test("maintainAggEachBatch keeps the standing aggregate ≡ full recompute") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
