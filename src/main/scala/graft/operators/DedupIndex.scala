@@ -319,9 +319,20 @@ object DedupIndex {
         .apply(col("shard"), col("h")),
       lit(true))
     val definitelyNew = hashed.filter(!maybeSeen)
-    val confirmed = hashed.filter(maybeSeen)
-      .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),
-        Seq("sha"), "left_anti")
+    // hashes/ can be legitimately absent with the sentinel present: a
+    // BOOTSTRAP append that crashed between its bloom publication and
+    // its row write. The blooms then carry the crashed batch's bits but
+    // the authoritative row set is empty — so bloom hits confirm
+    // against the empty set and pass (correct: nothing is indexed), and
+    // the replayed append heals the rows. Reading the missing path
+    // directly would throw and crash-loop the replay instead.
+    val hashesPath = new org.apache.hadoop.fs.Path(indexDir, "hashes")
+    val bloomHits = hashed.filter(maybeSeen)
+    val confirmed =
+      if (!fs0.exists(hashesPath)) bloomHits
+      else bloomHits
+        .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),
+          Seq("sha"), "left_anti")
     // drop ALL internal columns — leaking sha would pollute the
     // documented rows-of-docs output schema (append recomputes it)
     definitelyNew.unionByName(confirmed).drop("h", "sha", "shard")

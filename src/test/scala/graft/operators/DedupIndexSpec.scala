@@ -143,6 +143,33 @@ class DedupIndexSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
   }
 
+  test("bootstrap crash window: blooms without rows screens as empty and heals") {
+    // a bootstrap append that dies between its bloom publication and
+    // its row write leaves the sentinel present with hashes/ absent —
+    // the blooms carry the crashed batch's bits but the authoritative
+    // set is empty. The screen must pass everything (confirm against
+    // the empty set), not throw on the missing path, and the replayed
+    // append must heal the rows.
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-boot").toString + "/idx"
+    val batch = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "pack my box with five dozen jugs")
+    ).toDF("doc_id", "text")
+    DedupIndex.append(spark, indexDir, batch) // bootstrap
+    // simulate the crash: rows vanish, blooms (with the batch's bits) stay
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      assert(f.delete())
+    }
+    deleteRec(new java.io.File(indexDir, "hashes"))
+    val replayed = DedupIndex.newAgainst(spark, indexDir, batch)
+    assert(replayed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L), "blooms-without-rows must screen everything as new")
+    DedupIndex.append(spark, indexDir, replayed)
+    assert(DedupIndex.newAgainst(spark, indexDir, batch).isEmpty,
+      "the healed index must know the batch")
+  }
+
   test("exact-Jaccard index: screened pairs ≡ brute force across generations") {
     val indexDir = java.nio.file.Files.createTempDirectory("jac-idx").toString
     def brute(index: Seq[(Long, String)], batch: Seq[(Long, String)]) = {
