@@ -67,6 +67,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("index-serve lanes: no cartesian anywhere, ANN probes ride a broadcast") {
+    // the serve lanes live in Bench.headline, not SparkEntry.queries,
+    // so PlanGuardSpec's sweep doesn't see them — guard their plan
+    // shapes here (indexes build once at sf0.001 via ServeIndexes)
+    val lanes = Bench.headline.toMap
+    val serveNames = Seq("idx_dedup_screen", "idx_ann_probe",
+      "idx_jaccard_screen", "idx_neardup_screen", "idx_pq_probe")
+    for (n <- serveNames) {
+      val p = lanes(n)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+    // the ANN probe's candidate join must broadcast the probe buckets
+    // against the signature table — the index side is the 100 TB side
+    val pAnn = lanes("idx_ann_probe")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(pAnn.contains("BroadcastHashJoin"), pAnn)
+  }
+
   test("adaptive band width tracks the span distribution, results width-invariant") {
     import graft.SparkSpec.spark.implicits._
     // spans: 98× length-5, 2× length-50 outliers → p95 = 5, so the
