@@ -326,6 +326,31 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming PQ serving — annServeEachBatch over the 32×-compressed
+    * store (PqIndex.queryProbes: broadcast per-probe ADC distance
+    * tables scanned over codes/ + bounded exact re-rank). The serving
+    * path when the raw vectors don't fit the cluster's memory budget;
+    * identical replay contract (marker + per-batch dynamic partition
+    * overwrite; serving mutates no index state). */
+  def pqServeEachBatch(probes: DataFrame, indexDir: String, outDir: String,
+      k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      if (!markerExists(s, outDir, batchId)) {
+        val answers = graft.operators.PqIndex.queryProbes(s, indexDir,
+          batch.select(col("probe_id"), col("pv")), k)
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          answers.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$outDir/answers")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        writeMarker(s, outDir, batchId)
+      }
+      ()
+    }
+
   /** Build the standing DSIR model table — the train half of the
     * streaming quality gate: LlmOps.dsirModelOf over a labeled reference
     * corpus, written as a 256-row parquet under `modelDir/model`. Run

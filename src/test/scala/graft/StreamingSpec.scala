@@ -379,6 +379,38 @@ class StreamingSpec extends SparkSpec {
     assert(served.map(_._1) == Set(3L, 7L, 11L))
   }
 
+  test("streaming PQ serving answers probe batches from the compressed store") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("stream-pq").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-pq-out").toString
+    graft.operators.PqIndex.build(spark, sfDir, indexDir)
+    val probeRows = graft.Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isin(3L, 7L, 11L))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val probes = mem.toDF().toDF("probe_id", "pv")
+      .withColumn("pv", col("pv").cast("array<float>"))
+    val q = StreamJobs.pqServeEachBatch(probes, indexDir, outDir, k = 3).start()
+    mem.addData(probeRows(0))
+    q.processAllAvailable()
+    mem.addData(probeRows(1), probeRows(2))
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(s"$outDir/answers")
+      .select("probe_id", "rnk", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // parity: the streamed answers ARE the batch path's answers
+    val direct = graft.operators.PqIndex.queryProbes(spark, indexDir,
+        graft.Tables.t(spark, sfDir, "embeddings")
+          .filter(col("vec_id").isin(3L, 7L, 11L))
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served == direct, s"served=$served direct=$direct")
+    assert(served.map(_._1) == Set(3L, 7L, 11L))
+  }
+
   test("streaming DSIR gate scores batches against the standing model, batch ≡ stream") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
