@@ -283,6 +283,16 @@ object Bench {
       graft.operators.PqIndex.queryProbes(s, dir, probes, 5)
     }),
 
+    // IVF+PQ probe batch: the same ADC restricted to each probe's
+    // nprobe nearest cells (IvfPqIndex.queryProbes — FAISS's IVFADC;
+    // the fix for idx_pq_probe's corpus-linear scan term)
+    "idx_ivfpq_probe" -> ((s: SparkSession, d: String) => {
+      val dir = ServeIndexes.ivfpq(s, d)
+      val probes = t(s, d, "embeddings").filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      graft.operators.IvfPqIndex.queryProbes(s, dir, probes, 5)
+    }),
+
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
       val iu = org.apache.spark.sql.functions.udaf(
@@ -328,6 +338,8 @@ object Bench {
       }
     def pq(s: SparkSession, d: String): String =
       cached("pqidx", d)(dir => graft.operators.PqIndex.build(s, d, dir))
+    def ivfpq(s: SparkSession, d: String): String =
+      cached("ivfpqidx", d)(dir => graft.operators.IvfPqIndex.build(s, d, dir))
   }
 
   /** Host-speed calibration: a fixed pure-JVM workload (SHA-256 over a

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF+PQ index — the composition of the coarse inverted-file
+  * quantizer (the l20 IVF family) with product-quantization codes (the
+  * l53/[[PqIndex]] family): FAISS's IVFADC layout, the standard
+  * billion-vector serving design.
+  *
+  * Why the composition exists: [[PqIndex]]'s ADC pass scans the WHOLE
+  * codes table per probe batch — 32× fewer bytes than the vectors, but
+  * still linear in the corpus (the round-9 K=100 probe measured exactly
+  * that: idx_pq_probe 6.2× at a 100× corpus, the steepest serve lane).
+  * Restricting the scan to each probe's nprobe nearest cells makes the
+  * ADC cost O(corpus × nprobe/cells) instead: with k = √n cells and
+  * nprobe = k/3, a 100× corpus costs a fixed probe batch ~√100/… — the
+  * scan term drops by the cell selectivity at any scale.
+  *
+  * Layout at `dir` (all write-once, the AnnIndex/PqIndex build/serve
+  * split):
+  *
+  *   centroids/  (cell, cvec) — k = max(4, √n) coarse centers,
+  *               broadcast-sized by construction
+  *   codebooks/  (sub, code, cvec) — the PQ model (m·k rows)
+  *   cells/      (vec_id, cell) — the inverted file; TOP-2
+  *               multi-assignment (each vector listed under its two
+  *               nearest cells — the l20 trick that roughly squares the
+  *               boundary-miss probability, measured 0.60 → 0.88
+  *               recall@5 on the clusterless benchmark corpus)
+  *   codes/      (vec_id, sub, code) — PQ codes stored ONCE, not per
+  *               cell: candidate (probe, vec) pairs resolve against the
+  *               narrow cells/ table first (a two-long distinct), and
+  *               only the surviving pairs expand to their m code rows —
+  *               multi-assignment never inflates the code join or the
+  *               dedup shuffle
+  *   vectors/    raw vectors, touched only by the bounded exact re-rank
+  *
+  * Codes quantize the RAW vectors (shared encode with PqIndex, so codes
+  * can't drift between the families); classic IVFADC encodes residuals
+  * v − centroid for a tighter quantization — that refinement changes
+  * only the encode/distance-table inputs and is the documented
+  * production knob, not a structural change.
+  *
+  * HONEST SCALE NOTE (measured, SCALE.md): the scan saving is exactly
+  * the cell selectivity nprobe/cells × assignment factor. The default
+  * nprobe = cells/3 is tuned for RECALL on the clusterless benchmark
+  * corpus (no structure for a coarse quantizer to exploit — IVF's
+  * adversarial case), where it buys only a constant ~2/3 fraction. A
+  * real embedding corpus clusters, and production serves at a small
+  * FIXED nprobe (tens of cells out of √n) — pass `nprobe` explicitly
+  * there; the scan term then falls with corpus growth instead of
+  * tracking it.
+  */
+object IvfPqIndex {
+
+  import LlmOps.PqRerank
+
+  /** nprobe for a k-cell index: k/3 with top-2 assignment reaches the
+    * l20-measured 0.88 recall@5 on the adversarial (clusterless)
+    * benchmark corpus; real embedding corpora use far smaller
+    * fractions. */
+  def defaultNprobe(cells: Int): Int = math.max(3, cells / 3)
+
+  def build(spark: SparkSession, sfDir: String, dir: String): Unit =
+    buildFrom(spark, graft.Tables.t(spark, sfDir, "embeddings"), dir)
+
+  def buildFrom(spark: SparkSession, vecsIn: DataFrame, dir: String): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorExpressions.register(spark)
+    // persisted: the fit, the assignment, and the PQ encode all read it
+    val vecs = vecsIn.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val n = vecs.count()
+      val k = math.max(4, math.sqrt(n.toDouble).toInt)
+      val model = LlmOps.fitKMeansOnSample(
+        new KMeans().setK(k).setSeed(7).setMaxIter(8),
+        vecs.select(col("vec_id"),
+          array_to_vector(col("embedding")).as("features")),
+        "vec_id", n)
+      val centers = {
+        import spark.implicits._
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+          .toDF("cell", "cvec")
+      }
+      // top-2 multi-assignment — bounded-heap agg, no window
+      val top2 = udaf(new graft.functions.TopK(2),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val cells = vecs.crossJoin(broadcast(centers))
+        .withColumn("csim", expr("cosine_f32(embedding, cvec)"))
+        .groupBy("vec_id")
+        .agg(top2(col("csim"), col("cell")).as("nb"))
+        .select(col("vec_id"), explode(col("nb.id")).as("cell"))
+      val (cb, codes) = PqIndex.buildFrames(spark, vecs)
+      centers.write.mode("overwrite").parquet(s"$dir/centroids")
+      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      cells.write.mode("overwrite").parquet(s"$dir/cells")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+      codes.unpersist()
+      ()
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Top-k neighbors for a probe set (probe_id, pv), served from the
+    * store: per-probe nearest cells from the broadcast centroid table,
+    * candidate (probe, vec) pairs from the narrow cells/ join (distinct
+    * at PAIR granularity — a probe reaching BOTH cells of a
+    * multi-assigned vector would otherwise sum its distance table
+    * twice), cell-restricted ADC over codes/, bounded exact re-rank. */
+  def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
+      k: Int, nprobe: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val centers = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    val cellsK = centers.count().toInt
+    val np = if (nprobe > 0) nprobe else defaultNprobe(cellsK)
+    // probe cells: window over |probes| × k rows — broadcast-sized
+    val probeCells = broadcast(probeVecs).crossJoin(broadcast(centers))
+      .withColumn("csim", expr("cosine_f32(pv, cvec)"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crnk") <= np)
+      .select("probe_id", "cell")
+    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    val dt = broadcast(probeVecs)
+      .crossJoin(broadcast(cb))
+      .select(col("probe_id"), col("sub"), col("code"),
+        expr(s"slice(pv, sub * $subDim + 1, $subDim)").as("pslice"),
+        col("cvec"))
+      .withColumn("pd2", expr(
+        "dot_f32(pslice, pslice) + dot_f32(cvec, cvec) - 2 * dot_f32(pslice, cvec)"))
+      .select("probe_id", "sub", "code", "pd2")
+    // the IVF restriction: candidate pairs from the narrow inverted
+    // file (two-long rows), deduped, THEN expanded to their code rows
+    val cands = cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
+      .select("probe_id", "vec_id").distinct()
+    val adc = cands
+      .join(codes, "vec_id")
+      .join(broadcast(dt), Seq("probe_id", "sub", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("pd2").as("approx_d2"))
+    val topC = udaf(new graft.functions.TopK(PqRerank),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val rerank = adc.groupBy("probe_id")
+      .agg(topC(-col("approx_d2"), col("vec_id")).as("nb"))
+      .select(col("probe_id"), explode(col("nb.id")).as("vec_id"))
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    rerank.join(vecs, "vec_id")
+      .join(broadcast(probeVecs), "probe_id")
+      .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+      .groupBy("probe_id")
+      .agg(topk(col("cos"), col("vec_id")).as("nb"))
+      .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
+      .orderBy("probe_id", "rnk")
+  }
+}
