@@ -104,6 +104,40 @@ object IvfPqIndex {
     } finally { vecs.unpersist(); () }
   }
 
+  /** Incremental maintenance under the FROZEN build-time models: new
+    * vectors assign to their top-2 cells under the stored centroids and
+    * encode under the stored codebooks (PqIndex.encode — one shared
+    * definition, so appended codes can never drift from built ones),
+    * then append per-row to cells/, codes/ and vectors/. Same contract
+    * as PqIndex.append: not atomic across the three tables and not
+    * idempotent — a crash leaves the batch partially visible but
+    * harmless (cells without codes produce candidates whose ADC rows
+    * drop at the codes join; codes without cells are never candidates),
+    * and replay-safe ingestion belongs behind a committed-batch marker
+    * (the StreamJobs discipline). Quantizer drift (a corpus that
+    * outgrows the build-time centroids/codebooks) is a REBUILD, the
+    * FAISS contract. */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    graft.functions.VectorExpressions.register(spark)
+    val centers = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    val vecs = newVecs.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val top2 = udaf(new graft.functions.TopK(2),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      vecs.crossJoin(broadcast(centers))
+        .withColumn("csim", expr("cosine_f32(embedding, cvec)"))
+        .groupBy("vec_id")
+        .agg(top2(col("csim"), col("cell")).as("nb"))
+        .select(col("vec_id"), explode(col("nb.id")).as("cell"))
+        .write.mode("append").parquet(s"$dir/cells")
+      PqIndex.encode(cb, subDim, vecs)
+        .write.mode("append").parquet(s"$dir/codes")
+      vecs.write.mode("append").parquet(s"$dir/vectors")
+    } finally { vecs.unpersist(); () }
+  }
+
   /** Top-k neighbors for a probe set (probe_id, pv), served from the
     * store: per-probe nearest cells from the broadcast centroid table,
     * candidate (probe, vec) pairs from the narrow cells/ join (distinct
@@ -118,8 +152,9 @@ object IvfPqIndex {
     val cells = spark.read.parquet(s"$dir/cells")
     val codes = spark.read.parquet(s"$dir/codes")
     val vecs = spark.read.parquet(s"$dir/vectors")
-    val cellsK = centers.count().toInt
-    val np = if (nprobe > 0) nprobe else defaultNprobe(cellsK)
+    // the centroid count costs a (tiny) job — pay it only when the
+    // caller didn't pin nprobe
+    val np = if (nprobe > 0) nprobe else defaultNprobe(centers.count().toInt)
     // probe cells: window over |probes| × k rows — broadcast-sized
     val probeCells = broadcast(probeVecs).crossJoin(broadcast(centers))
       .withColumn("csim", expr("cosine_f32(pv, cvec)"))

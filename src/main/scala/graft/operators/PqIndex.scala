@@ -65,7 +65,8 @@ object PqIndex {
   /** Nearest-codeword encoding of (vec_id, embedding) rows under the
     * given codebooks — ONE definition shared by build and append, so
     * append-encoded codes can never drift from build-encoded ones. */
-  private def encode(cb: DataFrame, subDim: Int, vecs: DataFrame): DataFrame = {
+  private[operators] def encode(cb: DataFrame, subDim: Int,
+      vecs: DataFrame): DataFrame = {
     val best1 = udaf(new graft.functions.TopK(1),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     vecs

@@ -224,6 +224,19 @@ class NearDupSpec extends SparkSpec {
     val frac = touched.toDouble / (n * 10)
     info(f"ADC scan fraction: $frac%.2f of corpus per probe (nprobe=$np of $cells cells)")
     assert(frac <= 0.85, f"cell restriction buys nothing: $frac%.2f")
+    // incremental append under the frozen models: a copy of probe 0's
+    // vector lands in probe 0's cells with probe 0's exact codes, so it
+    // must surface as the top-1 neighbor at cosine ≈ 1
+    import graft.SparkSpec.spark.implicits._
+    val v0 = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    IvfPqIndex.append(spark, dir, Seq((99999L, v0)).toDF("vec_id", "embedding"))
+    val top = IvfPqIndex.queryProbes(spark, dir,
+        probes.filter(col("probe_id") === 0L), 1)
+      .select("neighbor_id", "sim").collect()(0)
+    assert(top.getLong(0) == 99999L && math.abs(top.getDouble(1) - 1.0) < 1e-9,
+      s"appended exact-dup not found as top neighbor: $top")
   }
 
   test("l42 SemDeDup invariants: removed ⇒ kept canonical nearby, kept ⇒ mutually distinct") {
