@@ -89,6 +89,10 @@ object ScaleBench {
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l54_simhash_neardup" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l54_simhash_neardup")(s, d)),
+    // the 64-bit/4×16-band variant of l54 — the densification knob
+    // SCALE.md documents, probed so the claim is measured, not asserted
+    "l54w_simhash64" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.simhash64NearDup(s, d)),
     "l56_dsir_weights" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l56_dsir_weights")(s, d)))
 

@@ -137,6 +137,57 @@ object LlmOps {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** 64-bit SimHash — the crawl-scale signature width (the l54 SCALE.md
+    * knob made real): per-token xxhash64 bit votes, signature assembled
+    * by bit_or (additive assembly would overflow at bit 63 — 2^63 is
+    * Long.MinValue and sum() wraps; OR of disjoint bits is exact). JVM
+    * xxhash64 has no DuckDB twin, so this variant is spec-verified
+    * (screen ≡ brute force) rather than oracled — the 32-bit l9/l54
+    * lanes remain the oracle-checked pair. */
+  private[graft] def simhash64Of(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    toks
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("k"))
+      .withColumn("contrib",
+        when(expr("(shiftright(h, k) & 1)") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "k")
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(expr("bit_or(CASE WHEN s > 0 " +
+        "THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)")
+        .as("simhash"))
+  }
+
+  /** l54's Hamming ≤ 3 near-dup join at the 64-bit width with 4×16-bit
+    * bands: 65,536 buckets per band instead of 256, so band-bucket
+    * density — the ONE super-linear term the K=100 probe surfaced in
+    * the 32-bit lane — drops by 256× at identical completeness
+    * (radius 3 < 4 bands ⟹ some band matches exactly, the same
+    * pigeonhole as l54). The sign bit rides along: band values mask
+    * with & 65535 (an arithmetic shiftright alone would sign-extend
+    * band 3 negative), and bit_count(xor) is sign-agnostic. */
+  private[graft] def simhash64NearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash64Of(t(s, d, "documents")
+      .select(col("doc_id"), col("text"))).persist()
+    sh.count()
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(simhash, band * 16) & 65535"))
+    bands.select(col("band"), col("bv"),
+        col("doc_id").as("a"), col("simhash").as("ha"))
+      .join(bands.select(col("band").as("band2"), col("bv").as("bv2"),
+          col("doc_id").as("b"), col("simhash").as("hb")),
+        col("band") === col("band2") && col("bv") === col("bv2") &&
+          col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+  }
+
   /** Hashed-unigram DSIR features: one (doc_id, bucket) row per token,
     * bucket = md5-derived hash into [0, 256) — the shared feature space
     * of the l56 model builder and scorer. */

@@ -350,6 +350,24 @@ class QueriesSpec extends SparkSpec {
       }
   }
 
+  test("64-bit SimHash band screen ≡ brute-force Hamming join") {
+    // the 4×16-band screen is complete at radius 3 by the same
+    // pigeonhole as l54; this pins it (and the sign-bit masking) against
+    // the unscreened formulation on the test corpus
+    val sh = graft.operators.LlmOps
+      .simhash64Of(graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    val screened = graft.operators.LlmOps.simhash64NearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(screened == brute,
+      s"only-screened=${screened -- brute} only-brute=${brute -- screened}")
+  }
+
   test("l57 pipeline: stages only shrink, packing is gap-free, eval never leaks") {
     val out = graft.operators.LlmOps.queries("l57_pipeline")(spark, sfDir)
       .collect()
