@@ -983,6 +983,57 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L58: SPAN-level decontamination — l26 answers "is this doc
+    // contaminated" and drops whole documents; this lane performs the
+    // surgical alternative used when eval overlap is incidental to an
+    // otherwise-good document: every token covered by ANY contaminated
+    // 8-gram window is removed and the document is rebuilt from the
+    // surviving tokens (the span-removal discipline of l44's line dedup
+    // applied to eval overlap). Output per corpus doc: the cleaned
+    // text + kept/removed token counts — removed = 0 means untouched.
+    // At 100 TB: shingle windows explode to (doc, pos) rows, the eval
+    // shingle set broadcasts, covered positions dedup per doc, and the
+    // rebuild is one ordered per-doc aggregation — every join is an
+    // equi join on hashed shingles or doc_id, nothing pairwise.
+    "l58_span_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val evalSh = shingles8(docs.filter(col("doc_id") < 50))
+        .select("sh").distinct()
+      val corpus = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("tk"))
+      // original-case tokens carry 1-based positions for reconstruction;
+      // shingles hash the LOWERCASED window (l26/l57's unit) — lower()
+      // never changes tokenization, so positions align
+      val toks = corpus.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val wins = corpus.filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 7),
+          i => struct(i.as("i"), md5(lower(
+            concat_ws(" ", slice(col("tk"), i, lit(8))))).as("sh"))))
+          .as("w"))
+        .select(col("doc_id"), col("w.i").as("i"), col("w.sh").as("sh"))
+      val covered = wins.join(broadcast(evalSh), "sh")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + 7)).as("pos"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      val keptAgg = kept.groupBy("doc_id")
+        .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      corpus.select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // L10: embedding near-dup via banded sign-random-projection LSH —
     // candidate = same signature in ANY band (OR-amplification, like l2's
     // MinHash bands), exact cosine only on candidates. Signature width
@@ -2526,6 +2577,49 @@ object LlmOps {
         |  CAST(floor(pk.start_tok / 2048.0) AS BIGINT) AS bin
         |FROM sp LEFT JOIN pk ON sp.doc_id = pk.doc_id
         |ORDER BY sp.doc_id""".stripMargin,
+
+    // Window positions, covered-position union and the ordered rebuild
+    // all replay exactly; string_agg(... ORDER BY pos) mirrors the
+    // Spark side's array_sort(struct(pos, tok)) reconstruction.
+    "l58_span_decontam" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE doc_id >= 50),
+        |etoks AS (
+        |  SELECT string_split(lower(text), ' ') AS tk
+        |  FROM documents WHERE doc_id < 50),
+        |esh AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, len(tk) - 7),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh
+        |  FROM etoks WHERE len(tk) >= 8),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, tk[i] AS tok
+        |  FROM corpus, unnest(generate_series(1, len(tk))) AS u(i)),
+        |wins AS (
+        |  SELECT doc_id, i,
+        |    md5(lower(array_to_string(tk[i:i+7], ' '))) AS sh
+        |  FROM corpus, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+        |  WHERE len(tk) >= 8),
+        |hits AS (
+        |  SELECT wins.doc_id, wins.i FROM wins JOIN esh USING (sh)),
+        |covered AS (
+        |  SELECT DISTINCT hits.doc_id, u2.j AS pos
+        |  FROM hits, unnest(generate_series(hits.i, hits.i + 7)) AS u2(j)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(c.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     "l12_jaccard_verify" ->
       """WITH toks AS (
