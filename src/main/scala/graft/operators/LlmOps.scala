@@ -1740,6 +1740,39 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L59: PII REDACTION — l18's scan made write-side: emails then
+    // long digit runs are replaced with fixed masks and the redaction
+    // count is emitted per doc. The synthetic corpus carries no real
+    // PII (l18's counts are all zero), so the input is DETERMINISTICALLY
+    // ENRICHED from the table itself — every third doc gets a contact
+    // line with an email and an account number derived from doc_id (the
+    // l5-fixture discipline: the oracle recomputes the same enrichment,
+    // so the redactor is exercised on real matches, not an identity
+    // pass). The digit pass runs on the EMAIL-REDACTED text (an email's
+    // own digits vanish with it, so counting runs on the raw text would
+    // overstate the <NUM> insertions); masks contain no digits or @, so
+    // the passes cannot interact further. Pure per-row map —
+    // scale-free; the regex class (greedy character-class quantifiers,
+    // no alternation) is the one l18 already proved cross-engine exact.
+    "l59_pii_redact" -> ((s, d) => {
+      val emailPat = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+      val digitPat = "[0-9]{6,}"
+      val enriched = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com account "),
+          (col("doc_id") * 7919 + 1000000).cast("string")))
+        .otherwise(col("text"))
+      val afterEmail = regexp_replace(enriched, lit(emailPat), lit("<EMAIL>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(afterEmail, lit(digitPat), lit("<NUM>"))
+            .as("redacted_text"),
+          (regexp_count(enriched, lit(emailPat)) +
+            regexp_count(afterEmail, lit(digitPat)))
+            .cast("long").as("n_redactions"))
+        .orderBy("doc_id")
+    }),
+
     // L19: the full multimodal batch pipeline composed end-to-end —
     // payload → decode(meta) → frame-sample (1→N) → feature-extract
     // (frame → embedding) → per-format stats. Codecs are the documented
@@ -2914,6 +2947,27 @@ object LlmOps {
         |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
         |    AS n_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l59_pii_redact" ->
+      """WITH enr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@mail.example.com account ' ||
+        |      CAST(doc_id * 7919 + 1000000 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+',
+        |      '<EMAIL>', 'g') AS after_email
+        |  FROM enr)
+        |SELECT doc_id,
+        |  regexp_replace(after_email, '[0-9]{6,}', '<NUM>', 'g')
+        |    AS redacted_text,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+'))
+        |    + len(regexp_extract_all(after_email, '[0-9]{6,}'))
+        |    AS BIGINT) AS n_redactions
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "l11_multimodal_meta" ->
       """SELECT doc_id,
