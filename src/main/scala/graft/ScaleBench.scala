@@ -94,7 +94,11 @@ object ScaleBench {
     "l54w_simhash64" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.simhash64NearDup(s, d)),
     "l56_dsir_weights" -> ((s: SparkSession, d: String) =>
-      graft.operators.LlmOps.queries("l56_dsir_weights")(s, d)))
+      graft.operators.LlmOps.queries("l56_dsir_weights")(s, d)),
+    // span decontamination: the round-9 window-cover join shape —
+    // per-token positions vs covered-position union
+    "l58_span_decontam" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l58_span_decontam")(s, d)))
 
   def main(args: Array[String]): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
