@@ -187,6 +187,13 @@ object Bench {
     "l55_allpairs" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.queries("l55_allpairs_jaccard")(s, d)),
 
+    // 64-bit SimHash near-dup at crawl width (L54W class: in-plan
+    // signature computation + the 4×16-bit band self-join at 65,536
+    // buckets per band — the screen a real crawl runs; promoted from
+    // ScaleBench probe to headline in round 10)
+    "l54w_simhash64" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.simhash64NearDup(s, d)),
+
     // referential-integrity audit: three parallel anti joins (O14 class —
     // the anti-join/runtime-filter path has no other headline)
     "o14_fk_audit" -> ((s: SparkSession, d: String) =>
@@ -314,14 +321,21 @@ object Bench {
     * both the base and the K×-scaled dir in one JVM. Serve calls are
     * read-only, so repeated timed iterations see identical state. */
   private[graft] object ServeIndexes {
-    private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // The map holds lazy cells, not built dirs: computeIfAbsent's compute
+    // function must be short (it runs under the CHM bin lock, and a
+    // multi-minute Spark index build in there would block unrelated kinds
+    // hashing to the same bin if lanes ever run concurrently). Allocating
+    // the cell is O(1); the build runs under the CELL's own lazy-val lock,
+    // so two racing callers of the same key still build exactly once.
+    private final class Cell(mk: => String) { lazy val dir: String = mk }
+    private val dirs = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
     private def cached(kind: String, d: String)(build: String => Unit): String =
-      dirs.computeIfAbsent(s"$kind:$d", _ => {
+      dirs.computeIfAbsent(s"$kind:$d", _ => new Cell({
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-bench-$kind").toString
         build(dir)
         dir
-      })
+      })).dir
     def dedup(s: SparkSession, d: String): String =
       cached("dedupidx", d) { dir =>
         graft.operators.DedupIndex.build(s, t(s, d, "documents"), dir); ()

@@ -17,17 +17,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // clearCache() below unpersists the JaccardIndex screens' eager
+    // clearCache() unpersists the JaccardIndex screens' eager
     // localCheckpoints; each emits a WARN ("lineage truncated, cannot
     // be recomputed") that is expected here — the RDDs are dead by
-    // construction once a lane's dump is written. Silence just that
-    // logger so real warnings stay visible in the dump log.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.LocalCheckpointRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // construction once a lane's dump is written. MapPartitionsRDD is
+    // the logger of record for that WARN but also for many real ones,
+    // so the ERROR level is scoped to the clearCache call only (the
+    // lanes themselves run at the session's WARN level).
+    def quietClearCache(): Unit = {
+      val loggers = Seq(
+        "org.apache.spark.rdd.LocalCheckpointRDD",
+        "org.apache.spark.rdd.MapPartitionsRDD")
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.config.Configurator
+      loggers.foreach(Configurator.setLevel(_, Level.ERROR))
+      try spark.catalog.clearCache()
+      finally loggers.foreach(Configurator.setLevel(_, Level.WARN))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -40,7 +46,7 @@ object Verify {
       // several lanes persist() shared subtrees (l2/l21/l25/l33/...);
       // without this, ~110 queries' dead caches accumulate in one
       // session, evicting useful blocks at larger scale factors
-      spark.catalog.clearCache()
+      quietClearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

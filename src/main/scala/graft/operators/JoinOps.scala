@@ -200,9 +200,11 @@ object JoinOps {
         .withColumn("hi", col("d1") + 7)
       val points = t(s, d, "orders")
         .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("d2"))
-      // adaptive width: p95 span of the probe windows (7 days → w=7),
-      // re-derived per corpus so a drifted span distribution re-tunes
-      // the banding instead of thickening a stale constant
+      // adaptive width: p95 of the probe-window spans, where span is
+      // INCLUSIVE (hi − lo + 1): [d1+1, d1+7] covers 7 day numbers, so
+      // w = ceil(p95(7)) = 7. Re-derived per corpus so a drifted span
+      // distribution re-tunes the banding instead of thickening a
+      // stale constant.
       bandedRangeJoin(points, "d2", probes, "lo", "hi")
         .filter(col("k2") =!= col("k"))
         .groupBy("k")
@@ -225,7 +227,8 @@ object JoinOps {
       val b = t(s, d, "orders").filter(col("o_orderkey") % 20 === 10)
         .select(col("o_orderkey").as("k2"), day(col("o_orderdate")).as("blo"))
         .withColumn("bhi", col("blo") + 13)
-      // adaptive width: max of the two sides' p95 spans (14 days → w=14)
+      // adaptive width: max of the two sides' p95 INCLUSIVE spans —
+      // a: [alo, alo+6] = 7 days, b: [blo, blo+13] = 14 days → w=14
       bandedIntervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi")
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")
@@ -319,6 +322,48 @@ object JoinOps {
     * returns identical rows — so the approximation cannot affect
     * correctness. */
   def adaptiveBandWidth(intervalSets: (DataFrame, String, String)*): Long = {
+    // Memoize per data GENERATION: repeat joins against the same
+    // published corpus (the steady-state serve pattern — and the bench's
+    // warmup+iteration loop, where the per-call derivation job was the
+    // round-9 j12/j15 1.2-1.3× movement) skip the percentile job. The
+    // key is each set's resolved parquet FILE LIST (so an appended
+    // corpus — new part files — re-derives) plus its canonicalized plan
+    // and bound columns (so two different span constructions over the
+    // same files never share a width). A frame with no input files
+    // (in-memory/ad-hoc) is not keyable by generation and keeps the
+    // per-call path. Width only shapes the PLAN — a cache hit can never
+    // change results, only replication.
+    val keyParts = intervalSets.map { case (df, lo, hi) =>
+      val files = df.inputFiles
+      if (files.isEmpty) return deriveBandWidth(intervalSets: _*)
+      val plan = df.queryExecution.logical.canonicalized.toString
+      files.sorted.mkString("") + "" + plan +
+        "" + lo + "" + hi
+    }
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(keyParts.mkString("").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // plain get/putIfAbsent, not computeIfAbsent: the derivation runs a
+    // Spark job and must not run under the CHM bin lock; a lost race
+    // just derives the same deterministic width twice
+    Option(widthCache.get(key)).map(_.longValue()).getOrElse {
+      val w = deriveBandWidth(intervalSets: _*)
+      widthCache.putIfAbsent(key, java.lang.Long.valueOf(w))
+      w
+    }
+  }
+
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Spec hook: how many width derivations have actually run (the cache
+    * test asserts a repeat call does not add one). */
+  private[graft] val widthDerivations =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private def deriveBandWidth(
+      intervalSets: (DataFrame, String, String)*): Long = {
+    widthDerivations.incrementAndGet()
     // ONE job for all sets (not one approxQuantile job per set — the
     // derivation is pure scheduling overhead at bench scale): each set
     // is tagged and unioned, per-set p95s come from one grouped

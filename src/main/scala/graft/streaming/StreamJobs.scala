@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamJobs {
 
+  /** Test seam for the kill-the-JVM crash e2e: invoked with a point label
+    * at each crash-relevant boundary inside applyCurateBatch
+    * ("after_accepted_write", "after_jaccard_append",
+    * "after_exact_append"). Production no-op. CrashRecoverySpec's child
+    * JVM parks inside the probe at a chosen point so the parent can
+    * SIGKILL the process mid-commit — turning the scaladoc's
+    * crash-point-by-crash-point replay argument into an observed fact
+    * with a REAL process death, not an in-process simulation. */
+  private[graft] var crashProbe: String => Unit = _ => ()
+
   /** Committed-batch markers and pointers go through the HADOOP
     * filesystem of the target path, not java.io/java.nio: a java.io.File
     * of "hdfs://nn/idx/commits/0" never exists and java.nio would write
@@ -280,12 +290,15 @@ object StreamJobs {
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$pipeDir/accepted")
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        crashProbe("after_accepted_write")
         // index appends: Jaccard FIRST, exact LAST (the replay fuse —
         // see scaladoc), marker after both
         graft.operators.JaccardIndex.append(s, s"$pipeDir/jaccard",
           accepted.select("doc_id", "text"))
+        crashProbe("after_jaccard_append")
         graft.operators.DedupIndex.append(s, s"$pipeDir/exact",
           accepted.select("doc_id", "text"))
+        crashProbe("after_exact_append")
         accepted.unpersist()
         exactNew.unpersist()
         writeMarker(s, pipeDir, batchId)

@@ -108,6 +108,38 @@ class PlanSpec extends SparkSpec {
     assert(auto.nonEmpty && auto == fixed)
   }
 
+  test("adaptive band width memoizes per data generation; ad-hoc frames never cache") {
+    import graft.SparkSpec.spark.implicits._
+    val day = (c: org.apache.spark.sql.Column) =>
+      datediff(c, to_date(lit("1970-01-01")))
+    // a file-backed interval frame with a construction unique to this
+    // test (so no other suite pre-warms its cache entry)
+    def probes() = graft.Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"), day(col("o_orderdate")).as("d1"))
+      .withColumn("lo", col("d1") + 2)
+      .withColumn("hi", col("d1") + 9)
+    val before = graft.operators.JoinOps.widthDerivations.get()
+    val w1 = graft.operators.JoinOps.adaptiveBandWidth((probes(), "lo", "hi"))
+    assert(graft.operators.JoinOps.widthDerivations.get() == before + 1)
+    // a FRESH frame over the same files + same plan: cache hit, same width
+    val w2 = graft.operators.JoinOps.adaptiveBandWidth((probes(), "lo", "hi"))
+    assert(w2 == w1)
+    assert(graft.operators.JoinOps.widthDerivations.get() == before + 1,
+      "repeat call over the same generation re-ran the derivation job")
+    // a different construction over the SAME files derives its own width
+    val wider = probes().withColumn("hi", col("d1") + 20)
+    val w3 = graft.operators.JoinOps.adaptiveBandWidth((wider, "lo", "hi"))
+    assert(w3 != w1 &&
+      graft.operators.JoinOps.widthDerivations.get() == before + 2)
+    // an in-memory frame has no file generation to key on → per-call path
+    val adhoc = Seq((1L, 10L, 14L)).toDF("id", "lo", "hi")
+    graft.operators.JoinOps.adaptiveBandWidth((adhoc, "lo", "hi"))
+    graft.operators.JoinOps.adaptiveBandWidth((adhoc, "lo", "hi"))
+    assert(graft.operators.JoinOps.widthDerivations.get() == before + 4,
+      "ad-hoc frames must keep the per-call derivation")
+  }
+
   test("j13 fuzzy join is an equi join on deletion variants, no cross join") {
     val p = plan("j13_fuzzy_neighbors")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

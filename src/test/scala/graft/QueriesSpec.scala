@@ -11,7 +11,8 @@ class QueriesSpec extends SparkSpec {
   private val mayBeEmpty =
     Set("l2_minhash_lsh", "l10_embed_neardup", "j4_anti", "l12_jaccard_verify",
       "a20_tpch_q7", // nation-pair × two-year filter: no survivors at sf0.001
-      "l54_simhash_neardup", "l55_allpairs_jaccard") // no near-dups at sf0.001
+      "l54_simhash_neardup", "l54w_simhash64",
+      "l55_allpairs_jaccard") // no near-dups at sf0.001
 
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -366,6 +367,30 @@ class QueriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(screened == brute,
       s"only-screened=${screened -- brute} only-brute=${brute -- screened}")
+  }
+
+  test("l54w lane ≡ direct 64-bit screen; oracle generated from the fixture it read") {
+    // the registry lane serves the screen from the engine-emitted
+    // signature fixture (the table the DuckDB oracle replays); it must be
+    // row-identical to the in-plan formulation, and running it must leave
+    // behind (a) a readable fixture and (b) an oracle entry that reads
+    // exactly that fixture
+    val lane = SparkEntry.queries("l54w_simhash64")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.operators.LlmOps.simhash64NearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lane == direct,
+      s"only-lane=${lane -- direct} only-direct=${direct -- lane}")
+    val sql = SparkEntry.oracleSql.get("l54w_simhash64")
+    assert(sql.isDefined, "l54w oracle missing after the lane ran")
+    val path = graft.operators.LlmOps.L54wSigs.lastPath.get
+    assert(sql.get.contains(s"read_parquet('$path/*.parquet')"),
+      "oracle SQL does not read the served fixture")
+    // the fixture is complete and well-typed: one signature row per doc
+    val sigs = spark.read.parquet(path)
+    assert(sigs.columns.sorted.toSeq == Seq("doc_id", "simhash"))
+    assert(sigs.count() ==
+      graft.Tables.t(spark, sfDir, "documents").count())
   }
 
   test("l57 pipeline: stages only shrink, packing is gap-free, eval never leaks") {
