@@ -213,6 +213,25 @@ object LlmOps {
     * key, built outside the CHM bin lock (same pattern as
     * Bench.ServeIndexes); a fresh temp dir per build, so concurrent
     * processes never share a partially-written fixture. */
+  /** Build-once standing decontamination models for the l60 lane: one
+    * DecontamIndex per (process, corpus dir) over the fixed eval slice
+    * (doc_id < 50), lazy-cell cached like L54wSigs so bench warmup pays
+    * the build and timed/verify calls serve from the store. */
+  private[graft] object DecontamModels {
+    private final class Cell(mk: => String) { lazy val dir: String = mk }
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+    def fixture(s: SparkSession, d: String): String =
+      built.computeIfAbsent(d, _ => new Cell({
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-decontam-model").toString
+        DecontamIndex.build(s,
+          t(s, d, "documents").filter(col("doc_id") < 50)
+            .select("doc_id", "text"), dir)
+        dir
+      })).dir
+  }
+
   private[graft] object L54wSigs {
     private final class Cell(mk: => String) { lazy val dir: String = mk }
     private val built =
@@ -1922,6 +1941,21 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L60: the standing decontamination index served as a lane — l29's
+    // contract answered from a PERSISTED model (DecontamIndex: eval
+    // shingles + bloom sidecar built once per corpus, the build/serve
+    // split of the other six index families applied to decontamination).
+    // The oracle is the same unscreened anti-join SQL as l26/l29: the
+    // point is that the store-served, bloom-prefiltered screen stays
+    // hash-identical to recomputing the eval side from scratch.
+    "l60_decontam_index" -> ((s, d) => {
+      val dir = DecontamModels.fixture(s, d)
+      DecontamIndex.screen(s, dir,
+          t(s, d, "documents").filter(col("doc_id") >= 50)
+            .select("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
     // L30: inverted index build — the term → postings structure of a
     // corpus search/provenance index. Per term: document frequency, total
     // term frequency, and the 8 LOWEST doc_ids as a posting sample. The
@@ -3062,6 +3096,26 @@ object LlmOps {
     // the oracle is the same anti-join SQL — the point IS that the screened
     // plan hash-matches the unscreened formulation.
     "l29_decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 7),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh
+        |  FROM toks WHERE len(tk) >= 8),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_shared
+        |  FROM sh s JOIN ev ON ev.sh = s.sh
+        |  WHERE s.doc_id >= 50 GROUP BY s.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin,
+
+    // l60 serves l29's exact contract from the standing DecontamIndex
+    // store — same unscreened oracle: store-served must equal recomputed.
+    "l60_decontam_index" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |sh AS (

@@ -196,16 +196,18 @@ object StreamJobs {
     }
 
   /** One-time setup for the streaming curation: persist the eval
-    * benchmark's distinct 8-gram shingle set as a standing table — the
-    * decontamination model, built once from the benchmark corpus and
-    * broadcast-joined at every batch (the dsirGate standing-model
-    * pattern; the shingle definition is shared with the batch l26/l57
-    * lanes via LlmOps.shingles8, so stream and batch cannot drift). */
-  def buildDecontamModel(evalDocs: DataFrame, modelDir: String): Unit =
-    graft.operators.LlmOps.shingles8(
-        evalDocs.select(col("doc_id"), col("text")))
-      .select("sh").distinct()
-      .write.mode("overwrite").parquet(modelDir)
+    * benchmark's decontamination model as a standing DecontamIndex
+    * (distinct 8-gram shingles + bloom sidecar — the shingle definition
+    * is shared with the batch l26/l57 lanes via LlmOps.shingles8, so
+    * stream and batch cannot drift). Every micro-batch then screens at
+    * the SCAN with the codegen'd bloom predicate + exact confirm
+    * instead of broadcast-joining the full shingle set — the scale path
+    * for when the eval suite outgrows a broadcast, for free on streams. */
+  def buildDecontamModel(evalDocs: DataFrame, modelDir: String): Unit = {
+    graft.operators.DecontamIndex.build(
+      evalDocs.sparkSession, evalDocs, modelDir)
+    ()
+  }
 
   /** Streaming corpus CURATION — the l57 pipeline under foreachBatch:
     * each arriving micro-batch runs quality gate (l7's rule, n_chars
@@ -272,11 +274,11 @@ object StreamJobs {
           .pairsAgainst(s, s"$pipeDir/jaccard", ndSurvivors)
           .select(col("b").as("doc_id")).distinct()
         val nd = ndSurvivors.join(idxDups, Seq("doc_id"), "left_anti")
-        // stage 4: decontamination vs the standing eval shingle model
-        val evalSh = s.read.parquet(modelDir)
-        val contaminated = graft.operators.LlmOps.shingles8(nd)
-          .join(broadcast(evalSh), "sh").select("doc_id").distinct()
-        val dc = nd.join(contaminated, Seq("doc_id"), "left_anti")
+        // stage 4: decontamination vs the standing DecontamIndex model
+        // (bloom-prefiltered scan + exact confirm — never a broadcast of
+        // the full eval shingle set)
+        val dc = graft.operators.DecontamIndex
+          .dropContaminated(s, modelDir, nd)
         // stage 5: split + accept (per-batch partition, dynamic overwrite)
         val b2 = substring(md5(col("text")), 1, 2)
         val accepted = dc.select(col("doc_id"), col("text"),
