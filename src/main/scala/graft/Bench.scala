@@ -280,6 +280,19 @@ object Bench {
       graft.operators.NearDupIndex.candidatesAgainst(s, dir, batch)
     }),
 
+    // 64-bit SimHash screen against the standing signature table
+    // (SimHashIndex.neighborsAgainst — 8 bytes/doc of standing state,
+    // the crawl-scale near-dup serving path; fixed batch of tails of
+    // base-replica docs, so band collisions and the bit_count verify
+    // both flow)
+    "idx_simhash_screen" -> ((s: SparkSession, d: String) => {
+      val dir = ServeIndexes.simhash(s, d)
+      val batch = t(s, d, "documents").filter(col("doc_id") < 250)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      graft.operators.SimHashIndex.neighborsAgainst(s, dir, batch)
+    }),
+
     // PQ probe batch: broadcast per-probe ADC distance tables scanned
     // over the 32x-compressed codes + bounded exact re-rank
     // (PqIndex.queryProbes — the vectors-don't-fit serving path)
@@ -349,6 +362,10 @@ object Bench {
     def neardup(s: SparkSession, d: String): String =
       cached("ndidx", d) { dir =>
         graft.operators.NearDupIndex.build(s, t(s, d, "documents"), dir); ()
+      }
+    def simhash(s: SparkSession, d: String): String =
+      cached("simhashidx", d) { dir =>
+        graft.operators.SimHashIndex.build(s, t(s, d, "documents"), dir); ()
       }
     def pq(s: SparkSession, d: String): String =
       cached("pqidx", d)(dir => graft.operators.PqIndex.build(s, d, dir))

@@ -79,7 +79,11 @@ object ServeScaleProbe {
       java.nio.file.Files.write(done, (FromK * Copies).toString.getBytes)
     }
 
-    val suite = Bench.headline.filter(_._1.startsWith("idx_"))
+    val only = sys.env.get("SPARK_GRAFT_SERVE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val suite = Bench.headline.filter { case (n, _) =>
+      n.startsWith("idx_") && (only.isEmpty || only(n))
+    }
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         d: String): Double = {
       val t0 = System.nanoTime()

@@ -473,6 +473,52 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming SIMHASH near-dup ingestion — nearDedupIngest's shape over
+    * the standing SimHashIndex (8 bytes of state per indexed doc, the
+    * crawl-width screen): within-batch verified pairs (hamming ≤ 3) drop
+    * the larger id, survivors screen against the stored signature table,
+    * accepted docs land per-batch and their signatures append.
+    *
+    * at-least-once replay safety: marker + dynamic partition overwrite +
+    * append LAST. A replay after the append re-screens against an index
+    * already holding the batch's own signatures — self-matches are
+    * excluded (new_id ≠ index_id), and two accepted SURVIVORS are
+    * pairwise hamming > 3 by construction (else pairsWithin had dropped
+    * one), so the re-screen admits exactly the original set and the
+    * partition rewrite is byte-stable. The re-append duplicates
+    * signature rows, which the screen tolerates outright: pairs dedup
+    * on (new_id, index_id) before the verify and nothing counts rows —
+    * a simpler tolerance story than the Jaccard index's distinct-shingle
+    * argument. */
+  def simhashDedupIngest(docs: DataFrame, indexDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      if (!markerExists(s, indexDir, batchId)) {
+        val rows = batch.select("doc_id", "text").persist()
+        val losers = graft.operators.SimHashIndex.pairsWithin(rows)
+          .select(col("b").as("doc_id")).distinct()
+        val inBatch = rows.join(losers, Seq("doc_id"), "left_anti")
+        val dups = graft.operators.SimHashIndex
+          .neighborsAgainst(s, indexDir, inBatch)
+          .select(col("new_id").as("doc_id")).distinct()
+        val accepted = inBatch.join(dups, Seq("doc_id"), "left_anti")
+          .persist()
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          accepted.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexDir/accepted")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        graft.operators.SimHashIndex.append(s, indexDir, accepted)
+        accepted.unpersist()
+        rows.unpersist()
+        writeMarker(s, indexDir, batchId)
+      }
+      ()
+    }
+
   /** Streaming EXACT-Jaccard near-dup ingestion — nearDedupIngest with
     * recall guarantees: within-batch exact τ-pairs drop the larger id
     * (JaccardIndex.pairsWithin), survivors screen against the standing

@@ -73,8 +73,8 @@ class PlanSpec extends SparkSpec {
     // shapes here (indexes build once at sf0.001 via ServeIndexes)
     val lanes = Bench.headline.toMap
     val serveNames = Seq("idx_dedup_screen", "idx_ann_probe",
-      "idx_jaccard_screen", "idx_neardup_screen", "idx_pq_probe",
-      "idx_ivfpq_probe")
+      "idx_jaccard_screen", "idx_neardup_screen", "idx_simhash_screen",
+      "idx_pq_probe", "idx_ivfpq_probe")
     for (n <- serveNames) {
       val p = lanes(n)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")

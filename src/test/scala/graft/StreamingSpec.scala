@@ -526,6 +526,40 @@ class StreamingSpec extends SparkSpec {
       s"index must hold accepted docs' signatures: $indexed")
   }
 
+  test("streaming SimHash ingestion: verified near-dups drop, signatures append") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("stream-simhash").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamJobs.simhashDedupIngest(docs, indexDir).start()
+    def long(prefix: String): String =
+      (1 to 40).map(i => s"$prefix$i").mkString(" ")
+    // batch 1 hits an EMPTY index: 11 duplicates 10 exactly (identical
+    // signature ⇒ hamming 0, dropped within batch, min id survives)
+    mem.addData(
+      (10L, long("alpha")),
+      (11L, long("alpha")),
+      (12L, long("bravo")))
+    q.processAllAvailable()
+    // batch 2: 20 duplicates INDEXED 10 (the standing screen must catch
+    // it at hamming 0), 21 is novel
+    mem.addData(
+      (20L, long("alpha")),
+      (21L, long("civic")))
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(s"$indexDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(10L, 12L, 21L),
+      s"min-id survivor + novel docs expected: $accepted")
+    // the standing table holds exactly the accepted docs' signatures
+    val indexed = spark.read.parquet(s"$indexDir/sigs")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(10L, 12L, 21L),
+      s"index must hold accepted docs' signatures: $indexed")
+  }
+
   test("streaming curation runs the full pipeline per batch against standing state") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

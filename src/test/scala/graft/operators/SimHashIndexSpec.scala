@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Standing 64-bit SimHash index: screened composition ≡ inline
+  * discovery across generations, bootstrap, append. */
+class SimHashIndexSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def doc(prefix: String): String =
+    (1 to 40).map(i => s"$prefix$i").mkString(" ")
+
+  private def norm(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long)] =
+    rows.map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b), r.getLong(2))
+    }.toSet
+
+  test("index screen ∪ within-batch ≡ inline screen over the union corpus") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-idx").toString
+    val gen0 = Seq(1L -> doc("alpha"), 2L -> doc("bravo"),
+      3L -> doc("civic")).toDF("doc_id", "text")
+    // exact dup (hamming 0, guaranteed pair), a one-token tweak (may or
+    // may not land within radius 3 — the identity must hold either way),
+    // and a novel doc
+    val batch = Seq(
+      10L -> doc("alpha"),
+      11L -> doc("alpha").replace("alpha17", "tweaked"),
+      12L -> doc("delta")).toDF("doc_id", "text")
+
+    assert(SimHashIndex.build(spark, gen0, dir) == 3L)
+    val against = SimHashIndex.neighborsAgainst(spark, dir, batch).collect()
+    assert(norm(against).contains((1L, 10L, 0L)),
+      s"exact dup must surface at hamming 0: ${norm(against)}")
+
+    val union = gen0.unionByName(batch)
+    val inline = norm(SimHashIndex.pairsWithin(union).collect())
+    val composed = norm(SimHashIndex.pairsWithin(gen0).collect()) ++
+      norm(SimHashIndex.pairsWithin(batch).collect()) ++ norm(against)
+    assert(inline == composed,
+      s"composition broke: inline-only=${inline -- composed} " +
+        s"composed-only=${composed -- inline}")
+
+    // append the batch; a later arrival matches BOTH generations
+    SimHashIndex.append(spark, dir, batch)
+    val batch2 = Seq(20L -> doc("alpha")).toDF("doc_id", "text")
+    val hits = norm(SimHashIndex.neighborsAgainst(spark, dir, batch2).collect())
+    assert(hits.contains((1L, 20L, 0L)) && hits.contains((10L, 20L, 0L)),
+      s"post-append screen must know both generations: $hits")
+  }
+
+  test("unbuilt index screens nothing (streaming bootstrap)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-empty").toString + "/never-built"
+    val batch = Seq(1L -> doc("alpha")).toDF("doc_id", "text")
+    assert(SimHashIndex.neighborsAgainst(spark, dir, batch).count() == 0)
+  }
+
+  test("serve plan joins band keys — no cartesian, reads the stored sigs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-plan").toString
+    SimHashIndex.build(spark,
+      graft.Tables.t(spark, sfDir, "documents").select("doc_id", "text"), dir)
+    val screen = SimHashIndex.neighborsAgainst(spark, dir,
+      Seq(999999L -> doc("probe")).toDF("doc_id", "text"))
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(screen.inputFiles.exists(_.contains(dir)),
+      "screen must scan the persisted signature table")
+  }
+}
