@@ -163,46 +163,16 @@ object DedupIndex {
     BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(readBloomBytes(spark, indexDir, shard)))
 
-  /** OS file locks are process-level: a second lock() on the same path in
-    * the same JVM throws OverlappingFileLockException instead of waiting.
-    * Same-JVM appenders (two streaming queries in one Spark app) serialize
-    * on a per-canonical-path monitor BEFORE taking the cross-process file
-    * lock. */
-  private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Exclusive append-scope lock: a per-indexDir JVM monitor (OS file
-    * locks are process-level and would throw OverlappingFileLockException
-    * for a second same-JVM appender) and, on a lockable local filesystem,
-    * a cross-process file lock. The lock covers the WHOLE append — bloom
-    * merges AND the parquet row append — because concurrent parquet
-    * appends to one directory also clobber each other's _temporary commit
-    * staging. Elsewhere (object stores) the single-writer contract
-    * applies (see append's scaladoc). */
+  /** Exclusive append-scope lock — the shared operators.AppendLock (per-
+    * path JVM monitor + cross-process file lock on local FS, lifted out
+    * of this file in round 10 so every standing index serializes appends
+    * the same way). Here it covers the WHOLE append: bloom merges AND
+    * the parquet row append, because concurrent parquet appends to one
+    * directory also clobber each other's _temporary commit staging.
+    * Elsewhere (object stores) the single-writer contract applies (see
+    * append's scaladoc). */
   private def withAppendLock[A](spark: SparkSession, indexDir: String)
-      (body: => A): A = {
-    val (fs, _) = fsFor(spark, indexDir, 0)
-    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    val key =
-      if (local)
-        java.nio.file.Paths.get(
-          new org.apache.hadoop.fs.Path(indexDir).toUri.getPath)
-          .toAbsolutePath.normalize.toString
-      else indexDir
-    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
-    monitor.synchronized {
-      if (local) {
-        val lockPath = java.nio.file.Paths.get(key, ".append.lock")
-        java.nio.file.Files.createDirectories(lockPath.getParent)
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try { val l = ch.lock(); try body finally l.release() }
-        finally ch.close()
-      } else body
-    }
-  }
+      (body: => A): A = AppendLock.withLock(spark, indexDir)(body)
 
   /** Publish a full set of shard blooms with shard 0 LAST. Shard 0 is
     * the layout sentinel (`ensureShardedLayout` and `newAgainst` probe

@@ -101,10 +101,13 @@ object JaccardIndex {
     * but size-less — the verify's inner size join drops them, never
     * emits wrong pairs. RE-appending the same batch (an at-least-once
     * replay) is tolerated: the screens count distinct shingles and
-    * max-aggregate sizes, so duplicated stored rows change nothing. */
+    * max-aggregate sizes, so duplicated stored rows change nothing.
+    * Serialized under the shared AppendLock: two concurrent appenders
+    * stage commits in the same _temporary tree and one's cleanup would
+    * silently drop the other's rows (see AppendLock). */
   def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
     val sh = shingleSets(docs).persist()
-    try {
+    try AppendLock.withLock(spark, indexDir) {
       sh.write.mode("append").parquet(s"$indexDir/shingles")
       sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         .write.mode("append").parquet(s"$indexDir/sizes")

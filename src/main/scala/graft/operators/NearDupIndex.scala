@@ -83,9 +83,13 @@ object NearDupIndex {
   }
 
   /** Add a batch's signatures to the index (signature-append only; the
-    * caller decides which batch docs survive its dedup policy first). */
+    * caller decides which batch docs survive its dedup policy first).
+    * Serialized under the shared AppendLock — concurrent appenders to
+    * one directory clobber each other's _temporary commit staging. */
   def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
-    LlmOps.minhashSigs(docs).write.mode("append").parquet(s"$indexDir/sigs")
+    AppendLock.withLock(spark, indexDir) {
+      LlmOps.minhashSigs(docs).write.mode("append").parquet(s"$indexDir/sigs")
+    }
     ()
   }
 }

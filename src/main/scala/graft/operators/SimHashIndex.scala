@@ -85,10 +85,14 @@ object SimHashIndex {
         .localCheckpoint(true))
 
   /** Add a batch's signatures (the caller applies its dedup policy
-    * first, as with NearDupIndex.append). */
+    * first, as with NearDupIndex.append). Serialized under the shared
+    * AppendLock — concurrent appenders to one directory clobber each
+    * other's _temporary commit staging. */
   def append(spark: SparkSession, indexDir: String, docs: DataFrame): Unit = {
-    LlmOps.simhash64Of(docs.select(col("doc_id"), col("text")))
-      .write.mode("append").parquet(s"$indexDir/sigs")
+    AppendLock.withLock(spark, indexDir) {
+      LlmOps.simhash64Of(docs.select(col("doc_id"), col("text")))
+        .write.mode("append").parquet(s"$indexDir/sigs")
+    }
     ()
   }
 }

@@ -52,6 +52,29 @@ class SimHashIndexSpec extends SparkSpec {
       s"post-append screen must know both generations: $hits")
   }
 
+  test("4 concurrent same-JVM appenders lose no signature rows") {
+    // pure parquet-append indexes stage commits in a shared _temporary
+    // tree — without the AppendLock serialization one job's cleanup
+    // deletes another's staged files and rows vanish silently
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-hammer").toString
+    SimHashIndex.build(spark,
+      Seq(1L -> doc("seed")).toDF("doc_id", "text"), dir)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val batch = (0 until 25).map { i =>
+          (1000L + t * 100 + i, doc(s"t$t-d$i-"))
+        }.toDF("doc_id", "text")
+        SimHashIndex.append(spark, dir, batch)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val stored = spark.read.parquet(s"$dir/sigs")
+    assert(stored.count() == 1 + 4 * 25, "lost signature rows")
+    assert(stored.select("doc_id").distinct().count() == 1 + 4 * 25)
+  }
+
   test("unbuilt index screens nothing (streaming bootstrap)") {
     val dir = java.nio.file.Files
       .createTempDirectory("simhash-empty").toString + "/never-built"
