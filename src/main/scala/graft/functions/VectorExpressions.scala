@@ -226,10 +226,89 @@ case class SignLsh(child: Expression, bands: Int, bits: Int)
     copy(child = newChild)
 }
 
+/** One-pass 64-bit SimHash of a document (Charikar/Manku — the crawl
+  * near-dup signature): byte-scan the lowercased text for single-space
+  * token boundaries (0x20 never occurs inside a multi-byte UTF-8
+  * sequence, so the scan is encoding-safe), xxhash64 each token IN
+  * PLACE (seed 42, the engine's xxhash64() — same XXH64 kernel, no
+  * UTF8String allocation per token), ±1 vote per bit, bit set iff the
+  * vote is positive.
+  *
+  * Bit-identical to the relational formulation it replaces
+  * (explode tokens → explode 64 bit positions → two groupBys): token
+  * boundaries match Spark's `split(lower(text), ' ')` at limit -1 —
+  * interior, leading, AND trailing empty tokens included, and the empty
+  * text yields one empty token — which VectorExprSpec pins against the
+  * built-ins on edge-case strings and the corpus. The relational plan
+  * shuffled |tokens|·64 rows twice (~100M rows at sf0.1); this computes
+  * each signature in one pass inside whole-stage codegen. */
+object SimHashKernels {
+  def simhash64(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val lower = text.toLowerCase
+    val base = lower.getBaseObject
+    val off = lower.getBaseOffset
+    val n = lower.numBytes
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val boundary = i == n ||
+        org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20
+      if (boundary) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + start, i - start, 42L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+}
+
+/** `simhash64(text)` → BIGINT: the one-pass SimHash kernel as a codegen'd
+  * scalar (see [[SimHashKernels.simhash64]]). */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects STRING, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernels.simhash64(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashKernels.simhash64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
-  /** Register `dot_f32(a, b)`, `cosine_f32(a, b)` and
-    * `sign_lsh(v, bands, bits)` as temp SQL functions. */
+  /** Register `dot_f32(a, b)`, `cosine_f32(a, b)`,
+    * `sign_lsh(v, bands, bits)` and `simhash64(text)` as temp SQL
+    * functions. */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      (exprs: Seq[Expression]) => SimHash64(exprs(0)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32",
       (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1)),

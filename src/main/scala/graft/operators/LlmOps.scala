@@ -138,13 +138,32 @@ object LlmOps {
   }
 
   /** 64-bit SimHash — the crawl-scale signature width (the l54 SCALE.md
-    * knob made real): per-token xxhash64 bit votes, signature assembled
-    * by bit_or (additive assembly would overflow at bit 63 — 2^63 is
-    * Long.MinValue and sum() wraps; OR of disjoint bits is exact). JVM
-    * xxhash64 has no DuckDB twin, so this variant is spec-verified
-    * (screen ≡ brute force) rather than oracled — the 32-bit l9/l54
-    * lanes remain the oracle-checked pair. */
+    * knob made real): per-token xxhash64 bit votes, bit set iff the vote
+    * is positive. Since round 10 this rides the one-pass codegen'd
+    * kernel (graft.functions.SimHash64): the relational formulation
+    * below shuffled |tokens|·64 rows through two groupBys (~100M rows at
+    * sf0.1 — it was the bench headline's entire cost), where the kernel
+    * computes each signature inside whole-stage codegen. Null-text docs
+    * are dropped, matching the relational form (no tokens → no rows).
+    * JVM xxhash64 has no DuckDB twin, so signature SEMANTICS are
+    * spec-verified (kernel ≡ relational ≡ built-ins in VectorExprSpec;
+    * screen ≡ brute force in QueriesSpec) and the l54w lane's oracle
+    * replays the screen over the engine-emitted signature table. */
   private[graft] def simhash64Of(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+      .where(col("simhash").isNotNull)
+  }
+
+  /** The relational formulation of simhash64Of — explode tokens → explode
+    * 64 bit positions → two partial-agg groupBys, signature assembled by
+    * bit_or (additive assembly would overflow at bit 63 — 2^63 is
+    * Long.MinValue and sum() wraps; OR of disjoint bits is exact). Kept
+    * as the independent parity mirror the kernel is spec-pinned against:
+    * two formulations from different primitives (built-in split/lower/
+    * xxhash64 vs the byte-scanning kernel) agreeing bit-for-bit is the
+    * no-DuckDB-twin substitute for an oracle. */
+  private[graft] def simhash64OfRelational(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -55,4 +55,44 @@ class VectorExprSpec extends SparkSpec {
     // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1) Project [dot_f32"), s"no codegen span:\n$plan")
   }
+
+  test("simhash64 kernel ≡ relational formulation on tokenization edge cases") {
+    // the kernel byte-scans for token boundaries; the relational mirror
+    // uses built-in split/lower/xxhash64 — agreement on empties (interior,
+    // leading, trailing, whole-string), case folding, and multi-byte
+    // UTF-8 pins the boundary semantics bit-for-bit
+    import graft.SparkSpec.spark.implicits._
+    val texts = Seq(
+      "", "a", "a ", " a", "a  b", "a   ", "ALPHA Beta GAMMA",
+      "héllo wörld  mixé", "日本語 テスト x", "tab\tis one token",
+      "many words " + (1 to 50).map(i => s"w$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = graft.operators.LlmOps.simhash64Of(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val relational = graft.operators.LlmOps.simhash64OfRelational(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == relational,
+      s"kernel-only=${kernel -- relational} relational-only=${relational -- kernel}")
+  }
+
+  test("simhash64 kernel ≡ relational formulation on the corpus; codegen; null") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val kernel = graft.operators.LlmOps.simhash64Of(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val relational = graft.operators.LlmOps.simhash64OfRelational(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == relational)
+    val plan = graft.operators.LlmOps.simhash64Of(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("simhash64"), plan)
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    // null text → dropped, matching the relational form (no tokens)
+    import graft.SparkSpec.spark.implicits._
+    val withNull = Seq((1L, Some("a b")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    assert(graft.operators.LlmOps.simhash64Of(withNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
