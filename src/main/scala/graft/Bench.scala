@@ -391,6 +391,47 @@ object Bench {
   private[graft] def adjustedTotal(total: Double, calib1t: Double): Double =
     if (calib1t <= 0) total else total * (QuietCalib1t / calib1t)
 
+  /** Round-over-round self-diagnosis (VERDICT r10 #1): load the newest
+    * BENCH_r{N}.json the driver left in cwd and return (round, per-lane
+    * min seconds, that round's 1-thread calib). Parsing failures return
+    * None — the bench must never die on a malformed artifact. */
+  private[graft] def loadPrevBench(
+      dir: java.io.File): Option[(Int, Map[String, Double], Double)] = {
+    val re = "BENCH_r0*(\\d+)\\.json".r
+    val candidates = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(n) => Some(n.toInt -> f)
+        case _ => None
+      }).sortBy(-_._1)
+    candidates.headOption.flatMap { case (n, f) =>
+      try {
+        import org.json4s._
+        val j = jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        def d(v: JValue): Option[Double] = v match {
+          case JDouble(x) => Some(x)
+          case JInt(x) => Some(x.toDouble)
+          case JDecimal(x) => Some(x.toDouble)
+          case _ => None
+        }
+        (j \ "parsed" \ "queries") match {
+          case JObject(fields) =>
+            val qs = fields.flatMap { case (k, v) => d(v).map(k -> _) }.toMap
+            val calib = d(j \ "parsed" \ "calib" \ "sha256_1t_256mb_sec")
+              .getOrElse(0.0)
+            if (qs.nonEmpty) Some((n, qs, calib)) else None
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Flag threshold for a normalized round-over-round lane move: a lane
+    * drifting past 1.25x (either direction) after calibration is plan
+    * drift, not host drift, and needs a named mechanism. */
+  private[graft] val DeltaFlag = 1.25
+
   private def calibrate(nThreads: Int, mbTotal: Int): Double = {
     val buf = Array.fill[Byte](1 << 16)(0x5a)
     val perThread = mbTotal * 16 / nThreads // 64 KiB blocks per thread
@@ -472,12 +513,50 @@ object Bench {
     // truncated mid-JSON -> "parsed": null. Diagnostics (median + raw
     // iterations) go to a sidecar file instead.
     val adj = adjustedTotal(total, calib1t)
+    // Per-lane NORMALIZED deltas vs the previous round's artifact
+    // (VERDICT r10 #1): delta = (cur_min/prev_min) x (prev_calib/cur_calib)
+    // — i.e. the move that remains AFTER dividing out measured host-speed
+    // drift. Emitted in the contract line as an array aligned with the
+    // `queries` key order (a named map would blow the driver's 2000-char
+    // stdout tail that already truncated BENCH_r04 mid-JSON; the named
+    // map goes to BENCH_DETAIL.json), plus the flagged >1.25x movers by
+    // name — making round-over-round comparison self-diagnosing instead
+    // of hand-math over two artifacts.
+    val prev = loadPrevBench(new java.io.File("."))
+    val hostAdj = prev match {
+      case Some((_, _, pc)) if pc > 0 && calib1t > 0 => pc / calib1t
+      case _ => 1.0
+    }
+    val deltas: Seq[(String, Option[Double])] = results.map { case (k, ts) =>
+      k -> prev.flatMap { case (_, pq, _) =>
+        pq.get(k).filter(_ > 0)
+          .flatMap(p => ts.minOption.map(m => m / p * hostAdj))
+      }
+    }
+    val deltaArr = deltas
+      .map(_._2.map(v => f"$v%.2f").getOrElse("null"))
+      .mkString("[", ",", "]")
+    // cap at the 6 worst movers: a badly-skewed calib run could flag all
+    // 38 lanes and push the contract line past the driver's 2000-char
+    // stdout tail — the full picture is always in deltas_norm anyway
+    val flagged = deltas.collect {
+      case (k, Some(v)) if v >= DeltaFlag || v <= 1.0 / DeltaFlag => (k, v)
+    }.sortBy { case (_, v) => -math.abs(math.log(v)) }.take(6)
+      .map { case (k, v) => f""""$k%s:$v%.2f"""" }
+      .mkString("[", ",", "]")
+    val vsRound = prev.map(_._1.toString).getOrElse("null")
+    val deltaJson =
+      s""""vs_round":$vsRound,"deltas_norm":$deltaArr,"flagged":$flagged"""
+    val deltaNamed = deltas
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.map(x => f"$x%.3f").getOrElse("null") }
+      .mkString("{", ",", "}")
     val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f},"value_calib_adjusted":$adj%.3f"""
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,$calib,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,$calib,"deltas_norm_named":$deltaNamed,$deltaJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},$calib,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},$calib,$deltaJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

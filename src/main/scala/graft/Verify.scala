@@ -28,11 +28,15 @@ object Verify {
       val loggers = Seq(
         "org.apache.spark.rdd.LocalCheckpointRDD",
         "org.apache.spark.rdd.MapPartitionsRDD")
-      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.{Level, LogManager}
       import org.apache.logging.log4j.core.config.Configurator
+      // restore each logger's PRIOR effective level, not a hardcoded
+      // WARN — the session (or env) may have configured these differently
+      val saved: Seq[(String, Level)] =
+        loggers.map(n => n -> LogManager.getLogger(n).getLevel)
       loggers.foreach(Configurator.setLevel(_, Level.ERROR))
       try spark.catalog.clearCache()
-      finally loggers.foreach(Configurator.setLevel(_, Level.WARN))
+      finally saved.foreach { case (n, lvl) => Configurator.setLevel(n, lvl) }
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -42,7 +42,32 @@ private[operators] object AppendLock {
         val ch = java.nio.channels.FileChannel.open(lockPath,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
-        try { val l = ch.lock(); try body finally l.release() }
+        // Bounded tryLock loop rather than a blocking lock(): the JVM
+        // monitor above is held while we wait, so an indefinitely
+        // blocking OS lock would let one wedged peer process stall every
+        // same-JVM appender for this index with zero diagnostics. Poll,
+        // log who we're waiting on after the first second, and fail
+        // loudly (lock path named) after 10 minutes instead of hanging.
+        try {
+          val deadlineNs = System.nanoTime() + 600L * 1000 * 1000 * 1000
+          var l: java.nio.channels.FileLock = ch.tryLock()
+          var warned = false
+          while (l == null) {
+            if (System.nanoTime() > deadlineNs)
+              throw new java.util.concurrent.TimeoutException(
+                s"AppendLock: gave up after 600s waiting for $lockPath " +
+                  "(held by another process)")
+            if (!warned && System.nanoTime() >
+                deadlineNs - 599L * 1000 * 1000 * 1000) {
+              org.apache.logging.log4j.LogManager.getLogger(getClass)
+                .warn(s"AppendLock: waiting on $lockPath held by another process")
+              warned = true
+            }
+            Thread.sleep(50)
+            l = ch.tryLock()
+          }
+          try body finally l.release()
+        }
         finally ch.close()
       } else body
     }

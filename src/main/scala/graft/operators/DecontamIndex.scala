@@ -60,6 +60,14 @@ object DecontamIndex {
       .withColumn("h", xxhash64(col("sh")))
       .persist()
     try {
+      // Retire any PRIOR build's sidecar before the rows change hands:
+      // a rebuild that crashes after the row overwrite (or returns early
+      // on n==0) must leave NO bloom rather than a stale one, because a
+      // stale prefilter silently drops new shingles — the one failure
+      // mode the rows-first publish order exists to exclude. Missing
+      // sidecar = screen everything, which stays exactly correct.
+      val (bfs, bloomTgt) = fs(spark, s"$indexDir/bloom.bin")
+      if (bfs.exists(bloomTgt)) bfs.delete(bloomTgt, false)
       sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
       val n = sh.count()
       // an EMPTY model publishes rows only: Spark's bloomFilter NPEs on

@@ -348,12 +348,20 @@ object JoinOps {
     // just derives the same deterministic width twice
     Option(widthCache.get(key)).map(_.longValue()).getOrElse {
       val w = deriveBandWidth(intervalSets: _*)
+      // bound the memo: a long-lived service touching many corpus
+      // generations must not grow the map forever (entries are ~100 B,
+      // but unbounded is unbounded). Clear-on-threshold rather than LRU:
+      // the steady-state working set is a handful of generations, so a
+      // rare full reset costs at most one re-derivation per live corpus
+      // — far cheaper than per-hit bookkeeping on the hot path.
+      if (widthCache.size() >= widthCacheMax) widthCache.clear()
       widthCache.putIfAbsent(key, java.lang.Long.valueOf(w))
       w
     }
   }
 
-  private val widthCache =
+  private[graft] val widthCacheMax = 1024
+  private[graft] val widthCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Spec hook: how many width derivations have actually run (the cache

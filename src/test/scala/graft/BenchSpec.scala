@@ -23,4 +23,46 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.adjustedTotal(10.0, 0.0) == 10.0)
     assert(Bench.adjustedTotal(10.0, -1.0) == 10.0)
   }
+
+  test("loadPrevBench picks the newest round artifact and parses it") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(dir.toPath.resolve(name), body)
+    // driver-shaped wrapper: {"n":N,...,"parsed":{...}}
+    write("BENCH_r09.json",
+      """{"n":9,"parsed":{"queries":{"q1_agg":0.4},
+        |"calib":{"sha256_1t_256mb_sec":0.2}}}""".stripMargin)
+    write("BENCH_r10.json",
+      """{"n":10,"parsed":{"queries":{"q1_agg":0.334,"l13_ann":0.659},
+        |"calib":{"sha256_1t_256mb_sec":0.251}}}""".stripMargin)
+    write("BENCH_r10_broken.json", "{not json") // ignored: name mismatch
+    val Some((n, qs, calib)) = Bench.loadPrevBench(dir)
+    assert(n == 10)
+    assert(qs == Map("q1_agg" -> 0.334, "l13_ann" -> 0.659))
+    assert(calib == 0.251)
+  }
+
+  test("loadPrevBench survives a truncated artifact and an empty dir") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev2").toFile
+    assert(Bench.loadPrevBench(dir).isEmpty)
+    java.nio.file.Files.writeString(
+      dir.toPath.resolve("BENCH_r04.json"), """{"parsed": null}""")
+    assert(Bench.loadPrevBench(dir).isEmpty,
+      "a round whose stdout truncated (parsed:null) must be skipped, not crash")
+  }
+
+  test("SCALE.md's stated suite counts match the code (artifact lint)") {
+    // VERDICT r9 AND r10 both caught this count drifting by hand; the
+    // linted line at the top of SCALE.md is the single current-state
+    // statement and must equal the registries it describes
+    val scale = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SCALE.md"))
+    val re = """Current headline suite: (\d+) lanes \(\+(\d+) extra probes\)""".r
+    val m = re.findFirstMatchIn(scale)
+      .getOrElse(fail("SCALE.md lost its linted suite-count line"))
+    assert(m.group(1).toInt == Bench.headline.size,
+      s"SCALE.md says ${m.group(1)} headlines; Bench.headline has ${Bench.headline.size}")
+    assert(m.group(2).toInt == ScaleBench.extraProbes.size,
+      s"SCALE.md says ${m.group(2)} extras; ScaleBench.extraProbes has ${ScaleBench.extraProbes.size}")
+  }
 }

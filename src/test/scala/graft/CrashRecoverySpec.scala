@@ -119,10 +119,16 @@ class CrashRecoverySpec extends SparkSpec {
     val child = ChildJvm.start("graft.CrashCurateChild",
       Seq(inDir.toString, modelDir, pipe, ckpt, crashPoint,
         sentinel.toString), log1)
-    assert(ChildJvm.awaitFile(sentinel),
-      s"child never reached $crashPoint — log:\n${ChildJvm.logTail(log1)}")
-    child.destroyForcibly() // SIGKILL — no shutdown hooks, no finally
-    child.waitFor()
+    // finally-kill: if awaitFile (or anything after it) fails, the child
+    // is parked in Thread.sleep holding a 3 GB heap — without this it
+    // would leak for up to 10 minutes and starve subsequent suites
+    try {
+      assert(ChildJvm.awaitFile(sentinel),
+        s"child never reached $crashPoint — log:\n${ChildJvm.logTail(log1)}")
+    } finally {
+      child.destroyForcibly() // SIGKILL — no shutdown hooks, no finally
+      child.waitFor()
+    }
     assert(!JF.exists(JP.get(s"$pipe/commits/0")),
       "batch marker exists — the kill landed after commit")
     postKill(pipe)

@@ -140,6 +140,27 @@ class PlanSpec extends SparkSpec {
       "ad-hoc frames must keep the per-call derivation")
   }
 
+  test("width cache is size-bounded: a full cache is cleared by the next insert") {
+    val ops = graft.operators.JoinOps
+    // fill to the threshold with synthetic keys, then drive one REAL
+    // derivation through adaptiveBandWidth: its insert path must clear
+    // the full map before caching, so the long-lived-service map can
+    // never exceed widthCacheMax entries
+    ops.widthCache.clear() // start from empty: other tests add real entries
+    (0 until ops.widthCacheMax).foreach { i =>
+      ops.widthCache.put(s"synthetic-$i", java.lang.Long.valueOf(1L))
+    }
+    assert(ops.widthCache.size() == ops.widthCacheMax)
+    val probes = graft.Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("lo"),
+        (col("o_orderkey") + 7).as("hi"))
+    ops.adaptiveBandWidth((probes, "lo", "hi"))
+    assert(ops.widthCache.size() <= 2,
+      s"insert into a full cache must clear it first, size=${ops.widthCache.size()}")
+    ops.widthCache.clear() // leave no synthetic entries for other suites
+  }
+
   test("j13 fuzzy join is an equi join on deletion variants, no cross join") {
     val p = plan("j13_fuzzy_neighbors")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

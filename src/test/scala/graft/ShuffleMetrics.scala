@@ -19,17 +19,17 @@ object ShuffleMetrics {
         if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
       }
     }
+    // drain BEFORE registering: still-queued stage events from a prior
+    // lane's jobs would otherwise be delivered to this fresh listener
+    // and inflate its count
+    org.apache.spark.GraftBusAccess.drain(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     try {
       df.write.format("noop").mode("overwrite").save()
-      // drain: two equal reads 100 ms apart = no events still in flight
-      var prev = -1L
-      var cur = acc.get()
-      var spins = 0
-      while (cur != prev && spins < 100) {
-        Thread.sleep(100); prev = cur; cur = acc.get(); spins += 1
-      }
-      cur
+      // drain AFTER: deterministic — returns only once every event from
+      // this lane's jobs has been delivered (no polling window to miss)
+      org.apache.spark.GraftBusAccess.drain(spark.sparkContext)
+      acc.get()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -69,6 +69,47 @@ class DecontamIndexSpec extends SparkSpec {
       "screen must scan the stored shingles/ table")
   }
 
+  test("rebuild retires the prior bloom BEFORE the rows change (stale-prefilter window)") {
+    import graft.SparkSpec.spark.implicits._
+    val dir = buildModel() // generation 1: rows + bloom on disk
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.bin")))
+    // Generation 2 rebuild into the SAME dir, crashing after the row
+    // overwrite but before the bloom publish — simulated by doing exactly
+    // what build() does up to its crash point: delete-stale-bloom + row
+    // overwrite. The OLD bloom must already be gone at this point; if it
+    // survived, it would wrongly prefilter gen-2 shingles it has never
+    // seen and screen() would silently miss contamination.
+    val gen2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+    val sh2 = LlmOps.shingles8(gen2).select("sh").distinct()
+      .withColumn("h", xxhash64(col("sh")))
+    val (hfs, bloomTgt) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    if (hfs.exists(bloomTgt)) hfs.delete(bloomTgt, false)
+    sh2.write.mode("overwrite").parquet(s"$dir/shingles")
+    // crash here: rows are gen-2, bloom.bin must NOT exist
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.bin")),
+      "crash window left a stale gen-1 bloom over gen-2 rows")
+    // and the crashed-state screen answers exactly (no prefilter at all)
+    val probe = gen2.limit(5)
+    val screened = DecontamIndex.screen(spark, dir, probe)
+      .filter(col("contaminated")).count()
+    assert(screened == probe.count(),
+      "gen-2 docs must screen as contaminated against the gen-2 rows")
+    // the n==0 early return must ALSO retire a live sidecar: rebuild a
+    // full model (bloom back on disk), then rebuild with an unshingleable
+    // corpus — build returns before any bloom write, so only the
+    // delete-stale-bloom step can prevent gen-3 rows under a gen-2 bloom
+    DecontamIndex.build(spark, docs.filter(col("doc_id") < 50), dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.bin")))
+    val n = DecontamIndex.build(spark,
+      Seq((1L, "short")).toDF("doc_id", "text"), dir)
+    assert(n == 0 &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.bin")),
+      "empty rebuild must retire the prior bloom, not leave it dangling")
+  }
+
   test("unshingleable eval corpus: empty model, nothing contaminated") {
     import graft.SparkSpec.spark.implicits._
     val dir = java.nio.file.Files
