@@ -82,6 +82,85 @@ class SimHashIndexSpec extends SparkSpec {
     assert(SimHashIndex.neighborsAgainst(spark, dir, batch).count() == 0)
   }
 
+  test("banded screen prunes partitions and answers identically to legacy full-scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-banded").toString
+    val corpus = graft.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    SimHashIndex.build(spark, corpus, dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")),
+      "build must materialize the bands/ projection")
+    val batch = Seq(
+      777001L -> doc("alpha"),
+      777002L -> (doc("bravo") + " tail")).toDF("doc_id", "text")
+    val banded = SimHashIndex.neighborsAgainst(spark, dir, batch)
+    // the scan carries a static partition filter on (band, pb): the plan
+    // must show non-trivial PartitionFilters, and the files actually read
+    // must be a strict subset of the 1024-dir projection
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"),
+      s"banded screen lost its partition filter:\n$plan")
+    // the JOIN must broadcast the batch — the standing table streams
+    // scan→BHJ with no exchange (the only Exchange in the plan is the
+    // candidate-pair distinct(), which runs after partial aggregation
+    // and is proportional to collisions, not corpus)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "standing side must stream through a broadcast join, never shuffle")
+    // inputFiles lists the FileIndex pre-pruning, so measure the pruned
+    // scan directly: the same partition predicate the screen pushes,
+    // applied to the projection, touches a strict subset of its files
+    val allBandFiles = spark.read.parquet(s"$dir/bands").inputFiles.length
+    val pred = SimHashIndex.partitionPredicate(SimHashIndex.bandRows(
+      LlmOps.simhash64Of(batch)))
+    val readFiles = spark.read.parquet(s"$dir/bands").filter(pred)
+      .select(input_file_name()).distinct().count()
+    assert(readFiles < allBandFiles,
+      s"no pruning: read $readFiles of $allBandFiles band files")
+    // identity vs the legacy path: hide bands/ and re-screen
+    val bandedPairs = norm(banded.collect())
+    val hidden = java.nio.file.Paths.get(dir, "bands-hidden")
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir, "bands"), hidden)
+    val legacyScreen = SimHashIndex.neighborsAgainst(spark, dir, batch)
+    assert(!legacyScreen.queryExecution.executedPlan.toString.contains("pb"),
+      "without bands/ the screen must take the in-plan legacy path")
+    assert(norm(legacyScreen.collect()) == bandedPairs,
+      "banded and legacy screens diverged")
+    java.nio.file.Files.move(hidden, java.nio.file.Paths.get(dir, "bands"))
+  }
+
+  test("legacy index: append stays sigs-only until migrate() builds bands/") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-legacy").toString
+    val gen0 = Seq(1L -> doc("alpha"), 2L -> doc("bravo"))
+      .toDF("doc_id", "text")
+    // a pre-round-11 index: sigs/ only
+    graft.operators.LlmOps.simhash64Of(gen0)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    val gen1 = Seq(10L -> doc("civic")).toDF("doc_id", "text")
+    SimHashIndex.append(spark, dir, gen1)
+    // a bands/ projection covering only gen1 would silently miss gen0 —
+    // append must NOT create it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")),
+      "append to a legacy index must not create a partial bands/ projection")
+    val probe = Seq(90L -> doc("alpha"), 91L -> doc("civic"))
+      .toDF("doc_id", "text")
+    val legacy = norm(SimHashIndex.neighborsAgainst(spark, dir, probe).collect())
+    assert(legacy.contains((1L, 90L, 0L)) && legacy.contains((10L, 91L, 0L)),
+      s"legacy screen must know both generations: $legacy")
+    // migrate: bands/ appears, answers are unchanged, appends now dual-write
+    SimHashIndex.migrate(spark, dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")))
+    assert(norm(SimHashIndex.neighborsAgainst(spark, dir, probe).collect())
+      == legacy, "migrate changed screen results")
+    SimHashIndex.append(spark, dir,
+      Seq(20L -> doc("delta")).toDF("doc_id", "text"))
+    val post = norm(SimHashIndex.neighborsAgainst(spark, dir,
+      Seq(92L -> doc("delta")).toDF("doc_id", "text")).collect())
+    assert(post.contains((20L, 92L, 0L)),
+      s"post-migrate append must reach the banded screen: $post")
+  }
+
   test("serve plan joins band keys — no cartesian, reads the stored sigs") {
     val dir = java.nio.file.Files
       .createTempDirectory("simhash-plan").toString
