@@ -189,6 +189,7 @@ object StreamJobs {
             .parquet(s"$indexDir/accepted")
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         graft.operators.DedupIndex.append(s, indexDir, novel)
+        crashProbe("after_index_append")
         novel.unpersist()
         writeMarker(s, indexDir, batchId)
       }
@@ -466,6 +467,7 @@ object StreamJobs {
             .parquet(s"$indexDir/accepted")
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         graft.operators.NearDupIndex.append(s, indexDir, accepted)
+        crashProbe("after_index_append")
         accepted.unpersist()
         rows.unpersist()
         writeMarker(s, indexDir, batchId)
@@ -512,6 +514,7 @@ object StreamJobs {
             .parquet(s"$indexDir/accepted")
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         graft.operators.SimHashIndex.append(s, indexDir, accepted)
+        crashProbe("after_index_append")
         accepted.unpersist()
         rows.unpersist()
         writeMarker(s, indexDir, batchId)
@@ -560,6 +563,7 @@ object StreamJobs {
             .parquet(s"$indexDir/accepted")
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         graft.operators.JaccardIndex.append(s, indexDir, accepted)
+        crashProbe("after_index_append")
         accepted.unpersist()
         rows.unpersist()
         writeMarker(s, indexDir, batchId)

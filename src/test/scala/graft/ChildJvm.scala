@@ -121,6 +121,42 @@ object CrashCurateChild {
   }
 }
 
+/** Child main for the per-family single-index ingest crash e2e: runs ONE
+  * of the four standing-index ingest pipelines (exact-hash dedup, MinHash
+  * near-dup, SimHash near-dup, exact-Jaccard) as a real checkpointed file
+  * stream. With a crashPoint it writes `sentinel` on reaching that probe
+  * and parks for the parent's SIGKILL; with "none" it drains the input
+  * and exits 0. */
+object CrashIngestChild {
+  def main(args: Array[String]): Unit = {
+    val Array(family, inDir, indexDir, ckptDir, crashPoint, sentinel) = args
+    val spark = ChildJvm.childSpark(s"crash-$family-child")
+    if (crashPoint != "none")
+      graft.streaming.StreamJobs.crashProbe = p =>
+        if (p == crashPoint) {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(sentinel), p)
+          Thread.sleep(600000) // park: the parent SIGKILLs this JVM here
+        }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val writer = family match {
+      case "dedup" => graft.streaming.StreamJobs.dedupIngest(src, indexDir)
+      case "neardup" => graft.streaming.StreamJobs.nearDedupIngest(src, indexDir)
+      case "simhash" => graft.streaming.StreamJobs.simhashDedupIngest(src, indexDir)
+      case "jaccard" => graft.streaming.StreamJobs.exactDedupIngest(src, indexDir)
+    }
+    val q = writer.option("checkpointLocation", ckptDir).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.stop()
+  }
+}
+
 /** Child main for the two-process DedupIndex append hammer: waits on the
   * shared `goFile` rendezvous (so both processes enter the append window
   * together), then appends its batch in four sub-batches — eight
