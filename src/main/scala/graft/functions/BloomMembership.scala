@@ -1,8 +1,13 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Broadcast Bloom-filter membership as a codegen'd predicate.
   *
@@ -50,4 +55,111 @@ object BloomMembership {
     register(spark)
     call_function("graft_might_contain", bloom, h)
   }
+
+  /** Literal-embedding ceiling (4 MiB). Below it, `lit(bytes)` is the
+    * cheapest transport: the literal rides the one task-binary broadcast
+    * each stage already pays, with zero extra fetch hops. Above it, the
+    * bytes must NOT live in the plan — every stage that references the
+    * predicate re-broadcasts its whole task binary, the driver holds the
+    * array in every optimized copy of the plan, and plan-string/explain
+    * machinery drags it around — so large filters ride a real Broadcast
+    * variable instead (fetched once per EXECUTOR, reused by every stage
+    * and every query against the same model). At the documented
+    * eval-suite ceiling (10^8 keys / 1% fpp ≈ 114 MiB) the literal path
+    * would put ~114 MiB into each referencing stage's task binary; the
+    * broadcast path ships a handle of a few hundred bytes. */
+  val LiteralMaxBytes: Long = 4L << 20
+
+  // Broadcast reuse across repeated screens of the same model (a serve
+  // loop calls screen() per batch): caller supplies a stable cache key
+  // (path + length + mtime); eviction only drops OUR reference — a plan
+  // still holding the Broadcast keeps it alive, and the ContextCleaner
+  // reclaims blocks once both release.
+  private val bcastCache =
+    new java.util.LinkedHashMap[String, Broadcast[Array[Byte]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Broadcast[Array[Byte]]]): Boolean =
+        size() > 8
+    }
+
+  /** Broadcast-backed membership predicate for blooms too big to embed:
+    * `load` is invoked once per cache key to materialize the serialized
+    * filter bytes; the returned Column evaluates
+    * `mightContainLong(h)` against the executor-cached deserialized
+    * filter. Registered as a uniquely-named temp function because the
+    * Broadcast handle has no SQL-text form — the registry builder closes
+    * over it (the same createOrReplaceTempFunction channel `register`
+    * uses, so no private Column constructors are touched). */
+  def mightContainBroadcast(spark: SparkSession, cacheKey: String,
+      h: Column)(load: => Array[Byte]): Column = {
+    val bcast = bcastCache.synchronized {
+      val hit = bcastCache.get(cacheKey)
+      if (hit != null) hit
+      else {
+        val b = spark.sparkContext.broadcast(load)
+        bcastCache.put(cacheKey, b)
+        b
+      }
+    }
+    val name = s"graft_might_contain_bcast_${bcast.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BloomMightContainBcast(bcast, exprs(0)), "built-in")
+    call_function(name, h)
+  }
+}
+
+/** Per-executor deserialized-filter cache: `BloomFilter.readFrom` copies
+  * the byte payload into the filter's long words, so deserializing per
+  * TASK would multiply a ~12-114 MiB model by the task count. Keyed by
+  * broadcast id (unique per SparkContext), LRU-bounded so a long-lived
+  * executor serving many models holds at most 8 resident filters. */
+private[functions] object BloomBcastCache {
+  private val cache =
+    new java.util.LinkedHashMap[Long, BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, BloomFilter]): Boolean = size() > 8
+    }
+  def get(b: Broadcast[Array[Byte]]): BloomFilter = cache.synchronized {
+    val hit = cache.get(b.id)
+    if (hit != null) hit
+    else {
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b.value))
+      cache.put(b.id, bf)
+      bf
+    }
+  }
+}
+
+/** `mightContainLong(child)` against a Broadcast-carried Bloom filter.
+  * The expression serializes as the tiny Broadcast HANDLE (TorrentBroadcast
+  * keeps its value transient); executors fetch the bytes once and share
+  * the deserialized filter via [[BloomBcastCache]]. Codegen references
+  * the expression instance itself, so the generated code stays a single
+  * virtual call — the same whole-stage-codegen shape as Spark's own
+  * BloomFilterMightContain, minus the plan-resident byte literal. */
+case class BloomMightContainBcast(bcast: Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression with Predicate {
+
+  override def prettyName: String = "graft_might_contain_bcast"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a BIGINT hash input, got ${child.dataType.sql}")
+
+  @transient private lazy val bloom: BloomFilter = BloomBcastCache.get(bcast)
+
+  def mightContainLong(h: Long): Boolean = bloom.mightContainLong(h)
+
+  override def nullSafeEval(h: Any): Any =
+    mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBcast", this,
+      classOf[BloomMightContainBcast].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $ref.mightContainLong($h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBcast =
+    copy(child = newChild)
 }

@@ -96,24 +96,47 @@ object DecontamIndex {
   /** Per-doc eval overlap for a `(doc_id, text)` corpus frame:
     * `(doc_id, n_shared, contaminated)` where n_shared counts DISTINCT
     * shingles shared with the model. Bloom prefilter when the sidecar
-    * exists; identical answer without it. */
+    * exists; identical answer without it.
+    *
+    * The prefilter runs BEFORE the distinct: the screen's one shuffle is
+    * the (doc_id, sh) distinct that feeds the n_shared count, and at
+    * corpus scale ~99% of shingle occurrences fail the bloom, so
+    * screening first shrinks that exchange by the same ~99% (filtering a
+    * deterministic function of the would-be grouping key commutes with
+    * the distinct — survivors dedup to exactly the rows the old
+    * distinct-then-filter order kept). Sidecar transport scales with the
+    * model: ≤ [[graft.functions.BloomMembership.LiteralMaxBytes]] embeds
+    * the bytes as a plan literal (rides the existing task-binary
+    * broadcast); bigger models go through a true Broadcast variable so a
+    * 10^7-10^8-key eval suite (12-114 MiB of filter) never bloats the
+    * task binary of every referencing stage — see DecontamScaleSpec for
+    * the measured 10^7-key point. */
   def screen(spark: SparkSession, indexDir: String,
       docs: DataFrame): DataFrame = {
     val ids = docs.select("doc_id")
     val corpusSh = LlmOps.shingles8(docs.select(col("doc_id"), col("text")))
-      .distinct() // count DISTINCT shared shingles (the l26/l29 unit)
       .withColumn("h", xxhash64(col("sh")))
     val (hfs, bloomPath) = fs(spark, s"$indexDir/bloom.bin")
     val prefiltered =
       if (!hfs.exists(bloomPath)) corpusSh // crashed build: no prefilter
       else {
-        val in = hfs.open(bloomPath)
-        val bytes =
+        val st = hfs.getFileStatus(bloomPath)
+        def bytes: Array[Byte] = {
+          val in = hfs.open(bloomPath)
           try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-        corpusSh.filter(graft.functions.BloomMembership.mightContain(
-          spark, lit(bytes), col("h")))
+        }
+        val pred =
+          if (st.getLen <= graft.functions.BloomMembership.LiteralMaxBytes)
+            graft.functions.BloomMembership.mightContain(
+              spark, lit(bytes), col("h"))
+          else // key on (path, len, mtime): a rebuilt model re-broadcasts
+            graft.functions.BloomMembership.mightContainBroadcast(spark,
+              s"$bloomPath@${st.getLen}:${st.getModificationTime}",
+              col("h"))(bytes)
+        corpusSh.filter(pred)
       }
     val hits = prefiltered
+      .distinct() // count DISTINCT shared shingles (the l26/l29 unit)
       .join(spark.read.parquet(s"$indexDir/shingles").select("sh"), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     ids.join(hits, Seq("doc_id"), "left")
