@@ -222,96 +222,8 @@ object Bench {
     // plan — surfaces persist-boundary/stage-interaction costs the
     // per-stage lanes can't
     "l57_pipeline" -> ((s: SparkSession, d: String) =>
-      graft.operators.LlmOps.queries("l57_pipeline")(s, d)),
-
-    // ---- standing-index SERVE lanes: the steady-state cost of a
-    // standing index is its per-batch screen/probe, not its build. The
-    // index is built ONCE per data dir (warmup pass pays it, see
-    // ServeIndexes); timed iterations measure serving only. Probe/batch
-    // sizes are pinned to base-replica ids so ScaleBench's K× corpus
-    // growth scales the INDEX side while the arriving batch stays
-    // fixed — exactly the 100 TB serving question ("does screen cost
-    // track the batch or the corpus?") made measurable.
-
-    // exact-dedup screen: sharded-bloom CASE + exact confirm of hits
-    // (DedupIndex.newAgainst; half the batch duplicates the corpus,
-    // half is novel, so both the miss and the confirm paths are hot)
-    "idx_dedup_screen" -> ((s: SparkSession, d: String) => {
-      val dir = ServeIndexes.dedup(s, d)
-      val batch = t(s, d, "documents").filter(col("doc_id") < 500)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          when(col("doc_id") % 2 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" novel-"), col("doc_id")))
-            .as("text"))
-      graft.operators.DedupIndex.newAgainst(s, dir, batch)
-    }),
-
-    // ANN probe batch: broadcast multiprobe buckets → signature-table
-    // bucket join → exact cosine re-rank (AnnIndex.queryProbes; 50
-    // fixed probes, k=5)
-    "idx_ann_probe" -> ((s: SparkSession, d: String) => {
-      val dir = ServeIndexes.ann(s, d)
-      val probes = t(s, d, "embeddings").filter(col("vec_id") < 50)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-      graft.operators.AnnIndex.queryProbes(s, dir, probes, 5)
-    }),
-
-    // exact-Jaccard screen: one-sided prefix probe against the stored
-    // postings + integer-exact verify (JaccardIndex.pairsAgainst; the
-    // batch near-duplicates corpus docs, so candidates flow end-to-end)
-    "idx_jaccard_screen" -> ((s: SparkSession, d: String) => {
-      val dir = ServeIndexes.jaccard(s, d)
-      val batch = t(s, d, "documents").filter(col("doc_id") < 250)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
-      graft.operators.JaccardIndex.pairsAgainst(s, dir, batch)
-    }),
-
-    // MinHash near-dup screen: batch signatures bucket-joined against
-    // the stored signature table (NearDupIndex.candidatesAgainst —
-    // the approximate sibling of idx_jaccard_screen)
-    "idx_neardup_screen" -> ((s: SparkSession, d: String) => {
-      val dir = ServeIndexes.neardup(s, d)
-      val batch = t(s, d, "documents").filter(col("doc_id") < 250)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          when(col("doc_id") % 2 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" novel-"), col("doc_id")))
-            .as("text"))
-      graft.operators.NearDupIndex.candidatesAgainst(s, dir, batch)
-    }),
-
-    // 64-bit SimHash screen against the standing signature table
-    // (SimHashIndex.neighborsAgainst — 8 bytes/doc of standing state,
-    // the crawl-scale near-dup serving path; fixed batch of tails of
-    // base-replica docs, so band collisions and the bit_count verify
-    // both flow)
-    "idx_simhash_screen" -> ((s: SparkSession, d: String) => {
-      val dir = ServeIndexes.simhash(s, d)
-      val batch = t(s, d, "documents").filter(col("doc_id") < 250)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
-      graft.operators.SimHashIndex.neighborsAgainst(s, dir, batch)
-    }),
-
-    // PQ probe batch: broadcast per-probe ADC distance tables scanned
-    // over the 32x-compressed codes + bounded exact re-rank
-    // (PqIndex.queryProbes — the vectors-don't-fit serving path)
-    "idx_pq_probe" -> ((s: SparkSession, d: String) => {
-      val dir = ServeIndexes.pq(s, d)
-      val probes = t(s, d, "embeddings").filter(col("vec_id") < 50)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-      graft.operators.PqIndex.queryProbes(s, dir, probes, 5)
-    }),
-
-    // IVF+PQ probe batch: the same ADC restricted to each probe's
-    // nprobe nearest cells (IvfPqIndex.queryProbes — FAISS's IVFADC;
-    // the fix for idx_pq_probe's corpus-linear scan term)
-    "idx_ivfpq_probe" -> ((s: SparkSession, d: String) => {
-      val dir = ServeIndexes.ivfpq(s, d)
-      val probes = t(s, d, "embeddings").filter(col("vec_id") < 50)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-      graft.operators.IvfPqIndex.queryProbes(s, dir, probes, 5)
-    }),
+      graft.operators.LlmOps.queries("l57_pipeline")(s, d))
+  ) ++ serveLanes(1) ++ Seq(
 
     // custom Aggregator with partial aggregation (Q-U2 class)
     "u2_interval_union" -> ((s: SparkSession, d: String) => {
@@ -326,6 +238,100 @@ object Bench {
         .groupBy("g").agg(iu(col("start"), col("end")).as("covered"))
     })
   )
+
+  // ---- standing-index SERVE lanes: the steady-state cost of a
+  // standing index is its per-batch screen/probe, not its build. The
+  // index is built ONCE per data dir (warmup pass pays it, see
+  // ServeIndexes); timed iterations measure serving only. Probe/batch
+  // sizes are pinned to base-replica ids so ScaleBench's K× corpus
+  // growth scales the INDEX side while the arriving batch stays
+  // fixed — exactly the 100 TB serving question ("does screen cost
+  // track the batch or the corpus?") made measurable.
+
+  /** The serve lanes, parameterized by BATCH multiplier — the serve
+    * law's second axis (VERDICT r10 #6: corpora grow, but batches also
+    * burst). batchX=1 is the headline form above: batches pinned to
+    * base-replica ids (doc_id<250/500, vec_id<50). batchX>1 widens the
+    * ARRIVING batch by drawing the same per-replica slice from the
+    * first batchX replica shards of a ScaleBench-generated dir
+    * ((id % Off) < n ∧ id < batchX·Off): each slice keeps the exact
+    * dup/novel mix against ITS OWN shard's salted corpus, so a 100×
+    * batch is a real 100× burst of fresh work, not 100 copies of one
+    * batch whose screens would trivially collapse. Batch ids shift by
+    * +10^7 inside their shard (10^7 < Off), so they collide with no
+    * corpus id at any batchX. */
+  private[graft] def serveLanes(batchX: Int)
+      : Seq[(String, (SparkSession, String) => DataFrame)] = {
+    require(batchX >= 1, s"batchX must be >= 1, got $batchX")
+    def slice(df: DataFrame, idCol: String, n: Long): DataFrame =
+      if (batchX == 1) df.filter(col(idCol) < n)
+      else df.filter((col(idCol) % ScaleBench.Off) < n &&
+        col(idCol) < lit(batchX.toLong) * ScaleBench.Off)
+    // half duplicates the corpus, half is novel — both screen paths hot
+    def novelMix(s: SparkSession, d: String, n: Long): DataFrame =
+      slice(t(s, d, "documents"), "doc_id", n)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" novel-"), col("doc_id")))
+            .as("text"))
+    // near-duplicates of corpus docs, so candidates flow end-to-end
+    def tailBatch(s: SparkSession, d: String, n: Long): DataFrame =
+      slice(t(s, d, "documents"), "doc_id", n)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+    def probeBatch(s: SparkSession, d: String, n: Long): DataFrame =
+      slice(t(s, d, "embeddings"), "vec_id", n)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    Seq(
+      // exact-dedup screen: sharded-bloom CASE + exact confirm of hits
+      // (DedupIndex.newAgainst)
+      "idx_dedup_screen" -> ((s: SparkSession, d: String) =>
+        graft.operators.DedupIndex.newAgainst(s, ServeIndexes.dedup(s, d),
+          novelMix(s, d, 500))),
+
+      // ANN probe batch: broadcast multiprobe buckets → signature-table
+      // bucket join → exact cosine re-rank (AnnIndex.queryProbes; 50
+      // fixed probes per replica slice, k=5)
+      "idx_ann_probe" -> ((s: SparkSession, d: String) =>
+        graft.operators.AnnIndex.queryProbes(s, ServeIndexes.ann(s, d),
+          probeBatch(s, d, 50), 5)),
+
+      // exact-Jaccard screen: one-sided prefix probe against the stored
+      // postings + integer-exact verify (JaccardIndex.pairsAgainst)
+      "idx_jaccard_screen" -> ((s: SparkSession, d: String) =>
+        graft.operators.JaccardIndex.pairsAgainst(s,
+          ServeIndexes.jaccard(s, d), tailBatch(s, d, 250))),
+
+      // MinHash near-dup screen: batch signatures bucket-joined against
+      // the stored signature table (NearDupIndex.candidatesAgainst —
+      // the approximate sibling of idx_jaccard_screen)
+      "idx_neardup_screen" -> ((s: SparkSession, d: String) =>
+        graft.operators.NearDupIndex.candidatesAgainst(s,
+          ServeIndexes.neardup(s, d), novelMix(s, d, 250))),
+
+      // 64-bit SimHash screen against the standing signature table
+      // (SimHashIndex.neighborsAgainst — 8 bytes/doc of standing state,
+      // the crawl-scale near-dup serving path; band collisions and the
+      // bit_count verify both flow)
+      "idx_simhash_screen" -> ((s: SparkSession, d: String) =>
+        graft.operators.SimHashIndex.neighborsAgainst(s,
+          ServeIndexes.simhash(s, d), tailBatch(s, d, 250))),
+
+      // PQ probe batch: broadcast per-probe ADC distance tables scanned
+      // over the 32x-compressed codes + bounded exact re-rank
+      // (PqIndex.queryProbes — the vectors-don't-fit serving path)
+      "idx_pq_probe" -> ((s: SparkSession, d: String) =>
+        graft.operators.PqIndex.queryProbes(s, ServeIndexes.pq(s, d),
+          probeBatch(s, d, 50), 5)),
+
+      // IVF+PQ probe batch: the same ADC restricted to each probe's
+      // nprobe nearest cells (IvfPqIndex.queryProbes — FAISS's IVFADC;
+      // the fix for idx_pq_probe's corpus-linear scan term)
+      "idx_ivfpq_probe" -> ((s: SparkSession, d: String) =>
+        graft.operators.IvfPqIndex.queryProbes(s, ServeIndexes.ivfpq(s, d),
+          probeBatch(s, d, 50), 5))
+    )
+  }
 
   /** Build-once registry for the standing-index serve lanes: one index
     * per (kind, data dir), built lazily on the warmup sweep and reused

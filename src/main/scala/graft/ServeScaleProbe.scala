@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Third-decade standing-index serve probe: K=1000 index-side growth.
+/** Third-decade standing-index serve probe: K=1000 index-side growth —
+  * plus the law's second axis, batch-side growth, via
+  * `SPARK_GRAFT_SERVE_AXIS=batch` (fixed corpus, batch 1×/10×/100×; see
+  * [[batchAxis]]).
   *
   * The serve-scaling claim ("screen/probe cost tracks the arriving
   * batch, not the corpus") has measured evidence at K=10 and K=100
@@ -55,6 +58,67 @@ object ServeScaleProbe {
     copies("embeddings", "vec_id", (d, _) => d)
   }
 
+  /** The serve law's SECOND axis (VERDICT r10 #6): fixed corpus, bursty
+    * batch. Times every idx_ lane at batch multipliers 1×/10×/100×
+    * against one ScaleBench-generated corpus dir and reports each
+    * lane's per-X ratio — batch-linear lanes sit at ~1, and a
+    * pair-verify term going super-linear WITHIN a batch would show as a
+    * rising ratio at 100×. One JSON line:
+    *   {"metric":"serve_batch_scale","batch_xs":[1,10,100],
+    *    "lanes":{name:[sec,…]},"ratio_per_x":{name:[r10,r100]}} */
+  private def batchAxis(spark: SparkSession, corpus: String): Unit = {
+    val marker = java.nio.file.Paths.get(corpus, "_SCALE_DONE")
+    require(java.nio.file.Files.exists(marker),
+      s"$corpus must be a completed ScaleBench dir (run ScaleBench first)")
+    val bxs = sys.env.getOrElse("SPARK_GRAFT_SERVE_BATCH_XS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val only = sys.env.get("SPARK_GRAFT_SERVE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    def suite(bx: Int) = Bench.serveLanes(bx).filter { case (n, _) =>
+      only.isEmpty || only(n)
+    }
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, corpus).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      secs
+    }
+    // warmup pays the one-time index builds (ServeIndexes caches per
+    // dir) + JIT; then 2 timed sweeps per (lane, batchX), min
+    for (bx <- bxs; (name, fn) <- suite(bx))
+      try timeOne(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[serve-batch] warmup $name@x$bx: ${e.getMessage}")
+      }
+    val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    for (_ <- 1 to 2; bx <- bxs; (name, fn) <- suite(bx)) {
+      try {
+        val s = timeOne(fn)
+        times((name, bx)) = math.min(times.getOrElse((name, bx), Double.MaxValue), s)
+      } catch { case _: Throwable => failed += s"$name@x$bx" }
+    }
+    val laneNames = suite(1).map(_._1)
+    val lanesJson = laneNames.map { n =>
+      "\"" + n + "\":[" + bxs.map(bx =>
+        times.get((n, bx)).map(v => f"$v%.3f").getOrElse("null"))
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // per-X ratio vs the 1× cell, normalized by X: ~1 = batch-linear
+    val ratioJson = laneNames.map { n =>
+      val b1 = times.get((n, bxs.head))
+      "\"" + n + "\":[" + bxs.tail.map { bx =>
+        (b1, times.get((n, bx))) match {
+          case (Some(a), Some(b)) if a > 0 => f"${b / a / (bx.toDouble / bxs.head)}%.3f"
+          case _ => "null"
+        }
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"serve_batch_scale","corpus":"$corpus","batch_xs":${bxs.mkString("[", ",", "]")},"lanes":$lanesJson,"ratio_per_x":$ratioJson,"failed":$failedJson}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val from = sys.env.getOrElse("SPARK_GRAFT_SCALE_FROM", "/tmp/graft_scale_x100")
@@ -68,6 +132,13 @@ object ServeScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (sys.env.getOrElse("SPARK_GRAFT_SERVE_AXIS", "corpus") == "batch") {
+      batchAxis(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SERVE_CORPUS", from))
+      spark.stop()
+      return
+    }
 
     val fromMarker = java.nio.file.Paths.get(from, "_SCALE_DONE")
     require(java.nio.file.Files.exists(fromMarker) &&
