@@ -42,6 +42,12 @@ import org.apache.spark.sql.functions._
   *     scan reads only the directories the batch can possibly collide
   *     with (a B-doc batch touches ≤ min(4B, 1024) of 1024 dirs; small
   *     batches prune hardest, exactly the steady-state serve shape).
+  *     The screen picks pruned-vs-plain per batch by COST (see
+  *     [[preferPruned]] and [[PrunedMinSigsBytes]]): the pruned arm is
+  *     taken only when the batch's prefixes are narrow AND the corpus
+  *     is big enough that touched dirs hold real row groups; otherwise
+  *     the plain 8-byte sigs/ table is read — same broadcast join, no
+  *     shuffle either way, so the projection can only ever help.
   *
   * Crash/append discipline: bands/ is written FIRST, sigs/ LAST, and
   * bands/ may only ever LEAD sigs/. Orphan band rows (append crashed
@@ -108,18 +114,53 @@ object SimHashIndex {
     ()
   }
 
-  /** The batch's possible collision directories as a static partition
-    * predicate: per band, the distinct pb prefixes its signatures hash
-    * to. The driver-side collect is bounded by the KEY SPACE (4·256
-    * values), never by batch or corpus size. */
-  private[operators] def partitionPredicate(batchBands: DataFrame): Column = {
-    val pbs: Map[Int, Seq[Int]] = batchBands.select("band", "pb").distinct()
+  /** The batch's distinct (band, pb) prefixes — its possible collision
+    * directories. The driver-side collect is bounded by the KEY SPACE
+    * (4·256 values), never by batch or corpus size. */
+  private[operators] def collectPrefixes(
+      batchBands: DataFrame): Map[Int, Seq[Int]] =
+    batchBands.select("band", "pb").distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1)))
       .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSeq }
+
+  private[operators] def predicateOf(pbs: Map[Int, Seq[Int]]): Column =
     pbs.map { case (b, vs) =>
       col("band") === b && col("pb").isin(vs: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-  }
+
+  /** The batch's possible collision directories as a static partition
+    * predicate. */
+  private[operators] def partitionPredicate(batchBands: DataFrame): Column =
+    predicateOf(collectPrefixes(batchBands))
+
+  /** Cost-based path choice, term 1 — prefix width: a screen whose
+    * batch touches `c` of the 1024 (band, pb) dirs reads ~(c/1024)·4n
+    * rows of (bv, doc_id, simhash) ≈ 20 B via the pruned bands/ scan,
+    * vs n rows of (doc_id, simhash) ≈ 16 B via the sigs/ path with
+    * bands derived in-plan (a narrow codegen'd explode — no shuffle
+    * either way, the batch side is always broadcast). Bytes break even
+    * at c = 1024·16/(4·20) ≈ 205; above it "pruning" pays 4× row width
+    * and ~1024 dir reads to skip a minority of one table. Both sides
+    * scale linearly in n, so this term is corpus-independent. */
+  private[operators] def preferPruned(c: Int): Boolean = c * 5 <= 1024
+
+  /** Cost-based path choice, term 2 — corpus floor: below this sigs/
+    * size the pruned scan loses on FIXED costs regardless of c. The
+    * banded dataset spreads over ≤1024 dirs whose listing, parquet
+    * footers, and task setup are paid per touched dir; measured on this
+    * host the banded arm costs ~2.5-2.7 s flat from 50 K docs (sigs
+    * 0.5 MB, 28 KB/dir) through 5 M docs (sigs 6.2 MB — delta-encoded
+    * ids and sign-skewed hashes compress brutally) while the plain scan
+    * runs 0.42-0.44 s, because at these sizes EVERY dir is sub-row-group
+    * small. The projection starts repaying when a touched dir holds
+    * real row groups — ~1 MiB+ of sigs-equivalent per dir, i.e. sigs/
+    * ≥ ~1 GiB (≈10^9 docs; Manku's crawl regime, 10^10 docs = 80 GB,
+    * sits comfortably past it). Tunable per deployment (and set to 0 by
+    * specs to exercise the pruned arm on test-sized corpora) via
+    * `spark.graft.simhash.prunedMinSigsBytes`. */
+  private[operators] val PrunedMinSigsBytes: Long = 1L << 30
+  private[operators] val PrunedMinSigsBytesKey =
+    "spark.graft.simhash.prunedMinSigsBytes"
 
   /** VERIFIED near-dup pairs (hamming ≤ 3) between `docs` (new batch) and
     * the standing index: (new_id, index_id, hamming). Batch-internal
@@ -142,16 +183,28 @@ object SimHashIndex {
       return batch.select(col("new_id"), col("new_id").as("index_id"),
         lit(0L).as("hamming")).limit(0)
     val (_, bandsPath) = fs(spark, s"$indexDir/bands")
+    // in-plan fallback: full sigs scan, bands derived narrow (also the
+    // legacy-index path and the big-batch arm of the cost rule)
+    def fromSigs =
+      bandRows(spark.read.parquet(s"$indexDir/sigs"))
+        .select(col("band").as("band2"), col("bv").as("bv2"),
+          col("doc_id").as("index_id"), col("simhash").as("hi"))
+    val minSigs = spark.conf.getOption(PrunedMinSigsBytesKey)
+      .map(_.toLong).getOrElse(PrunedMinSigsBytes)
     val stored =
-      if (hfs.exists(bandsPath))
-        spark.read.parquet(s"$indexDir/bands")
-          .filter(partitionPredicate(batch))
+      if (!hfs.exists(bandsPath)) fromSigs
+      // corpus floor first: when sigs/ is small the plain scan wins on
+      // fixed costs alone, and skipping collectPrefixes also saves the
+      // screen its one extra driver-side job
+      else if (hfs.getContentSummary(sigsPath).getLength < minSigs) fromSigs
+      else {
+        val pbs = collectPrefixes(batch)
+        if (!preferPruned(pbs.valuesIterator.map(_.size).sum)) fromSigs
+        else spark.read.parquet(s"$indexDir/bands")
+          .filter(predicateOf(pbs))
           .select(col("band").as("band2"), col("bv").as("bv2"),
             col("doc_id").as("index_id"), col("simhash").as("hi"))
-      else // legacy index: derive bands in-plan over the full sigs scan
-        bandRows(spark.read.parquet(s"$indexDir/sigs"))
-          .select(col("band").as("band2"), col("bv").as("bv2"),
-            col("doc_id").as("index_id"), col("simhash").as("hi"))
+      }
     // broadcast the BATCH side: the standing table must never shuffle —
     // it streams scan→BHJ→partial-agg in one codegen stage, so serve
     // cost tracks the (pruned) scan, not a corpus-wide exchange

@@ -82,7 +82,16 @@ class SimHashIndexSpec extends SparkSpec {
     assert(SimHashIndex.neighborsAgainst(spark, dir, batch).count() == 0)
   }
 
-  test("banded screen prunes partitions and answers identically to legacy full-scan") {
+  /** Run `body` with the corpus-size floor disabled, so test-sized
+    * corpora exercise the pruned arm the floor reserves for ≥1 GiB
+    * sigs/ tables. */
+  private def withPrunedFloorOff[T](body: => T): T = {
+    spark.conf.set(SimHashIndex.PrunedMinSigsBytesKey, "0")
+    try body finally spark.conf.unset(SimHashIndex.PrunedMinSigsBytesKey)
+  }
+
+  test("banded screen prunes partitions and answers identically to legacy full-scan")(
+      withPrunedFloorOff {
     val dir = java.nio.file.Files
       .createTempDirectory("simhash-banded").toString
     val corpus = graft.Tables.t(spark, sfDir, "documents")
@@ -127,6 +136,35 @@ class SimHashIndexSpec extends SparkSpec {
     assert(norm(legacyScreen.collect()) == bandedPairs,
       "banded and legacy screens diverged")
     java.nio.file.Files.move(hidden, java.nio.file.Paths.get(dir, "bands"))
+  })
+
+  test("test-sized corpus takes the plain sigs scan (cost-based path choice)") {
+    // term 1 (prefix width): a batch touching most of the 1024 dirs
+    // must never take the "pruned" scan — it would read 4x row width to
+    // skip a minority of one table
+    assert(!SimHashIndex.preferPruned(630) && SimHashIndex.preferPruned(200))
+    // term 2 (corpus floor): at test scale every (band, pb) dir is
+    // sub-row-group small, so fixed per-dir costs dominate — measured
+    // 2.5-2.7 s banded vs 0.42-0.44 s plain at BOTH 50 K and 5 M docs
+    // (this exact shape regressed the sf0.1 serve lane 3.9x when the
+    // projection was always-on); under the default floor the screen
+    // must route to sigs/ even for a batch with narrow prefixes
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-wide").toString
+    val corpus = graft.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    SimHashIndex.build(spark, corpus, dir)
+    val wide = corpus.filter(col("doc_id") < 250)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val screen = SimHashIndex.neighborsAgainst(spark, dir, wide)
+    val files = screen.inputFiles.filter(_.contains(dir))
+    assert(files.nonEmpty && files.forall(_.contains("/sigs")),
+      s"wide batch must scan sigs/, not the banded projection: ${files.take(3).mkString(",")}")
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the sigs arm must still broadcast the batch — standing side never shuffles")
   }
 
   test("legacy index: append stays sigs-only until migrate() builds bands/") {
