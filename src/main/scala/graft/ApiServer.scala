@@ -84,24 +84,11 @@ object ApiServer {
       readRange: (SnapshotStore.ManifestEntry, Long, Int) => Array[Byte],
       cacheId: String => String, port: Int,
       onStop: () => Unit = () => ()): Handle = {
-    val bySuffix = entries.map(e => e.path -> e).toMap
-
-    // implied directory set: "" (the root) + every ancestor of a file
-    val dirs = entries.flatMap { e =>
-      val parts = e.path.split("/").dropRight(1)
-      parts.indices.map(i => parts.take(i + 1).mkString("/"))
-    }.toSet + ""
-
-    def childrenOf(dir: String): Seq[(String, Boolean, Long, String)] = {
-      val prefix = if (dir.isEmpty) "" else dir + "/"
-      val subDirs = dirs.filter(d => d != dir && d.startsWith(prefix) &&
-        !d.substring(prefix.length).contains("/"))
-        .map(d => (d.substring(prefix.length), true, 0L, ""))
-      val files = entries.filter(e => e.path.startsWith(prefix) &&
-        !e.path.substring(prefix.length).contains("/"))
-        .map(e => (e.path.substring(prefix.length), false, e.size, e.sha256))
-      (subDirs.toSeq ++ files).sortBy(_._1)
-    }
+    // directory view shared with GrpcServer — same manifest, two wires
+    val tree = new SnapshotTree(entries)
+    val bySuffix = tree.byPath
+    val dirs = tree.dirs
+    def childrenOf(dir: String) = tree.childrenOf(dir)
 
     def entryNode(name: String, isDir: Boolean, size: Long, blockId: String) = {
       val (pop, regions) =

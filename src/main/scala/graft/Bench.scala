@@ -194,6 +194,14 @@ object Bench {
     "l54w_simhash64" -> ((s: SparkSession, d: String) =>
       graft.operators.LlmOps.simhash64NearDup(s, d)),
 
+    // image near-dup over REAL decoded pixels (L64 class: JVM codec
+    // kernel under mapPartitions + the shared 4×16-band Hamming screen;
+    // the media pipeline's only headline — warmup pays the one-time
+    // aHash fixture build (render + ImageIO decode + hash, cached per
+    // dir like ServeIndexes), timed iterations measure the screen)
+    "l64_image_neardup" -> ((s: SparkSession, d: String) =>
+      graft.operators.MediaOps.queries("l64_image_neardup")(s, d)),
+
     // referential-integrity audit: three parallel anti joins (O14 class —
     // the anti-join/runtime-filter path has no other headline)
     "o14_fk_audit" -> ((s: SparkSession, d: String) =>

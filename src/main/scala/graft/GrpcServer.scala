@@ -1,0 +1,223 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import scala.collection.mutable
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter,
+  ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.epoll.{Epoll, EpollIoHandler, EpollServerDomainSocketChannel}
+import io.netty.channel.unix.DomainSocketAddress
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers,
+  DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream,
+  Http2HeadersFrame}
+import io.netty.util.ReferenceCountUtil
+
+import graft.sources.{PufsFileSystem, SnapshotStore}
+
+/** The reference's actual wire: `Pufs.GetDirContents` served as REAL
+  * gRPC — HTTP/2 over a unix domain socket — matching
+  * pufs/cmd/mount.go:354–381 (gRPC server on a unix socket next to the
+  * mount) and api/api.proto:26–28 (the unary `Pufs` service).
+  *
+  * Rounds 1–10 called this environment-blocked ("no grpc/protobuf under
+  * /opt/spark/jars"). The blocked part was only the *generated-stub
+  * toolchain*: the wire itself is public spec, and Spark's own classpath
+  * carries Netty's complete HTTP/2 codec (netty-codec-http2: framing,
+  * HPACK, flow control, settings/ping handling) plus the epoll native
+  * transport for unix domain sockets. This server composes exactly the
+  * layers grpc-netty composes in production:
+  *
+  *   unix socket (EpollServerDomainSocketChannel)
+  *     → Http2FrameCodec (h2c server preface/SETTINGS/HPACK — Netty's)
+  *       → this handler: the gRPC protocol
+  *           request  DATA  = 1-byte compressed flag (0) | u32-BE length
+  *                            | DirContentsRequest protobuf
+  *           response HEADERS(:status 200, content-type application/grpc)
+  *                    DATA(framed DirContentsResponse)
+  *                    trailers HEADERS(grpc-status, END_STREAM)
+  *           unknown method → trailers-only grpc-status 12 UNIMPLEMENTED
+  *           malformed frame/body → grpc-status 3 INVALID_ARGUMENT
+  *         and [[PufsProto]]: the api.proto messages, hand-encoded.
+  *
+  * Any stock gRPC client (grpc-go with a unix-socket dialer, like the
+  * reference's own tooling) can call this; GrpcServerSpec drives it with
+  * Netty's *client* h2 stack — an independent HTTP/2 implementation end
+  * (different codepath: client preface, stream bootstrap, its own HPACK
+  * encoder) — plus raw-frame assertions on the gRPC message framing.
+  *
+  * Semantics match [[ApiServer]]'s `/v1/dir` (one [[SnapshotTree]]
+  * serves both wires): entries carry name/isDir/size/blockID plus live
+  * populated-cache stats (api.proto:18–19); `ID` is a stable 63-bit
+  * xxh-style hash of the child path (the Go server exposes runtime inode
+  * numbers — a content-derived id is the honest equivalent for a frozen
+  * snapshot, and stable across restarts); `isDirty` is always false
+  * (published snapshots are immutable) and `modTimeSeconds` 0 (the
+  * manifest carries no mtimes). Missing dir → in-message `errorMsg`
+  * with grpc-status 0, the reference's own app-level error contract
+  * (api.proto:23). */
+object GrpcServer {
+
+  val MethodPath = "/api.Pufs/GetDirContents"
+  private val MaxBody = 4 << 20
+
+  def available: Boolean = Epoll.isAvailable
+
+  final class Handle private[GrpcServer] (val socketPath: String,
+      ch: Channel, group: MultiThreadIoEventLoopGroup) {
+    def stop(): Unit = {
+      ch.close().syncUninterruptibly()
+      group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+        .syncUninterruptibly()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(socketPath))
+    }
+  }
+
+  /** Serve `repo`@`ref` (label or manifest sha) on a fresh unix socket. */
+  def start(repo: String, ref: String, socketPath: String): Handle = {
+    val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
+    serve(new SnapshotTree(SnapshotStore.mountAt(repo, sha)), socketPath)
+  }
+
+  private[graft] def serve(tree: SnapshotTree, socketPath: String): Handle = {
+    require(Epoll.isAvailable, "epoll native transport unavailable: " +
+      (if (Epoll.unavailabilityCause == null) "?" else Epoll.unavailabilityCause.toString))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(socketPath))
+    val group = new MultiThreadIoEventLoopGroup(1, EpollIoHandler.newFactory())
+    try {
+      val ch = new ServerBootstrap()
+        .group(group)
+        .channel(classOf[EpollServerDomainSocketChannel])
+        .childHandler(new ChannelInitializer[Channel] {
+          override def initChannel(c: Channel): Unit =
+            c.pipeline().addLast(
+              Http2FrameCodecBuilder.forServer().build(),
+              new RpcHandler(tree))
+        })
+        .bind(new DomainSocketAddress(socketPath)).sync().channel()
+      new Handle(socketPath, ch, group)
+    } catch {
+      case t: Throwable =>
+        group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+        throw t
+    }
+  }
+
+  /** Stable 63-bit FNV-1a of the child path — the Entry.ID field. */
+  private[graft] def entryId(path: String): Long = {
+    var h = 0xcbf29ce484222325L
+    path.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    h & Long.MaxValue
+  }
+
+  private[graft] def dirContents(tree: SnapshotTree,
+      rawPath: String): PufsProto.DirContentsResponse = {
+    val p = rawPath.stripPrefix("/").stripSuffix("/")
+    if (!tree.dirs.contains(p))
+      PufsProto.DirContentsResponse(errorMsg =
+        if (tree.byPath.contains(p)) s"not a directory: $p"
+        else s"no such directory: $p")
+    else PufsProto.DirContentsResponse(entries =
+      tree.childrenOf(p).map { case (name, isDir, size, blockSha) =>
+        val (pop, regions) =
+          if (isDir) (0L, 0) else PufsFileSystem.statsForBlock(blockSha)
+        PufsProto.Entry(
+          id = entryId(if (p.isEmpty) name else s"$p/$name"),
+          name = name, isDirty = false, isDir = isDir, size = size,
+          modTimeSeconds = 0L,
+          blockId = if (blockSha.isEmpty) Array.emptyByteArray
+            else blockSha.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+          populatedRegionCount = regions, populatedSize = pop)
+      })
+  }
+
+  /** gRPC length-prefixed message framing (flag | u32-BE | payload). */
+  private[graft] def frameMessage(msg: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + msg.length)
+    out(1) = (msg.length >>> 24).toByte; out(2) = (msg.length >>> 16).toByte
+    out(3) = (msg.length >>> 8).toByte; out(4) = msg.length.toByte
+    System.arraycopy(msg, 0, out, 5, msg.length)
+    out
+  }
+
+  private[graft] def unframeMessage(body: Array[Byte]): Array[Byte] = {
+    require(body.length >= 5, s"gRPC frame too short: ${body.length}")
+    require(body(0) == 0, "compressed gRPC messages unsupported")
+    val n = ((body(1) & 0xff) << 24) | ((body(2) & 0xff) << 16) |
+      ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+    require(n == body.length - 5, s"gRPC frame length $n != ${body.length - 5}")
+    java.util.Arrays.copyOfRange(body, 5, body.length)
+  }
+
+  private final class RpcHandler(tree: SnapshotTree)
+      extends ChannelInboundHandlerAdapter {
+
+    private final class StreamState(val path: String) {
+      val body = new ByteArrayOutputStream()
+    }
+    private val streams = mutable.Map[Int, StreamState]()
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+      msg match {
+        case h: Http2HeadersFrame =>
+          val st = new StreamState(
+            Option(h.headers.path).map(_.toString).getOrElse(""))
+          streams(h.stream.id) = st
+          if (h.isEndStream) finish(ctx, h.stream, st)
+        case d: Http2DataFrame =>
+          try {
+            streams.get(d.stream.id).foreach { st =>
+              if (st.body.size() + d.content.readableBytes() <= MaxBody)
+                d.content.readBytes(st.body, d.content.readableBytes())
+              if (d.isEndStream) finish(ctx, d.stream, st)
+            }
+          } finally d.release()
+        case other =>
+          // SETTINGS/PING etc. are handled inside Http2FrameCodec; release
+          // whatever still reaches us and move on
+          ReferenceCountUtil.release(other)
+      }
+
+    private def finish(ctx: ChannelHandlerContext, stream: Http2FrameStream,
+        st: StreamState): Unit = {
+      streams.remove(stream.id)
+      if (st.path != MethodPath) { trailersOnly(ctx, stream, 12,
+        s"unknown method: ${st.path}"); return }
+      val resp =
+        try {
+          val req = PufsProto.decodeRequest(unframeMessage(st.body.toByteArray))
+          Some(dirContents(tree, req.path))
+        } catch { case e: Exception =>
+          trailersOnly(ctx, stream, 3, s"bad request: ${e.getMessage}"); None
+        }
+      resp.foreach { r =>
+        val headers = new DefaultHttp2Headers()
+          .status("200")
+        headers.set("content-type", "application/grpc")
+        ctx.write(new DefaultHttp2HeadersFrame(headers).stream(stream))
+        ctx.write(new DefaultHttp2DataFrame(
+          Unpooled.wrappedBuffer(frameMessage(PufsProto.encodeResponse(r))))
+          .stream(stream))
+        val trailers = new DefaultHttp2Headers()
+        trailers.set("grpc-status", "0")
+        ctx.write(new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+        ctx.flush()
+      }
+    }
+
+    /** gRPC trailers-only error response (status in the initial HEADERS,
+      * END_STREAM set, no body) — the spec's shape for RPC-layer errors. */
+    private def trailersOnly(ctx: ChannelHandlerContext,
+        stream: Http2FrameStream, grpcStatus: Int, msg: String): Unit = {
+      val h = new DefaultHttp2Headers().status("200")
+      h.set("content-type", "application/grpc")
+      h.set("grpc-status", grpcStatus.toString)
+      h.set("grpc-message", java.net.URLEncoder.encode(msg, "UTF-8"))
+      ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true).stream(stream))
+    }
+  }
+}

@@ -13,12 +13,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanOps.queries ++ JoinOps.queries ++ AggOps.queries ++
       WindowOps.queries ++ LlmOps.queries ++ UdfOps.queries ++
-      StreamOps.queries ++ MetaOps.queries
+      StreamOps.queries ++ MetaOps.queries ++ MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanOps.oracleSql ++ JoinOps.oracleSql ++ AggOps.oracleSql ++
       WindowOps.oracleSql ++ LlmOps.oracleSql ++ UdfOps.oracleSql ++
-      StreamOps.oracleSql ++ MetaOps.oracleSql
+      StreamOps.oracleSql ++ MetaOps.oracleSql ++ MediaOps.oracleSql
 }

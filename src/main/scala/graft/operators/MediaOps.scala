@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+import graft.functions.JdkCodecs
+
+/** REAL multimodal codec lanes (SURVEY §2.3 "multimodal columns" — the
+  * decode / resize / feature-extract stages, previously stubbed).
+  *
+  * The trick that makes a real codec ORACLE-checkable with a SQL engine
+  * that cannot decode PNG: each lane *generates* its media from table
+  * keys with pinned arithmetic ([[JdkCodecs.imgWidth]] etc.), runs the
+  * REAL decoder over the real bytes, and emits what the decoder parsed.
+  * DuckDB recomputes the expected values from the key arithmetic alone —
+  * so the lane hash-matches iff `decode(encode(f(id))) == f(id)` held on
+  * every row, i.e. iff the codec actually round-tripped real PNG/WAVE
+  * payloads. A header mis-parse, a resample that lands on the wrong
+  * target box, or a RIFF layout bug each breaks the hash.
+  *
+  * Scale shape: the decode lanes are per-row kernels under
+  * mapPartitions — no shuffle, no driver state, embarrassingly
+  * parallel — followed only by the driver-protocol orderBy. At 100 TB
+  * this is the decode stage of a media curation pipeline: scan →
+  * decode/resize → embedding/near-dup, with the codec cost scaling with
+  * rows/executor. l64 then closes that pipeline END-TO-END: real decoded
+  * pixels → resize-stable perceptual hash ([[JdkCodecs.avgHash64]]) →
+  * the SAME banded Hamming screen the text crawl serves
+  * (LlmOps.simhash64BandScreen), with planted real-resize near-dups
+  * flowing through — oracled via an engine-emitted signature fixture
+  * replayed brute-force in DuckDB (the l54w discipline). The remaining
+  * sub-lane property (grayFeature resize invariance) stays pinned in
+  * MediaOpsSpec because DuckDB cannot decode pixels.
+  */
+object MediaOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Render the deterministic PNG for each doc_id, then decode it for real. */
+  private def pngOf(id: Long): Array[Byte] = JdkCodecs.renderPng(id)
+
+  val queries: Map[String, Q] = Map(
+    // L61: image metadata decode — real ImageIO header parse (format
+    // sniff + dims, no pixel decode: the cheap catalog pass).
+    "l61_image_decode" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("format", StringType, nullable = false)))
+      val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, fmt, _) = JdkCodecs.decodeDims(pngOf(id))
+          Row(id, w, h, fmt)
+        }
+      }(enc).orderBy("doc_id")
+    }),
+
+    // L62: real resize — decode pixels, resample to maxDim=40 with
+    // SCALE_SMOOTH, re-encode PNG, then re-DECODE the produced bytes;
+    // out_w/out_h come from the second decode, so they certify the
+    // resampled image really has the target geometry.
+    "l62_image_resize" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("in_w", IntegerType, nullable = false),
+        StructField("in_h", IntegerType, nullable = false),
+        StructField("out_w", IntegerType, nullable = false),
+        StructField("out_h", IntegerType, nullable = false)))
+      val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = pngOf(id)
+          val (iw, ih, _, _) = JdkCodecs.decodeDims(png)
+          val (outBytes, _, _) = JdkCodecs.resizePng(png, maxDim = 40)
+          val (ow, oh, _, _) = JdkCodecs.decodeDims(outBytes)
+          Row(id, iw, ih, ow, oh)
+        }
+      }(enc).orderBy("doc_id")
+    }),
+
+    // L64: image near-dup — REAL pixels end-to-end: render PNG, decode,
+    // 64-bit average-hash (the classic aHash), then the SAME 4×16-band
+    // Hamming screen the text crawl uses (LlmOps.simhash64BandScreen —
+    // radius-3 pigeonhole completeness and the bit_count verify are
+    // shared code, so image and text near-dup cannot drift). Every 5th
+    // doc also contributes a REALLY-resized copy (decode → SCALE_SMOOTH
+    // to maxDim 64 → re-encode → re-decode → hash) at doc_id + 10^7 —
+    // aHash is resize-stable, so those planted pairs flow through the
+    // screen as the near-duplicates a media curation pass must catch.
+    // Oracle: generated like l54w's — the engine-emitted (doc_id, ahash)
+    // fixture is replayed as an UNSCREENED brute-force Hamming join in
+    // DuckDB, so band completeness over hashes of real decoded pixels is
+    // driver-checked row-for-row.
+    "l64_image_neardup" -> ((s, d) =>
+      graft.operators.LlmOps.simhash64BandScreen(
+        s.read.parquet(AHashSigs.fixture(s, d)))
+        .orderBy(col("a"), col("b"))),
+
+    // L63: real audio decode — hand-rolled canonical RIFF/WAVE PCM16
+    // encode, decoded back through javax.sound.sampled; rate/channels/
+    // frame-count come from the decoder, total bytes from the payload.
+    "l63_audio_wav" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("channels", IntegerType, nullable = false),
+        StructField("n_frames", LongType, nullable = false),
+        StructField("n_bytes", LongType, nullable = false)))
+      val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val wav = JdkCodecs.renderWav(id)
+          val (rate, ch, frames, _) = JdkCodecs.decodeWavMeta(wav)
+          Row(id, rate, ch, frames, wav.length.toLong)
+        }
+      }(enc).orderBy("doc_id")
+    }))
+
+  /** Engine-emitted aHash fixture backing the l64 oracle — the L54wSigs
+    * discipline (LlmOps.scala): ImageIO has no DuckDB twin, so the lane
+    * writes the (doc_id, simhash=aHash64) table it computed from real
+    * decoded pixels to parquet, serves the band screen from those files,
+    * and the generated oracle replays the unscreened brute-force Hamming
+    * join over the SAME files. Lazy cell per (process, corpus dir),
+    * built outside the CHM bin lock. */
+  private[graft] object AHashSigs {
+    private final class Cell(mk: => String) { lazy val dir: String = mk }
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+    @volatile private[graft] var lastPath: Option[String] = None
+    def fixture(s: SparkSession, d: String): String = {
+      val p = built.computeIfAbsent(d, _ => new Cell({
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ahash-sigs").toString
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("simhash", LongType, nullable = false)))
+        val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+        t(s, d, "documents").select(col("doc_id"))
+          .mapPartitions { rows =>
+            rows.flatMap { r =>
+              val id = r.getLong(0)
+              val png = JdkCodecs.renderPng(id)
+              val orig = Row(id, JdkCodecs.avgHash64(png))
+              if (id % 5 == 0) {
+                // maxDim 64: ~70% of the corpus genuinely resamples
+                // (the rest is within bounds and passes through — the
+                // identical-bytes trivial dup, also a real case); the
+                // aHash of a true resample stays within the screen's
+                // radius for ~3 in 4 images (measured, see MediaOpsSpec)
+                val (rs, _, _) = JdkCodecs.resizePng(png, maxDim = 64)
+                Seq(orig, Row(id + 10000000L, JdkCodecs.avgHash64(rs)))
+              } else Seq(orig)
+            }
+          }(enc)
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })).dir
+      lastPath = Some(p)
+      p
+    }
+  }
+
+  def oracleSql: Map[String, String] = staticOracleSql ++
+    AHashSigs.lastPath.map { p =>
+      "l64_image_neardup" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, simhash FROM read_parquet('$p/*.parquet'))
+           |SELECT x.doc_id AS a, y.doc_id AS b,
+           |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+           |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+           |ORDER BY a, b""".stripMargin
+    }
+
+  private val staticOracleSql: Map[String, String] = Map(
+    "l61_image_decode" ->
+      """SELECT doc_id,
+        |       CAST((doc_id % 97) + 16 AS INT) AS width,
+        |       CAST(((doc_id * 7) % 83) + 16 AS INT) AS height,
+        |       'png' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // out dims: aspect-preserving integer floor to maxDim=40; `//` is
+    // DuckDB integer (floor) division, matching Scala's positive-int `/`
+    "l62_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST((doc_id % 97) + 16 AS INT) AS w,
+        |         CAST(((doc_id * 7) % 83) + 16 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS in_w, h AS in_h,
+        |       CAST(CASE WHEN GREATEST(w, h) <= 40 THEN w
+        |            ELSE GREATEST(1, (w * 40) // GREATEST(w, h)) END AS INT) AS out_w,
+        |       CAST(CASE WHEN GREATEST(w, h) <= 40 THEN h
+        |            ELSE GREATEST(1, (h * 40) // GREATEST(w, h)) END AS INT) AS out_h
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
+    "l63_audio_wav" ->
+      """SELECT doc_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST((doc_id % 1000) + 100 AS BIGINT) AS n_frames,
+        |       CAST(44 + 2 * ((doc_id % 1000) + 100) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
