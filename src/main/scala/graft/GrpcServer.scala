@@ -12,7 +12,7 @@ import io.netty.channel.epoll.{Epoll, EpollIoHandler, EpollServerDomainSocketCha
 import io.netty.channel.unix.DomainSocketAddress
 import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers,
   DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream,
-  Http2HeadersFrame}
+  Http2HeadersFrame, Http2ResetFrame}
 import io.netty.util.ReferenceCountUtil
 
 import graft.sources.{PufsFileSystem, SnapshotStore}
@@ -61,7 +61,12 @@ import graft.sources.{PufsFileSystem, SnapshotStore}
 object GrpcServer {
 
   val MethodPath = "/api.Pufs/GetDirContents"
-  private val MaxBody = 4 << 20
+  private val DefaultMaxBody = 4 << 20
+
+  /** Live StreamState count across all connections — a test hook that
+    * lets GrpcServerSpec pin the no-leak property (RST_STREAM and
+    * connection teardown must return this to its baseline). */
+  private[graft] val openStreamStates = new java.util.concurrent.atomic.AtomicInteger
 
   def available: Boolean = Epoll.isAvailable
 
@@ -81,7 +86,8 @@ object GrpcServer {
     serve(new SnapshotTree(SnapshotStore.mountAt(repo, sha)), socketPath)
   }
 
-  private[graft] def serve(tree: SnapshotTree, socketPath: String): Handle = {
+  private[graft] def serve(tree: SnapshotTree, socketPath: String,
+      maxBody: Int = DefaultMaxBody): Handle = {
     require(Epoll.isAvailable, "epoll native transport unavailable: " +
       (if (Epoll.unavailabilityCause == null) "?" else Epoll.unavailabilityCause.toString))
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(socketPath))
@@ -94,7 +100,7 @@ object GrpcServer {
           override def initChannel(c: Channel): Unit =
             c.pipeline().addLast(
               Http2FrameCodecBuilder.forServer().build(),
-              new RpcHandler(tree))
+              new RpcHandler(tree, maxBody))
         })
         .bind(new DomainSocketAddress(socketPath)).sync().channel()
       new Handle(socketPath, ch, group)
@@ -153,7 +159,7 @@ object GrpcServer {
     java.util.Arrays.copyOfRange(body, 5, body.length)
   }
 
-  private final class RpcHandler(tree: SnapshotTree)
+  private final class RpcHandler(tree: SnapshotTree, maxBody: Int)
       extends ChannelInboundHandlerAdapter {
 
     private final class StreamState(val path: String) {
@@ -161,30 +167,60 @@ object GrpcServer {
     }
     private val streams = mutable.Map[Int, StreamState]()
 
+    private def track(id: Int, st: StreamState): Unit = {
+      streams(id) = st
+      openStreamStates.incrementAndGet()
+    }
+    private def drop(id: Int): Option[StreamState] = {
+      val removed = streams.remove(id)
+      if (removed.isDefined) openStreamStates.decrementAndGet()
+      removed
+    }
+
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
       msg match {
         case h: Http2HeadersFrame =>
           val st = new StreamState(
             Option(h.headers.path).map(_.toString).getOrElse(""))
-          streams(h.stream.id) = st
+          track(h.stream.id, st)
           if (h.isEndStream) finish(ctx, h.stream, st)
         case d: Http2DataFrame =>
           try {
             streams.get(d.stream.id).foreach { st =>
-              if (st.body.size() + d.content.readableBytes() <= MaxBody)
+              if (st.body.size() + d.content.readableBytes() > maxBody) {
+                // Oversized message: answer RESOURCE_EXHAUSTED (8, the
+                // spec status for message-size limits) and drop the
+                // stream state NOW, not a confusing length-mismatch at
+                // finish() after buffering the rest anyway.
+                drop(d.stream.id)
+                trailersOnly(ctx, d.stream, 8,
+                  s"message exceeds max size $maxBody")
+              } else {
                 d.content.readBytes(st.body, d.content.readableBytes())
-              if (d.isEndStream) finish(ctx, d.stream, st)
+                if (d.isEndStream) finish(ctx, d.stream, st)
+              }
             }
           } finally d.release()
+        case r: Http2ResetFrame =>
+          // Client RST_STREAM mid-request: free the buffered state —
+          // without this a headers-then-reset client leaks its
+          // StreamState for the connection's lifetime.
+          drop(r.stream.id)
         case other =>
           // SETTINGS/PING etc. are handled inside Http2FrameCodec; release
           // whatever still reaches us and move on
           ReferenceCountUtil.release(other)
       }
 
+    override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+      // connection gone: drop all half-received streams
+      streams.keys.toVector.foreach(drop)
+      ctx.fireChannelInactive()
+    }
+
     private def finish(ctx: ChannelHandlerContext, stream: Http2FrameStream,
         st: StreamState): Unit = {
-      streams.remove(stream.id)
+      drop(stream.id)
       if (st.path != MethodPath) { trailersOnly(ctx, stream, 12,
         s"unknown method: ${st.path}"); return }
       val resp =
@@ -216,7 +252,10 @@ object GrpcServer {
       val h = new DefaultHttp2Headers().status("200")
       h.set("content-type", "application/grpc")
       h.set("grpc-status", grpcStatus.toString)
-      h.set("grpc-message", java.net.URLEncoder.encode(msg, "UTF-8"))
+      // gRPC requires percent-encoding; URLEncoder is form-encoding
+      // (space -> '+'), which stock clients would render literally.
+      h.set("grpc-message",
+        java.net.URLEncoder.encode(msg, "UTF-8").replace("+", "%20"))
       ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true).stream(stream))
     }
   }

@@ -94,11 +94,14 @@ object PufsProto {
       val t = readVarint()
       ((t >>> 3).toInt, (t & 7).toInt)
     }
-    /** LEN payload as a sub-range [start, end). */
+    /** LEN payload as a sub-range [start, end). Validated as a Long
+      * BEFORE the Int narrowing: a 64-bit length like 2^32+5 would
+      * otherwise truncate to 5 and silently misparse. */
     def readLen(): (Int, Int) = {
-      val n = readVarint().toInt
-      if (n < 0 || pos + n > until)
-        throw new IllegalArgumentException(s"LEN $n overruns buffer")
+      val v = readVarint()
+      if (v < 0 || v > until - pos)
+        throw new IllegalArgumentException(s"LEN $v overruns buffer")
+      val n = v.toInt
       val r = (pos, pos + n); pos += n; r
     }
     def skip(wire: Int): Unit = wire match {

@@ -70,8 +70,16 @@ object ServeScaleProbe {
     val marker = java.nio.file.Paths.get(corpus, "_SCALE_DONE")
     require(java.nio.file.Files.exists(marker),
       s"$corpus must be a completed ScaleBench dir (run ScaleBench first)")
+    // The corpus holds K replica shards (K is recorded in the marker); a
+    // batch multiplier above K would silently slice only the K available
+    // shards — the "100x" cell would time a Kx batch and report a
+    // spurious sub-linear ratio. Fail fast instead of mis-measuring.
+    val corpusK = new String(java.nio.file.Files.readAllBytes(marker)).trim.toInt
     val bxs = sys.env.getOrElse("SPARK_GRAFT_SERVE_BATCH_XS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
+    require(bxs.max <= corpusK,
+      s"batch multipliers $bxs exceed corpus K=$corpusK ($corpus holds only " +
+        s"$corpusK replica shards; regenerate with ScaleBench K>=${bxs.max})")
     val only = sys.env.get("SPARK_GRAFT_SERVE_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     def suite(bx: Int) = Bench.serveLanes(bx).filter { case (n, _) =>
@@ -116,7 +124,7 @@ object ServeScaleProbe {
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"serve_batch_scale","corpus":"$corpus","batch_xs":${bxs.mkString("[", ",", "]")},"lanes":$lanesJson,"ratio_per_x":$ratioJson,"failed":$failedJson}""")
+    println(s"""{"metric":"serve_batch_scale","corpus":"$corpus","corpus_k":$corpusK,"batch_xs":${bxs.mkString("[", ",", "]")},"lanes":$lanesJson,"ratio_per_x":$ratioJson,"failed":$failedJson}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -92,12 +92,17 @@ object BloomMembership {
     * uses, so no private Column constructors are touched). */
   def mightContainBroadcast(spark: SparkSession, cacheKey: String,
       h: Column)(load: => Array[Byte]): Column = {
+    // Key includes the applicationId: the cache is process-global, so
+    // after a SparkContext stop/restart in the same JVM a (path,len,mtime)
+    // hit would otherwise hand back a Broadcast owned by the DEAD context
+    // and fail at use time.
+    val key = spark.sparkContext.applicationId + ":" + cacheKey
     val bcast = bcastCache.synchronized {
-      val hit = bcastCache.get(cacheKey)
+      val hit = bcastCache.get(key)
       if (hit != null) hit
       else {
         val b = spark.sparkContext.broadcast(load)
-        bcastCache.put(cacheKey, b)
+        bcastCache.put(key, b)
         b
       }
     }

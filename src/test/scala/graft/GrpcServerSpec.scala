@@ -76,6 +76,12 @@ class GrpcServerSpec extends AnyFunSuite {
     assert(PufsProto.decodeRequest(withUnknown).path == "p")
   }
 
+  test("proto3: a 64-bit LEN (2^32+5) is rejected, not truncated to its low bits") {
+    // varint(4294967301) = 85 80 80 80 10; naive .toInt would read it as 5
+    val evil = b(0x0a, 0x85, 0x80, 0x80, 0x80, 0x10) ++ "hello".getBytes(UTF_8)
+    intercept[IllegalArgumentException](PufsProto.decodeRequest(evil))
+  }
+
   test("gRPC message framing: flag 0 + u32-BE length, strict on mismatch") {
     val msg = "payload".getBytes(UTF_8)
     val framed = GrpcServer.frameMessage(msg)
@@ -101,9 +107,7 @@ class GrpcServerSpec extends AnyFunSuite {
     (repo, GrpcServer.start(repo, "main", sock))
   }
 
-  /** One shared connection across tests — consecutive streams over the
-    * same HPACK contexts, like a long-lived client. */
-  private lazy val client: (Channel, MultiThreadIoEventLoopGroup) = {
+  private def connect(socketPath: String): (Channel, MultiThreadIoEventLoopGroup) = {
     val group = new MultiThreadIoEventLoopGroup(1, EpollIoHandler.newFactory())
     val ch = new Bootstrap()
       .group(group).channel(classOf[EpollDomainSocketChannel])
@@ -112,16 +116,25 @@ class GrpcServerSpec extends AnyFunSuite {
           Http2FrameCodecBuilder.forClient().build(),
           new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
       })
-      .connect(new DomainSocketAddress(fixture._2.socketPath)).sync().channel()
+      .connect(new DomainSocketAddress(socketPath)).sync().channel()
     (ch, group)
   }
+
+  /** One shared connection across tests — consecutive streams over the
+    * same HPACK contexts, like a long-lived client. */
+  private lazy val client: (Channel, MultiThreadIoEventLoopGroup) =
+    connect(fixture._2.socketPath)
 
   private case class RpcResult(headers: Http2Headers, body: Array[Byte],
       trailers: Option[Http2Headers])
 
-  private def call(methodPath: String, body: Array[Byte]): RpcResult = {
+  private def call(methodPath: String, body: Array[Byte]): RpcResult =
+    callOn(client._1, methodPath, body)
+
+  private def callOn(conn: Channel, methodPath: String,
+      body: Array[Byte]): RpcResult = {
     val done = new CompletableFuture[RpcResult]()
-    val sb = new Http2StreamChannelBootstrap(client._1)
+    val sb = new Http2StreamChannelBootstrap(conn)
     sb.handler(new ChannelInitializer[Channel] {
       override def initChannel(c: Channel): Unit =
         c.pipeline().addLast(new ChannelInboundHandlerAdapter {
@@ -210,5 +223,76 @@ class GrpcServerSpec extends AnyFunSuite {
     assume(GrpcServer.available, "epoll transport required")
     val first = getDir("").entries.map(_.name)
     (1 to 20).foreach(_ => assert(getDir("").entries.map(_.name) == first))
+  }
+
+  test("concurrent streams on one connection are independently answered") {
+    assume(GrpcServer.available, "epoll transport required")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val expected = getDir("sub").entries.map(_.name).toSet
+    val all = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(getDir("sub")))), 30.seconds)
+    all.foreach(r => assert(r.entries.map(_.name).toSet == expected))
+  }
+
+  test("grpc-message is percent-encoded (space = %20, never form-encoded '+')") {
+    assume(GrpcServer.available, "epoll transport required")
+    val res = call("/api.Pufs/NoSuchMethod", GrpcServer.frameMessage(Array[Byte]()))
+    val msg = res.headers.get("grpc-message").toString
+    assert(msg.contains("%20"), s"expected %20-encoded spaces in '$msg'")
+    assert(!msg.contains("+"), s"form-encoding leaked into '$msg'")
+  }
+
+  private def awaitUntil(what: String)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!cond) {
+      if (System.nanoTime() > deadline) fail(s"timed out waiting for $what")
+      Thread.sleep(10)
+    }
+  }
+
+  test("client RST_STREAM mid-request frees the server's stream state") {
+    assume(GrpcServer.available, "epoll transport required")
+    val baseline = GrpcServer.openStreamStates.get()
+    val sb = new Http2StreamChannelBootstrap(client._1)
+    sb.handler(new ChannelInboundHandlerAdapter())
+    val stream = sb.open().sync().getNow
+    val hdrs = new DefaultHttp2Headers()
+      .method("POST").scheme("http").path(GrpcServer.MethodPath).authority("localhost")
+    hdrs.set("content-type", "application/grpc")
+    stream.writeAndFlush(new DefaultHttp2HeadersFrame(hdrs)) // no END_STREAM
+    awaitUntil("server to buffer the half-open stream")(
+      GrpcServer.openStreamStates.get() == baseline + 1)
+    stream.close().sync() // active stream channel close => RST_STREAM(CANCEL)
+    awaitUntil("server to free the reset stream's state")(
+      GrpcServer.openStreamStates.get() == baseline)
+    assert(getDir("sub").entries.nonEmpty) // connection still serviceable
+  }
+
+  test("oversized message is trailers-only RESOURCE_EXHAUSTED (8), state dropped") {
+    assume(GrpcServer.available, "epoll transport required")
+    val sock = Files.createTempDirectory("grpc-sock").resolve("small.sock").toString
+    val sha = SnapshotStore.getRoot(fixture._1, "main").getOrElse("main")
+    val handle = GrpcServer.serve(
+      new SnapshotTree(SnapshotStore.mountAt(fixture._1, sha)), sock, maxBody = 64)
+    val (conn, group) = connect(sock)
+    try {
+      val baseline = GrpcServer.openStreamStates.get()
+      val res = callOn(conn, GrpcServer.MethodPath,
+        GrpcServer.frameMessage(Array.fill[Byte](100)(1)))
+      assert(res.headers.get("grpc-status").toString == "8")
+      assert(res.trailers.isEmpty, "trailers-only: status rides the initial HEADERS")
+      awaitUntil("overflowed stream's state to be dropped")(
+        GrpcServer.openStreamStates.get() == baseline)
+      // the connection survives and a small request still works
+      val ok = callOn(conn, GrpcServer.MethodPath, GrpcServer.frameMessage(
+        PufsProto.encodeRequest(PufsProto.DirContentsRequest("sub"))))
+      assert(ok.trailers.exists(_.get("grpc-status").toString == "0"))
+    } finally {
+      conn.close().syncUninterruptibly()
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS).syncUninterruptibly()
+      handle.stop()
+    }
   }
 }
