@@ -325,6 +325,21 @@ object Bench {
         graft.operators.SimHashIndex.neighborsAgainst(s,
           ServeIndexes.simhash(s, d), tailBatch(s, d, 250))),
 
+      // standing IMAGE near-dup screen: the batch renders its images,
+      // REALLY resizes them (decode → SCALE_SMOOTH → re-encode →
+      // re-decode) and aHash64es the copies; the screen is the SAME
+      // SimHashIndex serve path as idx_simhash_screen — image and text
+      // near-dup share one standing-index layout, verify, and cost
+      // model (l64 proves the batch path; this is its standing form).
+      // Timed cost = batch-side codec kernel + the 8-byte-floor screen.
+      "idx_image_screen" -> ((s: SparkSession, d: String) =>
+        graft.operators.SimHashIndex.neighborsAgainstSigs(s,
+          ServeIndexes.imageSimhash(s, d),
+          graft.operators.MediaOps.aHashSigsOf(
+            slice(t(s, d, "documents"), "doc_id", 250),
+            resizeMaxDim = 64, idShift = 10000000L)
+            .localCheckpoint(true))),
+
       // PQ probe batch: broadcast per-probe ADC distance tables scanned
       // over the 32x-compressed codes + bounded exact re-rank
       // (PqIndex.queryProbes — the vectors-don't-fit serving path)
@@ -380,6 +395,16 @@ object Bench {
     def simhash(s: SparkSession, d: String): String =
       cached("simhashidx", d) { dir =>
         graft.operators.SimHashIndex.build(s, t(s, d, "documents"), dir); ()
+      }
+    def imageSimhash(s: SparkSession, d: String): String =
+      cached("imgsimidx", d) { dir =>
+        // corpus-side signatures: render + decode + aHash64 every doc
+        // (renderPng keys off the full doc_id, so scaled corpora hold
+        // genuinely distinct images per replica shard — no salting step)
+        graft.operators.SimHashIndex.buildFromSigs(s,
+          graft.operators.MediaOps.aHashSigsOf(
+            t(s, d, "documents").select(col("doc_id"))), dir)
+        ()
       }
     def pq(s: SparkSession, d: String): String =
       cached("pqidx", d)(dir => graft.operators.PqIndex.build(s, d, dir))

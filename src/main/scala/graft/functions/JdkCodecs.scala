@@ -220,6 +220,119 @@ object JdkCodecs {
         bits
     }
 
+  // ---------------------------------------------------------------- video
+
+  /** Deterministic test-video geometry from a key — the same arithmetic
+    * the DuckDB oracle recomputes, so a frame-boundary or plane-size bug
+    * in [[parseY4m]] fails the lane hash. */
+  def vidWidth(id: Long): Int = (id % 31).toInt + 8
+  def vidHeight(id: Long): Int = ((id * 5) % 29).toInt + 8
+  def vidFrames(id: Long): Int = (id % 7).toInt + 4
+
+  /** Per-frame luma value: frame f of video id carries a CONSTANT Y
+    * plane of this value, so its mean luminance is oracle-exact; U/V
+    * planes are splitmix64 noise the parser must skip at exactly w·h
+    * bytes each — a plane-size bug desynchronizes every later frame. */
+  def vidLuma(id: Long, frame: Int): Int = ((id * 31 + frame * 17) % 251).toInt
+
+  /** Encode the deterministic test video for a key as a real YUV4MPEG2
+    * (Y4M) stream: ASCII `YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C444` header,
+    * then per frame an ASCII `FRAME` marker + raw 4:4:4 planes. Y4M is
+    * the one container a pure JVM can carry honestly — a public,
+    * trivially specified format (the mjpegtools/ffmpeg interchange
+    * format) with no entropy coding, which is exactly why it closes the
+    * "JDK has no demuxer" gap: the demuxing (header parse, frame
+    * boundaries, plane layout) is real, only the bitstream is raw. */
+  def renderY4m(id: Long): Array[Byte] = {
+    val w = vidWidth(id); val h = vidHeight(id); val n = vidFrames(id)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+      .getBytes("US-ASCII")
+    val frameMarker = "FRAME\n".getBytes("US-ASCII")
+    val plane = w * h
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + n * (frameMarker.length + 3 * plane))
+    out.put(header)
+    var f = 0
+    while (f < n) {
+      out.put(frameMarker)
+      val y = vidLuma(id, f).toByte
+      var i = 0
+      while (i < plane) { out.put(y); i += 1 }
+      // U/V noise keyed off (id, f, plane index block) — incompressible,
+      // and any parser that misreads plane extents lands inside it
+      var j = 0
+      while (j < 2 * plane) {
+        out.put((mix64(id ^ (f.toLong << 32) ^ j.toLong) & 0xff).toByte)
+        j += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** A demuxed Y4M stream: geometry + the decoded LUMA plane per frame
+    * (U/V are parsed for extent — they position the next frame — but
+    * only Y feeds the gray features downstream). */
+  final case class Y4m(width: Int, height: Int, frames: IndexedSeq[Array[Byte]])
+
+  /** REAL Y4M demux: parses the stream header (W/H/C tags), walks FRAME
+    * markers, and slices each frame's planes by the declared chroma
+    * subsampling (C444 = 3·wh; C420 variants = wh + 2·⌈w/2⌉⌈h/2⌉;
+    * C422 = wh + 2·⌈w/2⌉h; mono = wh). Returns None for anything that
+    * is not a well-formed Y4M stream — never throws, the per-row-kernel
+    * contract shared with [[decodeDims]]/[[decodeWavMeta]]. */
+  def parseY4m(payload: Array[Byte]): Option[Y4m] = {
+    val Magic = "YUV4MPEG2 "
+    if (payload == null || payload.length < Magic.length + 1) return None
+    if (!payload.startsWith(Magic.getBytes("US-ASCII"))) return None
+    val hdrEnd = payload.indexOf('\n'.toByte)
+    if (hdrEnd < 0) return None
+    val tags = new String(payload, 0, hdrEnd, "US-ASCII")
+      .drop(Magic.length).split(' ').filter(_.nonEmpty)
+    var w = -1; var h = -1; var chroma = "420jpeg" // Y4M's default
+    tags.foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'C' => chroma = t.drop(1)
+        case _ => // F/I/A/X tags don't affect demuxing
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val luma = w * h
+    val frameBytes = chroma match {
+      case "444" => 3 * luma
+      case "422" => luma + 2 * ((w + 1) / 2) * h
+      case c if c.startsWith("420") => luma + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      case "mono" => luma
+      case _ => return None
+    }
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    var pos = hdrEnd + 1
+    val FrameMagic = "FRAME".getBytes("US-ASCII")
+    while (pos < payload.length) {
+      // frame header: "FRAME", optional ' '-prefixed params, '\n'
+      if (pos + FrameMagic.length > payload.length ||
+        !java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(payload, pos, pos + FrameMagic.length),
+          FrameMagic)) return None
+      var nl = pos + FrameMagic.length
+      while (nl < payload.length && payload(nl) != '\n'.toByte) nl += 1
+      if (nl >= payload.length) return None
+      val dataStart = nl + 1
+      if (dataStart + frameBytes > payload.length) return None
+      frames += java.util.Arrays.copyOfRange(payload, dataStart, dataStart + luma)
+      pos = dataStart + frameBytes
+    }
+    Some(Y4m(w, h, frames.result()))
+  }
+
+  /** Mean of a luma plane, rounded down — integer-exact for the constant
+    * planes [[renderY4m]] emits, so the oracle recomputes it. */
+  def lumaMean(plane: Array[Byte]): Int =
+    if (plane.isEmpty) 0
+    else (plane.foldLeft(0L)((a, b) => a + (b & 0xff)) / plane.length).toInt
+
   // ---------------------------------------------------------------- audio
 
   def wavSamples(id: Long): Int = (id % 1000).toInt + 100

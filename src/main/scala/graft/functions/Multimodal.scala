@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * "multimodal columns"; the puFS blob model §1.4 — payloads are opaque
   * byte blocks, reference core/types.go:10).
   *
-  * The actual codec is STUBBED (`FakeDecoder`) — no image/audio libraries
-  * exist in this container — but everything Spark-side is real and load-
-  * bearing: the schema contract, the mapPartitions batch shape (decoder
-  * state initialized once per partition, not per row — exactly how a
-  * JNI/FFmpeg handle would be held), and the partition-parallel execution.
-  * Swapping FakeDecoder for a real codec changes no plumbing.
+  * Codecs: images and audio are REAL via [[JdkCodecs]] (ImageIO /
+  * javax.sound — see [[JdkImageDecoder]] for the Decoder-seam form),
+  * and video demuxing is REAL for YUV4MPEG2 ([[JdkCodecs.parseY4m]],
+  * used by [[frameSample]]). `FakeDecoder` remains the documented stub
+  * for payloads with no JVM codec (mp4/webm/jpeg2000 …): the schema
+  * contract, the mapPartitions batch shape (decoder state initialized
+  * once per partition, not per row — exactly how a JNI/FFmpeg handle
+  * would be held), and the partition-parallel execution are identical
+  * on both paths.
   */
 object Multimodal {
 
@@ -93,10 +96,16 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling: one video payload → every Nth "frame" as its own
-    * binary row (id, frame_idx, frame). The 1→N generator shape of video
-    * preprocessing — a real impl seeks keyframes with a demuxer handle
-    * held per partition; the stub slices the payload deterministically. */
+  /** Frame sampling: one video payload → every Nth frame as its own
+    * binary row (id, frame_idx, frame). REAL for YUV4MPEG2 payloads
+    * since round 12 — [[JdkCodecs.parseY4m]] demuxes the container
+    * (header, FRAME boundaries, plane extents) and each emitted frame
+    * is the decoded luma plane; other containers (mp4/webm — the JDK
+    * has no entropy-coded demuxer) fall back to the documented
+    * fixed-stride slicing stub. The 1→N generator shape, the per-
+    * partition decode, and the downstream BINARY contract are identical
+    * on both paths, which is the point: swapping in a JNI demuxer for
+    * the remaining containers changes no plumbing. */
   def frameSample(df: DataFrame, everyN: Int = 2, frameBytes: Int = 256): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -107,10 +116,17 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getAs[Long]("id")
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
-        val nFrames = payload.length / frameBytes
-        (0 until nFrames by everyN).iterator.map { f =>
-          Row(id, f, java.util.Arrays.copyOfRange(
-            payload, f * frameBytes, (f + 1) * frameBytes))
+        JdkCodecs.parseY4m(payload) match {
+          case Some(v) =>
+            (0 until v.frames.length by everyN).iterator.map { f =>
+              Row(id, f, v.frames(f))
+            }
+          case None =>
+            val nFrames = payload.length / frameBytes
+            (0 until nFrames by everyN).iterator.map { f =>
+              Row(id, f, java.util.Arrays.copyOfRange(
+                payload, f * frameBytes, (f + 1) * frameBytes))
+            }
         }
       }
     }(enc)

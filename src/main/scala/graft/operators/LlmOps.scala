@@ -1875,30 +1875,9 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
-    // L19: the full multimodal batch pipeline composed end-to-end —
-    // payload → decode(meta) → frame-sample (1→N) → feature-extract
-    // (frame → embedding) → per-format stats. Codecs are the documented
-    // deterministic stubs (no media libs in-env); the Spark shapes
-    // (mapPartitions batches, generator explode, ArrayType(Float) feeding
-    // the ANN ops) are the contract. Rows-only lane + SourcesSpec.
-    "l19_multimodal_pipeline" -> ((s, d) => {
-      import graft.functions.Multimodal
-      val docs = t(s, d, "documents")
-        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
-      val meta = Multimodal.decodeMeta(docs).select(col("id"), col("format"))
-      val frames = Multimodal.frameSample(docs, everyN = 2, frameBytes = 64)
-      val feats = Multimodal.featureExtract(
-        frames.select(col("id"), col("frame_idx"), col("frame").as("payload")))
-      val frameNorm = sqrt(aggregate(
-        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (a, x) => a + x))
-      feats.join(meta, "id")
-        .groupBy("format")
-        .agg(countDistinct(col("id")).as("n_docs"),
-          count(lit(1)).as("n_frames"),
-          round(avg(frameNorm), 4).as("avg_frame_norm"))
-        .orderBy("format")
-    }),
+    // L19 moved to MediaOps (round 12): rebuilt end-to-end on the real
+    // JdkCodecs stack with a full key-arithmetic oracle — see
+    // MediaOps."l19_multimodal_pipeline".
 
     // L11: multimodal column plumbing — text payloads as opaque binary with
     // typed metadata (the puFS blob model, SURVEY §1.4). The "decode" here

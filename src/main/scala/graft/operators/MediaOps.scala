@@ -105,6 +105,100 @@ object MediaOps {
         s.read.parquet(AHashSigs.fixture(s, d)))
         .orderBy(col("a"), col("b"))),
 
+    // L65: real video demux — YUV4MPEG2 (the mjpegtools/ffmpeg raw
+    // interchange container: public spec, no entropy coding — the one
+    // container a pure JVM can demux honestly). Each doc renders a real
+    // Y4M stream (key-pinned geometry + constant-Y frames + noise U/V
+    // planes), JdkCodecs.parseY4m demuxes it, every 2nd frame is
+    // sampled, and each sampled frame emits its decoded mean luminance.
+    // The oracle recomputes every field from the key arithmetic —
+    // a frame-boundary or plane-extent bug desynchronizes the stream
+    // and reads U/V noise as luma, failing the hash.
+    "l65_video_y4m" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("frame_idx", IntegerType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("n_frames", LongType, nullable = false),
+        StructField("y_mean", IntegerType, nullable = false)))
+      val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      docs.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val v = JdkCodecs.parseY4m(JdkCodecs.renderY4m(id)).get
+          (0 until v.frames.length by 2).iterator.map { f =>
+            Row(id, f, v.width, v.height, v.frames.length.toLong,
+              JdkCodecs.lumaMean(v.frames(f)))
+          }
+        }
+      }(enc).orderBy("doc_id", "frame_idx")
+    }),
+
+    // L19 (rebuilt on the real codecs, round 12 — previously the
+    // FakeDecoder no-oracle lane): the multimodal batch pipeline
+    // composed end-to-end as DATAFRAME STAGES, all three modalities
+    // real — image header decode through the Multimodal.Decoder seam
+    // (JdkImageDecoder/ImageIO), audio through javax.sound, video
+    // through Multimodal.frameSample's REAL Y4M demux path → per-frame
+    // luma feature → per-doc aggregate → 3-way join. Every output field
+    // is key-arithmetic, so the whole composition is oracle-checked.
+    "l19_multimodal_pipeline" -> ((s, d) => {
+      import graft.functions.{JdkImageDecoder, Multimodal}
+      val ids = t(s, d, "documents").select(col("doc_id").as("id"))
+      val pSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val pEnc = ExpressionEncoder(RowEncoder.encoderFor(pSchema))
+      def withPayload(mk: Long => Array[Byte]): DataFrame =
+        ids.mapPartitions { rows =>
+          rows.map(r => Row(r.getLong(0), mk(r.getLong(0))))
+        }(pEnc)
+      // image stage: REAL header decode via the Decoder seam
+      val img = Multimodal.decodeMeta(
+          withPayload(JdkCodecs.renderPng), JdkImageDecoder)
+        .select(col("id"), col("width").as("img_w"),
+          col("height").as("img_h"), col("format").as("img_format"))
+      // audio stage: REAL RIFF/WAVE decode
+      val wSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("wav_rate", IntegerType, nullable = false),
+        StructField("wav_frames", LongType, nullable = false)))
+      val wEnc = ExpressionEncoder(RowEncoder.encoderFor(wSchema))
+      val wav = withPayload(JdkCodecs.renderWav).mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, _, frames, _) =
+            JdkCodecs.decodeWavMeta(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), rate, frames)
+        }
+      }(wEnc)
+      // video stage: REAL Y4M demux (frameSample's Y4M path), per-frame
+      // luma feature, per-doc aggregate
+      val frames = Multimodal.frameSample(
+        withPayload(JdkCodecs.renderY4m), everyN = 2)
+      val fSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("plane_bytes", IntegerType, nullable = false),
+        StructField("y_mean", IntegerType, nullable = false)))
+      val fEnc = ExpressionEncoder(RowEncoder.encoderFor(fSchema))
+      val feats = frames.mapPartitions { rows =>
+        rows.map { r =>
+          val fr = r.getAs[Array[Byte]]("frame")
+          Row(r.getLong(0), fr.length, JdkCodecs.lumaMean(fr))
+        }
+      }(fEnc)
+      val vid = feats.groupBy("id").agg(
+        count(lit(1)).as("vid_sampled"),
+        min(col("plane_bytes")).as("vid_plane_bytes"),
+        sum(col("y_mean")).cast("long").as("vid_y_sum"))
+      img.join(wav, "id").join(vid, "id")
+        .select(col("id").as("doc_id"), col("img_w"), col("img_h"),
+          col("img_format"), col("wav_rate"), col("wav_frames"),
+          col("vid_sampled"), col("vid_plane_bytes"), col("vid_y_sum"))
+        .orderBy("doc_id")
+    }),
+
     // L63: real audio decode — hand-rolled canonical RIFF/WAVE PCM16
     // encode, decoded back through javax.sound.sampled; rate/channels/
     // frame-count come from the decoder, total bytes from the payload.
@@ -213,5 +307,74 @@ object MediaOps {
         |       CAST(1 AS INT) AS channels,
         |       CAST((doc_id % 1000) + 100 AS BIGINT) AS n_frames,
         |       CAST(44 + 2 * ((doc_id % 1000) + 100) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every 2nd frame of nf = (id%7)+4 frames; y_mean of frame f is the
+    // constant luma (id*31 + f*17) % 251 the encoder painted
+    "l65_video_y4m" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST((doc_id % 31) + 8 AS INT) AS w,
+        |         CAST(((doc_id * 5) % 29) + 8 AS INT) AS h,
+        |         CAST((doc_id % 7) + 4 AS INT) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, nf,
+        |         unnest(range(0, CAST(nf AS BIGINT), 2)) AS fr
+        |  FROM v)
+        |SELECT doc_id, CAST(fr AS INT) AS frame_idx, w AS width,
+        |       h AS height, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST((doc_id * 31 + fr * 17) % 251 AS INT) AS y_mean
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "l19_multimodal_pipeline" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST((doc_id % 97) + 16 AS INT) AS img_w,
+        |         CAST(((doc_id * 7) % 83) + 16 AS INT) AS img_h,
+        |         CAST((doc_id % 31) + 8 AS INT) AS vw,
+        |         CAST(((doc_id * 5) % 29) + 8 AS INT) AS vh,
+        |         CAST((doc_id % 7) + 4 AS INT) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, unnest(range(0, CAST(nf AS BIGINT), 2)) AS fr
+        |  FROM v),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS vid_sampled,
+        |         SUM((doc_id * 31 + fr * 17) % 251) AS vid_y_sum
+        |  FROM f GROUP BY doc_id)
+        |SELECT v.doc_id, v.img_w, v.img_h, 'png' AS img_format,
+        |       CAST(8000 AS INT) AS wav_rate,
+        |       CAST((v.doc_id % 1000) + 100 AS BIGINT) AS wav_frames,
+        |       CAST(agg.vid_sampled AS BIGINT) AS vid_sampled,
+        |       CAST(v.vw * v.vh AS INT) AS vid_plane_bytes,
+        |       CAST(agg.vid_y_sum AS BIGINT) AS vid_y_sum
+        |FROM v JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
+
+  /** (doc_id, simhash = aHash64 of the REAL decoded pixels) for every id
+    * in `ids` — the signature kernel behind the standing image near-dup
+    * index (idx_image_screen): render → ImageIO decode → 8×8 aHash.
+    * `resizeMaxDim > 0` hashes the REALLY-resized copy instead (decode →
+    * SCALE_SMOOTH → re-encode → re-decode → hash), the arriving-batch
+    * form whose planted pairs the screen must catch; `idShift` keeps
+    * batch ids disjoint from corpus ids. Output is schema-compatible
+    * with SimHashIndex sigs/, so image signatures ride the SAME
+    * band-partitioned standing index as text SimHash64. */
+  private[graft] def aHashSigsOf(ids: DataFrame, resizeMaxDim: Int = 0,
+      idShift: Long = 0L): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    ids.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val png = JdkCodecs.renderPng(id)
+        val payload =
+          if (resizeMaxDim <= 0) png
+          else JdkCodecs.resizePng(png, maxDim = resizeMaxDim)._1
+        Row(id + idShift, JdkCodecs.avgHash64(payload))
+      }
+    }(enc)
+  }
 }

@@ -94,9 +94,18 @@ object SimHashIndex {
 
   /** Signature the corpus and persist the index (bands first, sigs last —
     * sigs/ is the publish). Returns indexed-doc count. */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Long = {
-    val sigs = LlmOps.simhash64Of(
-      docs.select(col("doc_id"), col("text"))).persist()
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Long =
+    buildFromSigs(spark, LlmOps.simhash64Of(
+      docs.select(col("doc_id"), col("text"))), indexDir)
+
+  /** Persist an index from PRE-COMPUTED signatures (doc_id, simhash) —
+    * the index is signature-agnostic: any 64-bit Hamming-comparable key
+    * rides the same layout, which is how image aHash64 signatures share
+    * the standing near-dup machinery with text SimHash64
+    * (idx_image_screen; MediaOps.aHashSigsOf produces the sigs). */
+  def buildFromSigs(spark: SparkSession, sigs0: DataFrame,
+      indexDir: String): Long = {
+    val sigs = sigs0.select(col("doc_id"), col("simhash")).persist()
     try {
       writeBands(sigs, indexDir, "overwrite")
       sigs.write.mode("overwrite").parquet(s"$indexDir/sigs")
@@ -158,8 +167,8 @@ object SimHashIndex {
     * sits comfortably past it). Tunable per deployment (and set to 0 by
     * specs to exercise the pruned arm on test-sized corpora) via
     * `spark.graft.simhash.prunedMinSigsBytes`. */
-  private[operators] val PrunedMinSigsBytes: Long = 1L << 30
-  private[operators] val PrunedMinSigsBytesKey =
+  private[graft] val PrunedMinSigsBytes: Long = 1L << 30
+  private[graft] val PrunedMinSigsBytesKey =
     "spark.graft.simhash.prunedMinSigsBytes"
 
   /** VERIFIED near-dup pairs (hamming ≤ 3) between `docs` (new batch) and
@@ -175,6 +184,16 @@ object SimHashIndex {
     // release via the ContextCleaner when the plan is GC'd
     val batchSigs = LlmOps.simhash64Of(
       docs.select(col("doc_id"), col("text"))).localCheckpoint(true)
+    neighborsAgainstSigs(spark, indexDir, batchSigs)
+  }
+
+  /** Same screen from pre-computed batch signatures (doc_id, simhash) —
+    * for callers that already hold signatures (re-screens, the
+    * crossover probe's synthetic corpora). `batchSigs` should be
+    * materialized (localCheckpoint/cached): it feeds both the driver
+    * prefix collect and the join probe. */
+  private[graft] def neighborsAgainstSigs(spark: SparkSession,
+      indexDir: String, batchSigs: DataFrame): DataFrame = {
     val batch = bandRows(batchSigs)
       .select(col("doc_id").as("new_id"), col("simhash").as("hn"),
         col("band"), col("bv"), col("pb"))

@@ -182,11 +182,21 @@ class SourcesSpec extends SparkSpec {
     assert(math.max(w, h) <= 64 && w >= 1 && h >= 1)
   }
 
-  test("l19 multimodal pipeline aggregates per format") {
-    val out = graft.operators.LlmOps.queries("l19_multimodal_pipeline")(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(out.nonEmpty)
-    assert(out.map(_._1).toSet.subsetOf(Set("png", "jpeg")))
-    assert(out.map(_._3).sum > 0, "no frames sampled")
+  test("l19 multimodal pipeline decodes all three modalities per doc") {
+    val out = graft.operators.MediaOps.queries("l19_multimodal_pipeline")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("img_format") == "png")
+      assert(r.getAs[Int]("img_w") == graft.functions.JdkCodecs.imgWidth(id))
+      assert(r.getAs[Long]("wav_frames") ==
+        graft.functions.JdkCodecs.wavSamples(id).toLong)
+      assert(r.getAs[Int]("vid_plane_bytes") ==
+        graft.functions.JdkCodecs.vidWidth(id) *
+          graft.functions.JdkCodecs.vidHeight(id))
+      assert(r.getAs[Long]("vid_sampled") ==
+        (graft.functions.JdkCodecs.vidFrames(id) + 1) / 2)
+    }
   }
 }

@@ -137,6 +137,82 @@ class MediaOpsSpec extends SparkSpec {
       s"only $caught of $planted planted resize pairs within Hamming 3")
   }
 
+  test("Y4M round-trip: real demux returns the encoded geometry, frames and luma") {
+    for (id <- Seq(0L, 1L, 30L, 1234L, 99999L)) {
+      val y4m = JdkCodecs.renderY4m(id)
+      assert(new String(y4m.take(10), "US-ASCII") == "YUV4MPEG2 ")
+      val v = JdkCodecs.parseY4m(y4m).getOrElse(fail(s"id=$id did not parse"))
+      assert(v.width == JdkCodecs.vidWidth(id) && v.height == JdkCodecs.vidHeight(id))
+      assert(v.frames.length == JdkCodecs.vidFrames(id))
+      // frame f carries a constant Y plane of vidLuma(id, f); a plane-
+      // extent bug would read U/V noise as luma and break this exactly
+      v.frames.zipWithIndex.foreach { case (plane, f) =>
+        assert(plane.length == v.width * v.height)
+        assert(JdkCodecs.lumaMean(plane) == JdkCodecs.vidLuma(id, f),
+          s"frame $f of id=$id decoded wrong luma")
+        assert(plane.forall(b => (b & 0xff) == JdkCodecs.vidLuma(id, f)))
+      }
+    }
+  }
+
+  test("Y4M parser is total and handles the format's variants") {
+    assert(JdkCodecs.parseY4m(Array.emptyByteArray).isEmpty)
+    assert(JdkCodecs.parseY4m("not a video".getBytes).isEmpty)
+    assert(JdkCodecs.parseY4m(null).isEmpty)
+    // truncated mid-frame: None, not a partial parse
+    val full = JdkCodecs.renderY4m(7L)
+    assert(JdkCodecs.parseY4m(full.dropRight(5)).isEmpty)
+    // C420 (the format's default when no C tag is present): 2x2-subsampled
+    // chroma, ceil division on odd dims — hand-build a 3x3, 2-frame stream
+    def c420(w: Int, h: Int, frames: Int, yVal: Int): Array[Byte] = {
+      val luma = w * h
+      val chroma = ((w + 1) / 2) * ((h + 1) / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F30:1\n".getBytes("US-ASCII"))
+      for (_ <- 0 until frames) {
+        bos.write("FRAME Xsome-param\n".getBytes("US-ASCII")) // param'd marker
+        for (_ <- 0 until luma) bos.write(yVal)
+        for (_ <- 0 until 2 * chroma) bos.write(128)
+      }
+      bos.toByteArray
+    }
+    val v = JdkCodecs.parseY4m(c420(3, 3, 2, 77))
+      .getOrElse(fail("C420-default stream did not parse"))
+    assert(v.width == 3 && v.height == 3 && v.frames.length == 2)
+    assert(v.frames.forall(p => p.length == 9 && JdkCodecs.lumaMean(p) == 77))
+    // unknown chroma tag: rejected, not misread
+    val bad = "YUV4MPEG2 W2 H2 C999\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(1)
+    assert(JdkCodecs.parseY4m(bad).isEmpty)
+  }
+
+  test("frameSample demuxes Y4M for real and falls back to the stub otherwise") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Multimodal
+    val ids = graft.Tables.t(spark, sfDir, "documents").limit(6)
+      .select(col("doc_id").as("id"))
+      .withColumn("payload",
+        udf((id: Long) => JdkCodecs.renderY4m(id)).apply(col("id")))
+    val frames = Multimodal.frameSample(ids, everyN = 2).collect()
+    frames.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      val plane = r.getAs[Array[Byte]]("frame")
+      assert(f % 2 == 0 && f < JdkCodecs.vidFrames(id))
+      assert(plane.length == JdkCodecs.vidWidth(id) * JdkCodecs.vidHeight(id))
+      assert(JdkCodecs.lumaMean(plane) == JdkCodecs.vidLuma(id, f))
+    }
+    val perDoc = frames.groupBy(_.getLong(0)).view.mapValues(_.length)
+    perDoc.foreach { case (id, n) =>
+      assert(n == (JdkCodecs.vidFrames(id) + 1) / 2)
+    }
+    // a non-Y4M payload still flows through the documented stub slicing
+    import graft.SparkSpec.spark.implicits._
+    val stub = Multimodal.frameSample(
+      Seq((1L, Array.fill[Byte](512)(3))).toDF("id", "payload"),
+      everyN = 2, frameBytes = 128).collect()
+    assert(stub.length == 2 && stub.forall(_.getAs[Array[Byte]]("frame").length == 128))
+  }
+
   test("lanes run end-to-end on sf0.001 and match their own oracle arithmetic") {
     for ((name, q) <- MediaOps.queries) {
       val rows = q(spark, sfDir).collect()

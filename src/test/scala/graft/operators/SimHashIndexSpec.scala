@@ -199,6 +199,39 @@ class SimHashIndexSpec extends SparkSpec {
       s"post-migrate append must reach the banded screen: $post")
   }
 
+  test("image aHash sigs ride the same standing index: screen ≡ brute force, resizes surface") {
+    // the index is signature-agnostic — buildFromSigs persists aHash64
+    // signatures of REAL decoded pixels into the same sigs/+bands/
+    // layout, and the idx_image_screen serve path is byte-for-byte
+    // neighborsAgainstSigs (no image-specific screen code to drift)
+    val dir = java.nio.file.Files
+      .createTempDirectory("simhash-image").toString
+    val ids = graft.Tables.t(spark, sfDir, "documents").select("doc_id")
+    val nCorpus = ids.count()
+    val corpusSigs = MediaOps.aHashSigsOf(ids).localCheckpoint(true)
+    assert(SimHashIndex.buildFromSigs(spark, corpusSigs, dir) == nCorpus)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")),
+      "image index must materialize the same bands/ projection")
+    // arriving batch: REALLY-resized copies of 20 corpus images
+    val batchSigs = MediaOps.aHashSigsOf(
+      ids.filter(col("doc_id") < 20), resizeMaxDim = 64,
+      idShift = 10000000L).localCheckpoint(true)
+    val screened = norm(
+      SimHashIndex.neighborsAgainstSigs(spark, dir, batchSigs).collect())
+    // identity: unscreened brute-force Hamming ≤ 3 across corpus × batch
+    val brute = corpusSigs.as("c").join(batchSigs.as("b"),
+        expr("bit_count(c.simhash ^ b.simhash) <= 3"))
+      .select(col("b.doc_id"), col("c.doc_id"),
+        expr("CAST(bit_count(c.simhash ^ b.simhash) AS LONG)"))
+      .collect()
+    assert(screened == norm(brute),
+      s"image screen diverged from brute force: screened=${screened.size} brute=${brute.length}")
+    // aHash is resize-stable: a healthy majority of the 20 planted
+    // resize pairs must land within the radius (l64's measured ~3-in-4)
+    val caught = screened.count { case (a, b, _) => b == a + 10000000L }
+    assert(caught * 2 > 20, s"only $caught of 20 planted resize pairs caught")
+  }
+
   test("serve plan joins band keys — no cartesian, reads the stored sigs") {
     val dir = java.nio.file.Files
       .createTempDirectory("simhash-plan").toString
