@@ -11,8 +11,8 @@ import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAd
 import io.netty.channel.epoll.{Epoll, EpollIoHandler, EpollServerDomainSocketChannel}
 import io.netty.channel.unix.DomainSocketAddress
 import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers,
-  DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream,
-  Http2HeadersFrame, Http2ResetFrame}
+  DefaultHttp2HeadersFrame, DefaultHttp2ResetFrame, Http2DataFrame, Http2Error,
+  Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame, Http2ResetFrame}
 import io.netty.util.ReferenceCountUtil
 
 import graft.sources.{PufsFileSystem, SnapshotStore}
@@ -168,8 +168,10 @@ object GrpcServer {
     private val streams = mutable.Map[Int, StreamState]()
 
     private def track(id: Int, st: StreamState): Unit = {
-      streams(id) = st
-      openStreamStates.incrementAndGet()
+      // increment only on a genuinely new stream: a duplicate HEADERS on
+      // a live id must not double-count (the no-leak counter would never
+      // return to baseline) nor silently discard the buffered body
+      if (streams.put(id, st).isEmpty) openStreamStates.incrementAndGet()
     }
     private def drop(id: Int): Option[StreamState] = {
       val removed = streams.remove(id)
@@ -180,10 +182,19 @@ object GrpcServer {
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
       msg match {
         case h: Http2HeadersFrame =>
-          val st = new StreamState(
-            Option(h.headers.path).map(_.toString).getOrElse(""))
-          track(h.stream.id, st)
-          if (h.isEndStream) finish(ctx, h.stream, st)
+          streams.get(h.stream.id) match {
+            case Some(existing) =>
+              // a second HEADERS on a live stream is the client's
+              // trailers (HTTP/2 allows them): keep the existing state —
+              // replacing it would drop the buffered body — and treat
+              // END_STREAM as the request's end
+              if (h.isEndStream) finish(ctx, h.stream, existing)
+            case None =>
+              val st = new StreamState(
+                Option(h.headers.path).map(_.toString).getOrElse(""))
+              track(h.stream.id, st)
+              if (h.isEndStream) finish(ctx, h.stream, st)
+          }
         case d: Http2DataFrame =>
           try {
             streams.get(d.stream.id).foreach { st =>
@@ -195,6 +206,16 @@ object GrpcServer {
                 drop(d.stream.id)
                 trailersOnly(ctx, d.stream, 8,
                   s"message exceeds max size $maxBody")
+                // RST(CANCEL) after the trailers: without it a client
+                // mid-way through a multi-MB body keeps streaming DATA
+                // into the discarded stream until its own END_STREAM —
+                // wasted transfer and a held flow-control window. Only
+                // when the client hasn't already half-closed: RSTing a
+                // fully-closed stream is a codec error, and there is
+                // nothing left to stop anyway.
+                if (!d.isEndStream)
+                  ctx.writeAndFlush(new DefaultHttp2ResetFrame(
+                    Http2Error.CANCEL).stream(d.stream))
               } else {
                 d.content.readBytes(st.body, d.content.readableBytes())
                 if (d.isEndStream) finish(ctx, d.stream, st)

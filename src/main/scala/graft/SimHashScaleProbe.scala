@@ -92,10 +92,17 @@ object SimHashScaleProbe {
           xxhash64(col("id"), lit("xover-batch")).as("simhash"))
         .localCheckpoint(true)
 
+    // batch signatures built ONCE per size, OUTSIDE the timed region:
+    // batchSigs' eager localCheckpoint is a Spark job, and paying it
+    // inside timeOne added an identical constant to both arms —
+    // compressing pruned_over_plain toward 1 at exactly the small batch
+    // sizes the crossover lives at
+    val sigsByB: Map[Int, DataFrame] = bs.map(b => b -> batchSigs(b)).toMap
+
     def screen(n: Long, b: Int, minSigs: String): Double = {
       spark.conf.set(SimHashIndex.PrunedMinSigsBytesKey, minSigs)
       try timeOne(spark,
-        SimHashIndex.neighborsAgainstSigs(spark, indexDir(n), batchSigs(b)))
+        SimHashIndex.neighborsAgainstSigs(spark, indexDir(n), sigsByB(b)))
       finally spark.conf.unset(SimHashIndex.PrunedMinSigsBytesKey)
     }
 

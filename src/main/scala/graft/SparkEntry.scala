@@ -21,4 +21,22 @@ object SparkEntry {
     ScanOps.oracleSql ++ JoinOps.oracleSql ++ AggOps.oracleSql ++
       WindowOps.oracleSql ++ LlmOps.oracleSql ++ UdfOps.oracleSql ++
       StreamOps.oracleSql ++ MetaOps.oracleSql ++ MediaOps.oracleSql
+
+  /** The DECLARED no-oracle set: every lane whose output DuckDB cannot
+    * recompute, each with the reason and the spec that verifies it
+    * instead. CoverageSpec pins `oracleSql.keySet ∪ noOracle ==
+    * queries.keySet` as a DISJOINT union, so a lane can never silently
+    * fall out of both verification paths (the r12 l19 failure mode:
+    * a crashed lane simply vanished from the correctness artifact). */
+  val noOracle: Map[String, String] = Map(
+    "a7_approx_distinct" -> "HLL sketch state; ±10% bounds in QueriesSpec",
+    "a8_approx_percentile" -> "t-digest state; bounds vs exact in QueriesSpec",
+    "a38_approx_percentiles" -> "t-digest state; bounds in QueriesSpec",
+    "a39_approx_mad" -> "t-digest state; bounds in QueriesSpec",
+    "t12_approx_interarrival" -> "t-digest state; bounds in QueriesSpec",
+    "o12_incremental_hll" -> "HLL merge state; bounds in QueriesSpec",
+    "l14_tfidf" -> "JVM murmur3 feature hashing; pinned in QueriesSpec",
+    "l20_ann_ivf" -> "iterative k-means fit; recall floor 0.75 in spec",
+    "l53_ann_pq" -> "iterative k-means fit; recall floor 0.6 in spec",
+    "l5c_meta_cache_stats" -> "runtime cache counters; MetaSourceSpec")
 }

@@ -4,6 +4,49 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump every selected lane; a lane that THROWS gets an output dir
+    * containing only an `_ERROR` file (its message), never silence.
+    *
+    * Round 12 proved the failure mode this kills: the old catch printed
+    * to stderr and wrote nothing, the checker iterated only dirs that
+    * exist, and a lane that crashed on every execution simply VANISHED
+    * from the correctness artifact (182 entries for a 183-lane
+    * registry) — a wrong answer masquerading as a pass. With the
+    * sentinel the dir exists but holds no parquet, which every checker
+    * (tools/check.py and the driver's) reports as a hard FAIL. */
+  private[graft] def dumpLanes(spark: SparkSession, sfDir: String,
+      outDir: String, only: Option[Set[String]],
+      afterEach: () => Unit = () => (),
+      queries: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = SparkEntry.queries): Unit = {
+    val selected = queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(outDir, name)
+        // a stale parquet dump from a previous run must not survive a
+        // crash and report the OLD answer as this run's
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+      }
+      // several lanes persist() shared subtrees (l2/l21/l25/l33/...);
+      // without this, ~110 queries' dead caches accumulate in one
+      // session, evicting useful blocks at larger scale factors
+      afterEach()
+    }
+    // the registry the checker must see covered: output dirs != this set
+    // means a lane was silently lost between Verify and the compare
+    Files.writeString(Paths.get(s"$outDir/lanes.json"),
+      selected.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query-name filter (dev loop)]
     val (sfDir, outDir) = (args(0), args(1))
@@ -39,19 +82,7 @@ object Verify {
       finally saved.foreach { case (n, lvl) => Configurator.setLevel(n, lvl) }
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // several lanes persist() shared subtrees (l2/l21/l25/l33/...);
-      // without this, ~110 queries' dead caches accumulate in one
-      // session, evicting useful blocks at larger scale factors
-      quietClearCache()
-    }
+    dumpLanes(spark, sfDir, outDir, only, quietClearCache _)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

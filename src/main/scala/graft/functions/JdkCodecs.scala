@@ -35,8 +35,13 @@ import javax.sound.sampled.AudioSystem
   *    encode (hand-rolled, so byte layout is spec-pinned) and real
   *    decode through `AudioSystem`.
   *
-  * Video remains honestly stubbed ([[Multimodal.frameSample]]): the JDK
-  * has no container demuxer, and that really is environment-blocked.
+  * Video demuxing is REAL for YUV4MPEG2 ([[parseY4m]] below — header
+  * tags, FRAME boundaries, chroma-subsampled plane extents), the one
+  * container a pure JVM can demux honestly because it carries no
+  * entropy coding. Entropy-coded containers (mp4/webm) remain
+  * environment-blocked (the JDK ships no such demuxer); for those
+  * [[Multimodal.frameSample]] falls back to its documented
+  * fixed-stride stub.
   *
   * Reference anchor: the reference treats payloads as opaque byte blocks
   * (core/types.go:10) and its workloads README (README.md:66–96) names
@@ -290,23 +295,39 @@ object JdkCodecs {
     val tags = new String(payload, 0, hdrEnd, "US-ASCII")
       .drop(Magic.length).split(' ').filter(_.nonEmpty)
     var w = -1; var h = -1; var chroma = "420jpeg" // Y4M's default
+    var malformed = false
     tags.foreach { t =>
       t.charAt(0) match {
-        case 'W' => w = t.drop(1).toInt
-        case 'H' => h = t.drop(1).toInt
+        // toIntOption, not toInt: a corrupt/adversarial header ("W10x",
+        // "W99999999999") must take the documented None fallback, not
+        // throw NumberFormatException out of the per-row kernel
+        case 'W' => t.drop(1).toIntOption match {
+          case Some(v) => w = v; case None => malformed = true
+        }
+        case 'H' => t.drop(1).toIntOption match {
+          case Some(v) => h = v; case None => malformed = true
+        }
         case 'C' => chroma = t.drop(1)
         case _ => // F/I/A/X tags don't affect demuxing
       }
     }
-    if (w <= 0 || h <= 0) return None
-    val luma = w * h
-    val frameBytes = chroma match {
-      case "444" => 3 * luma
-      case "422" => luma + 2 * ((w + 1) / 2) * h
-      case c if c.startsWith("420") => luma + 2 * ((w + 1) / 2) * ((h + 1) / 2)
-      case "mono" => luma
+    if (malformed || w <= 0 || h <= 0) return None
+    // plane sizes in Long: W46341 H46341 overflows w*h to a negative Int
+    // and Arrays.copyOfRange would throw instead of returning None
+    val lumaL = w.toLong * h
+    val frameBytesL: Long = chroma match {
+      case "444" => 3L * lumaL
+      case "422" => lumaL + 2L * ((w + 1) / 2) * h
+      case c if c.startsWith("420") =>
+        lumaL + 2L * ((w + 1) / 2) * ((h + 1) / 2)
+      case "mono" => lumaL
       case _ => return None
     }
+    // a stream whose single frame exceeds the payload can hold no frame
+    // at all; this bound also proves frameBytes/luma fit in Int below
+    if (frameBytesL > payload.length) return None
+    val luma = lumaL.toInt
+    val frameBytes = frameBytesL.toInt
     val frames = IndexedSeq.newBuilder[Array[Byte]]
     var pos = hdrEnd + 1
     val FrameMagic = "FRAME".getBytes("US-ASCII")
@@ -320,7 +341,8 @@ object JdkCodecs {
       while (nl < payload.length && payload(nl) != '\n'.toByte) nl += 1
       if (nl >= payload.length) return None
       val dataStart = nl + 1
-      if (dataStart + frameBytes > payload.length) return None
+      // Long compare: dataStart + frameBytes can wrap Int on ~2 GiB payloads
+      if (dataStart.toLong + frameBytes > payload.length) return None
       frames += java.util.Arrays.copyOfRange(payload, dataStart, dataStart + luma)
       pos = dataStart + frameBytes
     }

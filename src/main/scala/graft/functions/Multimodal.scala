@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
@@ -58,7 +59,12 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val (w, h, fmt, ok) = d.decode(payload)
-        Row.fromSeq(r.toSeq ++ Seq(w, h, fmt, ok))
+        // rows here may be handed RAW to a fused downstream typed map
+        // (EliminateSerialization skips the encoder between adjacent
+        // mapPartitions), so every producer in this object attaches the
+        // schema — by-name getAs on a schemaless GenericRow throws.
+        new GenericRowWithSchema(
+          (r.toSeq ++ Seq(w, h, fmt, ok)).toArray, outSchema): Row
       }
     }(enc)
   }
@@ -91,7 +97,7 @@ object Multimodal {
           vec(i) = ((block(i % 32) & 0xff) - 128) / 128.0f
           i += 1
         }
-        Row.fromSeq(r.toSeq :+ vec.toSeq)
+        new GenericRowWithSchema((r.toSeq :+ vec.toSeq).toArray, outSchema): Row
       }
     }(enc)
   }
@@ -116,15 +122,17 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getAs[Long]("id")
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+        def frameRow(f: Int, bytes: Array[Byte]): Row =
+          new GenericRowWithSchema(Array(id, f, bytes), outSchema)
         JdkCodecs.parseY4m(payload) match {
           case Some(v) =>
             (0 until v.frames.length by everyN).iterator.map { f =>
-              Row(id, f, v.frames(f))
+              frameRow(f, v.frames(f))
             }
           case None =>
             val nFrames = payload.length / frameBytes
             (0 until nFrames by everyN).iterator.map { f =>
-              Row(id, f, java.util.Arrays.copyOfRange(
+              frameRow(f, java.util.Arrays.copyOfRange(
                 payload, f * frameBytes, (f + 1) * frameBytes))
             }
         }
@@ -147,8 +155,9 @@ object Multimodal {
         val (w, h, _, ok) = d.decode(payload)
         val scale = if (ok && math.max(w, h) > maxDim)
           maxDim.toDouble / math.max(w, h) else 1.0
-        Row.fromSeq(r.toSeq ++ Seq(
-          math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt)))
+        new GenericRowWithSchema((r.toSeq ++ Seq(
+          math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt))).toArray, outSchema): Row
       }
     }(enc)
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -127,10 +128,14 @@ object MediaOps {
       docs.mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val v = JdkCodecs.parseY4m(JdkCodecs.renderY4m(id)).get
-          (0 until v.frames.length by 2).iterator.map { f =>
-            Row(id, f, v.width, v.height, v.frames.length.toLong,
-              JdkCodecs.lumaMean(v.frames(f)))
+          // flatMap over the Option keeps the lane total — parseY4m's
+          // contract is "never throws", and this call site shouldn't be
+          // the one place a malformed stream could still kill a task
+          JdkCodecs.parseY4m(JdkCodecs.renderY4m(id)).iterator.flatMap { v =>
+            (0 until v.frames.length by 2).iterator.map { f =>
+              Row(id, f, v.width, v.height, v.frames.length.toLong,
+                JdkCodecs.lumaMean(v.frames(f)))
+            }
           }
         }
       }(enc).orderBy("doc_id", "frame_idx")
@@ -151,9 +156,15 @@ object MediaOps {
         StructField("id", LongType, nullable = false),
         StructField("payload", BinaryType, nullable = false)))
       val pEnc = ExpressionEncoder(RowEncoder.encoderFor(pSchema))
+      // GenericRowWithSchema, not a bare Row: Catalyst's
+      // EliminateSerialization fuses adjacent typed maps, so the NEXT
+      // mapPartitions lambda receives these rows verbatim (no encoder
+      // round-trip) and reads them by field name — a schemaless
+      // GenericRow throws UNSUPPORTED_CALL.FIELD_INDEX there (r12 bug).
       def withPayload(mk: Long => Array[Byte]): DataFrame =
         ids.mapPartitions { rows =>
-          rows.map(r => Row(r.getLong(0), mk(r.getLong(0))))
+          rows.map(r => new GenericRowWithSchema(
+            Array(r.getLong(0), mk(r.getLong(0))), pSchema): Row)
         }(pEnc)
       // image stage: REAL header decode via the Decoder seam
       val img = Multimodal.decodeMeta(

@@ -270,6 +270,56 @@ class GrpcServerSpec extends AnyFunSuite {
     assert(getDir("sub").entries.nonEmpty) // connection still serviceable
   }
 
+  test("duplicate HEADERS (client trailers) finishes the stream: answered, no leak") {
+    assume(GrpcServer.available, "epoll transport required")
+    val baseline = GrpcServer.openStreamStates.get()
+    val done = new CompletableFuture[RpcResult]()
+    val sb = new Http2StreamChannelBootstrap(client._1)
+    sb.handler(new ChannelInitializer[Channel] {
+      override def initChannel(c: Channel): Unit =
+        c.pipeline().addLast(new ChannelInboundHandlerAdapter {
+          private val data = new ByteArrayOutputStream()
+          private var headers: Http2Headers = _
+          private var trailers: Http2Headers = _
+          override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+            msg match {
+              case h: Http2HeadersFrame =>
+                if (headers == null) headers = h.headers else trailers = h.headers
+                if (h.isEndStream) done.complete(
+                  RpcResult(headers, data.toByteArray, Option(trailers)))
+              case d: Http2DataFrame =>
+                val end = d.isEndStream
+                try d.content.readBytes(data, d.content.readableBytes())
+                finally d.release()
+                if (end) done.complete(
+                  RpcResult(headers, data.toByteArray, Option(trailers)))
+              case other => io.netty.util.ReferenceCountUtil.release(other)
+            }
+        })
+    })
+    val stream = sb.open().sync().getNow
+    val hdrs = new DefaultHttp2Headers()
+      .method("POST").scheme("http").path(GrpcServer.MethodPath).authority("localhost")
+    hdrs.set("content-type", "application/grpc")
+    hdrs.set("te", "trailers")
+    // HTTP/2's trailer shape: HEADERS (open) → DATA (no END_STREAM) →
+    // a SECOND HEADERS carrying END_STREAM. The server must finish the
+    // buffered request off the existing state — a naive re-track would
+    // double-count the stream AND discard the body
+    stream.write(new DefaultHttp2HeadersFrame(hdrs))
+    stream.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+      GrpcServer.frameMessage(PufsProto.encodeRequest(
+        PufsProto.DirContentsRequest("sub")))), false))
+    stream.writeAndFlush(new DefaultHttp2HeadersFrame(new DefaultHttp2Headers(), true))
+    val res = done.get(20, TimeUnit.SECONDS)
+    assert(res.headers.status.toString == "200")
+    assert(res.trailers.exists(_.get("grpc-status").toString == "0"),
+      s"request body sent before client trailers must be answered, got ${res.trailers}")
+    assert(PufsProto.decodeResponse(GrpcServer.unframeMessage(res.body)).entries.nonEmpty)
+    awaitUntil("stream state to return to baseline (no double-count)")(
+      GrpcServer.openStreamStates.get() == baseline)
+  }
+
   test("oversized message is trailers-only RESOURCE_EXHAUSTED (8), state dropped") {
     assume(GrpcServer.available, "epoll transport required")
     val sock = Files.createTempDirectory("grpc-sock").resolve("small.sock").toString
@@ -289,6 +339,22 @@ class GrpcServerSpec extends AnyFunSuite {
       val ok = callOn(conn, GrpcServer.MethodPath, GrpcServer.frameMessage(
         PufsProto.encodeRequest(PufsProto.DirContentsRequest("sub"))))
       assert(ok.trailers.exists(_.get("grpc-status").toString == "0"))
+      // a client still MID-BODY when it overflows gets RST(CANCEL) so it
+      // stops sending immediately — observable as the stream channel
+      // closing without the client ever sending END_STREAM
+      val sb = new Http2StreamChannelBootstrap(conn)
+      sb.handler(new ChannelInboundHandlerAdapter())
+      val stream = sb.open().sync().getNow
+      val hdrs = new DefaultHttp2Headers()
+        .method("POST").scheme("http").path(GrpcServer.MethodPath).authority("localhost")
+      hdrs.set("content-type", "application/grpc")
+      stream.write(new DefaultHttp2HeadersFrame(hdrs))
+      stream.writeAndFlush(new DefaultHttp2DataFrame(
+        Unpooled.wrappedBuffer(Array.fill[Byte](100)(1)), false)) // NOT end-stream
+      awaitUntil("server RST to close the half-open overflowing stream")(
+        !stream.isOpen)
+      awaitUntil("overflowed half-open stream's state to be dropped")(
+        GrpcServer.openStreamStates.get() == baseline)
     } finally {
       conn.close().syncUninterruptibly()
       group.shutdownGracefully(0, 1, TimeUnit.SECONDS).syncUninterruptibly()

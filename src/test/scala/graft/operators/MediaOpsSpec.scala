@@ -224,4 +224,58 @@ class MediaOpsSpec extends SparkSpec {
         r.getInt(2) == JdkCodecs.imgHeight(r.getLong(0)) && r.getString(3) == "png"
     })
   }
+
+  test("chained mapPartitions survive EliminateSerialization fusion (r12 l19 regression)") {
+    // Catalyst fuses adjacent typed maps, handing the downstream lambda
+    // the upstream's RAW rows (no encoder round-trip) — so every
+    // mapPartitions producer must attach its schema or a by-name getAs
+    // downstream throws UNSUPPORTED_CALL.FIELD_INDEX. This chain is the
+    // l19 shape distilled: generate payloads → frameSample (by-name
+    // reads) → a by-name feature map, COLLECTED.
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.Multimodal
+    val pSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val pEnc = ExpressionEncoder(RowEncoder.encoderFor(pSchema))
+    val payloads = graft.Tables.t(spark, sfDir, "documents").limit(4)
+      .select(col("doc_id").as("id"))
+      .mapPartitions { rows =>
+        rows.map(r => new GenericRowWithSchema(
+          Array(r.getLong(0), JdkCodecs.renderY4m(r.getLong(0))), pSchema): SRow)
+      }(pEnc)
+    val oSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("plane_bytes", IntegerType, nullable = false)))
+    val oEnc = ExpressionEncoder(RowEncoder.encoderFor(oSchema))
+    val out = Multimodal.frameSample(payloads, everyN = 2)
+      .mapPartitions { rows =>
+        rows.map(r => SRow(r.getAs[Long]("id"),
+          r.getAs[Array[Byte]]("frame").length))
+      }(oEnc).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(1) ==
+      JdkCodecs.vidWidth(r.getLong(0)) * JdkCodecs.vidHeight(r.getLong(0))))
+  }
+
+  test("parseY4m is total on adversarial headers (never throws)") {
+    def bytes(s: String) = s.getBytes("US-ASCII")
+    // non-numeric W/H: NumberFormatException class of payloads
+    assert(JdkCodecs.parseY4m(bytes("YUV4MPEG2 W10x H4\nFRAME\n") ++
+      Array.fill[Byte](60)(0)).isEmpty)
+    // > Int.MaxValue dimension tag
+    assert(JdkCodecs.parseY4m(bytes("YUV4MPEG2 W99999999999 H4\nFRAME\n") ++
+      Array.fill[Byte](60)(0)).isEmpty)
+    // w*h overflows Int (46341^2 > Int.MaxValue): must reject, not
+    // throw out of Arrays.copyOfRange on a negative length
+    assert(JdkCodecs.parseY4m(bytes("YUV4MPEG2 W46341 H46341\nFRAME\n") ++
+      Array.fill[Byte](60)(0)).isEmpty)
+    // frame bytes exceeding the payload: no frame fits
+    assert(JdkCodecs.parseY4m(bytes("YUV4MPEG2 W100 H100 C444\nFRAME\n") ++
+      Array.fill[Byte](10)(0)).isEmpty)
+  }
 }

@@ -64,8 +64,25 @@ def main(sfdir, outdir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails, passes, skipped = [], [], []
-    for qdir in sorted(glob.glob(f"{outdir}/*/")):
+    dirs = sorted(glob.glob(f"{outdir}/*/"))
+    dirnames = {os.path.basename(d.rstrip("/")) for d in dirs}
+    # Registry coverage: Verify dumps lanes.json = the lane set it ran.
+    # Output dirs != that set means a lane was silently LOST between
+    # Verify and this compare (the r12 l19 hole) — hard fail, not absence.
+    lanes_path = f"{outdir}/lanes.json"
+    if os.path.exists(lanes_path):
+        lanes = set(json.load(open(lanes_path)))
+        for missing in sorted(lanes - dirnames):
+            fails.append((missing, "lane in registry but NO output dir"))
+        for extra in sorted(dirnames - lanes):
+            fails.append((extra, "output dir not in lane registry"))
+    else:
+        fails.append(("lanes.json", "missing — Verify did not record its lane registry"))
+    for qdir in dirs:
         name = os.path.basename(qdir.rstrip("/"))
+        err_file = os.path.join(qdir, "_ERROR")
+        if os.path.exists(err_file):
+            fails.append((name, "lane crashed: " + open(err_file).read().strip())); continue
         spark_files = glob.glob(f"{qdir}/*.parquet")
         if not spark_files:
             fails.append((name, "no spark output")); continue
