@@ -90,6 +90,12 @@ object ServeScaleProbe {
       fn(spark, corpus).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // localCheckpoint blocks are freed only when the ContextCleaner
+      // sees their RDDs GC'd; without this nudge, 8 index builds + ~70
+      // timed runs at x100 scale accumulated ~45 GB of dead blocks in
+      // the block manager and filled the disk mid-probe (observed r13).
+      // Outside the timed region, so it costs the measurement nothing.
+      System.gc()
       secs
     }
     // warmup pays the one-time index builds (ServeIndexes caches per
@@ -169,6 +175,7 @@ object ServeScaleProbe {
       fn(spark, d).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      System.gc() // reap dead localCheckpoint blocks (see batchAxis note)
       secs
     }
     // warmup sweep pays the index builds (ServeIndexes caches per dir);

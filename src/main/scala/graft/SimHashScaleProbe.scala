@@ -41,6 +41,7 @@ object SimHashScaleProbe {
     fn.write.format("noop").mode("overwrite").save()
     val secs = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
+    System.gc() // reap dead localCheckpoint blocks (ServeScaleProbe note)
     secs
   }
 

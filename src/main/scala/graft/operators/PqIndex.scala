@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * writing three tables under `dir`:
   *
   *   codebooks/  m·k rows (sub, code, cvec) — broadcast-sized model
-  *   codes/      n·m rows (vec_id, sub, code) — the ~32×-compressed
-  *               corpus every ADC query scans INSTEAD of the vectors
+  *   codes/      n rows (vec_id, codes ARRAY<INT> ordered by sub) — the
+  *               ~32×-compressed corpus every ADC query scans INSTEAD
+  *               of the vectors (wide since round 13: one row per
+  *               vector, the layout the per-partition ADC kernel scans;
+  *               scoreProbes still accepts the pre-r13 long layout)
   *   vectors/    the raw vectors, touched only by the bounded exact
   *               re-rank of each probe's top-C ADC candidates
   *
@@ -82,30 +85,108 @@ object PqIndex {
         col("nb.id").getItem(0).cast("int").as("code"))
   }
 
-  /** ADC scan + bounded exact re-rank against supplied frames: per-probe
-    * distance tables d²(probe slice, codeword) broadcast (probes × m·k
-    * scalars), the codes table joins them and a partial agg sums the m
-    * per-subspace terms, top-C by bounded heap, exact cosine over the
-    * ≤C candidate vectors last. */
+  /** Long codes (vec_id, sub, code) → wide (vec_id, codes ARRAY ordered
+    * by sub) — the layout the ADC kernel scans. One corpus-linear
+    * shuffle, paid at BUILD time for stored indexes (never at serve). */
+  private[operators] def widen(codesLong: DataFrame): DataFrame =
+    codesLong.groupBy("vec_id").agg(
+      transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** ADC scan + bounded exact re-rank against supplied frames.
+    *
+    * The ADC is a per-partition bounded-heap KERNEL, not a join+agg:
+    * per-probe distance tables d²(probe slice, codeword) are computed
+    * distributed, collected (probes × m·k scalars — bounded by the
+    * BATCH, never the corpus: m=8, k=16 → 128 doubles/probe) and
+    * broadcast; each task scans its wide-code rows once, scores every
+    * probe with m table lookups, and keeps ≤C candidates per probe in a
+    * local heap. Shuffled rows = partitions × probes × C.
+    *
+    * Why not the join+agg formulation (codes ⋈ dt → groupBy(probe, vec)
+    * → topC): its aggregation state and shuffle are probes × corpus —
+    * measured on the round-13 batch-axis probe, a 5000-probe batch
+    * against a 20M-vector corpus spilled >50 GB and died on ENOSPC,
+    * with per-X cost ratio 1.8 at 10× (super-linear). The kernel's
+    * shuffle is corpus-independent; the scan term (probes × n × m
+    * lookups) is the flat-PQ contract — cell-restricted IVFADC
+    * (IvfPqIndex) is the path when even that scan is too much. */
   private[operators] def scoreProbes(s: SparkSession, cb: DataFrame,
-      codes: DataFrame, vecs: DataFrame, probeVecs: DataFrame,
+      codesIn: DataFrame, vecs: DataFrame, probeVecs: DataFrame,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types._
     graft.functions.VectorExpressions.register(s)
     val subDim = cb.select(size(col("cvec"))).first().getInt(0)
-    val dt = broadcast(probeVecs)
+    // accept both layouts: wide from a stored index, long from inline
+    // buildFrames callers (l53) or a pre-round-13 index dir
+    val codes =
+      if (codesIn.schema.fieldNames.contains("sub")) widen(codesIn) else codesIn
+    val dtRows = broadcast(probeVecs)
       .crossJoin(broadcast(cb))
       .select(col("probe_id"), col("sub"), col("code"), col("cvec"),
         expr(s"slice(pv, sub * $subDim + 1, $subDim)").as("pslice"))
       .withColumn("pd2", d2("pslice", "cvec"))
       .select("probe_id", "sub", "code", "pd2")
-    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
-      .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
-      .groupBy("probe_id", "vec_id")
-      .agg(sum("pd2").as("approx_d2"))
-    val topC = udaf(new graft.functions.TopK(PqRerank),
+      .collect()
+    val probeIds: Array[Long] =
+      dtRows.map(_.getLong(0)).distinct.sorted[Long]
+    val pidx = probeIds.zipWithIndex.toMap
+    val tabs = Array.ofDim[Double](probeIds.length, PqM, PqK)
+    dtRows.foreach { r =>
+      tabs(pidx(r.getLong(0)))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    val bcTabs = s.sparkContext.broadcast((probeIds, tabs))
+    val C = PqRerank
+    val exclude = excludeSelf
+    val outSchema = StructType(Seq(
+      StructField("probe_id", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("negd2", DoubleType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val scored = codes.mapPartitions { rows =>
+      val (pids, dts) = bcTabs.value
+      val np = pids.length
+      // per-probe bounded min-heap on (negd2 asc, id desc): the root is
+      // the WORST kept candidate under TopK's (score desc, id asc)
+      // preference, so eviction keeps exactly the rows TopK would
+      val ord = new java.util.Comparator[graft.functions.Scored] {
+        def compare(a: graft.functions.Scored, b: graft.functions.Scored): Int = {
+          val c = java.lang.Double.compare(a.score, b.score)
+          if (c != 0) c else java.lang.Long.compare(b.id, a.id)
+        }
+      }
+      val heaps = Array.fill(np)(
+        new java.util.PriorityQueue[graft.functions.Scored](C + 1, ord))
+      rows.foreach { r =>
+        val vid = r.getLong(0)
+        val cs = r.getSeq[Int](1)
+        var p = 0
+        while (p < np) {
+          if (!exclude || pids(p) != vid) {
+            val t = dts(p)
+            var d = 0.0
+            var m = 0
+            while (m < PqM) { d += t(m)(cs(m)); m += 1 }
+            val cand = graft.functions.Scored(-d, vid)
+            val h = heaps(p)
+            if (h.size < C) h.offer(cand)
+            else if (ord.compare(cand, h.peek) > 0) { h.poll(); h.offer(cand); () }
+          }
+          p += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, p) =>
+        import scala.jdk.CollectionConverters._
+        val pid = pids(p)
+        h.iterator().asScala.map(sc => Row(pid, sc.id, sc.score))
+      }
+    }(enc)
+    val topC = udaf(new graft.functions.TopK(C),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val cands = adc.groupBy("probe_id")
-      .agg(topC(-col("approx_d2"), col("vec_id")).as("nb"))
+    val cands = scored.groupBy("probe_id")
+      .agg(topC(col("negd2"), col("vec_id")).as("nb"))
       .select(col("probe_id"), explode(col("nb.id")).as("vec_id"))
     val topk = udaf(new graft.functions.TopK(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
@@ -135,7 +216,9 @@ object PqIndex {
     try {
       val (cb, codes) = buildFrames(spark, vecs)
       cb.write.mode("overwrite").parquet(s"$dir/codebooks")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      // stored WIDE (vec_id, codes array): the ADC kernel scans one row
+      // per vector; the pivot shuffle is paid once here, never at serve
+      widen(codes).write.mode("overwrite").parquet(s"$dir/codes")
       vecs.write.mode("overwrite").parquet(s"$dir/vectors")
       codes.unpersist()
       ()
@@ -165,7 +248,8 @@ object PqIndex {
     val subDim = cb.select(size(col("cvec"))).first().getInt(0)
     val vecs = newVecs.select(col("vec_id"), col("embedding")).persist()
     try {
-      encode(cb, subDim, vecs).write.mode("append").parquet(s"$dir/codes")
+      widen(encode(cb, subDim, vecs))
+        .write.mode("append").parquet(s"$dir/codes")
       vecs.write.mode("append").parquet(s"$dir/vectors")
     } finally { vecs.unpersist(); () }
   }

@@ -156,18 +156,22 @@ object SimHashIndex {
   /** Cost-based path choice, term 2 — corpus floor: below this sigs/
     * size the pruned scan loses on FIXED costs regardless of c. The
     * banded dataset spreads over ≤1024 dirs whose listing, parquet
-    * footers, and task setup are paid per touched dir; measured on this
-    * host the banded arm costs ~2.5-2.7 s flat from 50 K docs (sigs
-    * 0.5 MB, 28 KB/dir) through 5 M docs (sigs 6.2 MB — delta-encoded
-    * ids and sign-skewed hashes compress brutally) while the plain scan
-    * runs 0.42-0.44 s, because at these sizes EVERY dir is sub-row-group
-    * small. The projection starts repaying when a touched dir holds
-    * real row groups — ~1 MiB+ of sigs-equivalent per dir, i.e. sigs/
-    * ≥ ~1 GiB (≈10^9 docs; Manku's crawl regime, 10^10 docs = 80 GB,
-    * sits comfortably past it). Tunable per deployment (and set to 0 by
-    * specs to exercise the pruned arm on test-sized corpora) via
+    * footers, and task setup are paid per touched dir.
+    *
+    * MEASURED (round 13, SimHashScaleProbe over uniform-hash adversarial
+    * corpora of 10^7..4·10^8 sigs, batch 8/32, min-of-2, SCALE.md
+    * "Round-13"): the pruned arm's cost is FLAT at ~2.0-2.4 s (the
+    * per-dir constant) across every corpus size, while the plain scan
+    * grows linearly at ~5.7 ns/doc from a 0.26 s floor — 0.30 s at 10^7,
+    * 0.84 s at 10^8, 3.34 s at 4·10^8. They cross at ≈3.4·10^8 docs
+    * ≈ 4 GiB of sigs, and at 4·10^8 the pruned arm RECORDS ITS FIRST
+    * WIN: 2.44 s vs 3.34 s (0.73×) at batch 8. The floor is set just
+    * under the measured crossover; Manku's crawl regime (10^10 docs =
+    * 80 GB of sigs) sits 20× past it, where the linear term dwarfs the
+    * flat one. Tunable per deployment (and set to 0 by specs to
+    * exercise the pruned arm on test-sized corpora) via
     * `spark.graft.simhash.prunedMinSigsBytes`. */
-  private[graft] val PrunedMinSigsBytes: Long = 1L << 30
+  private[graft] val PrunedMinSigsBytes: Long = 15L << 28 // 3.75 GiB
   private[graft] val PrunedMinSigsBytesKey =
     "spark.graft.simhash.prunedMinSigsBytes"
 

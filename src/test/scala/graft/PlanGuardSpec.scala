@@ -20,7 +20,10 @@ class PlanGuardSpec extends SparkSpec {
     "j9_cross"            -> "the cross join lane — cartesian semantics on a dim-sized side",
     "l3_knn_cosine"       -> "10 broadcast probes against the corpus (brute-force kNN baseline)",
     "l20_ann_ivf"         -> "k-row broadcast centroid table against vectors (IVF assignment)",
-    "l53_ann_pq"          -> "128-row broadcast codebook / probe distance tables (PQ encode + ADC)",
+    // l53_ann_pq left this list in round 13: its ADC is now a
+    // mapPartitions kernel over driver-collected distance tables, so the
+    // returned plan carries no BNLJ (the dt crossJoin runs eagerly,
+    // outside the lane plan)
     "a31_tpch_q11"        -> "1-row scalar-subquery threshold broadcast (Q11 HAVING)",
     "a34_tpch_q22"        -> "1-row avg-balance scalar subquery broadcast (Q22)",
     "t5_watermark_ontime" -> "1-row watermark threshold joined to the stream frame",
