@@ -97,7 +97,9 @@ object IvfPqIndex {
       centers.write.mode("overwrite").parquet(s"$dir/centroids")
       cb.write.mode("overwrite").parquet(s"$dir/codebooks")
       cells.write.mode("overwrite").parquet(s"$dir/cells")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      // wide, like PqIndex (round 13): the ADC scores one row per
+      // candidate pair, no per-subspace fan-out or (probe, vec) re-agg
+      PqIndex.widen(codes).write.mode("overwrite").parquet(s"$dir/codes")
       vecs.write.mode("overwrite").parquet(s"$dir/vectors")
       codes.unpersist()
       ()
@@ -132,7 +134,7 @@ object IvfPqIndex {
         .agg(top2(col("csim"), col("cell")).as("nb"))
         .select(col("vec_id"), explode(col("nb.id")).as("cell"))
         .write.mode("append").parquet(s"$dir/cells")
-      PqIndex.encode(cb, subDim, vecs)
+      PqIndex.widen(PqIndex.encode(cb, subDim, vecs))
         .write.mode("append").parquet(s"$dir/codes")
       vecs.write.mode("append").parquet(s"$dir/vectors")
     } finally { vecs.unpersist(); () }
@@ -164,7 +166,9 @@ object IvfPqIndex {
       .filter(col("crnk") <= np)
       .select("probe_id", "cell")
     val subDim = cb.select(size(col("cvec"))).first().getInt(0)
-    val dt = broadcast(probeVecs)
+    // per-probe distance tables, collected + broadcast (the r13 PqIndex
+    // kernel discipline: probes × m·k scalars — bounded by the batch)
+    val dtRows = broadcast(probeVecs)
       .crossJoin(broadcast(cb))
       .select(col("probe_id"), col("sub"), col("code"),
         expr(s"slice(pv, sub * $subDim + 1, $subDim)").as("pslice"),
@@ -172,16 +176,39 @@ object IvfPqIndex {
       .withColumn("pd2", expr(
         "dot_f32(pslice, pslice) + dot_f32(cvec, cvec) - 2 * dot_f32(pslice, cvec)"))
       .select("probe_id", "sub", "code", "pd2")
+      .collect()
+    val probeIds: Array[Long] = dtRows.map(_.getLong(0)).distinct.sorted[Long]
+    val pidx = probeIds.zipWithIndex.toMap
+    val tabs = Array.ofDim[Double](probeIds.length, LlmOps.PqM, LlmOps.PqK)
+    dtRows.foreach { r =>
+      tabs(pidx(r.getLong(0)))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    val bcTabs = spark.sparkContext.broadcast((pidx, tabs))
+    // accept both code layouts: wide (r13 builds) and pre-r13 long dirs
+    val codesWide =
+      if (codes.schema.fieldNames.contains("sub")) PqIndex.widen(codes)
+      else codes
     // the IVF restriction: candidate pairs from the narrow inverted
-    // file (two-long rows), deduped, THEN expanded to their code rows
+    // file (two-long rows), deduped, then ONE wide code row per pair —
+    // approx d² is a scalar over that row (m table lookups), so nothing
+    // ever re-aggregates at (probe, vec) granularity and the only
+    // shuffled relation is the candidate pairs themselves (the pre-r13
+    // per-subspace expansion + groupBy(probe, vec) carried m× that)
     val cands = cells.join(broadcast(probeCells), Seq("cell"))
       .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
       .select("probe_id", "vec_id").distinct()
+    val adcScore = udf { (probeId: Long, cs: Seq[Int]) =>
+      val (pi, ts) = bcTabs.value
+      val t = ts(pi(probeId))
+      var d = 0.0
+      var m = 0
+      while (m < LlmOps.PqM) { d += t(m)(cs(m)); m += 1 }
+      d
+    }
     val adc = cands
-      .join(codes, "vec_id")
-      .join(broadcast(dt), Seq("probe_id", "sub", "code"))
-      .groupBy("probe_id", "vec_id")
-      .agg(sum("pd2").as("approx_d2"))
+      .join(codesWide, "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+        adcScore(col("probe_id"), col("codes")).as("approx_d2"))
     val topC = udaf(new graft.functions.TopK(PqRerank),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val rerank = adc.groupBy("probe_id")
