@@ -68,6 +68,11 @@ object GrpcServer {
     * connection teardown must return this to its baseline). */
   private[graft] val openStreamStates = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Late frames ignored on finished/reset streams — a test hook for the
+    * no-double-response property (a client's in-flight trailers crossing
+    * the server's RST must be dropped, not re-tracked and re-answered). */
+  private[graft] val lateFramesIgnored = new java.util.concurrent.atomic.AtomicInteger
+
   def available: Boolean = Epoll.isAvailable
 
   final class Handle private[GrpcServer] (val socketPath: String,
@@ -85,6 +90,13 @@ object GrpcServer {
     val sha = SnapshotStore.getRoot(repo, ref).getOrElse(ref)
     serve(new SnapshotTree(SnapshotStore.mountAt(repo, sha)), socketPath)
   }
+
+  /** The raw per-connection handler, for EmbeddedChannel-level tests of
+    * frame-ordering corners (late frames on closed streams) that a
+    * conformant codec end would filter before they reach the wire. */
+  private[graft] def handlerForTest(tree: SnapshotTree,
+      maxBody: Int = DefaultMaxBody): ChannelInboundHandlerAdapter =
+    new RpcHandler(tree, maxBody)
 
   private[graft] def serve(tree: SnapshotTree, socketPath: String,
       maxBody: Int = DefaultMaxBody): Handle = {
@@ -166,8 +178,18 @@ object GrpcServer {
       val body = new ByteArrayOutputStream()
     }
     private val streams = mutable.Map[Int, StreamState]()
+    // Highest stream id ever tracked on this connection. RFC 7540 §5.1.1:
+    // a peer's new streams use strictly increasing ids, so a HEADERS for
+    // id ≤ maxSeenId that is no longer in `streams` is a LATE frame on a
+    // stream this server already finished or reset (e.g. the client's
+    // in-flight trailers after an oversize RST(CANCEL), or a duplicate
+    // END_STREAM HEADERS after a normal finish) — it must be ignored,
+    // not re-tracked as a fresh path="" stream and answered a second
+    // time on a stream the codec considers closed. O(1) state, no id set.
+    private var maxSeenId = 0
 
     private def track(id: Int, st: StreamState): Unit = {
+      if (id > maxSeenId) maxSeenId = id
       // increment only on a genuinely new stream: a duplicate HEADERS on
       // a live id must not double-count (the no-leak counter would never
       // return to baseline) nor silently discard the buffered body
@@ -190,10 +212,14 @@ object GrpcServer {
               // END_STREAM as the request's end
               if (h.isEndStream) finish(ctx, h.stream, existing)
             case None =>
-              val st = new StreamState(
-                Option(h.headers.path).map(_.toString).getOrElse(""))
-              track(h.stream.id, st)
-              if (h.isEndStream) finish(ctx, h.stream, st)
+              // late frame for a finished/reset stream (see maxSeenId) —
+              // ignore rather than re-track and double-respond
+              if (h.stream.id > maxSeenId) {
+                val st = new StreamState(
+                  Option(h.headers.path).map(_.toString).getOrElse(""))
+                track(h.stream.id, st)
+                if (h.isEndStream) finish(ctx, h.stream, st)
+              } else lateFramesIgnored.incrementAndGet()
           }
         case d: Http2DataFrame =>
           try {

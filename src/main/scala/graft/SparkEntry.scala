@@ -39,4 +39,17 @@ object SparkEntry {
     "l20_ann_ivf" -> "iterative k-means fit; recall floor 0.75 in spec",
     "l53_ann_pq" -> "iterative k-means fit; recall floor 0.6 in spec",
     "l5c_meta_cache_stats" -> "runtime cache counters; MetaSourceSpec")
+
+  /** Lanes whose oracle SQL is GENERATED at run time from an
+    * engine-emitted fixture (the l54w pattern): the lane dumps its
+    * model/signature table as parquet and the oracle replays the rest of
+    * the computation from that fixture in DuckDB. Their entries appear in
+    * [[oracleSql]] only after the lane has run in this process — Verify
+    * runs every lane before dumping the map, so the driver always sees
+    * them; a dev-filtered run that skips the lane just omits the entry.
+    * VerifyGateSpec treats these as their own leg of the covering union
+    * (registry == static-oracle ∪ no-oracle ∪ generated-oracle). */
+  val generatedOracle: Map[String, String] = Map(
+    "l54w_simhash64" -> "oracle replays the emitted simhash fixture",
+    "l64_image_neardup" -> "oracle replays the emitted aHash fixture")
 }

@@ -41,9 +41,27 @@ object Verify {
       afterEach()
     }
     // the registry the checker must see covered: output dirs != this set
-    // means a lane was silently lost between Verify and the compare
+    // means a lane was silently lost between Verify and the compare.
+    // The invariant check.py enforces is lanes.json == output dirs, so:
+    //  - FULL run: lanes.json = the whole registry, and any stray dir a
+    //    prior differently-shaped run left behind is deleted (it would
+    //    otherwise read as a lost/extra lane);
+    //  - FILTERED dev run: lanes.json = selected ∪ the dirs already in
+    //    outDir — overwriting it with just the subset made re-checking a
+    //    previously-full outdir fail with spurious "dir not in registry".
+    val existingDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    val lanesOut =
+      if (only.isEmpty) {
+        (existingDirs -- selected.keySet).foreach { stray =>
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(Paths.get(outDir, stray).toFile)
+          ()
+        }
+        selected.keySet
+      } else selected.keySet ++ existingDirs
     Files.writeString(Paths.get(s"$outDir/lanes.json"),
-      selected.keys.toSeq.sorted
+      lanesOut.toSeq.sorted
         .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
   }
 

@@ -315,14 +315,21 @@ object JdkCodecs {
     // plane sizes in Long: W46341 H46341 overflows w*h to a negative Int
     // and Arrays.copyOfRange would throw instead of returning None
     val lumaL = w.toLong * h
+    // half extents in Long too: (w + 1) wraps negative at w=Int.MaxValue,
+    // which would slip a bogus (even negative) frameBytesL past the
+    // payload bound and let copyOfRange throw out of the per-row kernel
+    val halfW = (w.toLong + 1) / 2
+    val halfH = (h.toLong + 1) / 2
     val frameBytesL: Long = chroma match {
       case "444" => 3L * lumaL
-      case "422" => lumaL + 2L * ((w + 1) / 2) * h
-      case c if c.startsWith("420") =>
-        lumaL + 2L * ((w + 1) / 2) * ((h + 1) / 2)
+      case "422" => lumaL + 2L * halfW * h
+      case c if c.startsWith("420") => lumaL + 2L * halfW * halfH
       case "mono" => lumaL
       case _ => return None
     }
+    // 3L·lumaL can overflow Long at w=h≈Int.MaxValue — reject any frame
+    // size the arithmetic can't even represent before comparing
+    if (frameBytesL <= 0 || frameBytesL < lumaL) return None
     // a stream whose single frame exceeds the payload can hold no frame
     // at all; this bound also proves frameBytes/luma fit in Int below
     if (frameBytesL > payload.length) return None

@@ -355,10 +355,85 @@ class GrpcServerSpec extends AnyFunSuite {
         !stream.isOpen)
       awaitUntil("overflowed half-open stream's state to be dropped")(
         GrpcServer.openStreamStates.get() == baseline)
+
+      // the CROSSED-trailers race over the real wire: client flushes
+      // HEADERS + oversized DATA + trailers HEADERS(END_STREAM) together,
+      // so its trailers are in flight when the server's RST(CANCEL)
+      // fires. (Netty's server codec filters frames on streams it reset,
+      // so the handler-level guard is exercised by the EmbeddedChannel
+      // test below; here we pin no leak and a live connection.)
+      val sb2 = new Http2StreamChannelBootstrap(conn)
+      sb2.handler(new ChannelInboundHandlerAdapter())
+      val s2 = sb2.open().sync().getNow
+      val hdrs2 = new DefaultHttp2Headers()
+        .method("POST").scheme("http").path(GrpcServer.MethodPath).authority("localhost")
+      hdrs2.set("content-type", "application/grpc")
+      hdrs2.set("te", "trailers")
+      s2.write(new DefaultHttp2HeadersFrame(hdrs2))
+      s2.write(new DefaultHttp2DataFrame(
+        Unpooled.wrappedBuffer(Array.fill[Byte](100)(1)), false))
+      s2.writeAndFlush(new DefaultHttp2HeadersFrame(new DefaultHttp2Headers(), true))
+      awaitUntil("crossed-trailers stream's state to be dropped")(
+        GrpcServer.openStreamStates.get() == baseline)
+      // connection still serviceable after the race
+      val ok2 = callOn(conn, GrpcServer.MethodPath, GrpcServer.frameMessage(
+        PufsProto.encodeRequest(PufsProto.DirContentsRequest("sub"))))
+      assert(ok2.trailers.exists(_.get("grpc-status").toString == "0"))
     } finally {
       conn.close().syncUninterruptibly()
       group.shutdownGracefully(0, 1, TimeUnit.SECONDS).syncUninterruptibly()
       handle.stop()
     }
+  }
+
+  test("late HEADERS on a finished stream id is ignored — no re-track, no double response") {
+    // EmbeddedChannel drive of the raw handler: a conformant codec end
+    // filters frames on streams it knows are closed, but the handler must
+    // not DEPEND on that (ADVICE r13): a duplicate END_STREAM HEADERS
+    // after a normal finish — or the client's crossed trailers after an
+    // oversize RST — used to be re-tracked as a brand-new path="" stream
+    // and answered a second time on an id the codec already closed.
+    import io.netty.channel.embedded.EmbeddedChannel
+    import io.netty.handler.codec.http2.{Http2FrameStream, Http2Stream}
+    val sha = SnapshotStore.getRoot(fixture._1, "main").getOrElse("main")
+    val tree = new SnapshotTree(SnapshotStore.mountAt(fixture._1, sha))
+    val ch = new EmbeddedChannel(GrpcServer.handlerForTest(tree))
+    def stream(sid: Int): Http2FrameStream = new Http2FrameStream {
+      override def id(): Int = sid
+      override def state(): Http2Stream.State = Http2Stream.State.OPEN
+    }
+    def post: Http2Headers = {
+      val h = new DefaultHttp2Headers()
+        .method("POST").scheme("http").path(GrpcServer.MethodPath)
+        .authority("localhost")
+      h.set("content-type", "application/grpc")
+      h
+    }
+    val body = GrpcServer.frameMessage(
+      PufsProto.encodeRequest(PufsProto.DirContentsRequest("sub")))
+    val baseline = GrpcServer.openStreamStates.get()
+    val s3 = stream(3)
+    ch.writeInbound(new DefaultHttp2HeadersFrame(post, false).stream(s3))
+    ch.writeInbound(new DefaultHttp2DataFrame(
+      Unpooled.wrappedBuffer(body), true).stream(s3))
+    // normal finish: response HEADERS + DATA + trailers, state dropped
+    assert(ch.outboundMessages().size() == 3,
+      s"expected 3 response frames, got ${ch.outboundMessages()}")
+    assert(GrpcServer.openStreamStates.get() == baseline)
+    val lateBase = GrpcServer.lateFramesIgnored.get()
+    ch.writeInbound(
+      new DefaultHttp2HeadersFrame(new DefaultHttp2Headers(), true).stream(s3))
+    assert(ch.outboundMessages().size() == 3,
+      "late duplicate END_STREAM HEADERS produced a second response")
+    assert(GrpcServer.lateFramesIgnored.get() == lateBase + 1)
+    assert(GrpcServer.openStreamStates.get() == baseline, "late frame re-tracked state")
+    // a genuinely new (higher-id) stream on the same connection still serves
+    val s5 = stream(5)
+    ch.writeInbound(new DefaultHttp2HeadersFrame(post, false).stream(s5))
+    ch.writeInbound(new DefaultHttp2DataFrame(
+      Unpooled.wrappedBuffer(body), true).stream(s5))
+    assert(ch.outboundMessages().size() == 6)
+    ch.finishAndReleaseAll()
+    ()
   }
 }

@@ -51,16 +51,43 @@ class VerifyGateSpec extends SparkSpec {
       "stale parquet from the previous run must not survive a crash")
   }
 
-  test("oracle ∪ declared-no-oracle covers the lane registry exactly") {
+  test("filtered dev-loop rerun keeps lanes.json == output dirs (no spurious extras)") {
+    val out = Files.createTempDirectory("graft-verify-gate3").toString
+    val lanes: Map[String, Q] = Map(
+      "lane_a" -> ((s, _) => s.range(2).select(col("id"))),
+      "lane_b" -> ((s, _) => s.range(3).select(col("id"))))
+    Verify.dumpLanes(spark, sfDir, out, only = None, queries = lanes)
+    // dev loop: re-verify ONE lane into the same outdir — lane_a's dir
+    // from the full run must stay listed, or check.py reports it as
+    // "output dir not in lane registry" (ADVICE r13)
+    Verify.dumpLanes(spark, sfDir, out, only = Some(Set("lane_b")), queries = lanes)
+    val lanesJson = Files.readString(Paths.get(out, "lanes.json"))
+    assert(lanesJson.contains("\"lane_a\"") && lanesJson.contains("\"lane_b\""),
+      s"filtered run must union pre-existing dirs into lanes.json: $lanesJson")
+    // a later FULL run against a SHRUNK registry deletes the stray dir —
+    // lanes.json == dirs is the invariant every checker assumes
+    val shrunk: Map[String, Q] =
+      Map("lane_b" -> ((s, _) => s.range(3).select(col("id"))))
+    Verify.dumpLanes(spark, sfDir, out, only = None, queries = shrunk)
+    assert(!Files.exists(Paths.get(out, "lane_a")),
+      "full run must clear dirs that left the registry")
+    val lanesJson2 = Files.readString(Paths.get(out, "lanes.json"))
+    assert(!lanesJson2.contains("lane_a") && lanesJson2.contains("\"lane_b\""))
+  }
+
+  test("oracle ∪ declared-no-oracle ∪ generated-oracle covers the lane registry exactly") {
     val oracle = SparkEntry.oracleSql.keySet
     val noOracle = SparkEntry.noOracle.keySet
+    val generated = SparkEntry.generatedOracle.keySet
     val registry = SparkEntry.queries.keySet
-    val overlap = oracle intersect noOracle
+    val overlap = (oracle ++ generated) intersect noOracle
     assert(overlap.isEmpty, s"lanes declared BOTH oracle and no-oracle: $overlap")
-    val unverified = registry -- oracle -- noOracle
+    // generated-oracle lanes register their SQL only after running in this
+    // process, so the covering check must not depend on suite order
+    val unverified = registry -- oracle -- noOracle -- generated
     assert(unverified.isEmpty,
-      s"lanes outside both verification paths (the r12 silent-loss hole): $unverified")
-    val phantom = (oracle ++ noOracle) -- registry
+      s"lanes outside every verification path (the r12 silent-loss hole): $unverified")
+    val phantom = (oracle ++ noOracle ++ generated) -- registry
     assert(phantom.isEmpty, s"verification entries without a lane: $phantom")
   }
 }

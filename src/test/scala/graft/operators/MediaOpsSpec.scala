@@ -277,5 +277,18 @@ class MediaOpsSpec extends SparkSpec {
     // frame bytes exceeding the payload: no frame fits
     assert(JdkCodecs.parseY4m(bytes("YUV4MPEG2 W100 H100 C444\nFRAME\n") ++
       Array.fill[Byte](10)(0)).isEmpty)
+    // W=Int.MaxValue with C422: (w + 1) wraps negative in Int, so the Int
+    // half-width gave frameBytes=-2, slipped past the payload bound, and
+    // copyOfRange threw IllegalArgumentException — must reject instead
+    assert(JdkCodecs.parseY4m(bytes("YUV4MPEG2 W2147483647 H2 C422\nFRAME\n") ++
+      Array.fill[Byte](60)(0)).isEmpty)
+    // same wrap via the C420 half-height path
+    assert(JdkCodecs.parseY4m(bytes("YUV4MPEG2 W2 H2147483647 C420\nFRAME\n") ++
+      Array.fill[Byte](60)(0)).isEmpty)
+    // 3·w·h overflows LONG at w=h=Int.MaxValue: frameBytesL goes
+    // negative and must be rejected by the <=0 guard, not compared
+    assert(JdkCodecs.parseY4m(
+      bytes("YUV4MPEG2 W2147483647 H2147483647 C444\nFRAME\n") ++
+      Array.fill[Byte](60)(0)).isEmpty)
   }
 }
