@@ -427,15 +427,61 @@ object Bench {
     * math. */
   private[graft] val QuietCalib1t = 0.15
 
+  /** Quiet-host figure for [[calibrateSpark]], measured on the idle
+    * round-14 re-baseline host. Like [[QuietCalib1t]] it only sets the
+    * SCALE of value_calib_adjusted; round-over-round deltas divide two
+    * observed calibs and never touch it. */
+  private[graft] val QuietCalibSpark = 0.55
+
+  /** BENCH_r13 proved a pure-JVM hash loop can move OPPOSITE to the Spark
+    * lanes (sha calib got faster while every lane got 1.4× slower — page
+    * cache / disk / co-tenant JVMs throttle Spark but not an L1-resident
+    * digest loop), so calib-adjustment AMPLIFIED that round's drift.
+    * The anchor must share the workload's bottleneck: a fixed 10M-row
+    * shuffle-and-aggregate Spark job (hash, exchange write+read, codegen)
+    * timed min-of-3 after one warmup inside the SAME session. */
+  private[graft] def calibrateSpark(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(10L * 1000 * 1000)
+        .select((col("id") % 1000).as("k"), col("id"))
+        .groupBy("k").agg(fsum("id").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup: codegen + task deserialization
+    (1 to 3).map(_ => once()).min
+  }
+
+  /** First field of /proc/loadavg plus the host's live JVM count —
+    * emitted into the artifact so a reader can tell "loaded host" from
+    * "plan regression" without forensics. */
+  private[graft] def hostLoad(): (Double, Int) = {
+    val la = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+    val jvms = try ProcessHandle.allProcesses().filter(p =>
+        p.info().command().map[Boolean](_.endsWith("java")).orElse(false))
+      .count().toInt
+    catch { case _: Throwable => -1 }
+    (la, jvms)
+  }
+
   private[graft] def adjustedTotal(total: Double, calib1t: Double): Double =
     if (calib1t <= 0) total else total * (QuietCalib1t / calib1t)
+
+  /** value_calib_adjusted under the Spark-job anchor (the r14 fix). */
+  private[graft] def adjustedTotalSpark(total: Double, calibSpark: Double): Double =
+    if (calibSpark <= 0) total else total * (QuietCalibSpark / calibSpark)
 
   /** Round-over-round self-diagnosis (VERDICT r10 #1): load the newest
     * BENCH_r{N}.json the driver left in cwd and return (round, per-lane
     * min seconds, that round's 1-thread calib). Parsing failures return
     * None — the bench must never die on a malformed artifact. */
-  private[graft] def loadPrevBench(
-      dir: java.io.File): Option[(Int, Map[String, Double], Double)] = {
+  private[graft] def loadPrevBench(dir: java.io.File)
+      : Option[(Int, Map[String, Double], Double, Double)] = {
     val re = "BENCH_r0*(\\d+)\\.json".r
     val candidates = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
@@ -459,7 +505,10 @@ object Bench {
             val qs = fields.flatMap { case (k, v) => d(v).map(k -> _) }.toMap
             val calib = d(j \ "parsed" \ "calib" \ "sha256_1t_256mb_sec")
               .getOrElse(0.0)
-            if (qs.nonEmpty) Some((n, qs, calib)) else None
+            // present from round 14 on; 0.0 → fall back to the sha anchor
+            val calibSpark = d(j \ "parsed" \ "calib" \ "spark_10m_shuffle_sec")
+              .getOrElse(0.0)
+            if (qs.nonEmpty) Some((n, qs, calib, calibSpark)) else None
           case _ => None
         }
       } catch { case _: Throwable => None }
@@ -500,6 +549,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Spark-job anchor: timed inside the session, before any lane state
+    val calibSpark = calibrateSpark(spark)
+    val (loadavg, jvmCount) = hostLoad()
 
     def run(fn: (SparkSession, String) => DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -551,7 +603,10 @@ object Bench {
     // former ~2.5 KB line (median + per-iteration arrays inline) came back
     // truncated mid-JSON -> "parsed": null. Diagnostics (median + raw
     // iterations) go to a sidecar file instead.
-    val adj = adjustedTotal(total, calib1t)
+    // value_calib_adjusted rides the SPARK anchor from round 14 on (the
+    // sha loop measured drift with the wrong sign in BENCH_r13); the sha
+    // pair stays in the artifact for continuity with older rounds
+    val adj = adjustedTotalSpark(total, calibSpark)
     // Per-lane NORMALIZED deltas vs the previous round's artifact
     // (VERDICT r10 #1): delta = (cur_min/prev_min) x (prev_calib/cur_calib)
     // — i.e. the move that remains AFTER dividing out measured host-speed
@@ -562,12 +617,15 @@ object Bench {
     // name — making round-over-round comparison self-diagnosing instead
     // of hand-math over two artifacts.
     val prev = loadPrevBench(new java.io.File("."))
+    // normalize with the Spark anchor when BOTH rounds carry it; fall
+    // back to the sha pair against pre-r14 artifacts
     val hostAdj = prev match {
-      case Some((_, _, pc)) if pc > 0 && calib1t > 0 => pc / calib1t
+      case Some((_, _, _, ps)) if ps > 0 && calibSpark > 0 => ps / calibSpark
+      case Some((_, _, pc, _)) if pc > 0 && calib1t > 0 => pc / calib1t
       case _ => 1.0
     }
     val deltas: Seq[(String, Option[Double])] = results.map { case (k, ts) =>
-      k -> prev.flatMap { case (_, pq, _) =>
+      k -> prev.flatMap { case (_, pq, _, _) =>
         pq.get(k).filter(_ > 0)
           .flatMap(p => ts.minOption.map(m => m / p * hostAdj))
       }
@@ -590,7 +648,7 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map(x => f"$x%.3f").getOrElse("null") }
       .mkString("{", ",", "}")
-    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f},"value_calib_adjusted":$adj%.3f"""
+    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f,"spark_10m_shuffle_sec":$calibSpark%.3f,"loadavg":$loadavg%.2f,"jvms":$jvmCount%d},"value_calib_adjusted":$adj%.3f"""
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,$calib,"deltas_norm_named":$deltaNamed,$deltaJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -21,11 +21,91 @@ object AnnIndex {
   private val Tables = 24
   private val Bits = 8
 
+  /** Cost-model routing (VERDICT r13 #1, the SimHashIndex discipline):
+    * flat sign-LSH has a FIXED 2^Bits = 256-bucket/band key space, so
+    * average bucket size — and the exact re-rank term probes ×
+    * bucket-size — grows linearly with the corpus (measured, SCALE.md
+    * Round-13: idx_ann_probe r/x RISING 0.295 → 0.368; 120 s for a
+    * 5000-probe batch at 20M vectors ≈ 78k rows/bucket). IVFPQ's cells
+    * grow as √n, so its per-probe candidate term falls with corpus
+    * growth instead of tracking it.
+    *
+    * The threshold is AVERAGE ROWS PER BUCKET (n / 256): past it,
+    * `build`/`append` maintain an IVFPQ sidecar under `dir`/ivfpq and
+    * `queryProbes` serves from it. Default from the round-14 two-arm
+    * measurement on the 20M-vector serve corpus (SCALE.md Round-14):
+    * the IVFPQ arm beat flat by >4× at 78k rows/bucket and the flat
+    * arm's re-rank term passes IVFPQ's total near ~4k rows/bucket
+    * (~1M vectors); set above the measured break-even with headroom so
+    * small corpora (every sf lane) stay on the exact-recall flat arm.
+    * Tunable per deployment (and set low by specs to exercise routing
+    * on test-sized corpora). */
+  private[graft] val FlatMaxBucketRowsKey = "spark.graft.ann.flatMaxBucketRows"
+  private[graft] val FlatMaxBucketRows: Long = 4096
+
+  private def flatMaxBucketRows(spark: SparkSession): Long =
+    spark.conf.getOption(FlatMaxBucketRowsKey).map(_.toLong)
+      .getOrElse(FlatMaxBucketRows)
+
+  /** Average rows per (band, sig) bucket for an n-vector corpus. */
+  private[operators] def avgBucketRows(n: Long): Long = n >> Bits
+
+  private def ivfDir(dir: String) = s"$dir/ivfpq"
+
+  private def hasIvf(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${ivfDir(dir)}/centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Corpus size per index dir, cached for the JVM's lifetime and
+    * invalidated by this JVM's build/append: the routing decision needs
+    * n on EVERY serve call (streaming probes arrive per micro-batch) and
+    * a parquet metadata count over a 100 TB corpus's footers is a real
+    * job. A stale cross-JVM count only shifts the routing point by the
+    * un-counted appends — harmless, the threshold has headroom. */
+  private val nCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusRows(spark: SparkSession, dir: String): Long =
+    nCache.computeIfAbsent(dir,
+      _ => spark.read.parquet(s"$dir/vectors").count()).longValue()
+
+  /** Which serving arm `queryProbes` will take for the stored index —
+    * "flat" or "ivfpq". Exposed so specs pin the choice on both sides
+    * of the threshold and ops can audit a deployment. */
+  private[graft] def chosenArm(spark: SparkSession, dir: String): String =
+    if (avgBucketRows(corpusRows(spark, dir)) > flatMaxBucketRows(spark) &&
+      hasIvf(spark, dir)) "ivfpq"
+    else "flat"
+
   /** One pass over the vectors: (vec_id, band, sig) signature rows plus
-    * a co-located copy of the vectors, written under `dir`. */
+    * a co-located copy of the vectors, written under `dir`. Past the
+    * routing threshold the build also fits the IVFPQ sidecar (ivfpq/) —
+    * the serving tables `queryProbes` routes to at that scale. */
   def build(spark: SparkSession, sfDir: String, dir: String): Unit =
-    writeIndex(spark, graft.Tables.t(spark, sfDir, "embeddings"),
-      dir, mode = "overwrite")
+    buildFrom(spark, graft.Tables.t(spark, sfDir, "embeddings"), dir)
+
+  /** Build from an arbitrary (vec_id, embedding) frame. */
+  def buildFrom(spark: SparkSession, vecs: DataFrame, dir: String): Unit = {
+    nCache.remove(dir)
+    writeIndex(spark, vecs, dir, mode = "overwrite")
+    maintainIvfSidecar(spark, dir)
+  }
+
+  /** Fit (or incrementally extend) the IVFPQ sidecar when the corpus has
+    * outgrown the flat arm. Reading back the just-written vectors/ keeps
+    * the sidecar derived from EXACTLY the rows the flat tables hold. The
+    * sidecar fit is corpus-linear (sampled k-means + one encode pass) —
+    * paid at build/append time so serving never is. */
+  private def maintainIvfSidecar(spark: SparkSession, dir: String): Unit = {
+    val stored = spark.read.parquet(s"$dir/vectors")
+    if (avgBucketRows(stored.count()) > flatMaxBucketRows(spark)) {
+      if (!hasIvf(spark, dir))
+        IvfPqIndex.buildFrom(spark, stored, ivfDir(dir))
+      // an existing sidecar stays frozen across appends (the FAISS add
+      // contract); appended rows joined in by the caller via
+      // IvfPqIndex.append before this check
+    }
+  }
 
   /** Incremental maintenance: signatures are per-row, so new vectors
     * append without touching the existing index (the write-once model —
@@ -40,8 +120,23 @@ object AnnIndex {
     * slots. Recovery from a failed append is re-appending only the
     * missing table's rows, or a rebuild; replay-safe ingestion belongs
     * behind a committed-batch marker (the StreamJobs discipline). */
-  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit =
-    writeIndex(spark, newVecs, dir, mode = "append")
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    // persisted around BOTH the flat write and the sidecar append: a
+    // non-deterministic input evaluated twice would leave the two arms
+    // serving different corpora
+    val e = newVecs.select(col("vec_id"), col("embedding")).persist()
+    try {
+      nCache.remove(dir)
+      writeIndex(spark, e, dir, mode = "append")
+      if (hasIvf(spark, dir))
+        // sidecar exists: extend it under its frozen quantizers so both
+        // arms keep answering over the same corpus
+        IvfPqIndex.append(spark, ivfDir(dir), e)
+      else
+        // corpus may have just crossed the routing threshold
+        maintainIvfSidecar(spark, dir)
+    } finally { e.unpersist(); () }
+  }
 
   /** Shared write half: the input is PERSISTED across the two writes —
     * signatures/ and vectors/ must come from the SAME evaluation, or a
@@ -79,9 +174,26 @@ object AnnIndex {
     * the probe_id — correct when probes ARE corpus vectors. Pass false
     * for EXTERNAL probes whose ids merely share the corpus's id space,
     * or a corpus vector that happens to carry a probe's number silently
-    * vanishes from that probe's results. */
+    * vanishes from that probe's results.
+    *
+    * ROUTED (round 14): past the [[FlatMaxBucketRows]] threshold — where
+    * the flat arm's exact re-rank term (probes × n/256 bucket rows)
+    * makes serving linear in the corpus — the batch serves from the
+    * IVFPQ sidecar instead (cells grow as √n; candidates per probe fall
+    * with corpus growth). Below it, the flat arm's exact-recall
+    * bucket-join serves as before. */
   def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
-      k: Int, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame =
+    if (chosenArm(spark, dir) == "ivfpq")
+      IvfPqIndex.queryProbes(spark, ivfDir(dir), probeVecs, k,
+        excludeSelf = excludeSelf)
+    else flatQueryProbes(spark, dir, probeVecs, k, excludeSelf)
+
+  /** The flat sign-LSH serving arm (pre-r14 `queryProbes` body) — still
+    * the right plan below the routing threshold, and callable directly
+    * for arm-vs-arm measurement (ServeScaleProbe). */
+  private[graft] def flatQueryProbes(spark: SparkSession, dir: String,
+      probeVecs: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val sigs = spark.read.parquet(s"$dir/signatures")
     val vecs = spark.read.parquet(s"$dir/vectors")

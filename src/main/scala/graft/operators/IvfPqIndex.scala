@@ -134,7 +134,9 @@ object IvfPqIndex {
         .agg(top2(col("csim"), col("cell")).as("nb"))
         .select(col("vec_id"), explode(col("nb.id")).as("cell"))
         .write.mode("append").parquet(s"$dir/cells")
-      PqIndex.widen(PqIndex.encode(cb, subDim, vecs))
+      // match the stored codes layout (wide r13+ / long pre-r13) — see
+      // PqIndex.encodeMatchingLayout for why mixing schemas is fatal
+      PqIndex.encodeMatchingLayout(spark, s"$dir/codes", cb, subDim, vecs)
         .write.mode("append").parquet(s"$dir/codes")
       vecs.write.mode("append").parquet(s"$dir/vectors")
     } finally { vecs.unpersist(); () }
@@ -166,64 +168,27 @@ object IvfPqIndex {
       .filter(col("crnk") <= np)
       .select("probe_id", "cell")
     val subDim = cb.select(size(col("cvec"))).first().getInt(0)
-    // per-probe distance tables, collected + broadcast (the r13 PqIndex
-    // kernel discipline: probes × m·k scalars — bounded by the batch)
-    val dtRows = broadcast(probeVecs)
-      .crossJoin(broadcast(cb))
-      .select(col("probe_id"), col("sub"), col("code"),
-        expr(s"slice(pv, sub * $subDim + 1, $subDim)").as("pslice"),
-        col("cvec"))
-      .withColumn("pd2", expr(
-        "dot_f32(pslice, pslice) + dot_f32(cvec, cvec) - 2 * dot_f32(pslice, cvec)"))
-      .select("probe_id", "sub", "code", "pd2")
-      .collect()
-    val probeIds: Array[Long] = dtRows.map(_.getLong(0)).distinct.sorted[Long]
-    val pidx = probeIds.zipWithIndex.toMap
-    val tabs = Array.ofDim[Double](probeIds.length, LlmOps.PqM, LlmOps.PqK)
-    dtRows.foreach { r =>
-      tabs(pidx(r.getLong(0)))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-    }
-    val bcTabs = spark.sparkContext.broadcast((pidx, tabs))
+    // per-probe distance tables + ADC scoring + re-rank are the SHARED
+    // PqIndex kernel pieces (round 14, VERDICT r13 #3: the interim
+    // per-row Scala UDF boxed a Seq[Int] and probed a Map per candidate
+    // row — one ADC implementation now serves both families)
+    val bcTabs = PqIndex.distTables(spark, cb, probeVecs, subDim)
     // accept both code layouts: wide (r13 builds) and pre-r13 long dirs
     val codesWide =
       if (codes.schema.fieldNames.contains("sub")) PqIndex.widen(codes)
       else codes
     // the IVF restriction: candidate pairs from the narrow inverted
     // file (two-long rows), deduped, then ONE wide code row per pair —
-    // approx d² is a scalar over that row (m table lookups), so nothing
-    // ever re-aggregates at (probe, vec) granularity and the only
-    // shuffled relation is the candidate pairs themselves (the pre-r13
-    // per-subspace expansion + groupBy(probe, vec) carried m× that)
+    // the kernel scores each pair's probe only (m table lookups), so
+    // nothing ever re-aggregates at (probe, vec) granularity and the
+    // only shuffled relations are the candidate pairs and the kernel's
+    // ≤C-per-probe heap survivors (the pre-r13 per-subspace expansion +
+    // groupBy(probe, vec) carried m× the pairs)
     val cands = cells.join(broadcast(probeCells), Seq("cell"))
       .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
       .select("probe_id", "vec_id").distinct()
-    val adcScore = udf { (probeId: Long, cs: Seq[Int]) =>
-      val (pi, ts) = bcTabs.value
-      val t = ts(pi(probeId))
-      var d = 0.0
-      var m = 0
-      while (m < LlmOps.PqM) { d += t(m)(cs(m)); m += 1 }
-      d
-    }
-    val adc = cands
-      .join(codesWide, "vec_id")
-      .select(col("probe_id"), col("vec_id"),
-        adcScore(col("probe_id"), col("codes")).as("approx_d2"))
-    val topC = udaf(new graft.functions.TopK(PqRerank),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val rerank = adc.groupBy("probe_id")
-      .agg(topC(-col("approx_d2"), col("vec_id")).as("nb"))
-      .select(col("probe_id"), explode(col("nb.id")).as("vec_id"))
-    val topk = udaf(new graft.functions.TopK(k),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    rerank.join(vecs, "vec_id")
-      .join(broadcast(probeVecs), "probe_id")
-      .withColumn("cos", expr("cosine_f32(pv, embedding)"))
-      .groupBy("probe_id")
-      .agg(topk(col("cos"), col("vec_id")).as("nb"))
-      .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
-      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
-        col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
-      .orderBy("probe_id", "rnk")
+    val scored = PqIndex.adcKernel(cands.join(codesWide, "vec_id"),
+      bcTabs, PqRerank, excludeSelf = false) // self-pairs already filtered
+    PqIndex.rerankTopK(scored, vecs, probeVecs, k, PqRerank)
   }
 }

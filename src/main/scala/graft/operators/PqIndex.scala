@@ -93,36 +93,16 @@ object PqIndex {
       transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
 
-  /** ADC scan + bounded exact re-rank against supplied frames.
-    *
-    * The ADC is a per-partition bounded-heap KERNEL, not a join+agg:
-    * per-probe distance tables d²(probe slice, codeword) are computed
-    * distributed, collected (probes × m·k scalars — bounded by the
-    * BATCH, never the corpus: m=8, k=16 → 128 doubles/probe) and
-    * broadcast; each task scans its wide-code rows once, scores every
-    * probe with m table lookups, and keeps ≤C candidates per probe in a
-    * local heap. Shuffled rows = partitions × probes × C.
-    *
-    * Why not the join+agg formulation (codes ⋈ dt → groupBy(probe, vec)
-    * → topC): its aggregation state and shuffle are probes × corpus —
-    * measured on the round-13 batch-axis probe, a 5000-probe batch
-    * against a 20M-vector corpus spilled >50 GB and died on ENOSPC,
-    * with per-X cost ratio 1.8 at 10× (super-linear). The kernel's
-    * shuffle is corpus-independent; the scan term (probes × n × m
-    * lookups) is the flat-PQ contract — cell-restricted IVFADC
-    * (IvfPqIndex) is the path when even that scan is too much. */
-  private[operators] def scoreProbes(s: SparkSession, cb: DataFrame,
-      codesIn: DataFrame, vecs: DataFrame, probeVecs: DataFrame,
-      k: Int, excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-    import org.apache.spark.sql.types._
-    graft.functions.VectorExpressions.register(s)
-    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
-    // accept both layouts: wide from a stored index, long from inline
-    // buildFrames callers (l53) or a pre-round-13 index dir
-    val codes =
-      if (codesIn.schema.fieldNames.contains("sub")) widen(codesIn) else codesIn
+  /** Per-probe ADC distance tables d²(probe slice, codeword), computed
+    * distributed then collected and broadcast. probes × m·k scalars —
+    * bounded by the BATCH, never the corpus (m=8, k=16 → 128
+    * doubles/probe). ONE definition for both PQ families, so their ADC
+    * arithmetic can never drift. Returns (sorted probe ids, tabs indexed
+    * [probe][sub][code]). */
+  private[operators] def distTables(s: SparkSession, cb: DataFrame,
+      probeVecs: DataFrame, subDim: Int)
+      : org.apache.spark.broadcast.Broadcast[
+          (Array[Long], Array[Array[Array[Double]]])] = {
     val dtRows = broadcast(probeVecs)
       .crossJoin(broadcast(cb))
       .select(col("probe_id"), col("sub"), col("code"), col("cvec"),
@@ -137,15 +117,48 @@ object PqIndex {
     dtRows.foreach { r =>
       tabs(pidx(r.getLong(0)))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
     }
-    val bcTabs = s.sparkContext.broadcast((probeIds, tabs))
-    val C = PqRerank
+    s.sparkContext.broadcast((probeIds, tabs))
+  }
+
+  /** The shared ADC scoring kernel: per-partition bounded heaps, NOT a
+    * join+agg. Two input shapes:
+    *
+    *   (vec_id, codes)           — flat scan: every row scores EVERY
+    *                               probe (m table lookups each)
+    *   (probe_id, vec_id, codes) — cell-restricted IVFADC pairs: each
+    *                               row scores only its pair's probe
+    *
+    * Each task keeps ≤C candidates per probe in a local heap; output is
+    * (probe_id, vec_id, negd2) heap survivors — shuffled rows =
+    * partitions × probes × C, corpus-independent. Callers re-aggregate
+    * the global top-C with TopK (the heap ordering below evicts exactly
+    * the rows TopK would, so the composition is an exact global top-C).
+    *
+    * Why not join+agg (codes ⋈ dt → groupBy(probe, vec) → topC): its
+    * aggregation state and shuffle are probes × corpus — measured on the
+    * round-13 batch-axis probe, a 5000-probe batch against a 20M-vector
+    * corpus spilled >50 GB and died on ENOSPC, per-X ratio 1.8 at 10×
+    * (super-linear). Round 14 unified IvfPqIndex onto this kernel too
+    * (its interim per-row Scala UDF boxed a Seq[Int] and probed a Map
+    * per candidate row — VERDICT r13 #3). */
+  private[operators] def adcKernel(rows: DataFrame,
+      bcTabs: org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Array[Array[Double]]])],
+      C: Int, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types._
+    val perPair = rows.schema.fieldNames.contains("probe_id")
+    val in =
+      if (perPair) rows.select("probe_id", "vec_id", "codes")
+      else rows.select("vec_id", "codes")
     val exclude = excludeSelf
     val outSchema = StructType(Seq(
       StructField("probe_id", LongType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
       StructField("negd2", DoubleType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val scored = codes.mapPartitions { rows =>
+    in.mapPartitions { rows =>
       val (pids, dts) = bcTabs.value
       val np = pids.length
       // per-probe bounded min-heap on (negd2 asc, id desc): the root is
@@ -159,22 +172,40 @@ object PqIndex {
       }
       val heaps = Array.fill(np)(
         new java.util.PriorityQueue[graft.functions.Scored](C + 1, ord))
-      rows.foreach { r =>
-        val vid = r.getLong(0)
-        val cs = r.getSeq[Int](1)
-        var p = 0
-        while (p < np) {
-          if (!exclude || pids(p) != vid) {
-            val t = dts(p)
-            var d = 0.0
-            var m = 0
-            while (m < PqM) { d += t(m)(cs(m)); m += 1 }
-            val cand = graft.functions.Scored(-d, vid)
-            val h = heaps(p)
-            if (h.size < C) h.offer(cand)
-            else if (ord.compare(cand, h.peek) > 0) { h.poll(); h.offer(cand); () }
+      def offer(p: Int, vid: Long, cs: Seq[Int]): Unit = {
+        val t = dts(p)
+        var d = 0.0
+        var m = 0
+        while (m < PqM) { d += t(m)(cs(m)); m += 1 }
+        val cand = graft.functions.Scored(-d, vid)
+        val h = heaps(p)
+        if (h.size < C) { h.offer(cand); () }
+        else if (ord.compare(cand, h.peek) > 0) { h.poll(); h.offer(cand); () }
+      }
+      if (perPair) {
+        val pmap = new java.util.HashMap[java.lang.Long, java.lang.Integer](np * 2)
+        var i = 0
+        while (i < np) { pmap.put(pids(i), i); i += 1 }
+        rows.foreach { r =>
+          val pid = r.getLong(0)
+          val vid = r.getLong(1)
+          if (!exclude || pid != vid) {
+            // null = a pair whose probe is unknown to this batch's
+            // tables — impossible by construction (pairs derive from the
+            // same probe frame), guarded rather than scored as probe 0
+            val p = pmap.get(pid)
+            if (p != null) offer(p, vid, r.getSeq[Int](2))
           }
-          p += 1
+        }
+      } else {
+        rows.foreach { r =>
+          val vid = r.getLong(0)
+          val cs = r.getSeq[Int](1)
+          var p = 0
+          while (p < np) {
+            if (!exclude || pids(p) != vid) offer(p, vid, cs)
+            p += 1
+          }
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, p) =>
@@ -183,6 +214,13 @@ object PqIndex {
         h.iterator().asScala.map(sc => Row(pid, sc.id, sc.score))
       }
     }(enc)
+  }
+
+  /** Global top-C over the kernel's heap survivors, then the bounded
+    * exact re-rank: top-C candidate vectors re-scored by exact cosine,
+    * top-k kept — the serve tail both PQ families share. */
+  private[operators] def rerankTopK(scored: DataFrame, vecs: DataFrame,
+      probeVecs: DataFrame, k: Int, C: Int): DataFrame = {
     val topC = udaf(new graft.functions.TopK(C),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val cands = scored.groupBy("probe_id")
@@ -199,6 +237,25 @@ object PqIndex {
       .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** Flat ADC scan + bounded exact re-rank against supplied frames:
+    * [[distTables]] → [[adcKernel]] over the whole wide-codes table →
+    * [[rerankTopK]]. The scan term (probes × n × m lookups) is the
+    * flat-PQ contract — cell-restricted IVFADC ([[IvfPqIndex]], same
+    * kernel) is the path when even that scan is too much. */
+  private[operators] def scoreProbes(s: SparkSession, cb: DataFrame,
+      codesIn: DataFrame, vecs: DataFrame, probeVecs: DataFrame,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    // accept both layouts: wide from a stored index, long from inline
+    // buildFrames callers (l53) or a pre-round-13 index dir
+    val codes =
+      if (codesIn.schema.fieldNames.contains("sub")) widen(codesIn) else codesIn
+    val bcTabs = distTables(s, cb, probeVecs, subDim)
+    val scored = adcKernel(codes, bcTabs, PqRerank, excludeSelf)
+    rerankTopK(scored, vecs, probeVecs, k, PqRerank)
   }
 
   /** Build the index from the standard embeddings table. */
@@ -248,10 +305,28 @@ object PqIndex {
     val subDim = cb.select(size(col("cvec"))).first().getInt(0)
     val vecs = newVecs.select(col("vec_id"), col("embedding")).persist()
     try {
-      widen(encode(cb, subDim, vecs))
+      encodeMatchingLayout(spark, s"$dir/codes", cb, subDim, vecs)
         .write.mode("append").parquet(s"$dir/codes")
       vecs.write.mode("append").parquet(s"$dir/vectors")
     } finally { vecs.unpersist(); () }
+  }
+
+  /** Encode `vecs` in whatever layout `codesDir` already stores — wide
+    * (vec_id, codes) from an r13+ build, or long (vec_id, sub, code)
+    * from a pre-r13 dir. Appending ONE fixed layout would mix two
+    * parquet schemas in one directory: later reads pick one file's
+    * schema and null out the other's columns, silently breaking both
+    * the `contains("sub")` layout dispatch and the ADC kernel. */
+  private[operators] def encodeMatchingLayout(spark: SparkSession,
+      codesDir: String, cb: DataFrame, subDim: Int,
+      vecs: DataFrame): DataFrame = {
+    val stored = spark.read.parquet(codesDir).schema.fieldNames.toSet
+    val fresh = encode(cb, subDim, vecs)
+    if (stored.contains("sub")) fresh
+    else if (stored.contains("codes")) widen(fresh)
+    else throw new IllegalStateException(
+      s"$codesDir holds neither a wide (vec_id, codes) nor a long " +
+        "(vec_id, sub, code) PQ layout — rebuild the index")
   }
 
   /** Top-k neighbors for an arbitrary probe set (probe_id, pv), served

@@ -36,10 +36,32 @@ class BenchSpec extends AnyFunSuite {
       """{"n":10,"parsed":{"queries":{"q1_agg":0.334,"l13_ann":0.659},
         |"calib":{"sha256_1t_256mb_sec":0.251}}}""".stripMargin)
     write("BENCH_r10_broken.json", "{not json") // ignored: name mismatch
-    val Some((n, qs, calib)) = Bench.loadPrevBench(dir)
+    val Some((n, qs, calib, calibSpark)) = Bench.loadPrevBench(dir)
     assert(n == 10)
     assert(qs == Map("q1_agg" -> 0.334, "l13_ann" -> 0.659))
     assert(calib == 0.251)
+    assert(calibSpark == 0.0, "pre-r14 artifact has no spark anchor → 0.0 sentinel")
+    // r14+ artifact: the spark anchor parses alongside the sha pair
+    write("BENCH_r11.json",
+      """{"n":11,"parsed":{"queries":{"q1_agg":0.3},
+        |"calib":{"sha256_1t_256mb_sec":0.2,"spark_10m_shuffle_sec":0.61}}}""".stripMargin)
+    val Some((_, _, _, cs11)) = Bench.loadPrevBench(dir)
+    assert(cs11 == 0.61)
+  }
+
+  test("spark-anchored adjusted total normalizes drift and is defensive") {
+    val quietAdj = Bench.adjustedTotalSpark(15.0, Bench.QuietCalibSpark)
+    val slowAdj = Bench.adjustedTotalSpark(30.0, Bench.QuietCalibSpark * 2)
+    assert(math.abs(quietAdj - slowAdj) < 1e-9)
+    assert(quietAdj == 15.0)
+    assert(Bench.adjustedTotalSpark(10.0, 0.0) == 10.0)
+    assert(Bench.adjustedTotalSpark(10.0, -1.0) == 10.0)
+  }
+
+  test("hostLoad reads loadavg and sees at least this JVM") {
+    val (la, jvms) = Bench.hostLoad()
+    assert(la >= 0.0, s"loadavg unreadable: $la")
+    assert(jvms >= 1, s"JVM census missed the current process: $jvms")
   }
 
   test("loadPrevBench survives a truncated artifact and an empty dir") {

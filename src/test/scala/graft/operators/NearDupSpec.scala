@@ -181,6 +181,94 @@ class NearDupSpec extends SparkSpec {
       s"appended exact-dup not found as top neighbor: $top")
   }
 
+  test("ANN serve routes to the IVFPQ sidecar past the bucket-size threshold") {
+    // VERDICT r13 #1: flat sign-LSH's fixed 256-bucket/band key space
+    // makes its exact re-rank term linear in the corpus; past the
+    // measured threshold the index carries an IVFPQ sidecar and serving
+    // routes there. Threshold forced to each side so the sf0.001 corpus
+    // exercises both arms of the real decision.
+    val dir = java.nio.file.Files.createTempDirectory("ann-route").toString
+    val key = AnnIndex.FlatMaxBucketRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0") // tiny corpus behaves like a 10^9-vector one
+      AnnIndex.build(spark, sfDir, dir)
+      assert(AnnIndex.chosenArm(spark, dir) == "ivfpq",
+        "past the threshold with a sidecar present, serving must route")
+      val probes = graft.Tables.t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val routed = AnnIndex.queryProbes(spark, dir, probes, 5).collect().toSeq
+      val direct = IvfPqIndex.queryProbes(spark, s"$dir/ivfpq", probes, 5)
+        .collect().toSeq
+      assert(routed == direct, "routed serve must BE the sidecar's serve")
+      assert(routed.nonEmpty)
+      // threshold above the corpus: the exact-recall flat arm serves
+      spark.conf.set(key, Long.MaxValue.toString)
+      assert(AnnIndex.chosenArm(spark, dir) == "flat")
+      val flat = AnnIndex.queryProbes(spark, dir, probes, 5).collect().toSeq
+      val flatDirect = AnnIndex.flatQueryProbes(spark, dir, probes, 5)
+        .collect().toSeq
+      assert(flat == flatDirect)
+      assert(flat.nonEmpty, "flat arm serves rows")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("ANN index without a sidecar never routes, whatever the threshold") {
+    // a pre-r14 index dir (signatures/ + vectors/ only) must keep
+    // serving on the flat arm even when the corpus is past the
+    // threshold — routing requires the sidecar to EXIST
+    val dir = java.nio.file.Files.createTempDirectory("ann-nosidecar").toString
+    val key = AnnIndex.FlatMaxBucketRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      AnnIndex.build(spark, sfDir, dir) // default threshold: no sidecar built
+      spark.conf.set(key, "0")
+      assert(AnnIndex.chosenArm(spark, dir) == "flat",
+        "no sidecar on disk → flat arm regardless of corpus size")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("PQ append matches a legacy long-layout codes dir (no parquet schema mixing)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-legacy").toString
+    PqIndex.build(spark, sfDir, dir)
+    // rewrite codes/ to the pre-r13 LONG layout, as an old index dir holds
+    import graft.SparkSpec.spark.implicits._
+    val longRows = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    longRows.toDF("vec_id", "sub", "code")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    // append must encode to the STORED layout — a wide append would mix
+    // two parquet schemas in one dir and null out columns on later reads
+    val v0 = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    PqIndex.append(spark, dir, Seq((99999L, v0)).toDF("vec_id", "embedding"))
+    val after = spark.read.parquet(s"$dir/codes")
+    assert(after.schema.fieldNames.toSet == Set("vec_id", "sub", "code"),
+      s"append changed the stored layout: ${after.schema.treeString}")
+    assert(after.filter(col("sub").isNull || col("code").isNull).count() == 0,
+      "schema mixing nulled out long-layout columns")
+    assert(after.filter(col("vec_id") === 99999L).count() == LlmOps.PqM.toLong,
+      "appended vector missing its per-subspace code rows")
+    // and the legacy-layout index still serves: the appended exact dup of
+    // vector 0 surfaces as its top-1 neighbor at cosine ≈ 1
+    val probes = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val top = PqIndex.queryProbes(spark, dir, probes, 1)
+      .select("neighbor_id", "sim").collect()(0)
+    assert(top.getLong(0) == 99999L && math.abs(top.getDouble(1) - 1.0) < 1e-9,
+      s"legacy-layout serve broken after append: $top")
+  }
+
   test("IVF+PQ index: cell-restricted ADC clears the recall floor, scans a fraction") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
     IvfPqIndex.build(spark, sfDir, dir)
