@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Two-arm ANN serve measurement backing the round-14 routing constant
+  * (`spark.graft.ann.flatMaxBucketRows`, AnnIndex.FlatMaxBucketRows):
+  * times the flat sign-LSH arm and the IVFPQ arm over the SAME corpus
+  * and probe batch, so the crossover is measured, not asserted —
+  * the SimHashIndex cost-model discipline applied to ANN serving
+  * (VERDICT r13 #1).
+  *
+  *   SPARK_GRAFT_ROUTE_CORPUS  dir holding embeddings.parquet
+  *                             (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_ROUTE_PROBES  probe batch size (default 500)
+  *   SPARK_GRAFT_ROUTE_DIR     index cache root (default
+  *                             /tmp/graft_annroute) — builds are reused
+  *                             across runs via _BUILD_DONE markers
+  *   SPARK_GRAFT_CPUS          local[] parallelism (default 32)
+  *
+  * Prints ONE JSON line:
+  *   {"metric":"ann_route_arms","corpus":…,"n":…,"bucket_rows":…,
+  *    "probes":…,"flat_sec":…,"ivfpq_sec":…,"winner":…}
+  */
+object AnnRouteProbe {
+
+  def main(args: Array[String]): Unit = {
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_ROUTE_CORPUS",
+      "/root/testdata/sf0.1")
+    val nProbes = sys.env.getOrElse("SPARK_GRAFT_ROUTE_PROBES", "500").toInt
+    val root = sys.env.getOrElse("SPARK_GRAFT_ROUTE_DIR", "/tmp/graft_annroute")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.t(spark, corpus, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(corpus).toLong & 0xffffffffL)
+    val flatDir = s"$root/$tag/flat"
+    val ivfDir = s"$root/$tag/ivfpq"
+
+    def built(dir: String, build: String => Unit): String = {
+      val marker = java.nio.file.Paths.get(dir, "_BUILD_DONE")
+      if (!java.nio.file.Files.exists(marker)) {
+        val t0 = System.nanoTime()
+        build(dir)
+        System.err.println(f"[route] built $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, n.toString.getBytes)
+        ()
+      }
+      dir
+    }
+    // flat tables WITHOUT the sidecar (threshold pinned high): this probe
+    // measures the arms separately; the production path composes them
+    spark.conf.set(operators.AnnIndex.FlatMaxBucketRowsKey, Long.MaxValue.toString)
+    built(flatDir, d => operators.AnnIndex.buildFrom(spark, emb, d))
+    built(ivfDir, d => operators.IvfPqIndex.buildFrom(spark, emb, d))
+
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .localCheckpoint(true)
+    // routed serving pins a SMALL fixed nprobe (the production setting —
+    // IvfPqIndex's default k/3 is the adversarial-corpus RECALL tuning,
+    // and at k/3 the measured serve cost stayed ABOVE flat's even at 2M
+    // vectors: it scans ~2/3 of the corpus)
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_ROUTE_NPROBE", "0").toInt
+    def timeOne(fn: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn().write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc() // reap dead localCheckpoint blocks between arms
+      secs
+    }
+    def flat() = operators.AnnIndex.flatQueryProbes(spark, flatDir, probes, 5)
+    def ivf() = operators.IvfPqIndex.queryProbes(spark, ivfDir, probes, 5,
+      nprobe = nprobe)
+    // warmup (JIT, parquet footers), then min-of-2 per arm, interleaved
+    // so a host burst can't swallow one arm's both slots
+    try { timeOne(() => flat()); timeOne(() => ivf()) }
+    catch { case e: Throwable => System.err.println(s"[route] warmup: ${e.getMessage}") }
+    var fSec = Double.MaxValue
+    var iSec = Double.MaxValue
+    for (_ <- 1 to 2) {
+      fSec = math.min(fSec, timeOne(() => flat()))
+      iSec = math.min(iSec, timeOne(() => ivf()))
+    }
+    // optional recall@5 of each arm vs one brute-force exact pass —
+    // states the routed arm's quality trade next to its cost
+    val recallJson =
+      if (sys.env.get("SPARK_GRAFT_ROUTE_RECALL").contains("1")) {
+        graft.functions.VectorExpressions.register(spark)
+        val topk = udaf(new graft.functions.TopK(5),
+          org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+        val exact = broadcast(probes)
+          .join(emb, col("probe_id") =!= col("vec_id"))
+          .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+          .groupBy("probe_id")
+          .agg(topk(col("cos"), col("vec_id")).as("nb"))
+          .select(col("probe_id"), explode(col("nb.id")).as("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def recall(fn: () => org.apache.spark.sql.DataFrame): Double = {
+          val got = fn().select("probe_id", "neighbor_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          (got & exact).size.toDouble / exact.size
+        }
+        f""","flat_recall":${recall(() => flat())}%.3f,"ivfpq_recall":${recall(() => ivf())}%.3f"""
+      } else ""
+    val winner = if (fSec <= iSec) "flat" else "ivfpq"
+    println(f"""{"metric":"ann_route_arms","corpus":"$corpus","n":$n,"bucket_rows":${n >> 8},"probes":$nProbes,"nprobe":$nprobe,"flat_sec":$fSec%.3f,"ivfpq_sec":$iSec%.3f,"winner":"$winner"$recallJson}""")
+    spark.stop()
+  }
+}

@@ -36,8 +36,6 @@ object SparkEntry {
     "t12_approx_interarrival" -> "t-digest state; bounds in QueriesSpec",
     "o12_incremental_hll" -> "HLL merge state; bounds in QueriesSpec",
     "l14_tfidf" -> "JVM murmur3 feature hashing; pinned in QueriesSpec",
-    "l20_ann_ivf" -> "iterative k-means fit; recall floor 0.75 in spec",
-    "l53_ann_pq" -> "iterative k-means fit; recall floor 0.6 in spec",
     "l5c_meta_cache_stats" -> "runtime cache counters; MetaSourceSpec")
 
   /** Lanes whose oracle SQL is GENERATED at run time from an
@@ -51,5 +49,9 @@ object SparkEntry {
     * (registry == static-oracle ∪ no-oracle ∪ generated-oracle). */
   val generatedOracle: Map[String, String] = Map(
     "l54w_simhash64" -> "oracle replays the emitted simhash fixture",
-    "l64_image_neardup" -> "oracle replays the emitted aHash fixture")
+    "l64_image_neardup" -> "oracle replays the emitted aHash fixture",
+    "l53_ann_pq" ->
+      "oracle replays encode+ADC+rerank from the frozen codebook fixture",
+    "l20_ann_ivf" ->
+      "oracle replays assignment+probe-cells+rerank from the frozen centroids")
 }

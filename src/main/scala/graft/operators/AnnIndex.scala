@@ -24,28 +24,49 @@ object AnnIndex {
   /** Cost-model routing (VERDICT r13 #1, the SimHashIndex discipline):
     * flat sign-LSH has a FIXED 2^Bits = 256-bucket/band key space, so
     * average bucket size — and the exact re-rank term probes ×
-    * bucket-size — grows linearly with the corpus (measured, SCALE.md
-    * Round-13: idx_ann_probe r/x RISING 0.295 → 0.368; 120 s for a
-    * 5000-probe batch at 20M vectors ≈ 78k rows/bucket). IVFPQ's cells
-    * grow as √n, so its per-probe candidate term falls with corpus
-    * growth instead of tracking it.
+    * bucket-size — grows linearly with the corpus. IVFPQ at a fixed
+    * nprobe scans 2·nprobe·√n candidates — √n growth, falling RELATIVE
+    * to the corpus.
+    *
+    * MEASURED (round 14, AnnRouteProbe, 500-probe batch, min-of-2,
+    * SCALE.md Round-14): flat serve is corpus-linear — 2.9 s at 2k
+    * vectors (7 rows/bucket), 9.2 s at 200k (781), 114.9 s at 2M
+    * (7,812). The routed IVFPQ arm at nprobe=64 took 7.3 s at 200k
+    * (1.25× faster) and 20.9 s at 2M (5.5× faster), growing as √n
+    * (7.3 → 20.9 for a 10× corpus ≈ √10). Both arms measured recall
+    * 1.000 on those corpora.
     *
     * The threshold is AVERAGE ROWS PER BUCKET (n / 256): past it,
     * `build`/`append` maintain an IVFPQ sidecar under `dir`/ivfpq and
-    * `queryProbes` serves from it. Default from the round-14 two-arm
-    * measurement on the 20M-vector serve corpus (SCALE.md Round-14):
-    * the IVFPQ arm beat flat by >4× at 78k rows/bucket and the flat
-    * arm's re-rank term passes IVFPQ's total near ~4k rows/bucket
-    * (~1M vectors); set above the measured break-even with headroom so
-    * small corpora (every sf lane) stay on the exact-recall flat arm.
+    * `queryProbes` serves from it at [[RouteNprobe]]. The default sits
+    * DELIBERATELY above the measured cost break-even (≤781 rows/bucket):
+    * the flat arm is the exact-recall multiprobe LSH, and the routed
+    * arm's recall on a clusterless corpus falls with the scanned
+    * fraction — so routing waits until the flat arm's linear term
+    * genuinely dominates (≥4096 rows/bucket ≈ 1M vectors, where the
+    * measured advantage is ≥5×), not until IVFPQ merely edges ahead.
     * Tunable per deployment (and set low by specs to exercise routing
     * on test-sized corpora). */
   private[graft] val FlatMaxBucketRowsKey = "spark.graft.ann.flatMaxBucketRows"
   private[graft] val FlatMaxBucketRows: Long = 4096
 
+  /** nprobe the ROUTED IVFPQ arm serves at — a small FIXED cell count,
+    * NOT IvfPqIndex's default k/3 (that default is the recall tuning for
+    * the adversarial clusterless corpus, and at k/3 the round-14 probe
+    * measured the IVFPQ arm's serve cost ABOVE flat's even at 2M vectors
+    * — 175 vs 115 s — because it scans ~2/3 of the corpus). At a fixed
+    * nprobe the candidate term is 2·nprobe·√n — falling RELATIVE to the
+    * corpus — which is the whole point of routing: 20.9 vs 114.9 s at
+    * 2M vectors, recall 1.000 on that corpus (SCALE.md Round-14). */
+  private[graft] val RouteNprobeKey = "spark.graft.ann.routeNprobe"
+  private[graft] val RouteNprobe = 64
+
   private def flatMaxBucketRows(spark: SparkSession): Long =
     spark.conf.getOption(FlatMaxBucketRowsKey).map(_.toLong)
       .getOrElse(FlatMaxBucketRows)
+
+  private def routeNprobe(spark: SparkSession): Int =
+    spark.conf.getOption(RouteNprobeKey).map(_.toInt).getOrElse(RouteNprobe)
 
   /** Average rows per (band, sig) bucket for an n-vector corpus. */
   private[operators] def avgBucketRows(n: Long): Long = n >> Bits
@@ -186,7 +207,7 @@ object AnnIndex {
       k: Int, excludeSelf: Boolean = true): DataFrame =
     if (chosenArm(spark, dir) == "ivfpq")
       IvfPqIndex.queryProbes(spark, ivfDir(dir), probeVecs, k,
-        excludeSelf = excludeSelf)
+        nprobe = routeNprobe(spark), excludeSelf = excludeSelf)
     else flatQueryProbes(spark, dir, probeVecs, k, excludeSelf)
 
   /** The flat sign-LSH serving arm (pre-r14 `queryProbes` body) — still
@@ -216,8 +237,10 @@ object AnnIndex {
       .groupBy("probe_id")
       .agg(topk(col("cos"), col("vec_id")).as("nb"))
       .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
+      // raw cosine, matching the IVFPQ arm's output — a caller must see
+      // the same sim precision whichever arm the router picks
       .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
-        col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
+        col("hit.id").as("neighbor_id"), col("hit.score").as("sim"))
       .orderBy("probe_id", "rnk")
   }
 }

@@ -251,6 +251,72 @@ object LlmOps {
       })).dir
   }
 
+  /** Frozen-quantizer fixtures backing the l53/l20 generated oracles
+    * (round 14, the L54wSigs GENERATED-oracle discipline): the k-means
+    * FIT is the only step DuckDB cannot replay — everything after it
+    * (nearest-codeword encode, ADC distance tables and sums, exact
+    * cosine re-rank, ranking) is deterministic double arithmetic whose
+    * fold order dot_f32/cosine_f32 pin (VectorExprSpec parity). So the
+    * lane dumps the fitted model ONCE per (process, corpus dir), reads
+    * it back from parquet (the table the oracle replays is the table
+    * the engine served), and the generated SQL recomputes the whole
+    * post-fit pipeline from `embeddings` + the fixture. */
+  private[graft] object PqCbFix {
+    private final class Cell(mk: => String) { lazy val dir: String = mk }
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+    @volatile private[graft] var lastPath: Option[String] = None
+    def fixture(s: SparkSession, d: String): String = {
+      val p = built.computeIfAbsent(d, _ => new Cell({
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-l53-codebooks").toString
+        PqIndex.fitCodebooks(s,
+            t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })).dir
+      lastPath = Some(p)
+      p
+    }
+  }
+
+  /** l20's coarse-quantizer fixture: the fitted centroid table plus the
+    * nprobe the lane derived from it (inlined into the generated SQL). */
+  private[graft] object IvfCentFix {
+    private final class Cell(mk: => (String, Int)) {
+      lazy val v: (String, Int) = mk
+    }
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+    @volatile private[graft] var last: Option[(String, Int)] = None
+    def fixture(s: SparkSession, d: String): (String, Int) = {
+      val p = built.computeIfAbsent(d, _ => new Cell({
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e0 = t(s, d, "embeddings")
+        val n = e0.select("vec_id").count()
+        val k = math.max(4, math.sqrt(n.toDouble).toInt)
+        val model = fitKMeansOnSample(
+          new KMeans().setK(k).setSeed(42).setMaxIter(8),
+          e0.select(col("vec_id"),
+            array_to_vector(col("embedding")).as("features")),
+          "vec_id", n)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-l20-centroids").toString
+        val centers = {
+          import s.implicits._
+          model.clusterCenters.zipWithIndex.toSeq
+            .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+            .toDF("cell", "cvec")
+        }
+        centers.write.mode("overwrite").parquet(dir)
+        (dir, math.max(3, k / 3))
+      })).v
+      last = Some(p)
+      p
+    }
+  }
+
   private[graft] object L54wSigs {
     private final class Cell(mk: => String) { lazy val dir: String = mk }
     private val built =
@@ -657,21 +723,27 @@ object LlmOps {
 
   /** PQ parameters: 8 subspaces × 16 codewords over 64-dim embeddings —
     * 8 small codes per vector (≈32× compression vs 64 float32s). */
-  private[operators] val PqM = 8
-  private[operators] val PqK = 16
+  private[graft] val PqM = 8
+  private[graft] val PqK = 16
   /** ADC candidates kept per probe for the exact re-rank. */
   private[operators] val PqRerank = 50
 
   /** Product-quantization kNN (see the l53 lane comment): the PqIndex
-    * frame functions composed inline — fit+encode (one seeded
-    * sample-fit k-means per subspace, nearest-codeword best-1 encode),
-    * then the ADC scan + bounded exact re-rank for the ten standard
-    * probes. The standing-index form of the same computation is
-    * PqIndex.build/queryProbes (NearDupSpec pins stored ≡ inline). */
+    * frame functions composed inline — the codebook fit comes from the
+    * [[PqCbFix]] parquet fixture (fitted once per process+dir, read
+    * back so the l53 generated oracle replays EXACTLY the model the
+    * lane served), then nearest-codeword encode, ADC scan, bounded
+    * exact re-rank for the ten standard probes. The standing-index form
+    * of the same computation is PqIndex.build/queryProbes (NearDupSpec
+    * pins stored ≡ inline). */
   private[operators] def annPq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding")).persist()
-    val (cb, codes) = PqIndex.buildFrames(s, vecs)
+    val cb = s.read.parquet(PqCbFix.fixture(s, d))
+    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    val codes = PqIndex.encode(cb, subDim, vecs).persist()
+    codes.count()
     PqIndex.scoreProbes(s, cb, codes, vecs,
       vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), 5)
@@ -1639,12 +1711,8 @@ object LlmOps {
     // a shuffle-free model.transform, and centroids are broadcast-sized.
     // Rows-only lane; NearDupSpec measures recall vs brute force.
     "l20_ann_ivf" -> ((s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       graft.functions.VectorExpressions.register(s)
       val e0 = t(s, d, "embeddings")
-      val n = e0.select("vec_id").count()
-      val k = math.max(4, math.sqrt(n.toDouble).toInt)
       // nprobe = k/3 scans ~1/3 of the corpus; with top-2 multi-
       // assignment (below) recall@5 = 0.88 measured on this NEAR-RANDOM
       // benchmark corpus (no cluster structure for the quantizer to
@@ -1652,18 +1720,14 @@ object LlmOps {
       // measured 0.60). On a real embedding corpus with cluster structure
       // the same index reaches higher recall at nprobe ≈ k/20. l13's
       // multi-table LSH (0.94) remains the quality path on this data.
-      val nprobe = math.max(3, k / 3)
-      val feats = e0.select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("features"))
-      val model = fitKMeansOnSample(
-        new KMeans().setK(k).setSeed(42).setMaxIter(8), feats, "vec_id", n)
+      // The centroid fit comes from the IvfCentFix parquet fixture
+      // (fitted once per process+dir, read back so the generated oracle
+      // replays EXACTLY the model the lane served — the L54wSigs
+      // discipline); everything below is deterministic double
+      // arithmetic the oracle recomputes.
+      val (centPath, nprobe) = IvfCentFix.fixture(s, d)
       // centroid table (k rows — broadcast-sized by construction)
-      val centers = {
-        import s.implicits._
-        model.clusterCenters.zipWithIndex.toSeq
-          .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
-          .toDF("cell", "cvec")
-      }
+      val centers = s.read.parquet(centPath)
       // MULTI-ASSIGNMENT: index every vector under its TOP-2 nearest
       // cells, not just the Voronoi winner. On a corpus without cluster
       // structure a true neighbor often sits just across a cell boundary;
@@ -1707,8 +1771,10 @@ object LlmOps {
         .groupBy("probe_id")
         .agg(topk(col("cos"), col("vec_id")).as("nb"))
         .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
+        // raw cosine (the l3 discipline) — the generated oracle
+        // hash-checks sim, and round() is the one cross-engine trap
         .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
-          col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
+          col("hit.id").as("neighbor_id"), col("hit.score").as("sim"))
         .orderBy("probe_id", "rnk")
     }),
 
@@ -2389,6 +2455,126 @@ object LlmOps {
            |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
            |ORDER BY a, b""".stripMargin
+    } ++
+    // l53 replay from the frozen codebook fixture: nearest-codeword
+    // encode (argmin d², code tiebreak), ADC = sub-ordered left fold of
+    // the probe's distance-table entries, top-C by (d asc, id asc),
+    // exact-cosine re-rank — every double op in the fold order
+    // dot_f32/cosine_f32 pin. The probes ARE corpus vectors, so their
+    // distance tables are the encode d² rows restricted to probe ids.
+    PqCbFix.lastPath.map { p =>
+      "l53_ann_pq" ->
+        s"""WITH cb AS (
+           |  SELECT sub, code, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS c
+           |  FROM read_parquet('$p/*.parquet')),
+           |sd AS (SELECT len(c) AS sd FROM cb LIMIT 1),
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |sl AS (
+           |  SELECT vec_id, sub, v[sub * sd + 1 : sub * sd + sd] AS sv
+           |  FROM e CROSS JOIN sd
+           |  CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub)),
+           |d2 AS (
+           |  SELECT sl.vec_id, sl.sub, cb.code,
+           |    list_reduce(list_transform(generate_series(1, len(sv)),
+           |      i -> sv[i] * sv[i]), (x, y) -> x + y)
+           |    + list_reduce(list_transform(generate_series(1, len(c)),
+           |        i -> c[i] * c[i]), (x, y) -> x + y)
+           |    - 2 * list_reduce(list_transform(generate_series(1, len(sv)),
+           |        i -> sv[i] * c[i]), (x, y) -> x + y) AS d2
+           |  FROM sl JOIN cb ON cb.sub = sl.sub),
+           |codes AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT vec_id, sub, code,
+           |      row_number() OVER (PARTITION BY vec_id, sub
+           |        ORDER BY d2, code) AS rn
+           |    FROM d2) WHERE rn = 1),
+           |dt AS (SELECT vec_id AS probe_id, sub, code, d2 AS pd2
+           |       FROM d2 WHERE vec_id < 10),
+           |adc AS (
+           |  SELECT dt.probe_id, c.vec_id,
+           |    list_reduce(list(dt.pd2 ORDER BY dt.sub), (x, y) -> x + y) AS d
+           |  FROM dt JOIN codes c ON c.sub = dt.sub AND c.code = dt.code
+           |  WHERE c.vec_id <> dt.probe_id
+           |  GROUP BY dt.probe_id, c.vec_id),
+           |cand AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY d, vec_id) AS rn
+           |    FROM adc) WHERE rn <= $PqRerank),
+           |n AS (
+           |  SELECT vec_id, v,
+           |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+           |  FROM e),
+           |rr AS (
+           |  SELECT cand.probe_id, cand.vec_id AS neighbor_id,
+           |    list_reduce(list_transform(generate_series(1, len(p.v)),
+           |      i -> p.v[i] * b.v[i]), (x, y) -> x + y) / (p.nrm * b.nrm) AS cos
+           |  FROM cand
+           |  JOIN n b ON b.vec_id = cand.vec_id
+           |  JOIN n p ON p.vec_id = cand.probe_id),
+           |r AS (
+           |  SELECT probe_id, neighbor_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+           |  FROM rr)
+           |SELECT probe_id, rnk, neighbor_id, cos AS sim
+           |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    } ++
+    // l20 replay from the frozen centroid fixture: top-2 cell
+    // multi-assignment, top-nprobe probe cells (nprobe inlined at
+    // generation time), cell-restricted candidates, exact-cosine top-5.
+    IvfCentFix.last.map { case (p, nprobe) =>
+      "l20_ann_ivf" ->
+        s"""WITH cent AS (
+           |  SELECT cell, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS c
+           |  FROM read_parquet('$p/*.parquet')),
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+           |  FROM e),
+           |cn AS (
+           |  SELECT cell, c,
+           |    sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) AS cnrm
+           |  FROM cent),
+           |csim AS (
+           |  SELECT n.vec_id, cn.cell,
+           |    list_reduce(list_transform(generate_series(1, len(n.v)),
+           |      i -> n.v[i] * cn.c[i]), (x, y) -> x + y) / (n.nrm * cn.cnrm) AS cs
+           |  FROM n CROSS JOIN cn),
+           |cells AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+           |    FROM csim) WHERE rn <= 2),
+           |pcells AS (
+           |  SELECT vec_id AS probe_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+           |    FROM csim WHERE vec_id < 10) WHERE rn <= $nprobe),
+           |cand AS (
+           |  SELECT DISTINCT p.probe_id, cl.vec_id
+           |  FROM pcells p JOIN cells cl ON cl.cell = p.cell
+           |  WHERE cl.vec_id <> p.probe_id),
+           |rr AS (
+           |  SELECT cand.probe_id, cand.vec_id AS neighbor_id,
+           |    list_reduce(list_transform(generate_series(1, len(p.v)),
+           |      i -> p.v[i] * b.v[i]), (x, y) -> x + y) / (p.nrm * b.nrm) AS cos
+           |  FROM cand
+           |  JOIN n b ON b.vec_id = cand.vec_id
+           |  JOIN n p ON p.vec_id = cand.probe_id),
+           |r AS (
+           |  SELECT probe_id, neighbor_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+           |  FROM rr)
+           |SELECT probe_id, rnk, neighbor_id, cos AS sim
+           |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
     }
 
   private val staticOracleSql: Map[String, String] = Map(

@@ -35,14 +35,12 @@ object PqIndex {
   private def d2(a: String, b: String) =
     expr(s"dot_f32($a, $a) + dot_f32($b, $b) - 2 * dot_f32($a, $b)")
 
-  /** Fit + encode as pure frames: (codebooks(sub, code, cvec),
-    * codes(vec_id, sub, code)). One seeded sample-fit k-means per
-    * subspace (deterministic run-to-run), then nearest-codeword
-    * encoding via a bounded-heap best-1 aggregation. `codes` comes back
-    * persisted+materialized — callers unpersist (or let the session's
-    * cache teardown reclaim it). */
-  private[operators] def buildFrames(s: SparkSession, vecs: DataFrame)
-      : (DataFrame, DataFrame) = {
+  /** The per-subspace codebook FIT alone: one seeded sample-fit k-means
+    * per subspace (deterministic run-to-run) → (sub, code, cvec). Split
+    * out of [[buildFrames]] so the l53 generated-oracle fixture can dump
+    * exactly the fitted model without paying the encode. */
+  private[operators] def fitCodebooks(s: SparkSession, vecs: DataFrame)
+      : DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.VectorExpressions.register(s)
@@ -59,7 +57,18 @@ object PqIndex {
         .clusterCenters.zipWithIndex
         .map { case (c, i) => (sub, i, c.toArray.map(_.toFloat)) }
     }
-    val cb = { import s.implicits._; codebooks.toDF("sub", "code", "cvec") }
+    import s.implicits._
+    codebooks.toDF("sub", "code", "cvec")
+  }
+
+  /** Fit + encode as pure frames: (codebooks(sub, code, cvec),
+    * codes(vec_id, sub, code)). `codes` comes back persisted+materialized
+    * — callers unpersist (or let the session's cache teardown reclaim
+    * it). */
+  private[operators] def buildFrames(s: SparkSession, vecs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val cb = fitCodebooks(s, vecs)
+    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
     val codes = encode(cb, subDim, vecs).persist()
     codes.count() // materialize before downstream fan-out reads it twice
     (cb, codes)
@@ -234,8 +243,12 @@ object PqIndex {
       .groupBy("probe_id")
       .agg(topk(col("cos"), col("vec_id")).as("nb"))
       .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
+      // sim is the RAW cosine double (the l3 discipline): rounding a
+      // computed double is the one op Spark and DuckDB disagree on
+      // within 1 ULP of a boundary, and the l53 generated oracle
+      // hash-checks this column
       .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
-        col("hit.id").as("neighbor_id"), round(col("hit.score"), 4).as("sim"))
+        col("hit.id").as("neighbor_id"), col("hit.score").as("sim"))
       .orderBy("probe_id", "rnk")
   }
 

@@ -393,6 +393,36 @@ class QueriesSpec extends SparkSpec {
       graft.Tables.t(spark, sfDir, "documents").count())
   }
 
+  test("l53/l20 lanes leave frozen-quantizer fixtures and generated oracles") {
+    // the r14 promotion (VERDICT r13 #2): the k-means FIT is the only
+    // non-replayable step, so the lane dumps the fitted model and the
+    // oracle replays encode + ADC + re-rank from that fixture. Running
+    // the lanes must leave (a) readable, well-shaped fixtures and (b)
+    // oracle entries reading exactly those fixtures.
+    assert(SparkEntry.queries("l53_ann_pq")(spark, sfDir).count() > 0)
+    assert(SparkEntry.queries("l20_ann_ivf")(spark, sfDir).count() > 0)
+    val pq = SparkEntry.oracleSql.get("l53_ann_pq")
+    assert(pq.isDefined, "l53 oracle missing after the lane ran")
+    val pqPath = graft.operators.LlmOps.PqCbFix.lastPath.get
+    assert(pq.get.contains(s"read_parquet('$pqPath/*.parquet')"),
+      "l53 oracle does not read the served codebook fixture")
+    val cb = spark.read.parquet(pqPath)
+    assert(cb.columns.sorted.toSeq == Seq("code", "cvec", "sub"))
+    assert(cb.count() ==
+      graft.operators.LlmOps.PqM.toLong * graft.operators.LlmOps.PqK,
+      "codebook fixture must hold m·k codewords")
+    val ivf = SparkEntry.oracleSql.get("l20_ann_ivf")
+    assert(ivf.isDefined, "l20 oracle missing after the lane ran")
+    val (cPath, np) = graft.operators.LlmOps.IvfCentFix.last.get
+    assert(ivf.get.contains(s"read_parquet('$cPath/*.parquet')"),
+      "l20 oracle does not read the served centroid fixture")
+    assert(ivf.get.contains(s"rn <= $np"),
+      "l20 oracle must inline the lane's nprobe")
+    val cent = spark.read.parquet(cPath)
+    assert(cent.columns.sorted.toSeq == Seq("cell", "cvec"))
+    assert(cent.count() >= 4)
+  }
+
   test("l57 pipeline: stages only shrink, packing is gap-free, eval never leaks") {
     val out = graft.operators.LlmOps.queries("l57_pipeline")(spark, sfDir)
       .collect()

@@ -199,8 +199,10 @@ class NearDupSpec extends SparkSpec {
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       val routed = AnnIndex.queryProbes(spark, dir, probes, 5).collect().toSeq
-      val direct = IvfPqIndex.queryProbes(spark, s"$dir/ivfpq", probes, 5)
-        .collect().toSeq
+      // the router serves at its fixed production nprobe, not the
+      // sidecar's adversarial-recall default
+      val direct = IvfPqIndex.queryProbes(spark, s"$dir/ivfpq", probes, 5,
+        nprobe = AnnIndex.RouteNprobe).collect().toSeq
       assert(routed == direct, "routed serve must BE the sidecar's serve")
       assert(routed.nonEmpty)
       // threshold above the corpus: the exact-recall flat arm serves
