@@ -427,11 +427,11 @@ object Bench {
     * math. */
   private[graft] val QuietCalib1t = 0.15
 
-  /** Quiet-host figure for [[calibrateSpark]], measured on the idle
-    * round-14 re-baseline host. Like [[QuietCalib1t]] it only sets the
-    * SCALE of value_calib_adjusted; round-over-round deltas divide two
-    * observed calibs and never touch it. */
-  private[graft] val QuietCalibSpark = 0.55
+  /** Quiet-host figure for [[calibrateSpark]]: 0.404 s measured on the
+    * idle (loadavg 0.79) round-14 re-baseline run. Like [[QuietCalib1t]]
+    * it only sets the SCALE of value_calib_adjusted; round-over-round
+    * deltas divide two observed calibs and never touch it. */
+  private[graft] val QuietCalibSpark = 0.404
 
   /** BENCH_r13 proved a pure-JVM hash loop can move OPPOSITE to the Spark
     * lanes (sha calib got faster while every lane got 1.4× slower — page
