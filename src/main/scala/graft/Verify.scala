@@ -68,6 +68,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query-name filter (dev loop)]
     val (sfDir, outDir) = (args(0), args(1))
+    // generated oracles (l54w/l53/l20/l64) bind to THIS dir's fixtures,
+    // not to whichever dir's lane happened to run last (advisor r14)
+    graft.operators.OracleDir.active = Some(sfDir)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

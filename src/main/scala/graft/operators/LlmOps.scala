@@ -265,9 +265,12 @@ object LlmOps {
     private final class Cell(mk: => String) { lazy val dir: String = mk }
     private val built =
       new java.util.concurrent.ConcurrentHashMap[String, Cell]()
-    @volatile private[graft] var lastPath: Option[String] = None
-    def fixture(s: SparkSession, d: String): String = {
-      val p = built.computeIfAbsent(d, _ => new Cell({
+    /** Fixture path the generated oracle should read — resolved per the
+      * ACTIVE verify dir, never last-write-wins (see [[OracleDir]]). */
+    private[graft] def forOracle: Option[String] =
+      OracleDir.select(built).map(_.dir)
+    def fixture(s: SparkSession, d: String): String =
+      built.computeIfAbsent(d, _ => new Cell({
         val dir = java.nio.file.Files
           .createTempDirectory("graft-l53-codebooks").toString
         PqIndex.fitCodebooks(s,
@@ -275,9 +278,6 @@ object LlmOps {
           .write.mode("overwrite").parquet(dir)
         dir
       })).dir
-      lastPath = Some(p)
-      p
-    }
   }
 
   /** l20's coarse-quantizer fixture: the fitted centroid table plus the
@@ -288,9 +288,12 @@ object LlmOps {
     }
     private val built =
       new java.util.concurrent.ConcurrentHashMap[String, Cell]()
-    @volatile private[graft] var last: Option[(String, Int)] = None
-    def fixture(s: SparkSession, d: String): (String, Int) = {
-      val p = built.computeIfAbsent(d, _ => new Cell({
+    /** (centroid path, nprobe) for the generated oracle — resolved per
+      * the ACTIVE verify dir (see [[OracleDir]]). */
+    private[graft] def forOracle: Option[(String, Int)] =
+      OracleDir.select(built).map(_.v)
+    def fixture(s: SparkSession, d: String): (String, Int) =
+      built.computeIfAbsent(d, _ => new Cell({
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val e0 = t(s, d, "embeddings")
@@ -312,32 +315,26 @@ object LlmOps {
         centers.write.mode("overwrite").parquet(dir)
         (dir, math.max(3, k / 3))
       })).v
-      last = Some(p)
-      p
-    }
   }
 
   private[graft] object L54wSigs {
     private final class Cell(mk: => String) { lazy val dir: String = mk }
     private val built =
       new java.util.concurrent.ConcurrentHashMap[String, Cell]()
-    /** Most recently served fixture path — what the generated oracle SQL
-      * reads. Verify runs one corpus dir per process, so "last" is "the"
-      * path at oracle-dump time; when the lane never ran (dev filter),
-      * the oracle entry is simply omitted and the driver records the
-      * rows-only check. */
-    @volatile private[graft] var lastPath: Option[String] = None
-    def fixture(s: SparkSession, d: String): String = {
-      val p = built.computeIfAbsent(d, _ => new Cell({
+    /** Fixture path for the generated oracle SQL — resolved per the
+      * ACTIVE verify dir (see [[OracleDir]]); when the lane never ran
+      * (dev filter), the oracle entry is simply omitted and the driver
+      * records the rows-only check. */
+    private[graft] def forOracle: Option[String] =
+      OracleDir.select(built).map(_.dir)
+    def fixture(s: SparkSession, d: String): String =
+      built.computeIfAbsent(d, _ => new Cell({
         val dir = java.nio.file.Files
           .createTempDirectory("graft-l54w-sigs").toString
         simhash64Of(t(s, d, "documents").select(col("doc_id"), col("text")))
           .write.mode("overwrite").parquet(dir)
         dir
       })).dir
-      lastPath = Some(p)
-      p
-    }
   }
 
   /** Hashed-unigram DSIR features: one (doc_id, bucket) row per token,
@@ -2446,7 +2443,7 @@ object LlmOps {
     * a dev-filtered run that skips l54w just omits the entry → the driver
     * records the rows-only check for it, nothing breaks). */
   def oracleSql: Map[String, String] = staticOracleSql ++
-    L54wSigs.lastPath.map { p =>
+    L54wSigs.forOracle.map { p =>
       "l54w_simhash64" ->
         s"""WITH sh AS (
            |  SELECT doc_id, simhash FROM read_parquet('$p/*.parquet'))
@@ -2462,7 +2459,7 @@ object LlmOps {
     // exact-cosine re-rank — every double op in the fold order
     // dot_f32/cosine_f32 pin. The probes ARE corpus vectors, so their
     // distance tables are the encode d² rows restricted to probe ids.
-    PqCbFix.lastPath.map { p =>
+    PqCbFix.forOracle.map { p =>
       "l53_ann_pq" ->
         s"""WITH cb AS (
            |  SELECT sub, code, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS c
@@ -2526,7 +2523,7 @@ object LlmOps {
     // l20 replay from the frozen centroid fixture: top-2 cell
     // multi-assignment, top-nprobe probe cells (nprobe inlined at
     // generation time), cell-restricted candidates, exact-cosine top-5.
-    IvfCentFix.last.map { case (p, nprobe) =>
+    IvfCentFix.forOracle.map { case (p, nprobe) =>
       "l20_ann_ivf" ->
         s"""WITH cent AS (
            |  SELECT cell, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS c

@@ -243,9 +243,12 @@ object MediaOps {
     private final class Cell(mk: => String) { lazy val dir: String = mk }
     private val built =
       new java.util.concurrent.ConcurrentHashMap[String, Cell]()
-    @volatile private[graft] var lastPath: Option[String] = None
-    def fixture(s: SparkSession, d: String): String = {
-      val p = built.computeIfAbsent(d, _ => new Cell({
+    /** Fixture path for the generated oracle SQL — resolved per the
+      * ACTIVE verify dir (see [[OracleDir]]). */
+    private[graft] def forOracle: Option[String] =
+      OracleDir.select(built).map(_.dir)
+    def fixture(s: SparkSession, d: String): String =
+      built.computeIfAbsent(d, _ => new Cell({
         val dir = java.nio.file.Files
           .createTempDirectory("graft-ahash-sigs").toString
         val schema = StructType(Seq(
@@ -272,13 +275,10 @@ object MediaOps {
           .write.mode("overwrite").parquet(dir)
         dir
       })).dir
-      lastPath = Some(p)
-      p
-    }
   }
 
   def oracleSql: Map[String, String] = staticOracleSql ++
-    AHashSigs.lastPath.map { p =>
+    AHashSigs.forOracle.map { p =>
       "l64_image_neardup" ->
         s"""WITH sh AS (
            |  SELECT doc_id, simhash FROM read_parquet('$p/*.parquet'))

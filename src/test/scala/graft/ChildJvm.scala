@@ -174,6 +174,29 @@ object CrashIngestChild {
   }
 }
 
+/** Child main for the two-arm ANN append crash e2e (AnnCrashSpec, the
+  * fifth CrashIngestSpec family): appends `batchParquet` to the routed
+  * ANN index at `indexDir`. With a crashPoint ("after_flat_write") it
+  * writes `sentinel` between the flat write and the sidecar extension
+  * and parks for the parent's SIGKILL — the exact window where the two
+  * arms diverge; with "none" it appends cleanly and exits 0. */
+object AnnCrashChild {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, batchParquet, crashPoint, sentinel) = args
+    val spark = ChildJvm.childSpark("ann-crash-child")
+    if (crashPoint != "none")
+      graft.operators.AnnIndex.crashProbe = p =>
+        if (p == crashPoint) {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(sentinel), p)
+          Thread.sleep(600000) // park: the parent SIGKILLs this JVM here
+        }
+    graft.operators.AnnIndex.append(spark, indexDir,
+      spark.read.parquet(batchParquet))
+    spark.stop()
+  }
+}
+
 /** Child main for the two-process DedupIndex append hammer: waits on the
   * shared `goFile` rendezvous (so both processes enter the append window
   * together), then appends its batch in four sub-batches — eight

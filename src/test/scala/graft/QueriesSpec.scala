@@ -381,9 +381,12 @@ class QueriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(lane == direct,
       s"only-lane=${lane -- direct} only-direct=${direct -- lane}")
+    // bind the generated oracles to THIS dir, as Verify does (another
+    // suite in this JVM may have built fixtures for other dirs)
+    graft.operators.OracleDir.active = Some(sfDir)
     val sql = SparkEntry.oracleSql.get("l54w_simhash64")
     assert(sql.isDefined, "l54w oracle missing after the lane ran")
-    val path = graft.operators.LlmOps.L54wSigs.lastPath.get
+    val path = graft.operators.LlmOps.L54wSigs.forOracle.get
     assert(sql.get.contains(s"read_parquet('$path/*.parquet')"),
       "oracle SQL does not read the served fixture")
     // the fixture is complete and well-typed: one signature row per doc
@@ -401,9 +404,10 @@ class QueriesSpec extends SparkSpec {
     // oracle entries reading exactly those fixtures.
     assert(SparkEntry.queries("l53_ann_pq")(spark, sfDir).count() > 0)
     assert(SparkEntry.queries("l20_ann_ivf")(spark, sfDir).count() > 0)
+    graft.operators.OracleDir.active = Some(sfDir)
     val pq = SparkEntry.oracleSql.get("l53_ann_pq")
     assert(pq.isDefined, "l53 oracle missing after the lane ran")
-    val pqPath = graft.operators.LlmOps.PqCbFix.lastPath.get
+    val pqPath = graft.operators.LlmOps.PqCbFix.forOracle.get
     assert(pq.get.contains(s"read_parquet('$pqPath/*.parquet')"),
       "l53 oracle does not read the served codebook fixture")
     val cb = spark.read.parquet(pqPath)
@@ -413,7 +417,7 @@ class QueriesSpec extends SparkSpec {
       "codebook fixture must hold m·k codewords")
     val ivf = SparkEntry.oracleSql.get("l20_ann_ivf")
     assert(ivf.isDefined, "l20 oracle missing after the lane ran")
-    val (cPath, np) = graft.operators.LlmOps.IvfCentFix.last.get
+    val (cPath, np) = graft.operators.LlmOps.IvfCentFix.forOracle.get
     assert(ivf.get.contains(s"read_parquet('$cPath/*.parquet')"),
       "l20 oracle does not read the served centroid fixture")
     assert(ivf.get.contains(s"rn <= $np"),
@@ -421,6 +425,32 @@ class QueriesSpec extends SparkSpec {
     val cent = spark.read.parquet(cPath)
     assert(cent.columns.sorted.toSeq == Seq("cell", "cvec"))
     assert(cent.count() >= 4)
+  }
+
+  test("generated oracles bind to the ACTIVE verify dir, never last-write-wins") {
+    // advisor r14: with the l54w lane run against TWO corpus dirs in one
+    // JVM, the oracle entry must follow OracleDir.active — and with no
+    // active dir and multiple fixtures built, it must be OMITTED (the
+    // driver's rows-only check beats hashing against the wrong model).
+    val dirA = sfDir
+    val dirB = "/root/testdata/sf0.01"
+    assert(SparkEntry.queries("l54w_simhash64")(spark, dirA).count() >= 0)
+    assert(SparkEntry.queries("l54w_simhash64")(spark, dirB).count() >= 0)
+    val saved = graft.operators.OracleDir.active
+    try {
+      graft.operators.OracleDir.active = Some(dirA)
+      val pA = graft.operators.LlmOps.L54wSigs.forOracle.get
+      assert(SparkEntry.oracleSql("l54w_simhash64").contains(s"'$pA/"),
+        "oracle must read dir A's fixture when A is active")
+      graft.operators.OracleDir.active = Some(dirB)
+      val pB = graft.operators.LlmOps.L54wSigs.forOracle.get
+      assert(pA != pB, "the two dirs must have distinct fixtures")
+      assert(SparkEntry.oracleSql("l54w_simhash64").contains(s"'$pB/"),
+        "oracle must follow the active dir, not the build order")
+      graft.operators.OracleDir.active = None
+      assert(!SparkEntry.oracleSql.contains("l54w_simhash64"),
+        "ambiguous fixtures with no active dir must omit the entry")
+    } finally graft.operators.OracleDir.active = saved
   }
 
   test("l57 pipeline: stages only shrink, packing is gap-free, eval never leaks") {

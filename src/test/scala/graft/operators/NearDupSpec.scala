@@ -445,4 +445,77 @@ class NearDupSpec extends SparkSpec {
       .select("a", "b").collect().map(row => (row.getLong(0), row.getLong(1))).toSet
     assert(cands.subsetOf(brute), s"false positives: ${cands -- brute}")
   }
+
+  test("ANN chosenArm detects arm divergence and falls back to flat; repairSidecar reconverges") {
+    // VERDICT r14 #2 / advisor r14: append's flat write and sidecar
+    // extension are non-atomic. Crash the REAL code path between them
+    // (crashProbe throws, the in-process twin of AnnCrashSpec's SIGKILL)
+    // and assert the router refuses to serve the diverged sidecar.
+    val dir = java.nio.file.Files.createTempDirectory("ann-diverge").toString
+    val key = AnnIndex.FlatMaxBucketRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0")
+      AnnIndex.build(spark, sfDir, dir)
+      assert(AnnIndex.chosenArm(spark, dir) == "ivfpq")
+      import graft.SparkSpec.spark.implicits._
+      val v0 = spark.read.parquet(s"$dir/vectors")
+        .filter(col("vec_id") === 0L).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val batch = Seq((777777L, v0)).toDF("vec_id", "embedding")
+      object Boom extends Exception
+      AnnIndex.crashProbe =
+        p => if (p == "after_flat_write") throw Boom
+      try intercept[Boom.type] { AnnIndex.append(spark, dir, batch) }
+      finally AnnIndex.crashProbe = _ => ()
+      // the window: flat tables hold the batch, the sidecar doesn't —
+      // the guard must refuse to route
+      assert(AnnIndex.chosenArm(spark, dir) == "flat",
+        "diverged sidecar must not be served")
+      val probe = Seq((0L, v0)).toDF("probe_id", "pv")
+      val flatHits = AnnIndex.queryProbes(spark, dir, probe, 3)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(flatHits.contains(777777L),
+        s"fallback flat serve must see the appended batch: $flatHits")
+      // repair appends exactly the missing rows under the frozen
+      // quantizers; the router routes again and the routed arm now sees
+      // the batch (reconvergence to the crash-free state)
+      AnnIndex.repairSidecar(spark, dir)
+      assert(AnnIndex.chosenArm(spark, dir) == "ivfpq",
+        "repair must restore routing")
+      val routedHits = AnnIndex.queryProbes(spark, dir, probe, 3)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(routedHits.contains(777777L),
+        s"repaired sidecar must serve the appended batch: $routedHits")
+      // a second repair is a no-op (idempotent: anti-join finds nothing)
+      AnnIndex.repairSidecar(spark, dir)
+      assert(AnnIndex.chosenArm(spark, dir) == "ivfpq")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("ANN warm append maintains the cached corpus count without a footer-count job") {
+    // VERDICT r14 #3: at streaming-append rates, a parquet footer count
+    // per micro-batch is the job the nCache exists to avoid. Warm the
+    // cache, append, and assert (a) zero new count jobs and (b) the
+    // incrementally-maintained count still equals the truth.
+    val dir = java.nio.file.Files.createTempDirectory("ann-nocount").toString
+    AnnIndex.build(spark, sfDir, dir) // default threshold: no sidecar
+    val n0 = AnnIndex.corpusRows(spark, dir) // warms the cache
+    import graft.SparkSpec.spark.implicits._
+    val v0 = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val before = AnnIndex.footerCounts.get()
+    AnnIndex.append(spark, dir,
+      Seq((888881L, v0), (888882L, v0)).toDF("vec_id", "embedding"))
+    assert(AnnIndex.chosenArm(spark, dir) == "flat") // consumes the count
+    assert(AnnIndex.footerCounts.get() == before,
+      s"append/serve ran ${AnnIndex.footerCounts.get() - before} footer-count job(s) on the warm path")
+    assert(AnnIndex.corpusRows(spark, dir) == n0 + 2,
+      "incrementally-maintained count diverged from the appended truth")
+    assert(spark.read.parquet(s"$dir/vectors").count() == n0 + 2)
+  }
 }
