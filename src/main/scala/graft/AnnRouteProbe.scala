@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
   *
   *   SPARK_GRAFT_ROUTE_CORPUS  dir holding embeddings.parquet
   *                             (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_ROUTE_SYNTH   generate an ADVERSARIAL clusterless
+  *                             corpus of this many vectors instead
+  *                             (SynthVectors: iid unit Gaussians — no
+  *                             structure for the coarse quantizer —
+  *                             plus one planted near-dup per probe at
+  *                             cosine ≈0.95, the signal a dedup
+  *                             workload must recover). VERDICT r14 #1.
   *   SPARK_GRAFT_ROUTE_PROBES  probe batch size (default 500)
   *   SPARK_GRAFT_ROUTE_DIR     index cache root (default
   *                             /tmp/graft_annroute) — builds are reused
   *                             across runs via _BUILD_DONE markers
   *   SPARK_GRAFT_CPUS          local[] parallelism (default 32)
+  *   SPARK_GRAFT_ROUTE_RECALL  1 = also measure recall@5 vs one exact
+  *                             brute-force pass (and, on a synth
+  *                             corpus, planted-dup recall per arm)
   *
   * Prints ONE JSON line:
   *   {"metric":"ann_route_arms","corpus":…,"n":…,"bucket_rows":…,
@@ -39,13 +49,29 @@ object AnnRouteProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb = Tables.t(spark, corpus, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val n = emb.count()
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(corpus).toLong & 0xffffffffL)
+    val synth = sys.env.get("SPARK_GRAFT_ROUTE_SYNTH").map(_.toLong)
+    val tag = synth match {
+      case Some(sn) => s"synth$sn-p$nProbes"
+      case None => java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(corpus).toLong & 0xffffffffL)
+    }
     val flatDir = s"$root/$tag/flat"
     val ivfDir = s"$root/$tag/ivfpq"
+    val emb = synth match {
+      case Some(sn) =>
+        // materialized once next to the index builds (the per-row
+        // generator is deterministic but the exact pass + two builds
+        // would each regenerate it)
+        val dir = s"$root/$tag/corpus"
+        val marker = java.nio.file.Paths.get(dir, "_SUCCESS")
+        if (!java.nio.file.Files.exists(marker))
+          SynthVectors.corpus(spark, sn, planted = nProbes)
+            .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None => Tables.t(spark, corpus, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+    }
+    val n = emb.count()
 
     def built(dir: String, build: String => Unit): String = {
       val marker = java.nio.file.Paths.get(dir, "_BUILD_DONE")
@@ -71,8 +97,13 @@ object AnnRouteProbe {
     // routed serving pins a SMALL fixed nprobe (the production setting —
     // IvfPqIndex's default k/3 is the adversarial-corpus RECALL tuning,
     // and at k/3 the measured serve cost stayed ABOVE flat's even at 2M
-    // vectors: it scans ~2/3 of the corpus)
-    val nprobe = sys.env.getOrElse("SPARK_GRAFT_ROUTE_NPROBE", "0").toInt
+    // vectors: it scans ~2/3 of the corpus). The DEFAULT is the router's
+    // own production constant, so an unset env measures the arm the
+    // router actually serves (advisor r14: the old default 0 fell
+    // through to k/3 and silently measured the known-losing setting);
+    // pass 0 explicitly to measure the k/3 recall tuning.
+    val nprobe = sys.env.get("SPARK_GRAFT_ROUTE_NPROBE").map(_.toInt)
+      .getOrElse(operators.AnnIndex.RouteNprobe)
     def timeOne(fn: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn().write.format("noop").mode("overwrite").save()
@@ -108,12 +139,27 @@ object AnnRouteProbe {
           .agg(topk(col("cos"), col("vec_id")).as("nb"))
           .select(col("probe_id"), explode(col("nb.id")).as("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        def recall(fn: () => org.apache.spark.sql.DataFrame): Double = {
-          val got = fn().select("probe_id", "neighbor_id")
+        def pairs(fn: () => org.apache.spark.sql.DataFrame)
+            : Set[(Long, Long)] =
+          fn().select("probe_id", "neighbor_id")
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def recall(got: Set[(Long, Long)]): Double =
           (got & exact).size.toDouble / exact.size
+        // planted-dup recall (synth corpora): of the near-dups planted
+        // at cosine ≈0.95 — the neighbors a dedup workload MUST find —
+        // what fraction did the arm surface? On a clusterless corpus
+        // exact-top-5 recall is bounded by the scanned fraction for
+        // arbitrary neighbors; this row separates "misses random
+        // cos≈0.5 vectors" from "misses true near-duplicates".
+        def planted(got: Set[(Long, Long)]): String = synth match {
+          case Some(sn) =>
+            val hit = (0 until nProbes)
+              .count(i => got.contains((i.toLong, sn + i)))
+            f"${hit.toDouble / nProbes}%.3f"
+          case None => "null"
         }
-        f""","flat_recall":${recall(() => flat())}%.3f,"ivfpq_recall":${recall(() => ivf())}%.3f"""
+        val (fGot, iGot) = (pairs(() => flat()), pairs(() => ivf()))
+        f""","flat_recall":${recall(fGot)}%.3f,"ivfpq_recall":${recall(iGot)}%.3f,"flat_planted":${planted(fGot)},"ivfpq_planted":${planted(iGot)}"""
       } else ""
     val winner = if (fSec <= iSec) "flat" else "ivfpq"
     println(f"""{"metric":"ann_route_arms","corpus":"$corpus","n":$n,"bucket_rows":${n >> 8},"probes":$nProbes,"nprobe":$nprobe,"flat_sec":$fSec%.3f,"ivfpq_sec":$iSec%.3f,"winner":"$winner"$recallJson}""")

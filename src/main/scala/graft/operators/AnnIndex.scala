@@ -46,7 +46,19 @@ object AnnIndex {
     * genuinely dominates (≥4096 rows/bucket ≈ 1M vectors, where the
     * measured advantage is ≥5×), not until IVFPQ merely edges ahead.
     * Tunable per deployment (and set low by specs to exercise routing
-    * on test-sized corpora). */
+    * on test-sized corpora).
+    *
+    * THE RECALL TRADE, MEASURED (round 15, clusterless SynthVectors
+    * corpora + planted cos-0.95 near-dups, SCALE.md Round-15): routed
+    * exact-top-5 recall on structureless data IS the scanned fraction
+    * (0.315 at 200k, 0.270 at 2M — no sublinear method does better
+    * there), but PLANTED near-duplicate recall — the dedup/similarity
+    * signal — measured 1.000 on both arms at both sizes, and
+    * NearDupSpec pins a ≥0.90 floor at a harder-than-production
+    * scanned fraction. A caller needing high arbitrary-top-k recall on
+    * an unstructured corpus raises [[RouteNprobeKey]] (more cells
+    * scanned, recall tracks the fraction) or this threshold (exact
+    * flat serving, corpus-linear cost). */
   private[graft] val FlatMaxBucketRowsKey = "spark.graft.ann.flatMaxBucketRows"
   private[graft] val FlatMaxBucketRows: Long = 4096
 
@@ -61,12 +73,33 @@ object AnnIndex {
   private[graft] val RouteNprobeKey = "spark.graft.ann.routeNprobe"
   private[graft] val RouteNprobe = 64
 
+  /** Refit-at-N× policy (VERDICT r14 #5): the sidecar's quantizers stay
+    * FROZEN across appends (the FAISS add contract) — correct for
+    * bounded drift, but once the corpus has grown past `refitFactor` ×
+    * the fitted size, the centroids/codebooks describe a minority of
+    * the data and routed recall decays silently. `append` then REFITS
+    * the sidecar from the full vectors table (built aside, swapped in —
+    * a crash mid-refit leaves either the old sidecar or none, and the
+    * flat arm serves through both). The default comes from the measured
+    * drift table (SCALE.md Round-15, AnnDriftProbe): a 4× shifted
+    * append under frozen quantizers vs a fresh fit. Refit cost is
+    * corpus-linear but amortized — at factor F the total refit work
+    * over any append history is ≤ F/(F−1) × one final-corpus fit.
+    * 0 disables auto-refit. Pre-r15 sidecars lack the fitted-size
+    * marker and never auto-refit (rebuild via buildFrom to opt in). */
+  private[graft] val RefitFactorKey = "spark.graft.ann.refitFactor"
+  private[graft] val RefitFactor = 4.0
+
   private def flatMaxBucketRows(spark: SparkSession): Long =
     spark.conf.getOption(FlatMaxBucketRowsKey).map(_.toLong)
       .getOrElse(FlatMaxBucketRows)
 
   private def routeNprobe(spark: SparkSession): Int =
     spark.conf.getOption(RouteNprobeKey).map(_.toInt).getOrElse(RouteNprobe)
+
+  private def refitFactor(spark: SparkSession): Double =
+    spark.conf.getOption(RefitFactorKey).map(_.toDouble)
+      .getOrElse(RefitFactor)
 
   /** Average rows per (band, sig) bucket for an n-vector corpus. */
   private[operators] def avgBucketRows(n: Long): Long = n >> Bits
@@ -181,6 +214,27 @@ object AnnIndex {
     }
   }
 
+  /** Refit the sidecar's quantizers on the CURRENT corpus (the
+    * refit-at-N× policy — see [[RefitFactor]]): built aside under
+    * ivfpq.tmp, then swapped in. Crash windows: during the aside build
+    * the old (stale-quantizer, row-complete) sidecar keeps serving;
+    * between delete and rename there is NO sidecar and `chosenArm`
+    * serves the flat arm; a leftover tmp dir is overwritten by the next
+    * refit. Concurrent serving JVMs that appended-ahead see a row-count
+    * mismatch mid-refit and also fall back to flat — never a silently
+    * short answer. */
+  private def refitSidecar(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/ivfpq.tmp"
+    IvfPqIndex.buildFrom(spark, spark.read.parquet(s"$dir/vectors"), tmp)
+    val p = new org.apache.hadoop.fs.Path(ivfDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"refit swap failed: could not rename $tmp over $p")
+    ivfNCache.remove(dir)
+    ()
+  }
+
   /** Reconverge the IVFPQ sidecar after a crash inside [[append]]'s
     * flat-landed/sidecar-missed window (the divergence [[chosenArm]]
     * detects and serves around): appends exactly the rows present in
@@ -254,11 +308,19 @@ object AnnIndex {
       bump(nCache, dir, batchN)
       crashProbe("after_flat_write")
       if (hasIvf(spark, dir)) {
-        // sidecar exists: extend it under its frozen quantizers so both
-        // arms keep answering over the same corpus
-        try IvfPqIndex.append(spark, ivfDir(dir), e)
-        catch { case t: Throwable => ivfNCache.remove(dir); throw t }
-        bump(ivfNCache, dir, batchN)
+        val f = refitFactor(spark)
+        val refit = f > 0 &&
+          IvfPqIndex.fittedN(spark, ivfDir(dir))
+            .exists(fn => corpusRows(spark, dir) > f * fn)
+        if (refit) refitSidecar(spark, dir)
+        else {
+          // sidecar exists, corpus within the refit bound: extend it
+          // under its frozen quantizers so both arms keep answering
+          // over the same corpus
+          try IvfPqIndex.append(spark, ivfDir(dir), e)
+          catch { case t: Throwable => ivfNCache.remove(dir); throw t }
+          bump(ivfNCache, dir, batchN)
+        }
       } else
         // corpus may have just crossed the routing threshold
         maintainIvfSidecar(spark, dir)

@@ -62,6 +62,29 @@ object IvfPqIndex {
     * fractions. */
   def defaultNprobe(cells: Int): Int = math.max(3, cells / 3)
 
+  /** Corpus size the quantizers were FITTED on, recorded at build time
+    * (`_FITTED_N`) — what a refit-at-N× policy (AnnIndex.append) compares
+    * the grown corpus against. Absent on pre-r15 dirs → no auto-refit. */
+  def fittedN(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_FITTED_N")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in)).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeFittedN(spark: SparkSession, dir: String, n: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_FITTED_N")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes)
+    finally out.close()
+  }
+
   def build(spark: SparkSession, sfDir: String, dir: String): Unit =
     buildFrom(spark, graft.Tables.t(spark, sfDir, "embeddings"), dir)
 
@@ -101,6 +124,7 @@ object IvfPqIndex {
       // candidate pair, no per-subspace fan-out or (probe, vec) re-agg
       PqIndex.widen(codes).write.mode("overwrite").parquet(s"$dir/codes")
       vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+      writeFittedN(spark, dir, n)
       codes.unpersist()
       ()
     } finally { vecs.unpersist(); () }

@@ -496,6 +496,106 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("routed ANN recovers planted near-dups on a clusterless corpus (recall floor)") {
+    // VERDICT r14 #1: the routing design's open question was routed-arm
+    // recall on an ADVERSARIAL corpus (iid Gaussians — nothing for the
+    // coarse quantizer to exploit). Measured (SCALE.md Round-15,
+    // AnnRouteProbe synth): exact-top-5 recall on such a corpus tracks
+    // the scanned fraction by construction (0.315 at 200k/nprobe=64 ≈
+    // 2·64/447 — no sublinear method beats that on structureless data),
+    // but PLANTED near-duplicates at cosine 0.95 — the neighbors the
+    // dedup/similarity workloads must find — measured 1.000 on both
+    // arms. This spec pins that floor at a scanned fraction HARDER than
+    // production: nprobe chosen so 2·nprobe/cells ≈ 8.5%, below the
+    // ~9% a 2M-vector corpus gets at the routed nprobe=64.
+    val n = 20000
+    val planted = 200
+    val dir = java.nio.file.Files.createTempDirectory("ann-floor").toString
+    val tKey = AnnIndex.FlatMaxBucketRowsKey
+    val npKey = AnnIndex.RouteNprobeKey
+    val saved = (spark.conf.getOption(tKey), spark.conf.getOption(npKey))
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(k, x)
+      case None => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set(tKey, "0")
+      spark.conf.set(npKey, "6") // cells ≈ √20200 ≈ 142 → ~8.5% scanned
+      val emb = graft.SynthVectors.corpus(spark, n, planted = planted)
+      AnnIndex.buildFrom(spark, emb, dir)
+      assert(AnnIndex.chosenArm(spark, dir) == "ivfpq", "must route")
+      val probes = emb.filter(col("vec_id") < planted)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val got = AnnIndex.queryProbes(spark, dir, probes, 5)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = (0 until planted)
+        .count(i => got.contains((i.toLong, (n + i).toLong)))
+      val recall = hit.toDouble / planted
+      info(f"routed planted-dup recall@5: $recall%.3f ($hit/$planted, ~8.5%% scanned)")
+      assert(recall >= 0.90,
+        f"routed near-dup recall $recall%.3f fell below the 0.90 floor")
+    } finally { restore(tKey, saved._1); restore(npKey, saved._2) }
+  }
+
+  test("ANN sidecar refits once the corpus outgrows the fitted size by refitFactor") {
+    // VERDICT r14 #5: frozen quantizers are correct for bounded drift;
+    // past refitFactor × the fitted corpus, append rebuilds the sidecar
+    // from the full vectors table (aside + swap). Pin the arm both
+    // sides of the bound: at exactly F× no refit, past it the fitted
+    // marker, cell count, and served rows all reflect the fresh fit.
+    val dir = java.nio.file.Files.createTempDirectory("ann-refit").toString
+    val tKey = AnnIndex.FlatMaxBucketRowsKey
+    val fKey = AnnIndex.RefitFactorKey
+    val saved = (spark.conf.getOption(tKey), spark.conf.getOption(fKey))
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(k, x)
+      case None => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set(tKey, "0")
+      spark.conf.set(fKey, "2")
+      AnnIndex.build(spark, sfDir, dir)
+      val n0 = spark.read.parquet(s"$dir/vectors").count() // 500 at sf0.001
+      assert(IvfPqIndex.fittedN(spark, s"$dir/ivfpq").contains(n0),
+        "build must record the fitted corpus size")
+      val k0 = spark.read.parquet(s"$dir/ivfpq/centroids").count()
+      val src = spark.read.parquet(s"$dir/vectors")
+      // corpus doubles to exactly F× the fit: still frozen (bound is
+      // strict), appended rows served via the frozen quantizers
+      AnnIndex.append(spark, dir, src.select(
+        (col("vec_id") + 20000L).as("vec_id"), col("embedding")))
+      assert(IvfPqIndex.fittedN(spark, s"$dir/ivfpq").contains(n0),
+        "append at exactly refitFactor× must stay frozen")
+      // past the bound: refit
+      AnnIndex.append(spark, dir, src.limit(200).select(
+        (col("vec_id") + 30000L).as("vec_id"), col("embedding")))
+      val nNow = spark.read.parquet(s"$dir/vectors").count()
+      assert(nNow == n0 * 2 + 200)
+      assert(IvfPqIndex.fittedN(spark, s"$dir/ivfpq").contains(nNow),
+        "append past refitFactor× must refit on the grown corpus")
+      assert(spark.read.parquet(s"$dir/ivfpq/centroids").count() > k0,
+        "refit must re-derive the cell count from the grown corpus")
+      assert(spark.read.parquet(s"$dir/ivfpq/vectors").count() == nNow)
+      // the refit sidecar serves the whole corpus, routed
+      assert(AnnIndex.chosenArm(spark, dir) == "ivfpq")
+      import graft.SparkSpec.spark.implicits._
+      val v0 = src.filter(col("vec_id") === 0L).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val hits = AnnIndex.queryProbes(spark, dir,
+          Seq((0L, v0)).toDF("probe_id", "pv"), 3)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(hits.contains(20000L),
+        s"routed serve after refit must see appended rows: $hits")
+      // disabled knob: factor 0 never refits
+      spark.conf.set(fKey, "0")
+      AnnIndex.append(spark, dir, src.limit(50).select(
+        (col("vec_id") + 40000L).as("vec_id"), col("embedding")))
+      assert(IvfPqIndex.fittedN(spark, s"$dir/ivfpq").contains(nNow),
+        "refitFactor=0 must disable auto-refit")
+    } finally { restore(tKey, saved._1); restore(fKey, saved._2) }
+  }
+
   test("ANN warm append maintains the cached corpus count without a footer-count job") {
     // VERDICT r14 #3: at streaming-append rates, a parquet footer count
     // per micro-batch is the job the nCache exists to avoid. Warm the
