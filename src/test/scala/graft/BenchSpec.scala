@@ -36,17 +36,56 @@ class BenchSpec extends AnyFunSuite {
       """{"n":10,"parsed":{"queries":{"q1_agg":0.334,"l13_ann":0.659},
         |"calib":{"sha256_1t_256mb_sec":0.251}}}""".stripMargin)
     write("BENCH_r10_broken.json", "{not json") // ignored: name mismatch
-    val Some((n, qs, calib, calibSpark)) = Bench.loadPrevBench(dir)
+    val Some((n, qs, anchors)) = Bench.loadPrevBench(dir)
     assert(n == 10)
     assert(qs == Map("q1_agg" -> 0.334, "l13_ann" -> 0.659))
-    assert(calib == 0.251)
-    assert(calibSpark == 0.0, "pre-r14 artifact has no spark anchor → 0.0 sentinel")
-    // r14+ artifact: the spark anchor parses alongside the sha pair
+    assert(anchors == Map("sha256_1t_256mb_sec" -> 0.251),
+      "pre-r14 artifact carries only the sha anchor")
+    // r14+/r15+ artifact: every numeric calib field parses as an anchor
+    // (loadavg/jvms ride along; hostDriftFactor excludes them)
     write("BENCH_r11.json",
       """{"n":11,"parsed":{"queries":{"q1_agg":0.3},
-        |"calib":{"sha256_1t_256mb_sec":0.2,"spark_10m_shuffle_sec":0.61}}}""".stripMargin)
-    val Some((_, _, _, cs11)) = Bench.loadPrevBench(dir)
-    assert(cs11 == 0.61)
+        |"calib":{"sha256_1t_256mb_sec":0.2,"spark_10m_shuffle_sec":0.61,
+        |"spark_1b_agg_sec":1.21,"loadavg":2.29,"jvms":2}}}""".stripMargin)
+    val Some((_, _, a11)) = Bench.loadPrevBench(dir)
+    assert(a11("spark_10m_shuffle_sec") == 0.61)
+    assert(a11("spark_1b_agg_sec") == 1.21)
+    assert(a11("loadavg") == 2.29) // parsed; excluded at ratio time
+  }
+
+  test("hostDriftFactor takes the median anchor ratio and outvotes one liar") {
+    // the r14→r15 shape: both sha anchors say the host got 1.10× faster,
+    // the overhead-bound 10M job claims 2.0× — median must side with
+    // the pair, not the outlier
+    val prev = Map("sha256_1t_256mb_sec" -> 0.287,
+      "sha256_32t_4gb_sec" -> 0.186, "spark_10m_shuffle_sec" -> 0.59,
+      "loadavg" -> 2.29, "jvms" -> 2.0)
+    val cur = Map("sha256_1t_256mb_sec" -> 0.260,
+      "sha256_32t_4gb_sec" -> 0.169, "spark_10m_shuffle_sec" -> 0.295,
+      "spark_1b_agg_sec" -> 1.127, "loadavg" -> 0.3, "jvms" -> 2.0)
+    val f = Bench.hostDriftFactor(prev, cur)
+    assert(f > 1.0 && f < 1.2, s"median must track the sha pair: $f")
+    // odd count: exact middle
+    assert(Bench.hostDriftFactor(Map("a" -> 2.0), Map("a" -> 1.0)) == 2.0)
+    // even count: geometric mean of the middle two
+    val g = Bench.hostDriftFactor(Map("a" -> 2.0, "b" -> 8.0),
+      Map("a" -> 1.0, "b" -> 1.0))
+    assert(math.abs(g - 4.0) < 1e-9)
+    // no shared anchors → raw comparison
+    assert(Bench.hostDriftFactor(Map("a" -> 2.0), Map("b" -> 1.0)) == 1.0)
+    // loadavg/jvms never count as anchors
+    assert(Bench.hostDriftFactor(
+      Map("loadavg" -> 4.0, "jvms" -> 8.0),
+      Map("loadavg" -> 1.0, "jvms" -> 2.0)) == 1.0)
+  }
+
+  test("1B-anchored adjusted total normalizes drift and is defensive") {
+    val quietAdj = Bench.adjustedTotalSpark1b(15.0, Bench.QuietCalibSpark1b)
+    val slowAdj = Bench.adjustedTotalSpark1b(30.0, Bench.QuietCalibSpark1b * 2)
+    assert(math.abs(quietAdj - slowAdj) < 1e-9)
+    assert(quietAdj == 15.0)
+    assert(Bench.adjustedTotalSpark1b(10.0, 0.0) == 10.0)
+    assert(Bench.adjustedTotalSpark1b(10.0, -1.0) == 10.0)
   }
 
   test("spark-anchored adjusted total normalizes drift and is defensive") {
