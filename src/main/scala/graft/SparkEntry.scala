@@ -53,5 +53,7 @@ object SparkEntry {
     "l53_ann_pq" ->
       "oracle replays encode+ADC+rerank from the frozen codebook fixture",
     "l20_ann_ivf" ->
-      "oracle replays assignment+probe-cells+rerank from the frozen centroids")
+      "oracle replays assignment+probe-cells+rerank from the frozen centroids",
+    "l66_pca_project" ->
+      "oracle replays center+project from the frozen PCA axes+mean fixture")
 }

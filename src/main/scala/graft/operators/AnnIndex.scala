@@ -224,6 +224,14 @@ object AnnIndex {
     * mismatch mid-refit and also fall back to flat — never a silently
     * short answer. */
   private def refitSidecar(spark: SparkSession, dir: String): Unit = {
+    // count snapshot from BEFORE the aside build: the new sidecar holds
+    // exactly the flat rows as of the build's read, so seeding its
+    // cached count from this snapshot keeps the post-refit serve free
+    // of footer-count jobs — and an append racing the refit still
+    // surfaces as a count mismatch (nCache moves past the snapshot),
+    // degrading to the conservative flat fallback, never a silently
+    // short routed answer
+    val nAtStart = corpusRows(spark, dir)
     val tmp = s"$dir/ivfpq.tmp"
     IvfPqIndex.buildFrom(spark, spark.read.parquet(s"$dir/vectors"), tmp)
     val p = new org.apache.hadoop.fs.Path(ivfDir(dir))
@@ -231,7 +239,7 @@ object AnnIndex {
     fs.delete(p, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
       s"refit swap failed: could not rename $tmp over $p")
-    ivfNCache.remove(dir)
+    ivfNCache.put(dir, nAtStart)
     ()
   }
 

@@ -317,6 +317,49 @@ object LlmOps {
       })).v
   }
 
+  /** l66's PCA fixture: the fitted principal axes plus the corpus mean,
+    * frozen as ONE parquet table — row j ∈ [0, PcaK) holds axis j's
+    * loading vector (eigenvalue-ordered), row j = -1 holds the
+    * per-dimension mean. The FIT is the only step DuckDB cannot replay
+    * (a distributed covariance pass + a driver-side d×d eigensolve);
+    * everything after it — center on the mean, dot against each axis —
+    * is deterministic double arithmetic in a pinned left-fold order, so
+    * the generated SQL recomputes the projection from `embeddings` +
+    * this fixture exactly. */
+  private[graft] object PcaFix {
+    private final class Cell(mk: => String) { lazy val dir: String = mk }
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+    private[graft] def forOracle: Option[String] =
+      OracleDir.select(built).map(_.dir)
+    def fixture(s: SparkSession, d: String): String =
+      built.computeIfAbsent(d, _ => new Cell({
+        import org.apache.spark.ml.feature.PCA
+        import org.apache.spark.ml.functions.array_to_vector
+        val feats = t(s, d, "embeddings")
+          .select(array_to_vector(col("embedding")).as("features"))
+        // the fit's distributed part is ONE pass building the d×d
+        // covariance (O(n·d²) work, O(d²) driver state — d is the
+        // embedding width, never the corpus); the eigensolve runs on
+        // that d×d matrix driver-side. Same one-pass shape for the
+        // centering vector.
+        val model = new PCA().setInputCol("features").setOutputCol("pc")
+          .setK(PcaK).fit(feats)
+        val mean = feats.select(
+            org.apache.spark.ml.stat.Summarizer.mean(col("features")).as("m"))
+          .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+        val pc = model.pc // d × k, column-major: column j = axis j
+        val rows = (0 until PcaK).map { j =>
+          (j, (0 until pc.numRows).map(i => pc(i, j)))
+        } :+ (-1 -> mean.toIndexedSeq)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-l66-pca").toString
+        val fixDf = { import s.implicits._; rows.toDF("j", "cvec") }
+        fixDf.write.mode("overwrite").parquet(dir)
+        dir
+      })).dir
+  }
+
   private[graft] object L54wSigs {
     private final class Cell(mk: => String) { lazy val dir: String = mk }
     private val built =
@@ -725,6 +768,11 @@ object LlmOps {
   /** ADC candidates kept per probe for the exact re-rank. */
   private[operators] val PqRerank = 50
 
+  /** PCA parameters (l66): 8 principal axes over the 64-dim embeddings
+    * (an 8× compression), projected for the standard probe slice. */
+  private[graft] val PcaK = 8
+  private[operators] val PcaProbes = 200
+
   /** Product-quantization kNN (see the l53 lane comment): the PqIndex
     * frame functions composed inline — the codebook fit comes from the
     * [[PqCbFix]] parquet fixture (fitted once per process+dir, read
@@ -744,6 +792,33 @@ object LlmOps {
     PqIndex.scoreProbes(s, cb, codes, vecs,
       vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), 5)
+  }
+
+  /** PCA projection (l66): center each embedding on the corpus mean and
+    * dot it against the k fitted principal axes — the embedding-
+    * compression pre-pass of a 100 TB pipeline (store k doubles per row
+    * instead of d floats before ANN indexing / clustering / semantic
+    * dedup). The fit is frozen in [[PcaFix]]; the projection itself is
+    * MAP-ONLY — no join, no shuffle: the axes and the mean are
+    * dim-bounded literals ((PcaK+1)·64 = 576 doubles — the model, not
+    * data) exploded per row, and each output value is one pinned
+    * left-fold dot product the generated oracle replays term-for-term. */
+  private[operators] def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val fix = s.read.parquet(PcaFix.fixture(s, d)).collect()
+    val mean: Seq[Double] =
+      fix.find(_.getInt(0) == -1).get.getSeq[Double](1)
+    val axes: Seq[(Int, Seq[Double])] = fix.filter(_.getInt(0) >= 0)
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    t(s, d, "embeddings").filter(col("vec_id") < PcaProbes)
+      .select(col("vec_id"), col("embedding"), typedlit(mean).as("m"),
+        explode(typedlit(axes)).as("ax"))
+      .select(col("vec_id"), col("embedding"), col("m"),
+        col("ax._1").as("j"), col("ax._2").as("c"))
+      .select(col("vec_id"), col("j"),
+        expr("aggregate(transform(sequence(0, size(m) - 1), " +
+          "i -> (CAST(embedding[i] AS DOUBLE) - m[i]) * c[i]), 0D, " +
+          "(acc, x) -> acc + x)").as("pc"))
+      .orderBy("vec_id", "j")
   }
 
   /** DuckDB replay of the fixed-point PageRank: the k power-iteration
@@ -1790,6 +1865,14 @@ object LlmOps {
     // NearDupSpec pins the recall floor vs brute force.
     "l53_ann_pq" -> ((s, d) => annPq(s, d)),
 
+    // L66: PCA projection — center + dot against the k fitted axes. The
+    // 100 TB shape: fit = one covariance pass + a d×d driver eigensolve
+    // (independent of corpus size past the pass); projection is map-only
+    // against dim-bounded literal axes — no shuffle anywhere. This is
+    // the dimensionality-reduction pre-pass that makes downstream ANN /
+    // clustering / semantic dedup 8× cheaper per byte.
+    "l66_pca_project" -> ((s, d) => pcaProject(s, d)),
+
     // L15: per-source corpus stats — the dashboard query of a dedup
     // pipeline: docs, distinct contents, dup rate, volume per source.
     "l15_source_stats" -> ((s, d) => {
@@ -2572,6 +2655,25 @@ object LlmOps {
            |  FROM rr)
            |SELECT probe_id, rnk, neighbor_id, cos AS sim
            |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    } ++
+    // l66 replay from the frozen PCA fixture: center each embedding on
+    // the fixture's mean row (j = -1), dot against each axis row — the
+    // same left-fold term order as the lane's aggregate(transform(...))
+    // (DuckDB's no-init list_reduce differs only in folding 0.0 into the
+    // first term, bitwise-identical off the all-zero diagonal).
+    PcaFix.forOracle.map { p =>
+      "l66_pca_project" ->
+        s"""WITH fx AS (SELECT j, cvec FROM read_parquet('$p/*.parquet')),
+           |m AS (SELECT cvec AS m FROM fx WHERE j = -1),
+           |ax AS (SELECT j, cvec AS c FROM fx WHERE j >= 0),
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE vec_id < $PcaProbes)
+           |SELECT e.vec_id, ax.j,
+           |  list_reduce(list_transform(generate_series(1, len(v)),
+           |    i -> (v[i] - m.m[i]) * ax.c[i]), (x, y) -> x + y) AS pc
+           |FROM e CROSS JOIN m CROSS JOIN ax
+           |ORDER BY vec_id, j""".stripMargin
     }
 
   private val staticOracleSql: Map[String, String] = Map(

@@ -427,6 +427,73 @@ class QueriesSpec extends SparkSpec {
     assert(cent.count() >= 4)
   }
 
+  test("l66 PCA: orthonormal axes, Bessel bound, eigen-ordered variance, pinned fold") {
+    val k = graft.operators.LlmOps.PcaK
+    val lane = SparkEntry.queries("l66_pca_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(lane.nonEmpty && lane.length % k == 0,
+      s"expected k=$k components per projected row, got ${lane.length}")
+
+    val saved = graft.operators.OracleDir.active
+    try {
+      graft.operators.OracleDir.active = Some(sfDir)
+      val p = graft.operators.LlmOps.PcaFix.forOracle.get
+      assert(SparkEntry.oracleSql("l66_pca_project")
+        .contains(s"read_parquet('$p/*.parquet')"),
+        "l66 oracle does not read the served PCA fixture")
+      val fix = spark.read.parquet(p).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      assert(fix.keySet == (-1 until k).toSet,
+        "fixture must hold the mean row (-1) plus k axis rows")
+      val d = fix(-1).length
+      assert(fix.values.forall(_.length == d))
+      // axes are orthonormal (the eigensolve contract)
+      for (a <- 0 until k; b <- a until k) {
+        val dot = (0 until d).map(i => fix(a)(i) * fix(b)(i)).sum
+        val want = if (a == b) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-9, s"axes ${a}x$b = $dot, want $want")
+      }
+      val m = fix(-1)
+      val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      // the lane's value IS the pinned left fold: acc = ((0 + t0) + t1)…
+      val byVec = lane.groupBy(_._1)
+      byVec.foreach { case (id, rows) =>
+        val v = vecs(id)
+        rows.foreach { case (_, j, pc) =>
+          var acc = 0.0
+          var i = 0
+          while (i < d) { acc += (v(i).toDouble - m(i)) * fix(j)(i); i += 1 }
+          assert(acc == pc, s"vec $id axis $j: fold $acc != lane $pc")
+        }
+        // Bessel: the k projected energies never exceed the centered norm
+        val proj2 = rows.map { case (_, _, pc) => pc * pc }.sum
+        val norm2 = (0 until d).map(i => {
+          val c = v(i).toDouble - m(i); c * c
+        }).sum
+        assert(proj2 <= norm2 * (1 + 1e-12) + 1e-12,
+          s"vec $id: projected energy $proj2 exceeds centered norm $norm2")
+      }
+      // axes come out eigenvalue-ordered: full-corpus projected variance
+      // along axis j is non-increasing in j
+      val vars = (0 until k).map { j =>
+        val ps = vecs.values.map { v =>
+          var acc = 0.0
+          var i = 0
+          while (i < d) { acc += (v(i).toDouble - m(i)) * fix(j)(i); i += 1 }
+          acc
+        }
+        val mu = ps.sum / ps.size
+        ps.map(x => (x - mu) * (x - mu)).sum / ps.size
+      }
+      (1 until k).foreach { j =>
+        assert(vars(j) <= vars(j - 1) * (1 + 1e-9) + 1e-12,
+          s"axis $j variance ${vars(j)} exceeds axis ${j - 1}'s ${vars(j - 1)}")
+      }
+    } finally graft.operators.OracleDir.active = saved
+  }
+
   test("generated oracles bind to the ACTIVE verify dir, never last-write-wins") {
     // advisor r14: with the l54w lane run against TWO corpus dirs in one
     // JVM, the oracle entry must follow OracleDir.active — and with no

@@ -577,8 +577,13 @@ class NearDupSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/ivfpq/centroids").count() > k0,
         "refit must re-derive the cell count from the grown corpus")
       assert(spark.read.parquet(s"$dir/ivfpq/vectors").count() == nNow)
-      // the refit sidecar serves the whole corpus, routed
+      // the refit sidecar serves the whole corpus, routed — and the
+      // post-refit serve costs no footer-count job (the swap seeds the
+      // sidecar's cached count from the pre-build snapshot)
+      val fc = AnnIndex.footerCounts.get()
       assert(AnnIndex.chosenArm(spark, dir) == "ivfpq")
+      assert(AnnIndex.footerCounts.get() == fc,
+        "post-refit routing re-counted parquet footers despite the seeded cache")
       import graft.SparkSpec.spark.implicits._
       val v0 = src.filter(col("vec_id") === 0L).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
