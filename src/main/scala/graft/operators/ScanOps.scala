@@ -567,8 +567,41 @@ object ScanOps {
         .agg(count(lit(1)).as("violations"))
         .select(lit("parts_never_ordered").as("chk"), col("violations"))
       orphan.unionByName(noOrders).unionByName(neverOrdered).orderBy("chk")
+    }),
+
+    // O17: Z-order (Morton) layout key — the OPTIMIZE ZORDER BY analog,
+    // served by the codegen'd `zorder2` Catalyst expression that
+    // LayoutOps.clusterByZOrder sorts by: interleaving two cluster
+    // columns' bits co-locates rows that are close in BOTH dimensions,
+    // so per-file zone maps prune multi-column box predicates (a linear
+    // sort bounds only its leading column — every file spans the full
+    // range of the second; LayoutSpec measures the 2-D pruning win).
+    // The oracle replays the interleave as unrolled DIV/%/× integer
+    // arithmetic — exact in BIGINT, the dot_f32 discipline applied to
+    // a bit kernel.
+    "o17_zorder_key" -> ((s, d) => {
+      graft.functions.ZOrder.register(s)
+      t(s, d, "lineitem").filter(col("l_orderkey") < 150)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr("zorder2(l_partkey % 65536, l_suppkey % 65536)").as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
     })
   )
+
+  /** Unrolled 16-bit × 2 Morton interleave in portable SQL arithmetic:
+    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1 — DIV/%/×
+    * only, exact in BIGINT on the nonnegative key domain. The DuckDB
+    * (`div` = "//") replay of the zorder2 kernel for inputs < 2^16
+    * (zorder2 spreads 32 bits; the high 16 are zero here). */
+  private[operators] def zorderExpr(x: String, y: String,
+      div: String): String = {
+    def bits(c: String, off: Int) = (0 until 16).map { i =>
+      s"(((CAST($c AS BIGINT) % 65536) $div ${1L << i}) % 2) " +
+        s"* ${1L << (2 * i + off)}"
+    }
+    (bits(x, 0) ++ bits(y, 1)).mkString(" + ")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s1_filter_project" ->
@@ -854,6 +887,12 @@ object ScanOps {
         |SELECT 'parts_never_ordered', CAST(count(*) AS BIGINT)
         |FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-        |ORDER BY chk""".stripMargin
+        |ORDER BY chk""".stripMargin,
+
+    "o17_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${zorderExpr("l_partkey", "l_suppkey", "//")} AS zval
+         |FROM lineitem WHERE l_orderkey < 150
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
   )
 }
