@@ -517,6 +517,22 @@ class QueriesSpec extends SparkSpec {
       graft.operators.OracleDir.active = None
       assert(!SparkEntry.oracleSql.contains("l54w_simhash64"),
         "ambiguous fixtures with no active dir must omit the entry")
+      // the same contract holds for every fixture object, not just
+      // L54wSigs — pin the round-15 PcaFix the same way
+      assert(SparkEntry.queries("l66_pca_project")(spark, dirA).count() > 0)
+      assert(SparkEntry.queries("l66_pca_project")(spark, dirB).count() > 0)
+      graft.operators.OracleDir.active = Some(dirB)
+      val pcaB = graft.operators.LlmOps.PcaFix.forOracle.get
+      assert(SparkEntry.oracleSql("l66_pca_project").contains(s"'$pcaB/"),
+        "l66 oracle must follow the active dir")
+      graft.operators.OracleDir.active = Some(dirA)
+      val pcaA = graft.operators.LlmOps.PcaFix.forOracle.get
+      assert(pcaA != pcaB &&
+        SparkEntry.oracleSql("l66_pca_project").contains(s"'$pcaA/"),
+        "l66 oracle must rebind when the active dir flips back")
+      graft.operators.OracleDir.active = None
+      assert(!SparkEntry.oracleSql.contains("l66_pca_project"),
+        "ambiguous PCA fixtures with no active dir must omit the entry")
     } finally graft.operators.OracleDir.active = saved
   }
 
