@@ -225,18 +225,28 @@ object AnnIndex {
     * short answer. */
   private def refitSidecar(spark: SparkSession, dir: String): Unit = {
     // count snapshot from BEFORE the aside build: the new sidecar holds
-    // exactly the flat rows as of the build's read, so seeding its
-    // cached count from this snapshot keeps the post-refit serve free
-    // of footer-count jobs — and an append racing the refit still
-    // surfaces as a count mismatch (nCache moves past the snapshot),
-    // degrading to the conservative flat fallback, never a silently
-    // short routed answer
+    // the flat rows as of the build's read, so seeding its cached count
+    // from this snapshot keeps the post-refit serve free of footer-count
+    // jobs. An append by THIS JVM racing the refit still surfaces as a
+    // count mismatch (nCache moves past the snapshot) and degrades to
+    // the conservative flat fallback. A CROSS-JVM append landing between
+    // this snapshot and the build's read is invisible here — both caches
+    // then sit equal at the stale-low value, which the guard cannot
+    // distinguish from agreement. That state is still SAFE (the sidecar
+    // is a superset of what the caches claim, so routed answers are
+    // complete); the counts stay silently low until the serving JVM's
+    // refreshCounts cadence recounts both arms.
     val nAtStart = corpusRows(spark, dir)
     val tmp = s"$dir/ivfpq.tmp"
     IvfPqIndex.buildFrom(spark, spark.read.parquet(s"$dir/vectors"), tmp)
     val p = new org.apache.hadoop.fs.Path(ivfDir(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+    // the no-sidecar window: between this delete and the rename below
+    // there is NO ivfpq/ dir and chosenArm serves the flat arm — a crash
+    // here degrades to exact-recall flat serving, never a short answer.
+    // AnnCrashSpec SIGKILLs a child exactly here and pins the story.
+    crashProbe("refit_before_rename")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
       s"refit swap failed: could not rename $tmp over $p")
     ivfNCache.put(dir, nAtStart)

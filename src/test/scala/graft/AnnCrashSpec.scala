@@ -107,4 +107,179 @@ class AnnCrashSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** VERDICT r15 #1: the r15 divergence guard compares CACHED counts, and
+    * a long-lived serving stream was the one caller with no refresh
+    * cadence — a serving JVM outliving an external writer's crashed
+    * append kept routing to the short sidecar indefinitely. This test
+    * runs the REAL streaming serve (annServeEachBatch) while a child JVM
+    * crash-appends mid-stream, and pins the full timeline: the batch
+    * BEFORE the cadence fires still routes short (the stale-cache state
+    * the cadence exists to bound), the next refresh batch observes the
+    * divergence and serves the appended rows through the flat arm. */
+  test("serving stream observes an external crashed append within the refresh cadence") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = JF.createTempDirectory("ann-stream-crash")
+    val tKey = graft.operators.AnnIndex.FlatMaxBucketRowsKey
+    val rKey = graft.streaming.StreamJobs.AnnServeRefreshKey
+    val saved = Seq(tKey, rKey).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(tKey, "0")  // tiny corpus routes like a 10^9-vector one
+      spark.conf.set(rKey, "2")  // observe divergence within 2 batches
+      val idx = s"$root/idx"
+      graft.operators.AnnIndex.build(spark, sfDir, idx)
+
+      val probeRows = spark.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id").isin(0L, 3L, 4L))
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val probes = mem.toDF().toDF("probe_id", "pv")
+        .withColumn("pv", col("pv").cast("array<float>"))
+      val outDir = s"$root/out"
+      val q = graft.streaming.StreamJobs
+        .annServeEachBatch(probes, idx, outDir, k = 3).start()
+      try {
+        // batch 0: warms the caches; counts agree, serving is routed
+        mem.addData(probeRows(0))
+        q.processAllAvailable()
+        assert(graft.operators.AnnIndex.chosenArm(spark, idx) == "ivfpq",
+          "precondition: the stream must be routing before the crash")
+
+        // an EXTERNAL writer crash-appends between the arms: 20 dups of
+        // corpus vectors under +900000 ids land in flat, not the sidecar
+        val batch = spark.read.parquet(s"$idx/vectors")
+          .filter(col("vec_id") < 20)
+          .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+        val batchPq = s"$root/batch"
+        batch.write.parquet(batchPq)
+        val sentinel = root.resolve("kill-ann-stream")
+        val log1 = root.resolve("child1.log")
+        val child = ChildJvm.start("graft.AnnCrashChild",
+          Seq(idx, batchPq, "after_flat_write", sentinel.toString), log1)
+        try assert(ChildJvm.awaitFile(sentinel),
+          s"child never reached the crash point — log:\n${ChildJvm.logTail(log1)}")
+        finally {
+          child.destroyForcibly()
+          child.waitFor()
+          ()
+        }
+        assert(spark.read.parquet(s"$idx/vectors").count() ==
+          spark.read.parquet(s"$idx/ivfpq/vectors").count() + 20,
+          "crash window must be real on disk")
+        // the serving JVM's caches are stale: without the cadence this
+        // state persists indefinitely
+        assert(graft.operators.AnnIndex.chosenArm(spark, idx) == "ivfpq",
+          "stale caches must still claim agreement — the gap the cadence closes")
+
+        // batch 1 (no refresh yet): still routed — the sidecar knows
+        // nothing of the appended rows, so probe 3's on-disk dup 900003
+        // is missing from its answers
+        mem.addData(probeRows(1))
+        q.processAllAvailable()
+        // batch 2 (refresh fires): fresh counts disagree, serving falls
+        // back to the flat arm, which SEES the appended rows — probe 4's
+        // dup 900004 is the exact-cosine-1 top answer
+        mem.addData(probeRows(2))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val answers = spark.read.parquet(s"$outDir/answers")
+        .select(col("batch_id").cast("long"), col("probe_id"),
+          col("rnk"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val b1 = answers.filter(_._1 == 1L)
+      assert(b1.nonEmpty && b1.forall(_._4 < 900000L),
+        s"pre-cadence batch must still be routed (short answers): ${b1.toSeq}")
+      val b2Top = answers.filter(a => a._1 == 2L && a._3 == 1).map(a => a._2 -> a._4).toMap
+      assert(b2Top.get(4L).contains(900004L),
+        s"post-refresh batch must serve flat and see the appended dup: $b2Top")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** VERDICT r15 #2: refitSidecar's delete-then-rename was argued safe
+    * (no sidecar → flat serving) but never SIGKILL-observed, and the
+    * path now fires automatically at refitFactor crossings. A child JVM
+    * is killed INSIDE the no-sidecar window; the spec pins the degraded
+    * state (flat serving, appended rows included), then a clean re-refit
+    * via repairSidecar's rebuild path (fresh fit over the full corpus —
+    * fittedN advances to the grown size) restores routed serving that
+    * finds every planted dup. */
+  test("refit swap: SIGKILL in the no-sidecar window degrades to flat and re-refits cleanly") {
+    val root = JF.createTempDirectory("ann-refit-crash")
+    val key = graft.operators.AnnIndex.FlatMaxBucketRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0")
+      val idx = s"$root/idx"
+      graft.operators.AnnIndex.build(spark, sfDir, idx)
+      val fitted0 = graft.operators.IvfPqIndex.fittedN(spark, s"$idx/ivfpq")
+      assert(fitted0.contains(500L), s"precondition: fresh fit marker, got $fitted0")
+
+      val batch = spark.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") < 20)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      val batchPq = s"$root/batch"
+      batch.write.parquet(batchPq)
+
+      // child appends with refitFactor=1.0 (any growth refits) and is
+      // SIGKILLed between the sidecar delete and the tmp rename
+      val sentinel = root.resolve("kill-refit")
+      val log1 = root.resolve("child1.log")
+      val child = ChildJvm.start("graft.AnnRefitChild",
+        Seq(idx, batchPq, "refit_before_rename", sentinel.toString), log1)
+      try assert(ChildJvm.awaitFile(sentinel),
+        s"child never reached the refit window — log:\n${ChildJvm.logTail(log1)}")
+      finally {
+        child.destroyForcibly()
+        child.waitFor()
+        ()
+      }
+
+      // the window is real on disk: no sidecar, the aside build stranded
+      assert(!JF.exists(JP.get(s"$idx/ivfpq/centroids")),
+        "old sidecar must be deleted inside the window")
+      assert(JF.exists(JP.get(s"$idx/ivfpq.tmp")),
+        "aside-built tmp sidecar must be stranded by the kill")
+
+      // degraded state: flat serving, exact recall INCLUDING the batch
+      graft.operators.AnnIndex.refreshCounts(idx)
+      assert(graft.operators.AnnIndex.chosenArm(spark, idx) == "flat",
+        "no-sidecar window must serve the flat arm")
+      val probes = spark.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      def top1(k: Int) = graft.operators.AnnIndex
+        .queryProbes(spark, idx, probes, k)
+        .filter(col("rnk") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val flatTop = top1(1)
+      (0L until 5L).foreach { p =>
+        assert(flatTop(p) == p + 900000L,
+          s"degraded flat serve missed appended dup of $p: got ${flatTop(p)}")
+      }
+
+      // recovery: repairSidecar's rebuild path re-fits over the FULL
+      // grown corpus — the refit's intent, achieved after the crash
+      graft.operators.AnnIndex.repairSidecar(spark, idx)
+      assert(graft.operators.AnnIndex.chosenArm(spark, idx) == "ivfpq",
+        "repair must restore routing")
+      assert(graft.operators.IvfPqIndex.fittedN(spark, s"$idx/ivfpq")
+        .contains(520L),
+        "re-refit must record the grown corpus as the fitted size")
+      val routedTop = top1(5)
+      (0L until 5L).foreach { p =>
+        assert(routedTop(p) == p + 900000L,
+          s"re-refit routed serve missed planted dup of $p: got ${routedTop(p)}")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -197,6 +197,32 @@ object AnnCrashChild {
   }
 }
 
+/** Child main for the refit-swap crash e2e (AnnCrashSpec's sixth SIGKILL
+  * scenario): appends `batchParquet` with refitFactor pinned to 1.0, so
+  * any growth past the fitted size triggers refitSidecar's aside-build +
+  * delete + rename. With crashPoint "refit_before_rename" it writes
+  * `sentinel` inside the no-sidecar window (old ivfpq/ deleted, tmp not
+  * yet renamed) and parks for the parent's SIGKILL; with "none" the
+  * append refits cleanly and exits 0. */
+object AnnRefitChild {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, batchParquet, crashPoint, sentinel) = args
+    val spark = ChildJvm.childSpark("ann-refit-child")
+    spark.conf.set(graft.operators.AnnIndex.FlatMaxBucketRowsKey, "0")
+    spark.conf.set(graft.operators.AnnIndex.RefitFactorKey, "1.0")
+    if (crashPoint != "none")
+      graft.operators.AnnIndex.crashProbe = p =>
+        if (p == crashPoint) {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(sentinel), p)
+          Thread.sleep(600000) // park: the parent SIGKILLs this JVM here
+        }
+    graft.operators.AnnIndex.append(spark, indexDir,
+      spark.read.parquet(batchParquet))
+    spark.stop()
+  }
+}
+
 /** Child main for the two-process DedupIndex append hammer: waits on the
   * shared `goFile` rendezvous (so both processes enter the append window
   * together), then appends its batch in four sub-batches — eight
