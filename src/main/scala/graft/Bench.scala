@@ -453,30 +453,6 @@ object Bench {
     * 2x apart hours apart on this shared host. The pair (1-thread,
     * all-thread) lets a reader normalize both serial speed and effective
     * parallel capacity out of a round-over-round comparison. */
-  /** The 1-thread calibration figure of the quiet host that produced the
-    * earliest calibrated rounds (SCALE.md "Host-speed drift": BENCH_r07's
-    * 0.284 s was ~1.9x this). `value_calib_adjusted` = raw total scaled
-    * by quiet/observed calib — the cross-round comparable number, emitted
-    * in the artifact so round-over-round diffs need no manual drift
-    * math. */
-  private[graft] val QuietCalib1t = 0.15
-
-  /** Quiet-host figure for [[calibrateSpark]]: 0.404 s measured on the
-    * idle (loadavg 0.79) round-14 re-baseline run. Like [[QuietCalib1t]]
-    * it only sets the SCALE of value_calib_adjusted; round-over-round
-    * deltas divide two observed calibs and never touch it. */
-  private[graft] val QuietCalibSpark = 0.404
-
-  /** Quiet-host figure for [[calibrateSpark1b]]: 0.836 s, measured BY
-    * THE BENCH ITSELF on the idle round-15 re-baseline run (in-session
-    * values run faster than standalone probes — the 10M calib's four
-    * iterations have already JIT-warmed the same codegen shapes; a
-    * spark-shell probe of the identical job measured 1.0–1.13 s).
-    * Run-to-run spread of this anchor is ~±15% (vs the 10M job's 1.7×),
-    * so `value_calib_adjusted` carries that tolerance; DELTAS are
-    * unaffected — they divide two observed values and never touch this
-    * constant. */
-  private[graft] val QuietCalibSpark1b = 0.836
 
   /** BENCH_r13 proved a pure-JVM hash loop can move OPPOSITE to the Spark
     * lanes (sha calib got faster while every lane got 1.4× slower — page
@@ -537,16 +513,23 @@ object Bench {
     (la, jvms)
   }
 
-  private[graft] def adjustedTotal(total: Double, calib1t: Double): Double =
-    if (calib1t <= 0) total else total * (QuietCalib1t / calib1t)
-
-  /** value_calib_adjusted under the Spark-job anchor (the r14 fix). */
-  private[graft] def adjustedTotalSpark(total: Double, calibSpark: Double): Double =
-    if (calibSpark <= 0) total else total * (QuietCalibSpark / calibSpark)
-
-  /** value_calib_adjusted under the throughput-bound 1B anchor (r15). */
-  private[graft] def adjustedTotalSpark1b(total: Double, calib1b: Double): Double =
-    if (calib1b <= 0) total else total * (QuietCalibSpark1b / calib1b)
+  /** The cumulative host-drift chain (VERDICT r15 #3 — the retirement of
+    * the pinned quiet-host constants): `value_calib_adjusted` used to be
+    * raw total × (pinned-quiet-calib / observed-calib), and every one of
+    * those pins eventually went stale as the host changed (the species
+    * of staleness behind r14's BENCH_DETAIL 53.023 artifact bug). Now the
+    * chain multiplies only OBSERVED ratios: chain_N = chain_{N-1} ×
+    * hostDriftFactor(prev_anchors, cur_anchors), seeded at 1.0 when the
+    * previous artifact predates the chain (that round's host becomes the
+    * epoch). `value_calib_adjusted` = raw total × chain_N — the total
+    * expressed in epoch-host seconds, derived from measured anchor pairs
+    * only, with the median-of-anchors outvoting machinery the deltas
+    * already trust. The chain is emitted in the artifact's calib object
+    * (and excluded from the anchor median by name). */
+  private[graft] def chainedDrift(prevAnchors: Map[String, Double],
+      curAnchors: Map[String, Double]): Double =
+    prevAnchors.getOrElse("host_drift_chain", 1.0) *
+      hostDriftFactor(prevAnchors, curAnchors)
 
   /** Round-over-round self-diagnosis (VERDICT r10 #1): load the newest
     * BENCH_r{N}.json the driver left in cwd and return (round, per-lane
@@ -602,7 +585,10 @@ object Bench {
     * estimate smooth. No shared anchors → 1.0 (raw comparison). */
   private[graft] def hostDriftFactor(prevAnchors: Map[String, Double],
       curAnchors: Map[String, Double]): Double = {
-    val meta = Set("loadavg", "jvms")
+    // host_drift_chain rides the calib object for loadPrevBench's sake
+    // but is cumulative state, not a measured anchor — a chain/chain
+    // ratio in the median would double-count every past round's drift
+    val meta = Set("loadavg", "jvms", "host_drift_chain")
     val ratios = (prevAnchors.keySet & curAnchors.keySet)
       .filterNot(meta)
       .toSeq
@@ -704,10 +690,6 @@ object Bench {
     // former ~2.5 KB line (median + per-iteration arrays inline) came back
     // truncated mid-JSON -> "parsed": null. Diagnostics (median + raw
     // iterations) go to a sidecar file instead.
-    // value_calib_adjusted rides the SPARK anchor from round 14 on (the
-    // sha loop measured drift with the wrong sign in BENCH_r13); the sha
-    // pair stays in the artifact for continuity with older rounds
-    val adj = adjustedTotalSpark1b(total, calibSpark1b)
     // Per-lane NORMALIZED deltas vs the previous round's artifact
     // (VERDICT r10 #1): delta = (cur_min/prev_min) x (prev_calib/cur_calib)
     // — i.e. the move that remains AFTER dividing out measured host-speed
@@ -730,6 +712,14 @@ object Bench {
       case Some((_, _, pa)) => hostDriftFactor(pa, curAnchors)
       case None => 1.0
     }
+    // value_calib_adjusted (r16): raw total in epoch-host seconds via the
+    // cumulative OBSERVED drift chain — no pinned quiet-host constant
+    // left to go stale (VERDICT r15 #3; chainedDrift scaladoc)
+    val chain = prev match {
+      case Some((_, _, pa)) => chainedDrift(pa, curAnchors)
+      case None => 1.0
+    }
+    val adj = total * chain
     val deltas: Seq[(String, Option[Double])] = results.map { case (k, ts) =>
       k -> prev.flatMap { case (_, pq, _) =>
         pq.get(k).filter(_ > 0)
@@ -754,7 +744,7 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map(x => f"$x%.3f").getOrElse("null") }
       .mkString("{", ",", "}")
-    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f,"spark_10m_shuffle_sec":$calibSpark%.3f,"spark_1b_agg_sec":$calibSpark1b%.3f,"loadavg":$loadavg%.2f,"jvms":$jvmCount%d},"value_calib_adjusted":$adj%.3f"""
+    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f,"spark_10m_shuffle_sec":$calibSpark%.3f,"spark_1b_agg_sec":$calibSpark1b%.3f,"host_drift_chain":$chain%.4f,"loadavg":$loadavg%.2f,"jvms":$jvmCount%d},"value_calib_adjusted":$adj%.3f"""
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,$calib,"deltas_norm_named":$deltaNamed,$deltaJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -69,6 +69,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         .BloomFilterMightContain(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("zorder2"), info("zorder2"),
       (es: Seq[Expression]) => graft.functions.ZOrder2(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("zorder3"), info("zorder3"),
+      (es: Seq[Expression]) =>
+        graft.functions.ZOrder3(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("zordern"), info("zordern"),
+      (es: Seq[Expression]) => graft.functions.ZOrder.dispatch(es)))
     // optimizer rule: theta range joins -> banded equi joins (off unless
     // spark.graft.rangeJoin.bandWidth is set; the broader interval-OVERLAP
     // rewrite gates separately on spark.graft.rangeJoin.overlapBandWidth;

@@ -142,21 +142,41 @@ object LayoutOps {
     * multi-dimensional upgrade of clusterBy's single-key ranges
     * (LayoutSpec measures the pruning on both dimensions). */
   def clusterByZOrder(spark: SparkSession, src: String, dst: String,
-      numFiles: Int, colA: String, colB: String): Unit = {
+      numFiles: Int, colA: String, colB: String): Unit =
+    clusterByZOrderN(spark, src, dst, numFiles, Seq(colA, colB))
+
+  /** N-dimensional z-order clustering (OPTIMIZE ZORDER BY c1, ..., cN):
+    * each key min-max normalizes to min(16, 63/n)-bit space (one tiny
+    * 2n-column agg broadcast; rank-normalization via range buckets is
+    * the refinement for skewed keys), the `zorderN` kernel interleaves
+    * — the 2-D and 3-D arities run the loop-free mask-shift kernels,
+    * 4+ the generic bit loop — then range-partition + sort on the
+    * z-value. Every output file covers a bounded BOX of the n-dim key
+    * space, so parquet footer min/max stats prune files for predicates
+    * on ANY clustered key (LayoutSpec measures per-dimension pruning at
+    * n = 2 and n = 3). Resolution falls as 63/n bits per dimension —
+    * the reason OPTIMIZE ZORDER guidance caps the column list. */
+  def clusterByZOrderN(spark: SparkSession, src: String, dst: String,
+      numFiles: Int, cols: Seq[String]): Unit = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order clustering takes 2 to 8 columns, got ${cols.size}")
     val df = spark.read.parquet(src)
     val b = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-      .collect()(0)
+      cols.flatMap(c => Seq(min(col(c)).cast("double"),
+        max(col(c)).cast("double"))).head,
+      cols.flatMap(c => Seq(min(col(c)).cast("double"),
+        max(col(c)).cast("double"))).tail: _*).collect()(0)
+    val bits = math.min(16, 63 / cols.size)
+    val buckets = (1L << bits).toDouble
     def norm(c: String, lo: Double, hi: Double) = {
       val span = math.max(hi - lo, 1e-300)
-      least(floor((col(c).cast("double") - lo) / span * 65536.0), lit(65535.0))
-        .cast("long")
+      least(floor((col(c).cast("double") - lo) / span * buckets),
+        lit(buckets - 1)).cast("long")
     }
     graft.functions.ZOrder.register(spark)
-    val z = call_function("zorder2",
-      norm(colA, b.getDouble(0), b.getDouble(1)),
-      norm(colB, b.getDouble(2), b.getDouble(3)))
+    val z = call_function("zordern", cols.zipWithIndex.map { case (c, i) =>
+      norm(c, b.getDouble(2 * i), b.getDouble(2 * i + 1))
+    }: _*)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

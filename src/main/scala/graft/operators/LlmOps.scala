@@ -803,13 +803,28 @@ object LlmOps {
     * dim-bounded literals ((PcaK+1)·64 = 576 doubles — the model, not
     * data) exploded per row, and each output value is one pinned
     * left-fold dot product the generated oracle replays term-for-term. */
-  private[operators] def pcaProject(s: SparkSession, d: String): DataFrame = {
+  private[operators] def pcaProject(s: SparkSession, d: String): DataFrame =
+    pcaProjectImpl(s, d, Some(PcaProbes))
+
+  /** Full-corpus PCA projection — the ScaleBench probe form: the same
+    * map-only plan as l66 WITHOUT the oracle's probe bound, so the K×
+    * scale ratio measures the projection term over the whole embeddings
+    * table. The fit stays out of timed sweeps (PcaFix caches the
+    * fixture per dir; the warmup sweep pays it once, like
+    * ServeIndexes) — the fit is the lane's only O(n·d²) term and is
+    * amortized per corpus, not per query. */
+  def pcaProjectCorpus(s: SparkSession, d: String): DataFrame =
+    pcaProjectImpl(s, d, None)
+
+  private def pcaProjectImpl(s: SparkSession, d: String,
+      bound: Option[Int]): DataFrame = {
     val fix = s.read.parquet(PcaFix.fixture(s, d)).collect()
     val mean: Seq[Double] =
       fix.find(_.getInt(0) == -1).get.getSeq[Double](1)
     val axes: Seq[(Int, Seq[Double])] = fix.filter(_.getInt(0) >= 0)
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    t(s, d, "embeddings").filter(col("vec_id") < PcaProbes)
+    val base = t(s, d, "embeddings")
+    bound.fold(base)(b => base.filter(col("vec_id") < b))
       .select(col("vec_id"), col("embedding"), typedlit(mean).as("m"),
         explode(typedlit(axes)).as("ax"))
       .select(col("vec_id"), col("embedding"), col("m"),

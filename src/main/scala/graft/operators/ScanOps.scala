@@ -586,22 +586,45 @@ object ScanOps {
           col("l_partkey"), col("l_suppkey"),
           expr("zorder2(l_partkey % 65536, l_suppkey % 65536)").as("zval"))
         .orderBy("zval", "l_orderkey", "l_linenumber")
+    }),
+
+    // O18: 3-D z-order key — the N-dimensional generalization (VERDICT
+    // r15 #6) served by the codegen'd `zorder3` 21-bit mask-shift
+    // kernel (ZOrder.scala): bit i of key j lands at position 3i + j,
+    // so every z-range bounds a BOX in all three key dimensions and
+    // OPTIMIZE ZORDER BY (a, b, c) pruning works on any of them
+    // (LayoutSpec measures the 3-D win). Oracle: the o17 discipline —
+    // the interleave replayed as unrolled DIV/%/× BIGINT arithmetic,
+    // exact on the sub-2^16 key domain.
+    "o18_zorder3_key" -> ((s, d) => {
+      graft.functions.ZOrder.register(s)
+      t(s, d, "lineitem").filter(col("l_orderkey") < 150)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr("zorder3(l_partkey % 65536, l_suppkey % 65536, " +
+            "l_orderkey % 65536)").as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
     })
   )
 
-  /** Unrolled 16-bit × 2 Morton interleave in portable SQL arithmetic:
-    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1 — DIV/%/×
-    * only, exact in BIGINT on the nonnegative key domain. The DuckDB
-    * (`div` = "//") replay of the zorder2 kernel for inputs < 2^16
-    * (zorder2 spreads 32 bits; the high 16 are zero here). */
-  private[operators] def zorderExpr(x: String, y: String,
+  /** Unrolled 16-bit × n Morton interleave in portable SQL arithmetic:
+    * bit i of column j lands at position n·i + j — DIV/%/× only, exact
+    * in BIGINT on the nonnegative key domain. The DuckDB (`div` = "//")
+    * replay of the zorder2/zorder3 kernels for inputs < 2^16 (the
+    * kernels spread 32/21 bits; the high bits are zero here). */
+  private[operators] def zorderExprN(cols: Seq[String],
       div: String): String = {
-    def bits(c: String, off: Int) = (0 until 16).map { i =>
-      s"(((CAST($c AS BIGINT) % 65536) $div ${1L << i}) % 2) " +
-        s"* ${1L << (2 * i + off)}"
-    }
-    (bits(x, 0) ++ bits(y, 1)).mkString(" + ")
+    val n = cols.size
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      (0 until 16).map { i =>
+        s"(((CAST($c AS BIGINT) % 65536) $div ${1L << i}) % 2) " +
+          s"* ${1L << (n * i + j)}"
+      }
+    }.mkString(" + ")
   }
+
+  private[operators] def zorderExpr(x: String, y: String,
+      div: String): String = zorderExprN(Seq(x, y), div)
 
   val oracleSql: Map[String, String] = Map(
     "s1_filter_project" ->
@@ -892,6 +915,12 @@ object ScanOps {
     "o17_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${zorderExpr("l_partkey", "l_suppkey", "//")} AS zval
+         |FROM lineitem WHERE l_orderkey < 150
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+
+    "o18_zorder3_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${zorderExprN(Seq("l_partkey", "l_suppkey", "l_orderkey"), "//")} AS zval
          |FROM lineitem WHERE l_orderkey < 150
          |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
   )

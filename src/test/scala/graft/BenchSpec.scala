@@ -3,25 +3,38 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the cross-round normalization contract of the bench artifact:
-  * value_calib_adjusted = raw total scaled by quiet-host/observed calib,
-  * so a 2x-slower host reports ~the same adjusted number for the same
-  * code (SCALE.md "Host-speed drift"). */
+  * value_calib_adjusted = raw total × the cumulative OBSERVED host-drift
+  * chain (r16 — no pinned quiet-host constant left to go stale), so a
+  * 2x-slower host reports ~the same adjusted number for the same code
+  * (SCALE.md "Host-speed drift"). */
 class BenchSpec extends AnyFunSuite {
 
-  test("adjusted total normalizes host drift out") {
-    // same engine work measured on a 2x-slower host: raw total doubles,
-    // calib doubles, adjusted total is unchanged
-    val quietTotal = 15.0
-    val slowTotal = 30.0
-    val quietAdj = Bench.adjustedTotal(quietTotal, Bench.QuietCalib1t)
-    val slowAdj = Bench.adjustedTotal(slowTotal, Bench.QuietCalib1t * 2)
-    assert(math.abs(quietAdj - slowAdj) < 1e-9)
-    assert(quietAdj == quietTotal, "on the quiet host adjusted == raw")
+  test("chainedDrift multiplies the prior chain by the observed anchor median") {
+    // r16 epoch seed: previous artifact has no chain → factor is just
+    // this round's measured drift
+    val prevNoChain = Map("spark_1b_agg_sec" -> 1.0)
+    val cur = Map("spark_1b_agg_sec" -> 2.0) // host now 2× slower
+    assert(math.abs(Bench.chainedDrift(prevNoChain, cur) - 0.5) < 1e-9,
+      "seeded chain must equal hostDriftFactor alone")
+    // composition: previous chain 0.8 × this round's 0.5 drift = 0.4 —
+    // a slow-then-slower host walks the total back to epoch seconds
+    val prevChained = Map("spark_1b_agg_sec" -> 1.0, "host_drift_chain" -> 0.8)
+    assert(math.abs(Bench.chainedDrift(prevChained, cur) - 0.4) < 1e-9)
+    // same engine work on a 2×-slower host: raw total doubles, chain
+    // halves, adjusted total (total × chain) is unchanged
+    assert(math.abs(30.0 * Bench.chainedDrift(prevNoChain, cur) - 15.0) < 1e-9)
+    // no shared anchors → drift 1.0, chain passes through
+    assert(Bench.chainedDrift(Map("host_drift_chain" -> 0.7),
+      Map("a" -> 1.0)) == 0.7)
   }
 
-  test("adjusted total is defensive about a broken calibration") {
-    assert(Bench.adjustedTotal(10.0, 0.0) == 10.0)
-    assert(Bench.adjustedTotal(10.0, -1.0) == 10.0)
+  test("host_drift_chain is cumulative state, never an anchor in the median") {
+    // a chain value wildly different across rounds must not move the
+    // drift estimate — only measured anchors vote
+    val prev = Map("spark_1b_agg_sec" -> 1.0, "host_drift_chain" -> 100.0)
+    val cur = Map("spark_1b_agg_sec" -> 1.0, "host_drift_chain" -> 0.001)
+    assert(Bench.hostDriftFactor(prev, cur) == 1.0,
+      "chain/chain ratio leaked into the anchor median")
   }
 
   test("loadPrevBench picks the newest round artifact and parses it") {
@@ -79,22 +92,17 @@ class BenchSpec extends AnyFunSuite {
       Map("loadavg" -> 1.0, "jvms" -> 2.0)) == 1.0)
   }
 
-  test("1B-anchored adjusted total normalizes drift and is defensive") {
-    val quietAdj = Bench.adjustedTotalSpark1b(15.0, Bench.QuietCalibSpark1b)
-    val slowAdj = Bench.adjustedTotalSpark1b(30.0, Bench.QuietCalibSpark1b * 2)
-    assert(math.abs(quietAdj - slowAdj) < 1e-9)
-    assert(quietAdj == 15.0)
-    assert(Bench.adjustedTotalSpark1b(10.0, 0.0) == 10.0)
-    assert(Bench.adjustedTotalSpark1b(10.0, -1.0) == 10.0)
-  }
-
-  test("spark-anchored adjusted total normalizes drift and is defensive") {
-    val quietAdj = Bench.adjustedTotalSpark(15.0, Bench.QuietCalibSpark)
-    val slowAdj = Bench.adjustedTotalSpark(30.0, Bench.QuietCalibSpark * 2)
-    assert(math.abs(quietAdj - slowAdj) < 1e-9)
-    assert(quietAdj == 15.0)
-    assert(Bench.adjustedTotalSpark(10.0, 0.0) == 10.0)
-    assert(Bench.adjustedTotalSpark(10.0, -1.0) == 10.0)
+  test("loadPrevBench surfaces a chain-carrying calib object to chainedDrift") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-chain").toFile
+    java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r16.json"),
+      """{"n":16,"parsed":{"queries":{"q1_agg":0.3},
+        |"calib":{"spark_1b_agg_sec":1.2,"host_drift_chain":0.91,
+        |"loadavg":1.0,"jvms":2}}}""".stripMargin)
+    val Some((_, _, anchors)) = Bench.loadPrevBench(dir)
+    assert(anchors("host_drift_chain") == 0.91)
+    // the chain an r17 run would emit: 0.91 × (1.2/2.4) = 0.455
+    val c = Bench.chainedDrift(anchors, Map("spark_1b_agg_sec" -> 2.4))
+    assert(math.abs(c - 0.455) < 1e-9)
   }
 
   test("hostLoad reads loadavg and sees at least this JVM") {
