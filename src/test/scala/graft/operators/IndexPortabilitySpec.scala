@@ -62,6 +62,59 @@ class IndexPortabilitySpec extends SparkSpec {
       "the pufs-resident index must serve the same neighbors")
   }
 
+  /** VERDICT r15 #5: the standing-index machinery and the snapshot/CAS
+    * machinery it sits beside, closed into one loop — a ROUTED AnnIndex
+    * (flat tables + IVFPQ sidecar + the _FITTED_N refit marker) is ONE
+    * write-once tree, so one publish freezes all of it under a single
+    * manifest and a consumer mounting the label gets an index that
+    * routes and serves byte-identically. The atomicity claim is the
+    * manifest's: there is no label state where the flat tables arrive
+    * without the sidecar or the sidecar without its fit marker. */
+  test("routed AnnIndex publishes to a label; mount serves byte-identically with sidecar + fit marker") {
+    val key = AnnIndex.FlatMaxBucketRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0") // tiny corpus routes like a 10^9-vector one
+      val dirA = Files.createTempDirectory("ann-pub-src").toString
+      AnnIndex.build(spark, sfDir, dirA)
+      assert(AnnIndex.chosenArm(spark, dirA) == "ivfpq",
+        "precondition: source index must be routing")
+
+      val repo = Files.createTempDirectory("ann-pub-repo").toString
+      SnapshotStore.publish(dirA, repo, "ann-idx")
+
+      // consumer ("another host"): mount the label, materialize a replica
+      val entries = SnapshotStore.mount(repo, "ann-idx")
+      assert(entries.exists(_.path.startsWith("signatures/")))
+      assert(entries.exists(_.path.startsWith("ivfpq/centroids/")),
+        "sidecar must ride the same manifest as the flat tables")
+      assert(entries.exists(_.path == "ivfpq/_FITTED_N"),
+        "refit marker must ride the same manifest as the sidecar")
+      val dirB = Files.createTempDirectory("ann-pub-dst").toString
+      entries.foreach { e =>
+        val dst = Paths.get(dirB, e.path)
+        Files.createDirectories(dst.getParent)
+        Files.write(dst, SnapshotStore.readBlock(repo, e.sha256))
+        ()
+      }
+
+      // the mounted replica routes, carries the same fitted size, and
+      // serves the exact bytes of the source's answers
+      assert(AnnIndex.chosenArm(spark, dirB) == "ivfpq",
+        "mounted replica must route through its sidecar")
+      assert(IvfPqIndex.fittedN(spark, s"$dirB/ivfpq") ==
+        IvfPqIndex.fittedN(spark, s"$dirA/ivfpq"))
+      def served(dir: String) = AnnIndex
+        .query(spark, dir, nProbes = 10, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(served(dirB) == served(dirA),
+        "label-distributed index must serve identically to the source")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("NearDupIndex round-trips a remote registry label intact") {
     val keyPair = {
       val g = java.security.KeyPairGenerator.getInstance("RSA")
