@@ -1888,6 +1888,30 @@ object LlmOps {
     // clustering / semantic dedup 8× cheaper per byte.
     "l66_pca_project" -> ((s, d) => pcaProject(s, d)),
 
+    // L67: symmetric int8 embedding quantization — the standard 4×
+    // serving compression between raw float32 and PQ's 32× (l53): each
+    // vector scales by its own amax/127 and rounds each dimension to a
+    // signed byte. At 100 TB this is the cheap win for memory-bound
+    // ANN serving (the FAISS SQ8 shape): MAP-ONLY — per-row scale, no
+    // shuffle except the output sort, codegen'd higher-order funcs.
+    // Oracle discipline: every step is deterministic double arithmetic
+    // replayed term-for-term (float→double casts are exact, max is
+    // associative, floor(x+0.5) sidesteps the cross-engine round()
+    // trap; a zero vector quantizes to all-zeros at scale 0).
+    "l67_int8_quant" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))") / 127.0)
+            .as("scale"))
+        .select(col("vec_id"), col("scale"), posexplode(
+          expr("transform(embedding, x -> CAST(least(127, greatest(-127, " +
+            "CASE WHEN scale = 0 THEN 0 ELSE " +
+            "floor(CAST(x AS DOUBLE) / scale + 0.5) END)) AS BIGINT))"))
+          .as(Seq("i", "qv")))
+        .orderBy("vec_id", "i")
+    }),
+
     // L15: per-source corpus stats — the dashboard query of a dedup
     // pipeline: docs, distinct contents, dup rate, volume per source.
     "l15_source_stats" -> ((s, d) => {
@@ -2749,6 +2773,24 @@ object LlmOps {
         |  FROM p)
         |SELECT probe_id, rnk, neighbor_id, cos AS sim
         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "l67_int8_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |x AS (
+        |  SELECT vec_id, scale, v,
+        |    unnest(generate_series(1, len(v))) AS i1
+        |  FROM s)
+        |SELECT vec_id, scale, CAST(i1 - 1 AS INT) AS i,
+        |  CAST(least(127, greatest(-127,
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE floor(v[i1] / scale + 0.5) END)) AS BIGINT) AS qv
+        |FROM x ORDER BY vec_id, i""".stripMargin,
 
     "l4_token_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
