@@ -78,6 +78,44 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.8, f"ANN recall@5 $recall%.2f below the 0.8 floor")
   }
 
+  /** l67's serving claim quantified: int8 symmetric quantization is a
+    * COMPRESSION FOR SERVING, so the invariant that matters is neighbor
+    * preservation, not just code exactness (the oracle already pins the
+    * codes bitwise). Dequantized cosine top-1 must agree with float
+    * top-1 for nearly all probes — SQ8's per-dimension error is bounded
+    * by scale/2 = amax/254, a ~0.4% relative perturbation that real
+    * cosine gaps dwarf. */
+  test("l67 int8 quantization preserves nearest-neighbor ranking (SQ8 serving quality)") {
+    val q = LlmOps.queries("l67_int8_quant")(spark, sfDir)
+    // reconstruct dequantized vectors qv*scale and brute-force top-1
+    val deq = q.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(
+        struct(col("i").as("i"), (col("qv") * col("scale")).as("v")))),
+        s => s.getField("v")).as("dv"))
+    graft.functions.VectorExpressions.register(spark)
+    def top1(vecs: org.apache.spark.sql.DataFrame, vcol: String): Map[Long, Long] = {
+      val probes = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col(vcol).as("pv"))
+      val dot = expr(s"aggregate(zip_with(pv, $vcol, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)")
+      val nrm = (c: String) => sqrt(expr(s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x)"))
+      broadcast(probes).join(vecs, col("probe_id") =!= col("vec_id"))
+        .withColumn("cos", dot / (nrm("pv") * nrm(vcol)))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select("probe_id", "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val floatTop = top1(graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")), "embedding")
+    val quantTop = top1(deq.select(col("vec_id"), col("dv")), "dv")
+    val agree = floatTop.count { case (p, n) => quantTop.get(p).contains(n) }
+    info(s"int8 top-1 agreement: $agree/${floatTop.size}")
+    assert(agree >= (floatTop.size * 0.9).toInt,
+      s"SQ8 quantization broke neighbor ranking: $agree of ${floatTop.size} top-1s agree")
+  }
+
   test("persisted ANN index: query-from-store matches the inline l13 lane") {
     val dir = java.nio.file.Files.createTempDirectory("ann-index").toString
     AnnIndex.build(spark, sfDir, dir)
