@@ -119,7 +119,12 @@ object ScaleBench {
         .select(org.apache.spark.sql.functions.expr(
           "zorder3(l_partkey % 65536, l_suppkey % 65536, " +
             "l_orderkey % 65536)").as("zval"))
-    }))
+    }),
+    // int8 quantization at corpus width: the l67 lane is already
+    // full-table (no oracle bound to strip) — per-row scale + rounding,
+    // the 4× serving compression's cost measured against corpus growth
+    "l67_quant_full" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l67_int8_quant")(s, d)))
 
   def main(args: Array[String]): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt

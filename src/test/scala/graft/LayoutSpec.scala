@@ -172,6 +172,15 @@ class LayoutSpec extends SparkSpec {
     assert(r.getLong(1) == 18L)
     assert(r.getLong(2) == 36L)
     assert(r.getLong(3) == 15L, s"zordern(1,1,1,1) must be 0b1111, got ${r.getLong(3)}")
+    // null propagation on both the codegen'd ternary and the fallback
+    // variadic path — a clustering key with a NULL component must not
+    // silently interleave as zero
+    val nulls = spark.sql(
+      """SELECT zorder3(CAST(NULL AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) AS a,
+        |  zordern(CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT)) AS b
+        |""".stripMargin).collect()(0)
+    assert(nulls.isNullAt(0), "zorder3 must be null on a null input")
+    assert(nulls.isNullAt(1), "zorderN must be null on a null input")
   }
 
   test("3-D z-order clustering bounds ALL THREE dimensions per file") {
