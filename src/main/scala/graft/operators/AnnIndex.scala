@@ -285,6 +285,16 @@ object AnnIndex {
     ()
   }
 
+  /** True when a sidecar exists but holds a different row count than the
+    * flat tables — the crashed-append state [[chosenArm]] serves around
+    * and [[repairSidecar]] fixes. Reads the same (possibly cached)
+    * counts as the router, so a caller that wants a FRESH observation
+    * pairs it with [[refreshCounts]] — exactly what the serving
+    * stream's auto-repair path does (StreamJobs.annServeEachBatch). */
+  def sidecarDiverged(spark: SparkSession, dir: String): Boolean =
+    hasIvf(spark, dir) &&
+      corpusRows(spark, dir) != sidecarRows(spark, dir)
+
   /** Crash-point probe for the SIGKILL e2e (the StreamJobs.crashProbe
     * discipline): labels fire between append's non-atomic halves. */
   private[graft] var crashProbe: String => Unit = _ => ()

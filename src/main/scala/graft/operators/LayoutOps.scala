@@ -145,6 +145,31 @@ object LayoutOps {
       numFiles: Int, colA: String, colB: String): Unit =
     clusterByZOrderN(spark, src, dst, numFiles, Seq(colA, colB))
 
+  /** OPTIMIZE — compaction and clustering in ONE rewrite, the
+    * Delta-style maintenance verb: the output file count comes from the
+    * source's bytes (the [[compact]] sizing rule), the layout from
+    * `cols` — none = pure compaction, one = range clustering
+    * ([[clusterBy]]), two-plus = z-order ([[clusterByZOrderN]]). A
+    * small-file table with a clustering need pays a single read+write
+    * pass instead of compact-then-cluster's two; at 100 TB the second
+    * full rewrite is exactly the cost worth deleting. Returns (files
+    * before, files after). */
+  def optimize(spark: SparkSession, src: String, dst: String,
+      targetBytes: Long, cols: Seq[String] = Nil): (Int, Int) = {
+    val pre = dataFiles(src)
+    val n = math.max(1,
+      math.ceil(pre.map(_.length).sum.toDouble / targetBytes).toInt)
+    cols.size match {
+      case 0 =>
+        val df = spark.read.parquet(src)
+        val out = if (n < pre.size) df.coalesce(n) else df.repartition(n)
+        out.write.mode("overwrite").parquet(dst)
+      case 1 => clusterBy(spark, src, dst, n, cols.head)
+      case _ => clusterByZOrderN(spark, src, dst, n, cols)
+    }
+    (pre.size, dataFiles(dst).size)
+  }
+
   /** N-dimensional z-order clustering (OPTIMIZE ZORDER BY c1, ..., cN):
     * each key min-max normalizes to min(16, 63/n)-bit space (one tiny
     * 2n-column agg broadcast; rank-normalization via range buckets is

@@ -339,14 +339,30 @@ object StreamJobs {
   private[graft] val AnnServeRefreshKey = "spark.graft.ann.serveRefreshBatches"
   private[graft] val AnnServeRefreshBatches = 8
 
+  /** Opt-in self-healing for the serving stream: when a refresh batch
+    * observes arm divergence (an external writer's crashed append), the
+    * stream runs [[graft.operators.AnnIndex.repairSidecar]] INLINE
+    * before serving — one anti-join + frozen-quantizer append, paid
+    * once per crash, after which serving returns to the routed arm
+    * instead of degrading to flat until an operator intervenes. Default
+    * OFF: the repair job's latency lands on whichever micro-batch
+    * detects the crash, which a latency-sensitive deployment may prefer
+    * to schedule out-of-band (the divergence-guarded flat fallback is
+    * already correct, just corpus-linear). */
+  private[graft] val AnnAutoRepairKey = "spark.graft.ann.serveAutoRepair"
+
   def annServeEachBatch(probes: DataFrame, indexDir: String, outDir: String,
       k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     probes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       val every = s.conf.getOption(AnnServeRefreshKey).map(_.toInt)
         .getOrElse(AnnServeRefreshBatches)
-      if (every > 0 && batchId % every == 0)
+      if (every > 0 && batchId % every == 0) {
         graft.operators.AnnIndex.refreshCounts(indexDir)
+        if (s.conf.getOption(AnnAutoRepairKey).contains("true") &&
+          graft.operators.AnnIndex.sidecarDiverged(s, indexDir))
+          graft.operators.AnnIndex.repairSidecar(s, indexDir)
+      }
       if (!markerExists(s, outDir, batchId)) {
         val answers = graft.operators.AnnIndex.queryProbes(s, indexDir,
           batch.select(col("probe_id"), col("pv")), k)

@@ -131,6 +131,46 @@ class LayoutSpec extends SparkSpec {
       Tables.t(spark, sfDir, "lineitem").count())
   }
 
+  test("OPTIMIZE: one rewrite compacts small-file debris AND z-orders the layout") {
+    val frag = java.nio.file.Files.createTempDirectory("graft-opt-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-opt-dst").toString
+    Tables.t(spark, sfDir, "lineitem").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def checksum(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+      val r = df.agg(count(lit(1)), sum(hash(df.columns.map(col): _*).cast("long")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = checksum(frag)
+    val fragBytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target ~8 output files from the measured source bytes
+    val (pre, post) = operators.LayoutOps.optimize(spark, frag, dst,
+      targetBytes = math.max(1L, fragBytes / 8),
+      cols = Seq("l_orderkey", "l_partkey"))
+    assert(pre == 64, s"fragmentation setup produced $pre files")
+    assert(post < 16 && post > 1, s"optimize left $post files")
+    assert(checksum(dst) == before,
+      "optimize changed row content (count or row-hash sum differs)")
+    // the single rewrite also delivered the layout: per-file extents are
+    // strict sub-rectangles on BOTH cluster keys (the 2-D z-order claim)
+    val files = new java.io.File(dst).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val exts = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_orderkey"), max("l_orderkey"),
+          min("l_partkey"), max("l_partkey")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val okSpan = exts.map(e => e._2 - e._1).sum.toDouble / exts.length
+    val pkSpan = exts.map(e => e._4 - e._3).sum.toDouble / exts.length
+    val okDomain = (exts.map(_._2).max - exts.map(_._1).min).toDouble
+    val pkDomain = (exts.map(_._4).max - exts.map(_._3).min).toDouble
+    assert(okSpan < 0.75 * okDomain, s"l_orderkey not bounded: $okSpan / $okDomain")
+    assert(pkSpan < 0.75 * pkDomain, s"l_partkey not bounded: $pkSpan / $pkDomain")
+  }
+
   test("zorder3/zorderN kernels agree with the naive bit interleave and stay monotone") {
     import graft.functions.ZOrderKernels
     // reference semantics: bit i of vals(j) lands at position i*n + j
