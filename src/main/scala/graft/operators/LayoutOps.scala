@@ -155,20 +155,16 @@ object LayoutOps {
     * full rewrite is exactly the cost worth deleting. Returns (files
     * before, files after). */
   def optimize(spark: SparkSession, src: String, dst: String,
-      targetBytes: Long, cols: Seq[String] = Nil): (Int, Int) = {
-    val pre = dataFiles(src)
-    val n = math.max(1,
-      math.ceil(pre.map(_.length).sum.toDouble / targetBytes).toInt)
-    cols.size match {
-      case 0 =>
-        val df = spark.read.parquet(src)
-        val out = if (n < pre.size) df.coalesce(n) else df.repartition(n)
-        out.write.mode("overwrite").parquet(dst)
-      case 1 => clusterBy(spark, src, dst, n, cols.head)
-      case _ => clusterByZOrderN(spark, src, dst, n, cols)
+      targetBytes: Long, cols: Seq[String] = Nil): (Int, Int) =
+    if (cols.isEmpty) compact(spark, src, dst, targetBytes)
+    else {
+      val pre = dataFiles(src)
+      val n = math.max(1,
+        math.ceil(pre.map(_.length).sum.toDouble / targetBytes).toInt)
+      if (cols.size == 1) clusterBy(spark, src, dst, n, cols.head)
+      else clusterByZOrderN(spark, src, dst, n, cols)
+      (pre.size, dataFiles(dst).size)
     }
-    (pre.size, dataFiles(dst).size)
-  }
 
   /** N-dimensional z-order clustering (OPTIMIZE ZORDER BY c1, ..., cN):
     * each key min-max normalizes to min(16, 63/n)-bit space (one tiny
