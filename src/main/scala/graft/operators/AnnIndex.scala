@@ -295,6 +295,21 @@ object AnnIndex {
     hasIvf(spark, dir) &&
       corpusRows(spark, dir) != sidecarRows(spark, dir)
 
+  /** True when [[repairSidecar]] has work to do: either the sidecar
+    * diverged from the flat tables (a crashed APPEND — repair is an
+    * anti-join + frozen-quantizer append), or the corpus is past the
+    * routing threshold with NO sidecar at all (a crashed REFIT swap, or
+    * a threshold crossing another JVM's appends caused — repair is a
+    * FULL sidecar fit, corpus-linear). The two states heal through the
+    * same [[repairSidecar]] entry point; a caller that needs to budget
+    * the heavy case separately distinguishes them via
+    * [[sidecarDiverged]]. Cached counts, like the router — pair with
+    * [[refreshCounts]] to observe other JVMs. */
+  def repairNeeded(spark: SparkSession, dir: String): Boolean =
+    if (hasIvf(spark, dir))
+      corpusRows(spark, dir) != sidecarRows(spark, dir)
+    else avgBucketRows(corpusRows(spark, dir)) > flatMaxBucketRows(spark)
+
   /** Crash-point probe for the SIGKILL e2e (the StreamJobs.crashProbe
     * discipline): labels fire between append's non-atomic halves. */
   private[graft] var crashProbe: String => Unit = _ => ()

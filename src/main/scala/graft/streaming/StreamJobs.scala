@@ -340,15 +340,19 @@ object StreamJobs {
   private[graft] val AnnServeRefreshBatches = 8
 
   /** Opt-in self-healing for the serving stream: when a refresh batch
-    * observes arm divergence (an external writer's crashed append), the
-    * stream runs [[graft.operators.AnnIndex.repairSidecar]] INLINE
-    * before serving — one anti-join + frozen-quantizer append, paid
-    * once per crash, after which serving returns to the routed arm
-    * instead of degrading to flat until an operator intervenes. Default
-    * OFF: the repair job's latency lands on whichever micro-batch
-    * detects the crash, which a latency-sensitive deployment may prefer
-    * to schedule out-of-band (the divergence-guarded flat fallback is
-    * already correct, just corpus-linear). */
+    * observes a repair-needing state, the stream runs
+    * [[graft.operators.AnnIndex.repairSidecar]] INLINE before serving.
+    * Two states heal (AnnIndex.repairNeeded): a crashed APPEND's arm
+    * divergence — one anti-join + frozen-quantizer append — and a
+    * crashed REFIT's missing sidecar (or a cross-JVM threshold
+    * crossing) — a full corpus-linear sidecar fit. After either,
+    * serving returns to the routed arm instead of degrading to flat
+    * until an operator intervenes. Default OFF: the repair job's
+    * latency (a full FIT, in the refit-crash case) lands on whichever
+    * micro-batch detects the crash, which a latency-sensitive
+    * deployment may prefer to schedule out-of-band (the
+    * divergence-guarded flat fallback is already correct, just
+    * corpus-linear). */
   private[graft] val AnnAutoRepairKey = "spark.graft.ann.serveAutoRepair"
 
   def annServeEachBatch(probes: DataFrame, indexDir: String, outDir: String,
@@ -360,7 +364,7 @@ object StreamJobs {
       if (every > 0 && batchId % every == 0) {
         graft.operators.AnnIndex.refreshCounts(indexDir)
         if (s.conf.getOption(AnnAutoRepairKey).contains("true") &&
-          graft.operators.AnnIndex.sidecarDiverged(s, indexDir))
+          graft.operators.AnnIndex.repairNeeded(s, indexDir))
           graft.operators.AnnIndex.repairSidecar(s, indexDir)
       }
       if (!markerExists(s, outDir, batchId)) {

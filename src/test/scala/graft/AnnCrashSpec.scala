@@ -285,6 +285,90 @@ class AnnCrashSpec extends SparkSpec {
     }
   }
 
+  /** The healing matrix's second row: an EXTERNAL refit crash leaves NO
+    * sidecar (not a diverged one), so the append-divergence predicate
+    * alone would let the stream serve flat forever. repairNeeded also
+    * fires on routed-eligible-but-sidecarless, and the auto-repair path
+    * then REBUILDS (a fresh fit over the grown corpus) and returns to
+    * routed serving — the stream heals both crash windows. */
+  test("serving stream auto-repair rebuilds a sidecar lost to an external refit crash") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = JF.createTempDirectory("ann-stream-refit-heal")
+    val tKey = graft.operators.AnnIndex.FlatMaxBucketRowsKey
+    val rKey = graft.streaming.StreamJobs.AnnServeRefreshKey
+    val hKey = graft.streaming.StreamJobs.AnnAutoRepairKey
+    val saved = Seq(tKey, rKey, hKey).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(tKey, "0")
+      spark.conf.set(rKey, "2")
+      spark.conf.set(hKey, "true")
+      val idx = s"$root/idx"
+      graft.operators.AnnIndex.build(spark, sfDir, idx)
+      val probeRows = spark.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id").isin(0L, 3L, 4L))
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val probes = mem.toDF().toDF("probe_id", "pv")
+        .withColumn("pv", col("pv").cast("array<float>"))
+      val outDir = s"$root/out"
+      val q = graft.streaming.StreamJobs
+        .annServeEachBatch(probes, idx, outDir, k = 3).start()
+      try {
+        mem.addData(probeRows(0))
+        q.processAllAvailable()
+
+        // external writer refits (refitFactor=1.0) and dies in the
+        // no-sidecar window: ivfpq/ gone, tmp stranded, flat +20 rows
+        val batch = spark.read.parquet(s"$idx/vectors")
+          .filter(col("vec_id") < 20)
+          .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+        val batchPq = s"$root/batch"
+        batch.write.parquet(batchPq)
+        val sentinel = root.resolve("kill-refit-stream")
+        val log1 = root.resolve("child1.log")
+        val child = ChildJvm.start("graft.AnnRefitChild",
+          Seq(idx, batchPq, "refit_before_rename", sentinel.toString), log1)
+        try assert(ChildJvm.awaitFile(sentinel),
+          s"child never reached the refit window — log:\n${ChildJvm.logTail(log1)}")
+        finally {
+          child.destroyForcibly()
+          child.waitFor()
+          ()
+        }
+        assert(!JF.exists(JP.get(s"$idx/ivfpq/centroids")),
+          "refit crash must be real on disk (no sidecar)")
+
+        mem.addData(probeRows(1)) // batch 1: no refresh; flat (correct, linear)
+        q.processAllAvailable()
+        mem.addData(probeRows(2)) // batch 2: refresh + REBUILD + routed serve
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // the rebuild is a fresh fit over the grown corpus and routing is
+      // back — the exact end-state the crashed refit was aiming for
+      assert(graft.operators.IvfPqIndex.fittedN(spark, s"$idx/ivfpq")
+        .contains(520L),
+        "auto-rebuild must re-fit over the grown corpus")
+      graft.operators.AnnIndex.refreshCounts(idx)
+      assert(graft.operators.AnnIndex.chosenArm(spark, idx) == "ivfpq",
+        "healed index must route again")
+      val answers = spark.read.parquet(s"$outDir/answers")
+        .select(col("batch_id").cast("long"), col("probe_id"),
+          col("rnk"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val b2Top = answers.filter(a => a._1 == 2L && a._3 == 1)
+        .map(a => a._2 -> a._4).toMap
+      assert(b2Top.get(4L).contains(900004L),
+        s"healed routed serve must see the appended dup: $b2Top")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** VERDICT r15 #2: refitSidecar's delete-then-rename was argued safe
     * (no sidecar → flat serving) but never SIGKILL-observed, and the
     * path now fires automatically at refitFactor crossings. A child JVM
