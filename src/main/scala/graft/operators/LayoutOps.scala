@@ -1,6 +1,9 @@
 package graft.operators
 
 import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -154,6 +157,63 @@ object LayoutOps {
     * pass instead of compact-then-cluster's two; at 100 TB the second
     * full rewrite is exactly the cost worth deleting. Returns (files
     * before, files after). */
+  /** Incremental OPTIMIZE — the 100 TB form of [[optimize]]: only src
+    * part files added since the LAST pass are read and rewritten. A
+    * `_OPTIMIZED` manifest at `dst` records which src files each pass
+    * already represented; new files' rows cluster into a fresh
+    * GENERATION of z-ordered files (`gen<K>-part-*`), copied in next to
+    * the previous generations, whose bytes are never touched again —
+    * the write-once model all the repo's storage keeps. Readers just
+    * read `dst`. Layout quality is per-generation (each OPTIMIZE batch
+    * is z-ordered independently — the Delta OPTIMIZE contract): every
+    * file still covers a bounded box of key space, so footer pruning
+    * holds; what incrementality forgoes is cross-generation file
+    * merging, which a periodic FULL [[optimize]] restores. A streaming
+    * ingest dropping small files per trigger pays O(new bytes) per
+    * maintenance pass instead of O(table). Returns (src files
+    * rewritten this pass, src files already represented). */
+  def optimizeIncremental(spark: SparkSession, src: String, dst: String,
+      targetBytes: Long, cols: Seq[String]): (Int, Int) = {
+    require(cols.size >= 2, "optimizeIncremental clusters by 2+ columns")
+    val manifest = Paths.get(dst, "_OPTIMIZED")
+    java.nio.file.Files.createDirectories(Paths.get(dst))
+    val done: Set[String] =
+      if (java.nio.file.Files.exists(manifest))
+        Files.readAllLines(manifest).asScala.filter(_.nonEmpty).toSet
+      else Set.empty
+    val fresh = dataFiles(src).filterNot(f => done(f.getName))
+    if (fresh.isEmpty) return (0, done.size)
+    val gen = done.size // monotone: manifest only grows
+    val n = math.max(1,
+      math.ceil(fresh.map(_.length).sum.toDouble / targetBytes).toInt)
+    val tmp = s"$dst/.gen.tmp"
+    zorderWrite(spark,
+      spark.read.parquet(fresh.map(_.getAbsolutePath): _*), tmp, n, cols)
+    // a predecessor that crashed after moving its gen files but before
+    // its manifest write left THIS generation partially materialized —
+    // and the retry's file count may differ, so stragglers would
+    // double-count rows. Clear the generation before re-moving.
+    dataFiles(dst).filter(_.getName.startsWith(s"gen$gen-part-"))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        Paths.get(dst, s"gen$gen-part-$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(tmp))
+    // manifest rewrite is temp + atomic move — a crash leaves the OLD
+    // manifest, and the next pass re-clusters the same fresh files into
+    // a recomputed gen dir (REPLACE_EXISTING above), never losing rows
+    val mTmp = Paths.get(dst, "_OPTIMIZED.tmp")
+    Files.write(mTmp,
+      (done ++ fresh.map(_.getName)).toSeq.sorted.mkString("\n").getBytes)
+    java.nio.file.Files.move(mTmp, manifest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    (fresh.size, done.size)
+  }
+
   def optimize(spark: SparkSession, src: String, dst: String,
       targetBytes: Long, cols: Seq[String] = Nil): (Int, Int) =
     if (cols.isEmpty) compact(spark, src, dst, targetBytes)
@@ -178,10 +238,18 @@ object LayoutOps {
     * n = 2 and n = 3). Resolution falls as 63/n bits per dimension —
     * the reason OPTIMIZE ZORDER guidance caps the column list. */
   def clusterByZOrderN(spark: SparkSession, src: String, dst: String,
+      numFiles: Int, cols: Seq[String]): Unit =
+    zorderWrite(spark, spark.read.parquet(src), dst, numFiles, cols)
+
+  /** The frame-level z-order write shared by [[clusterByZOrderN]] and
+    * [[optimizeIncremental]]: min-max normalize each key over THIS
+    * frame, interleave via the arity-dispatched `zordern` kernel,
+    * range-partition + sort on the z-value, write `numFiles` files. */
+  private def zorderWrite(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, dst: String,
       numFiles: Int, cols: Seq[String]): Unit = {
     require(cols.size >= 2 && cols.size <= 8,
       s"z-order clustering takes 2 to 8 columns, got ${cols.size}")
-    val df = spark.read.parquet(src)
     val b = df.agg(
       cols.flatMap(c => Seq(min(col(c)).cast("double"),
         max(col(c)).cast("double"))).head,

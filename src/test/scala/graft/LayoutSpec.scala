@@ -171,6 +171,62 @@ class LayoutSpec extends SparkSpec {
     assert(pkSpan < 0.75 * pkDomain, s"l_partkey not bounded: $pkSpan / $pkDomain")
   }
 
+  test("incremental OPTIMIZE rewrites only files added since the last pass") {
+    val src = java.nio.file.Files.createTempDirectory("graft-incr-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-incr-dst").toString
+    val li = Tables.t(spark, sfDir, "lineitem")
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(hash(df.columns.map(col): _*).cast("long")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // generation 1: first half of the table lands as 8 part files
+    li.filter(col("l_orderkey") % 2 === 0).repartition(8)
+      .write.mode("append").parquet(src)
+    val bytes = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1L, bytes / 4)
+    val (rw1, seen1) = operators.LayoutOps.optimizeIncremental(
+      spark, src, dst, target, Seq("l_orderkey", "l_partkey"))
+    assert(rw1 == 8 && seen1 == 0, s"first pass: ($rw1, $seen1)")
+    assert(checksum(spark.read.parquet(dst)) ==
+      checksum(spark.read.parquet(src)))
+    val gen0 = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(gen0.keySet.forall(_.startsWith("gen0-")))
+
+    // generation 2: streaming-style debris — the other half appends
+    li.filter(col("l_orderkey") % 2 === 1).repartition(4)
+      .write.mode("append").parquet(src)
+    val (rw2, seen2) = operators.LayoutOps.optimizeIncremental(
+      spark, src, dst, target, Seq("l_orderkey", "l_partkey"))
+    assert(rw2 == 4 && seen2 == 8,
+      s"second pass must touch only the 4 new files: ($rw2, $seen2)")
+    // earlier generation bytes are UNTOUCHED (the write-once claim)
+    new java.io.File(dst).listFiles()
+      .filter(f => f.getName.startsWith("gen0-")).foreach { f =>
+        assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq == gen0(f.getName),
+          s"incremental pass rewrote prior-generation bytes: ${f.getName}")
+      }
+    // the union is complete and every file still bounds its keys
+    assert(checksum(spark.read.parquet(dst)) == checksum(li))
+    val exts = new java.io.File(dst).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+        r.getLong(1) - r.getLong(0)
+      }
+    val domain = li.agg(max("l_orderkey") - min("l_orderkey"))
+      .collect()(0).getLong(0).toDouble
+    assert(exts.sum / exts.length < 0.75 * domain,
+      "per-generation z-order must still bound file extents")
+
+    // third pass: nothing new — a no-op that reports the standing state
+    assert(operators.LayoutOps.optimizeIncremental(
+      spark, src, dst, target, Seq("l_orderkey", "l_partkey")) == (0, 12))
+  }
+
   test("zorder3/zorderN kernels agree with the naive bit interleave and stay monotone") {
     import graft.functions.ZOrderKernels
     // reference semantics: bit i of vals(j) lands at position i*n + j
