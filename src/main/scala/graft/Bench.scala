@@ -531,6 +531,22 @@ object Bench {
     prevAnchors.getOrElse("host_drift_chain", 1.0) *
       hostDriftFactor(prevAnchors, curAnchors)
 
+  /** The round whose host is the chain's EPOCH — the units
+    * `value_calib_adjusted` is expressed in (advisor r16: a silent chain
+    * reset made adjusted totals incomparable across the reset with no
+    * marker). Carried forward from the previous artifact; when the
+    * previous artifact carries a chain but no epoch (pre-r17), the chain
+    * was seeded one round earlier, so the epoch is prevRound − 1; when it
+    * carries NO chain the chain reseeds THIS round and the previous
+    * round's host becomes the new epoch — visibly different from the
+    * carried value, which is the point. −1 = no previous artifact at all
+    * (this run is its own epoch). */
+  private[graft] def chainEpoch(prevRound: Int,
+      prevAnchors: Map[String, Double]): Int =
+    prevAnchors.get("host_drift_epoch").map(_.toInt).getOrElse(
+      if (prevAnchors.contains("host_drift_chain")) prevRound - 1
+      else prevRound)
+
   /** Round-over-round self-diagnosis (VERDICT r10 #1): load the newest
     * BENCH_r{N}.json the driver left in cwd and return (round, per-lane
     * min seconds, that round's calibration anchors — every numeric
@@ -588,7 +604,7 @@ object Bench {
     // host_drift_chain rides the calib object for loadPrevBench's sake
     // but is cumulative state, not a measured anchor — a chain/chain
     // ratio in the median would double-count every past round's drift
-    val meta = Set("loadavg", "jvms", "host_drift_chain")
+    val meta = Set("loadavg", "jvms", "host_drift_chain", "host_drift_epoch")
     val ratios = (prevAnchors.keySet & curAnchors.keySet)
       .filterNot(meta)
       .toSeq
@@ -715,9 +731,9 @@ object Bench {
     // value_calib_adjusted (r16): raw total in epoch-host seconds via the
     // cumulative OBSERVED drift chain — no pinned quiet-host constant
     // left to go stale (VERDICT r15 #3; chainedDrift scaladoc)
-    val chain = prev match {
-      case Some((_, _, pa)) => chainedDrift(pa, curAnchors)
-      case None => 1.0
+    val (chain, chainEp) = prev match {
+      case Some((r, _, pa)) => (chainedDrift(pa, curAnchors), chainEpoch(r, pa))
+      case None => (1.0, -1)
     }
     val adj = total * chain
     val deltas: Seq[(String, Option[Double])] = results.map { case (k, ts) =>
@@ -744,7 +760,7 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map(x => f"$x%.3f").getOrElse("null") }
       .mkString("{", ",", "}")
-    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f,"spark_10m_shuffle_sec":$calibSpark%.3f,"spark_1b_agg_sec":$calibSpark1b%.3f,"host_drift_chain":$chain%.4f,"loadavg":$loadavg%.2f,"jvms":$jvmCount%d},"value_calib_adjusted":$adj%.3f"""
+    val calib = f""""calib":{"sha256_1t_256mb_sec":$calib1t%.3f,"sha256_${cpus}%st_4gb_sec":$calibNt%.3f,"spark_10m_shuffle_sec":$calibSpark%.3f,"spark_1b_agg_sec":$calibSpark1b%.3f,"host_drift_chain":$chain%.6f,"host_drift_epoch":$chainEp%d,"loadavg":$loadavg%.2f,"jvms":$jvmCount%d},"value_calib_adjusted":$adj%.3f"""
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_.min)},"queries_median":${jmap(median)},"iterations":$perIter,$calib,"deltas_norm_named":$deltaNamed,$deltaJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -55,9 +55,15 @@ object ZOrderProbe {
     val dims = Seq("l_orderkey", "l_partkey", "l_suppkey")
     val clusterDims = sys.env.get("SPARK_GRAFT_ZPROBE_CLUSTER")
       .map(_.split(",").toSeq).getOrElse(dims)
-    val zDir = s"$root/zorder${clusterDims.size}"
+    // the marker and the clustered dir key on the JOINED KEY NAMES, not
+    // just the count (advisor r16): rerunning with a different
+    // same-cardinality SPARK_GRAFT_ZPROBE_CLUSTER list must rebuild, not
+    // silently reuse the stale layout and report numbers for the wrong
+    // clustering
+    val clusterTag = clusterDims.mkString("_")
+    val zDir = s"$root/zorder_$clusterTag"
     val flatDir = s"$root/flat"
-    val done = java.nio.file.Paths.get(root, s"_DONE_${clusterDims.size}")
+    val done = java.nio.file.Paths.get(root, s"_DONE_$clusterTag")
     if (!java.nio.file.Files.exists(done)) {
       graft.operators.LayoutOps.clusterByZOrderN(spark, src, zDir, nFiles,
         clusterDims)

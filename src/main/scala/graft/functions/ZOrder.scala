@@ -59,7 +59,14 @@ object ZOrderKernels {
     * the sign bit stays clear. A bit loop (n · 63/n ≈ 63 ALU ops), not a
     * mask-shift kernel — the 2-D/3-D hot paths above stay loop-free and
     * OPTIMIZE ZORDER beyond 3 columns has rapidly diminishing clustering
-    * value anyway (each dimension keeps only 63/n bits of resolution). */
+    * value anyway (each dimension keeps only 63/n bits of resolution).
+    *
+    * INPUT BOUND (advisor r16): bits at position ≥ floor(63/n) are
+    * DROPPED — inputs must be pre-normalized to [0, 2^floor(63/n)), or
+    * per-dimension monotonicity is lost (two values differing only above
+    * the bound interleave identically). zorder2 keeps 32 bits and
+    * zorder3 21; at n = 4 the bound is 2^15. LayoutOps normalizes to
+    * min(16, 63/n) bits for exactly this reason. */
   def interleaveDyn(vals: Array[Long]): Long = {
     val n = vals.length
     val bits = 63 / n
@@ -140,7 +147,13 @@ case class ZOrder3(first: Expression, second: Expression, third: Expression)
   * interleave (floor(63/n) bits per dimension). CodegenFallback: the
   * 2-D/3-D hot paths are the dedicated codegen'd expressions above, and
   * `ZOrder.register` dispatches to them by arity so this class only ever
-  * carries the rare wide-clustering case. */
+  * carries the rare wide-clustering case.
+  *
+  * SQL-caller contract: each input must already sit in
+  * [0, 2^floor(63/n)) — e.g. < 2^15 at n = 4 — or the truncated high
+  * bits silently break per-dimension monotonicity (see
+  * [[ZOrderKernels.interleaveDyn]]). Normalize first (LayoutOps'
+  * min-max/rank bucketing is the house pattern). */
 case class ZOrderDyn(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 

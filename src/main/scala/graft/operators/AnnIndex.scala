@@ -286,11 +286,14 @@ object AnnIndex {
   }
 
   /** True when a sidecar exists but holds a different row count than the
-    * flat tables — the crashed-append state [[chosenArm]] serves around
-    * and [[repairSidecar]] fixes. Reads the same (possibly cached)
-    * counts as the router, so a caller that wants a FRESH observation
-    * pairs it with [[refreshCounts]] — exactly what the serving
-    * stream's auto-repair path does (StreamJobs.annServeEachBatch). */
+    * flat tables — the LIGHT repair class ([[repairSidecar]] heals it
+    * with a batch-sized anti-join append), distinct from
+    * [[repairNeeded]]'s other state, the missing sidecar, whose repair
+    * is a corpus-linear full fit. The serving stream's auto-repair path
+    * (StreamJobs.annServeEachBatch) calls this after [[refreshCounts]]
+    * to NAME the repair class it is about to pay for. Reads the same
+    * (possibly cached) counts as the router, so any caller wanting a
+    * fresh observation pairs it with [[refreshCounts]] first. */
   def sidecarDiverged(spark: SparkSession, dir: String): Boolean =
     hasIvf(spark, dir) &&
       corpusRows(spark, dir) != sidecarRows(spark, dir)

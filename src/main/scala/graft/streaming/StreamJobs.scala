@@ -364,8 +364,18 @@ object StreamJobs {
       if (every > 0 && batchId % every == 0) {
         graft.operators.AnnIndex.refreshCounts(indexDir)
         if (s.conf.getOption(AnnAutoRepairKey).contains("true") &&
-          graft.operators.AnnIndex.repairNeeded(s, indexDir))
+          graft.operators.AnnIndex.repairNeeded(s, indexDir)) {
+          // name the repair class before paying for it: a diverged
+          // sidecar heals by a batch-sized anti-join append, a MISSING
+          // one by a corpus-linear full fit — the log line is what an
+          // operator watching batch latency needs to tell the two apart
+          val diverged = graft.operators.AnnIndex.sidecarDiverged(s, indexDir)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"ANN serve batch $batchId: auto-repairing $indexDir (" +
+              (if (diverged) "diverged sidecar — incremental append"
+               else "missing sidecar — full corpus-linear fit") + ")")
           graft.operators.AnnIndex.repairSidecar(s, indexDir)
+        }
       }
       if (!markerExists(s, outDir, batchId)) {
         val answers = graft.operators.AnnIndex.queryProbes(s, indexDir,

@@ -28,6 +28,27 @@ class BenchSpec extends AnyFunSuite {
       Map("a" -> 1.0)) == 0.7)
   }
 
+  test("chainEpoch carries the epoch forward and surfaces a chain reset") {
+    // steady state: the previous artifact's epoch is the epoch
+    assert(Bench.chainEpoch(18,
+      Map("host_drift_chain" -> 0.9, "host_drift_epoch" -> 15.0)) == 15)
+    // pre-r17 artifact: chain present, no epoch field — the chain was
+    // seeded one round before that artifact, so epoch = prevRound − 1
+    assert(Bench.chainEpoch(16, Map("host_drift_chain" -> 0.9)) == 15)
+    // RESET (the advisor-r16 case): previous artifact lost its chain
+    // (missing/unparseable) — the epoch visibly jumps to prevRound
+    // instead of silently keeping the stale units
+    assert(Bench.chainEpoch(16, Map("spark_1b_agg_sec" -> 1.0)) == 16)
+    // both fields present survive a reset marker comparison: a diff of
+    // host_drift_epoch across artifacts is the reset detector
+    assert(Bench.chainEpoch(17, Map("host_drift_epoch" -> 16.0)) == 16)
+    // the epoch rides the calib object but must never vote in the median
+    assert(Bench.hostDriftFactor(
+      Map("a" -> 2.0, "host_drift_epoch" -> 15.0),
+      Map("a" -> 1.0, "host_drift_epoch" -> 3.0)) == 2.0,
+      "epoch/epoch ratio leaked into the anchor median")
+  }
+
   test("host_drift_chain is cumulative state, never an anchor in the median") {
     // a chain value wildly different across rounds must not move the
     // drift estimate — only measured anchors vote

@@ -257,6 +257,43 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("sidecarDiverged names the light repair class; repairNeeded covers both") {
+    // advisor r16: sidecarDiverged's job is to DISCRIMINATE the two
+    // repairNeeded states — diverged sidecar (light: anti-join append)
+    // vs missing sidecar (heavy: full fit) — which the serving stream's
+    // auto-repair log line uses to name the cost it is about to pay.
+    val dir = java.nio.file.Files.createTempDirectory("ann-diverge").toString
+    val key = AnnIndex.FlatMaxBucketRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0")
+      AnnIndex.build(spark, sfDir, dir)
+      AnnIndex.refreshCounts(dir)
+      assert(!AnnIndex.sidecarDiverged(spark, dir) &&
+        !AnnIndex.repairNeeded(spark, dir), "healthy index needs nothing")
+      // crashed-append state: flat vectors grow, sidecar doesn't
+      graft.Tables.t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 7)
+        .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+        .write.mode("append").parquet(s"$dir/vectors")
+      AnnIndex.refreshCounts(dir)
+      assert(AnnIndex.sidecarDiverged(spark, dir),
+        "flat rows the sidecar lacks = the LIGHT repair class")
+      assert(AnnIndex.repairNeeded(spark, dir))
+      // crashed-refit state: no sidecar at all, corpus past threshold
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/ivfpq"))
+      AnnIndex.refreshCounts(dir)
+      assert(!AnnIndex.sidecarDiverged(spark, dir),
+        "no sidecar ≠ diverged — that's the HEAVY class")
+      assert(AnnIndex.repairNeeded(spark, dir),
+        "routed-eligible with no sidecar still needs repair")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("ANN index without a sidecar never routes, whatever the threshold") {
     // a pre-r14 index dir (signatures/ + vectors/ only) must keep
     // serving on the flat arm even when the corpus is past the
