@@ -132,14 +132,18 @@ object LayoutOps {
   private def dataFilesRecursive(dir: File): Seq[File] = {
     val here = Option(dir.listFiles()).getOrElse(Array.empty[File])
     here.filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq ++
-      here.filter(_.isDirectory).flatMap(dataFilesRecursive)
+      here.filter(d => d.isDirectory &&
+          // skip metadata/staging dirs a writer leaves behind
+          // (_spark_metadata, .gen.tmp) — Spark readers hide them too
+          !d.getName.startsWith("_") && !d.getName.startsWith("."))
+        .flatMap(dataFilesRecursive)
   }
 
   /** Z-order cluster `src` by TWO numeric keys into `numFiles` files:
-    * each key is min-max normalized to 16-bit space (two tiny agg
-    * broadcasts — rank-normalization via range buckets is the refinement
-    * for skewed keys), Morton-interleaved by the codegen'd `zorder2`
-    * kernel, then range-partitioned + sorted on the z-value. Every output
+    * each key is RANK-normalized via approx-quantile range buckets (one
+    * quantile pass; robust under key skew — see [[zorderWrite]]),
+    * Morton-interleaved by the codegen'd `zorder2`/`zordern` kernel,
+    * then range-partitioned + sorted on the z-value. Every output
     * file covers a bounded RECTANGLE of (a, b) space, so parquet footer
     * min/max stats prune files for predicates on EITHER key — the
     * multi-dimensional upgrade of clusterBy's single-key ranges
@@ -167,37 +171,98 @@ object LayoutOps {
     * read `dst`. Layout quality is per-generation (each OPTIMIZE batch
     * is z-ordered independently — the Delta OPTIMIZE contract): every
     * file still covers a bounded box of key space, so footer pruning
-    * holds; what incrementality forgoes is cross-generation file
-    * merging, which a periodic FULL [[optimize]] restores. A streaming
-    * ingest dropping small files per trigger pays O(new bytes) per
-    * maintenance pass instead of O(table). Returns (src files
-    * rewritten this pass, src files already represented). */
+    * holds.
+    *
+    * FILE IDENTITY (advisor r16): a manifest entry is
+    * `relativePath \t size \t mtime` — the same (path, length, mtime)
+    * identity PufsFileSystem uses for block identity — not a bare file
+    * name. A src file whose bytes were REPLACED under the same name
+    * (an upstream re-compaction, a non-write-once writer) fails the
+    * pass LOUDLY instead of silently serving its stale rows: its OLD
+    * rows already live in an earlier generation, so re-clustering the
+    * new bytes would double-count and skipping them would serve the
+    * old table — neither is silently correct. A src file that
+    * DISAPPEARED keeps its rows in dst (the verb optimizes an
+    * append-only ingest dir; deletion is [[deleteWhere]]'s job).
+    * Pre-r17 name-only manifest lines still match by name.
+    *
+    * PARTITIONED SOURCES: src files are listed RECURSIVELY, so a
+    * Hive-partitioned streaming sink (`date=…/part-*.parquet`) — the
+    * verb's target use case — is visible; partition values are read
+    * back (basePath inference) and land in the generation files as
+    * ordinary columns, so dst serves the same rows as src with the
+    * partition columns physical.
+    *
+    * GENERATION FOLD (`maxGenerations`): each pass adds a generation,
+    * and a per-trigger streaming ingest would accumulate exactly the
+    * small-generation debris OPTIMIZE exists to kill. Once `dst` holds
+    * `maxGenerations` live generations, the pass FOLDS: all prior
+    * generations plus the fresh rows rewrite through one full z-order
+    * into a single new generation — the periodic full [[optimize]],
+    * amortized into the same verb. The fold is crash-safe via a
+    * `_FOLD` intent marker written only after the folded bytes are
+    * fully staged: every step after the marker is idempotent, the next
+    * pass completes a crashed fold before doing its own work, and no
+    * already-committed row is ever lost (the recovery window shows
+    * readers DUPLICATED rows, never missing ones — resolved by the
+    * old-generation delete the recovery replays).
+    *
+    * A streaming ingest dropping small files per trigger pays O(new
+    * bytes) per maintenance pass, O(table) only at the 1-in-
+    * `maxGenerations` fold. Returns (src files rewritten this pass,
+    * src files already represented). */
   def optimizeIncremental(spark: SparkSession, src: String, dst: String,
-      targetBytes: Long, cols: Seq[String]): (Int, Int) = {
+      targetBytes: Long, cols: Seq[String],
+      maxGenerations: Int = 8): (Int, Int) = {
     require(cols.size >= 2, "optimizeIncremental clusters by 2+ columns")
-    val manifest = Paths.get(dst, "_OPTIMIZED")
+    require(maxGenerations >= 1, "maxGenerations must be >= 1")
     java.nio.file.Files.createDirectories(Paths.get(dst))
-    val done: Set[String] =
-      if (java.nio.file.Files.exists(manifest))
-        Files.readAllLines(manifest).asScala.filter(_.nonEmpty).toSet
-      else Set.empty
-    val fresh = dataFiles(src).filterNot(f => done(f.getName))
+    if (java.nio.file.Files.exists(Paths.get(dst, FoldMarker)))
+      foldRecover(dst) // finish a crashed fold before this pass's work
+    else
+      // a fold that crashed BEFORE its marker left only staged debris
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(foldTmp(dst)))
+    val (nextGen, done) = readManifest(dst)
+    val srcRoot = new File(src).getCanonicalFile.toPath
+    val current = dataFilesRecursive(srcRoot.toFile).map { f =>
+      val p = f.getCanonicalFile.toPath
+      (srcRoot.relativize(p).toString, f)
+    }
+    val doneByPath = done.collect { case e @ ManifestEntry(p, _, _) => p -> e }
+      .toMap
+    val legacyNames = done.collect {
+      case ManifestEntry(p, -1, -1) => p }.toSet
+    current.foreach { case (rel, f) =>
+      doneByPath.get(rel).filter(e => e.size >= 0).foreach { e =>
+        require(e.size == f.length && e.mtime == f.lastModified,
+          s"write-once violation: $rel was optimized at (size=${e.size}, " +
+            s"mtime=${e.mtime}) but now reads (size=${f.length}, " +
+            s"mtime=${f.lastModified}) — its old rows already live in an " +
+            "earlier generation; rewrite dst via a full optimize()")
+      }
+    }
+    val fresh = current.filterNot { case (rel, f) =>
+      doneByPath.contains(rel) || legacyNames(f.getName)
+    }
+    val liveGens = dataFiles(dst).flatMap(f => genOf(f.getName)).distinct
+    if (liveGens.size >= maxGenerations && (fresh.nonEmpty || liveGens.size > 1)) {
+      foldAll(spark, srcRoot, dst, targetBytes, cols, nextGen, done, fresh)
+      return (fresh.size, done.size)
+    }
     if (fresh.isEmpty) return (0, done.size)
-    val gen = done.size // monotone: manifest only grows
     val n = math.max(1,
-      math.ceil(fresh.map(_.length).sum.toDouble / targetBytes).toInt)
+      math.ceil(fresh.map(_._2.length).sum.toDouble / targetBytes).toInt)
     val tmp = s"$dst/.gen.tmp"
-    zorderWrite(spark,
-      spark.read.parquet(fresh.map(_.getAbsolutePath): _*), tmp, n, cols)
+    zorderWrite(spark, readRelative(spark, srcRoot, fresh), tmp, n, cols)
     // a predecessor that crashed after moving its gen files but before
     // its manifest write left THIS generation partially materialized —
     // and the retry's file count may differ, so stragglers would
     // double-count rows. Clear the generation before re-moving.
-    dataFiles(dst).filter(_.getName.startsWith(s"gen$gen-part-"))
+    dataFiles(dst).filter(_.getName.startsWith(s"gen$nextGen-part-"))
       .foreach(f => java.nio.file.Files.delete(f.toPath))
     dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.move(f.toPath,
-        Paths.get(dst, s"gen$gen-part-$i.parquet"),
+        Paths.get(dst, s"gen$nextGen-part-$i.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
@@ -205,13 +270,138 @@ object LayoutOps {
     // manifest rewrite is temp + atomic move — a crash leaves the OLD
     // manifest, and the next pass re-clusters the same fresh files into
     // a recomputed gen dir (REPLACE_EXISTING above), never losing rows
+    writeManifest(dst, nextGen + 1, done ++ fresh.map { case (rel, f) =>
+      ManifestEntry(rel, f.length, f.lastModified) })
+    (fresh.size, done.size)
+  }
+
+  /** One `_OPTIMIZED` line: where the file sat under src, and the
+    * (size, mtime) pair that detects a same-named byte replacement.
+    * (-1, -1) marks a pre-r17 name-only entry (matched by name,
+    * unverifiable — the identity gap this format closed). */
+  private[operators] case class ManifestEntry(path: String, size: Long,
+      mtime: Long) {
+    def line: String = s"$path\t$size\t$mtime"
+  }
+
+  private val FoldMarker = "_FOLD"
+  private def foldTmp(dst: String) = s"$dst/.fold.tmp"
+  private val GenFile = "gen(\\d+)-part-.*\\.parquet".r
+  private def genOf(name: String): Option[Int] = name match {
+    case GenFile(g) => Some(g.toInt)
+    case _ => None
+  }
+
+  /** Parse `_OPTIMIZED` → (next generation number, entries). The v2
+    * header `#gen=K` pins the next generation number across crash
+    * retries; a pre-r17 manifest (bare names, no header) implies
+    * K = line count — exactly the number the old code would have used. */
+  private def readManifest(dst: String): (Int, Seq[ManifestEntry]) = {
+    val manifest = Paths.get(dst, "_OPTIMIZED")
+    if (!java.nio.file.Files.exists(manifest)) return (0, Nil)
+    val lines = Files.readAllLines(manifest).asScala.filter(_.nonEmpty).toSeq
+    val gen = lines.collectFirst { case l if l.startsWith("#gen=") =>
+      l.stripPrefix("#gen=").toInt }
+    val entries = lines.filterNot(_.startsWith("#")).map { l =>
+      l.split("\t", -1) match {
+        case Array(p, s, m) => ManifestEntry(p, s.toLong, m.toLong)
+        case _ => ManifestEntry(l, -1L, -1L) // pre-r17 name-only line
+      }
+    }
+    (gen.getOrElse(entries.size), entries)
+  }
+
+  private def manifestText(nextGen: Int, entries: Seq[ManifestEntry]): String =
+    (s"#gen=$nextGen" +: entries.map(_.line).sorted).mkString("\n")
+
+  private def writeManifest(dst: String, nextGen: Int,
+      entries: Seq[ManifestEntry]): Unit = {
     val mTmp = Paths.get(dst, "_OPTIMIZED.tmp")
-    Files.write(mTmp,
-      (done ++ fresh.map(_.getName)).toSeq.sorted.mkString("\n").getBytes)
-    java.nio.file.Files.move(mTmp, manifest,
+    Files.write(mTmp, manifestText(nextGen, entries).getBytes)
+    java.nio.file.Files.move(mTmp, Paths.get(dst, "_OPTIMIZED"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    (fresh.size, done.size)
+    ()
+  }
+
+  /** Read `files` back preserving partition-dir values: basePath makes
+    * Spark infer `k=v` path segments under srcRoot as ordinary columns,
+    * so a Hive-partitioned ingest dir folds into flat generations
+    * row-complete. */
+  private def readRelative(spark: SparkSession,
+      srcRoot: java.nio.file.Path,
+      files: Seq[(String, File)]): org.apache.spark.sql.DataFrame =
+    spark.read.option("basePath", srcRoot.toString)
+      .parquet(files.map(_._2.getAbsolutePath): _*)
+
+  /** Crash-point probe for fold tests (the AnnIndex.crashProbe
+    * discipline): labels fire between the fold protocol's steps. */
+  private[graft] var crashProbe: String => Unit = _ => ()
+
+  /** The generation fold: stage ALL live generations + the fresh rows
+    * through one full z-order into `.fold.tmp`, then commit via the
+    * `_FOLD` intent marker. The marker is written only after the staged
+    * bytes are complete and carries the fold generation number AND the
+    * post-fold manifest text, so [[foldRecover]] — the only code that
+    * touches committed files — can replay from any crash point. */
+  private def foldAll(spark: SparkSession, srcRoot: java.nio.file.Path,
+      dst: String, targetBytes: Long, cols: Seq[String], foldGen: Int,
+      done: Seq[ManifestEntry], fresh: Seq[(String, File)]): Unit = {
+    val genFiles = dataFiles(dst).filter(f => genOf(f.getName).isDefined)
+    val prior = spark.read.parquet(genFiles.map(_.getAbsolutePath): _*)
+    val df =
+      if (fresh.isEmpty) prior
+      else prior.unionByName(readRelative(spark, srcRoot, fresh),
+        allowMissingColumns = true)
+    val bytes = genFiles.map(_.length).sum + fresh.map(_._2.length).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    zorderWrite(spark, df, foldTmp(dst), n, cols)
+    crashProbe("fold_staged") // tmp complete, no marker: debris, no fold
+    val entries = done ++ fresh.map { case (rel, f) =>
+      ManifestEntry(rel, f.length, f.lastModified) }
+    val marker = (s"#fold-gen=$foldGen" + "\n" +
+      manifestText(foldGen + 1, entries)).getBytes
+    val mTmp = Paths.get(dst, s"$FoldMarker.tmp")
+    Files.write(mTmp, marker)
+    java.nio.file.Files.move(mTmp, Paths.get(dst, FoldMarker),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    crashProbe("fold_committed") // marker down: recovery MUST complete it
+    foldRecover(dst)
+  }
+
+  /** Complete a committed fold from its `_FOLD` marker — every step
+    * idempotent, rerunnable from any crash point: (re)copy the staged
+    * files in as the fold generation, delete the superseded
+    * generations, install the post-fold manifest, drop the marker, drop
+    * the staging dir. Until the old-generation delete lands, a reader
+    * sees DUPLICATED rows (never missing ones); after it, exactly the
+    * folded table. */
+  private def foldRecover(dst: String): Unit = {
+    val lines = Files.readAllLines(Paths.get(dst, FoldMarker)).asScala
+    val g = lines.head.stripPrefix("#fold-gen=").toInt
+    val manifest = lines.tail.mkString("\n")
+    dataFiles(dst).filter(f => genOf(f.getName).contains(g))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    dataFiles(foldTmp(dst)).sortBy(_.getName).zipWithIndex.foreach {
+      case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          Paths.get(dst, s"gen$g-part-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+    }
+    crashProbe("fold_copied") // duplicate window: old gens + fold gen
+    dataFiles(dst).filter(f => genOf(f.getName).exists(_ != g))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    val mTmp = Paths.get(dst, "_OPTIMIZED.tmp")
+    Files.write(mTmp, manifest.getBytes)
+    java.nio.file.Files.move(mTmp, Paths.get(dst, "_OPTIMIZED"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    crashProbe("fold_manifested")
+    java.nio.file.Files.delete(Paths.get(dst, FoldMarker))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(foldTmp(dst)))
+    ()
   }
 
   def optimize(spark: SparkSession, src: String, dst: String,
@@ -227,9 +417,9 @@ object LayoutOps {
     }
 
   /** N-dimensional z-order clustering (OPTIMIZE ZORDER BY c1, ..., cN):
-    * each key min-max normalizes to min(16, 63/n)-bit space (one tiny
-    * 2n-column agg broadcast; rank-normalization via range buckets is
-    * the refinement for skewed keys), the `zorderN` kernel interleaves
+    * each key rank-normalizes to ≤ min(16, 63/n)-bit bucket space via
+    * approx-quantile range buckets (one pass — skew-robust, see
+    * [[zorderWrite]]), the `zorderN` kernel interleaves
     * — the 2-D and 3-D arities run the loop-free mask-shift kernels,
     * 4+ the generic bit loop — then range-partition + sort on the
     * z-value. Every output file covers a bounded BOX of the n-dim key
@@ -242,29 +432,51 @@ object LayoutOps {
     zorderWrite(spark, spark.read.parquet(src), dst, numFiles, cols)
 
   /** The frame-level z-order write shared by [[clusterByZOrderN]] and
-    * [[optimizeIncremental]]: min-max normalize each key over THIS
-    * frame, interleave via the arity-dispatched `zordern` kernel,
-    * range-partition + sort on the z-value, write `numFiles` files. */
+    * [[optimizeIncremental]]: RANK-normalize each key over THIS frame
+    * (approx-quantile range buckets — VERDICT r16 #3: min-max scaling
+    * collapses a zipfian key into a handful of buckets and per-file
+    * extents stop being tight boxes; quantile buckets hold ~1/B of the
+    * ROWS whatever the distribution), interleave via the
+    * arity-dispatched `zordern` kernel, range-partition + sort on the
+    * z-value, write `numFiles` files. One quantile pass replaces the
+    * old min/max agg — same one-touch cost — and the per-row bucket
+    * lookup is a codegen'd binary search ([[graft.functions.RangeBucket]]). */
   private def zorderWrite(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame, dst: String,
       numFiles: Int, cols: Seq[String]): Unit = {
     require(cols.size >= 2 && cols.size <= 8,
       s"z-order clustering takes 2 to 8 columns, got ${cols.size}")
-    val b = df.agg(
-      cols.flatMap(c => Seq(min(col(c)).cast("double"),
-        max(col(c)).cast("double"))).head,
-      cols.flatMap(c => Seq(min(col(c)).cast("double"),
-        max(col(c)).cast("double"))).tail: _*).collect()(0)
     val bits = math.min(16, 63 / cols.size)
-    val buckets = (1L << bits).toDouble
-    def norm(c: String, lo: Double, hi: Double) = {
-      val span = math.max(hi - lo, 1e-300)
-      least(floor((col(c).cast("double") - lo) / span * buckets),
-        lit(buckets - 1)).cast("long")
-    }
+    // 1024 rank buckets per dimension saturate any realistic file count
+    // (pruning granularity needs ~numFiles^(1/n) buckets per dim) while
+    // keeping the quantile summary small; never more than the kernel's
+    // per-dimension bit budget
+    val nBuckets = math.min(1 << bits, 1024)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val dd = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = dd.stat.approxQuantile(cols.toArray, probs,
+      0.5 / nBuckets)
     graft.functions.ZOrder.register(spark)
+    graft.functions.RangeBucket.register(spark)
     val z = call_function("zordern", cols.zipWithIndex.map { case (c, i) =>
-      norm(c, b.getDouble(2 * i), b.getDouble(2 * i + 1))
+      val bs = Option(bounds(i)).getOrElse(Array.empty[Double])
+        .distinct.sorted
+      // a constant or all-null key has no boundaries — it carries no
+      // clustering information; give it the constant bucket
+      if (bs.isEmpty) lit(0L)
+      else {
+        val bucket = call_function("range_bucket", col(c).cast("double"),
+          array(bs.map(lit(_)): _*))
+        // scale bucket ids onto the FULL per-dimension bit budget: a
+        // low-cardinality key (10 distinct values → 10 buckets) would
+        // otherwise occupy only the interleave's LOW bits while a
+        // high-cardinality partner fills all of them, erasing the small
+        // key from the file-level z-ranges. bucket·(2^bits−1)/m is
+        // monotone and exact in double (≤ 2^26).
+        val top = (1L << bits) - 1
+        floor(bucket * lit(top.toDouble) / lit(bs.length.toDouble))
+          .cast("long")
+      }
     }: _*)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

@@ -604,6 +604,23 @@ object ScanOps {
           expr("zorder3(l_partkey % 65536, l_suppkey % 65536, " +
             "l_orderkey % 65536)").as("zval"))
         .orderBy("zval", "l_orderkey", "l_linenumber")
+    }),
+
+    // O19: rank (range-bucket) normalization — the skew-robust key
+    // scaling under OPTIMIZE ZORDER (VERDICT r16 #3): bucket(x) = the
+    // number of quantile boundaries ≤ x, a codegen'd binary search
+    // (functions/RangeBucket.scala) that LayoutOps.zorderWrite feeds
+    // approx-quantile boundaries so every bucket holds ~1/B of the ROWS
+    // whatever the key distribution. The lane pins the kernel against a
+    // FIXED boundary set; the oracle replays it as a sum of BIGINT-cast
+    // comparisons — exact, no float arithmetic anywhere.
+    "o19_range_bucket" -> ((s, d) => {
+      graft.functions.RangeBucket.register(s)
+      t(s, d, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          expr("range_bucket(CAST(l_quantity AS DOUBLE), " +
+            "array(5.0D, 15.0D, 25.0D, 35.0D, 45.0D))").as("bkt"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -922,6 +939,16 @@ object ScanOps {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${zorderExprN(Seq("l_partkey", "l_suppkey", "l_orderkey"), "//")} AS zval
          |FROM lineitem WHERE l_orderkey < 150
-         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+
+    // bucket(x) = count of boundaries <= x, replayed as BIGINT-cast
+    // comparisons — integral quantities vs .0 boundaries, exact both ways
+    "o19_range_bucket" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(l_quantity >= 5.0 AS BIGINT) + CAST(l_quantity >= 15.0 AS BIGINT)
+        |  + CAST(l_quantity >= 25.0 AS BIGINT) + CAST(l_quantity >= 35.0 AS BIGINT)
+        |  + CAST(l_quantity >= 45.0 AS BIGINT) AS bkt
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }
