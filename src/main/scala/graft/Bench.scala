@@ -325,6 +325,25 @@ object Bench {
         }
       }),
 
+      // SQ8 flat serve (VERDICT r16 #4): the same probe batch as
+      // idx_ann_probe, re-ranked from 1-byte SQ8 codes instead of float
+      // vectors (cosine_i8 — scale cancels; 4× fewer corpus bytes
+      // through the candidates join). The conf is pinned only around
+      // DataFrame CONSTRUCTION (flatServeMode resolves eagerly, the
+      // idx_ann_routed discipline); contrast with idx_ann_probe is the
+      // measured float-vs-SQ8 serve cost at this corpus size.
+      "idx_sq8_probe" -> ((s: SparkSession, d: String) => {
+        val key = graft.operators.AnnIndex.ServeSq8Key
+        val saved = s.conf.getOption(key)
+        s.conf.set(key, "true")
+        try graft.operators.AnnIndex.queryProbes(s,
+          ServeIndexes.annSq8(s, d), probeBatch(s, d, 50), 5)
+        finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }),
+
       // exact-Jaccard screen: one-sided prefix probe against the stored
       // postings + integer-exact verify (JaccardIndex.pairsAgainst)
       "idx_jaccard_screen" -> ((s: SparkSession, d: String) =>
@@ -412,6 +431,19 @@ object Bench {
         val key = graft.operators.AnnIndex.FlatMaxBucketRowsKey
         val saved = s.conf.getOption(key)
         s.conf.set(key, "0")
+        try graft.operators.AnnIndex.build(s, d, dir)
+        finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    def annSq8(s: SparkSession, d: String): String =
+      cached("annsq8idx", d) { dir =>
+        // SQ8 opted in at BUILD time so the codes sidecar materializes;
+        // the idx_sq8_probe lane re-opts-in at serve time
+        val key = graft.operators.AnnIndex.ServeSq8Key
+        val saved = s.conf.getOption(key)
+        s.conf.set(key, "true")
         try graft.operators.AnnIndex.build(s, d, dir)
         finally saved match {
           case Some(v) => s.conf.set(key, v)

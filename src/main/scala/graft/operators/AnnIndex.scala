@@ -101,13 +101,43 @@ object AnnIndex {
     spark.conf.getOption(RefitFactorKey).map(_.toDouble)
       .getOrElse(RefitFactor)
 
+  /** Opt-in SQ8 serving for the FLAT arm (VERDICT r16 #4) — the
+    * memory-budget middle ground between raw float32 and PQ's 32×:
+    * symmetric int8 quantization (the l67 lane's representation —
+    * 4× in memory, 3.46× measured on disk) with the exact-cosine
+    * re-rank reading the 1-byte codes instead of the float vectors.
+    * The SQ8 scale cancels in cosine (functions.CosineI8), so serving
+    * never touches the scale column and ranking quality is the
+    * measured l67 story (dequantized-cosine top-1 = float top-1,
+    * 20/20; NearDupSpec pins a top-5 overlap floor on the serve
+    * path). When to flip it on: the flat arm is the MEMORY-bound one
+    * at scale — its candidate join materializes corpus vectors per
+    * batch — and SQ8 quadruples what a cluster holds exact-ish before
+    * falling to PQ. Candidates are unchanged (the signature tables
+    * hash the float vectors); only the re-rank bytes shrink, so recall
+    * differs from float serving only by sub-quantization-error rank
+    * swaps. The sidecar keeps the divergence discipline of the IVFPQ
+    * arm: a crash that lands flat rows without their codes serves
+    * float32 (exact, complete) until [[repairSidecar]] appends the
+    * missing codes. */
+  private[graft] val ServeSq8Key = "spark.graft.ann.serveSq8"
+
+  private def serveSq8(spark: SparkSession): Boolean =
+    spark.conf.getOption(ServeSq8Key).contains("true")
+
   /** Average rows per (band, sig) bucket for an n-vector corpus. */
   private[operators] def avgBucketRows(n: Long): Long = n >> Bits
 
   private def ivfDir(dir: String) = s"$dir/ivfpq"
+  private def sq8Dir(dir: String) = s"$dir/sq8"
 
   private def hasIvf(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"${ivfDir(dir)}/centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def hasSq8(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${sq8Dir(dir)}/codes")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -126,6 +156,8 @@ object AnnIndex {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val ivfNCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val sq8NCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   /** Test instrumentation: parquet footer-count jobs the caches ran —
     * the warm append/serve paths must not move it. */
   private[graft] val footerCounts = new java.util.concurrent.atomic.AtomicLong()
@@ -139,6 +171,9 @@ object AnnIndex {
   private def sidecarRows(spark: SparkSession, dir: String): Long =
     ivfNCache.computeIfAbsent(dir,
       _ => countRows(spark, s"${ivfDir(dir)}/vectors")).longValue()
+  private def sq8Rows(spark: SparkSession, dir: String): Long =
+    sq8NCache.computeIfAbsent(dir,
+      _ => countRows(spark, s"${sq8Dir(dir)}/codes")).longValue()
   /** Bump a cached count by an append's batch size — only when the cache
     * is already warm (a cold cache recounts lazily, which also absorbs
     * any cross-JVM appends this JVM never saw). */
@@ -186,9 +221,41 @@ object AnnIndex {
   def buildFrom(spark: SparkSession, vecs: DataFrame, dir: String): Unit = {
     nCache.remove(dir)
     ivfNCache.remove(dir)
+    sq8NCache.remove(dir)
     writeIndex(spark, vecs, dir, mode = "overwrite")
+    maintainSq8(spark, dir)
     maintainIvfSidecar(spark, dir)
   }
+
+  /** Symmetric int8 codes for a (vec_id, embedding) frame — the l67
+    * lane's arithmetic, stored as array<tinyint> (measured on-disk win
+    * vs hand-packed binary, SCALE.md r16). scale rides along for
+    * dequantization debugging; serving never reads it ([[CosineI8]]'s
+    * scale cancellation). MAP-ONLY — no shuffle. */
+  private def quantizeSq8(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      (expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+        "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))") / 127.0)
+        .as("scale"),
+      col("embedding"))
+      .select(col("vec_id"), col("scale"),
+        expr("transform(embedding, x -> CAST(least(127, greatest(-127, " +
+          "CASE WHEN scale = 0 THEN 0 ELSE " +
+          "floor(CAST(x AS DOUBLE) / scale + 0.5) END)) AS TINYINT))")
+          .as("q"))
+
+  /** Create the SQ8 sidecar when serving opted in and none exists; an
+    * EXISTING sidecar is maintained by [[append]] regardless of the
+    * conf (two arms over different corpora is the failure mode the
+    * divergence guards exist to catch, not one to create on purpose). */
+  private def maintainSq8(spark: SparkSession, dir: String): Unit =
+    if (serveSq8(spark) && !hasSq8(spark, dir)) {
+      val n = corpusRows(spark, dir)
+      quantizeSq8(spark.read.parquet(s"$dir/vectors"))
+        .write.mode("overwrite").parquet(s"${sq8Dir(dir)}/codes")
+      sq8NCache.put(dir, n)
+      ()
+    }
 
   /** Fit (or incrementally extend) the IVFPQ sidecar when the corpus has
     * outgrown the flat arm. Reading back the just-written vectors/ keeps
@@ -262,7 +329,7 @@ object AnnIndex {
     * tables lack (not a state `append`'s write order can produce) is
     * beyond this repair — rebuild via [[buildFrom]]. No-op when no
     * sidecar exists. */
-  def repairSidecar(spark: SparkSession, dir: String): Unit =
+  def repairSidecar(spark: SparkSession, dir: String): Unit = {
     if (hasIvf(spark, dir)) {
       val missing = spark.read.parquet(s"$dir/vectors")
         .join(spark.read.parquet(s"${ivfDir(dir)}/vectors").select("vec_id"),
@@ -271,6 +338,20 @@ object AnnIndex {
       nCache.remove(dir)
       ivfNCache.remove(dir)
     } else maintainIvfSidecar(spark, dir)
+    // the SQ8 codes heal by the same anti-join discipline: append
+    // exactly the flat rows the codes table lacks (quantization is
+    // per-row — no quantizer state to refit)
+    if (hasSq8(spark, dir)) {
+      val missing = spark.read.parquet(s"$dir/vectors")
+        .join(spark.read.parquet(s"${sq8Dir(dir)}/codes").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      if (!missing.isEmpty)
+        quantizeSq8(missing).write.mode("append")
+          .parquet(s"${sq8Dir(dir)}/codes")
+      sq8NCache.remove(dir)
+      ()
+    } else maintainSq8(spark, dir)
+  }
 
   /** Drop this JVM's cached row counts for `dir`, forcing the next
     * serve to recount both arms. The caches deliberately do NOT see
@@ -282,6 +363,7 @@ object AnnIndex {
   def refreshCounts(dir: String): Unit = {
     nCache.remove(dir)
     ivfNCache.remove(dir)
+    sq8NCache.remove(dir)
     ()
   }
 
@@ -309,9 +391,15 @@ object AnnIndex {
     * [[sidecarDiverged]]. Cached counts, like the router — pair with
     * [[refreshCounts]] to observe other JVMs. */
   def repairNeeded(spark: SparkSession, dir: String): Boolean =
-    if (hasIvf(spark, dir))
+    (if (hasIvf(spark, dir))
       corpusRows(spark, dir) != sidecarRows(spark, dir)
-    else avgBucketRows(corpusRows(spark, dir)) > flatMaxBucketRows(spark)
+    else avgBucketRows(corpusRows(spark, dir)) > flatMaxBucketRows(spark)) ||
+      // an SQ8 code table short of the flat rows (crashed append) — or
+      // SQ8 serving opted in with no codes at all — heals through the
+      // same repairSidecar entry point
+      (if (hasSq8(spark, dir))
+        corpusRows(spark, dir) != sq8Rows(spark, dir)
+      else serveSq8(spark))
 
   /** Crash-point probe for the SIGKILL e2e (the StreamJobs.crashProbe
     * discipline): labels fire between append's non-atomic halves. */
@@ -353,6 +441,16 @@ object AnnIndex {
       catch { case t: Throwable => nCache.remove(dir); throw t }
       bump(nCache, dir, batchN)
       crashProbe("after_flat_write")
+      // an existing SQ8 sidecar extends with the batch's codes (per-row
+      // quantization, no fitted state) — a crash between the flat write
+      // and here leaves the codes short, which flatQueryProbes' count
+      // guard detects and serves around in float32
+      if (hasSq8(spark, dir)) {
+        try quantizeSq8(e).write.mode("append")
+          .parquet(s"${sq8Dir(dir)}/codes")
+        catch { case t: Throwable => sq8NCache.remove(dir); throw t }
+        bump(sq8NCache, dir, batchN)
+      } else maintainSq8(spark, dir)
       if (hasIvf(spark, dir)) {
         val f = refitFactor(spark)
         val refit = f > 0 &&
@@ -424,6 +522,24 @@ object AnnIndex {
         nprobe = routeNprobe(spark), excludeSelf = excludeSelf)
     else flatQueryProbes(spark, dir, probeVecs, k, excludeSelf)
 
+  /** Which representation the FLAT arm's exact re-rank will read —
+    * "sq8" (1-byte codes, 4× fewer corpus bytes) or "float32". SQ8
+    * serves only when opted in ([[ServeSq8Key]]), the codes exist, AND
+    * the cached counts agree — the same divergence discipline as
+    * [[chosenArm]]: a crashed append's missing codes degrade to the
+    * complete float32 re-rank, never to silently short answers. */
+  private[graft] def flatServeMode(spark: SparkSession, dir: String): String =
+    if (serveSq8(spark) && hasSq8(spark, dir)) {
+      val (n, qn) = (corpusRows(spark, dir), sq8Rows(spark, dir))
+      if (n == qn) "sq8"
+      else {
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"ANN index $dir: flat arm holds $n vectors but the SQ8 codes " +
+            s"hold $qn — serving float32 until repairSidecar runs")
+        "float32"
+      }
+    } else "float32"
+
   /** The flat sign-LSH serving arm (pre-r14 `queryProbes` body) — still
     * the right plan below the routing threshold, and callable directly
     * for arm-vs-arm measurement (ServeScaleProbe). */
@@ -444,10 +560,21 @@ object AnnIndex {
       .select("probe_id", "vec_id").distinct()
     val topk = udaf(new graft.functions.TopK(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    cands
-      .join(vecs, "vec_id")
-      .join(broadcast(probeVecs), "probe_id")
-      .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+    // the re-rank reads SQ8 codes when the mode allows (4× fewer corpus
+    // bytes through the candidates join; scale cancels in cosine_i8)
+    val scored =
+      if (flatServeMode(spark, dir) == "sq8")
+        cands
+          .join(spark.read.parquet(s"${sq8Dir(dir)}/codes")
+            .select("vec_id", "q"), "vec_id")
+          .join(broadcast(probeVecs), "probe_id")
+          .withColumn("cos", expr("cosine_i8(pv, q)"))
+      else
+        cands
+          .join(vecs, "vec_id")
+          .join(broadcast(probeVecs), "probe_id")
+          .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+    scored
       .groupBy("probe_id")
       .agg(topk(col("cos"), col("vec_id")).as("nb"))
       .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))
