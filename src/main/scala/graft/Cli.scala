@@ -44,6 +44,8 @@ object Cli {
     case "prune" :: repo :: ref :: c :: lo :: hi :: Nil =>
       prune(repo, ref, c, lo.toDouble, hi.toDouble)
     case "rollback" :: repo :: label :: sha :: Nil => rollback(repo, label, sha)
+    case "optimize" :: repo :: label :: table :: target :: rest =>
+      optimize(repo, label, table, target.toLong, rest)
     case "serve" :: repo :: ref :: rest            =>
       serve(repo, ref, rest.headOption.map(_.toInt).getOrElse(0))
     case "serve-remote" :: scheme :: endpoint :: bucket :: prefix :: label :: rest =>
@@ -90,6 +92,7 @@ object Cli {
           |  stats <repo> <ref> [column]
           |  prune <repo> <ref> <column> <lo> <hi>
           |  rollback <repo> <label> <manifestSha>
+          |  optimize <repo> <label> <table> <targetBytes> [clusterCol,...] [statsCol,...]
           |  serve <repo> <ref> [port]
           |  serve-remote <gs|s3> <endpoint> <bucket> <prefix> <label> [port]
           |  gc-remote <gs|s3> <endpoint> <bucket> <prefix>
@@ -222,6 +225,25 @@ object Cli {
     * long as a label or unexpired lease kept it from gc); the swap is
     * the same atomic setRoot a publish uses, and a fresh lease pins the
     * restored snapshot from the moment it becomes current. */
+  /** Label-to-label layout maintenance (SnapshotStore.optimizeTable):
+    * rewrite one table subtree compacted/clustered/z-ordered, splice it
+    * into a new manifest next to every untouched entry, refresh the
+    * zone-map sidecar, atomically repoint the label. Old snapshots keep
+    * serving via their shas. */
+  private def optimize(repo: String, label: String, table: String,
+      targetBytes: Long, rest: List[String]): Int = withSession { spark =>
+    def csv(s: Option[String]): Seq[String] =
+      s.map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val (cols, statsCols) = (csv(rest.headOption), csv(rest.lift(1)))
+    val prev = SnapshotStore.getRoot(repo, label)
+    val (sha, pre, post) = SnapshotStore.optimizeTable(
+      spark, repo, label, table, targetBytes, cols, statsCols)
+    println(s"optimized $label/$table: files $pre -> $post, " +
+      s"root ${prev.getOrElse("(unset)")} -> $sha" +
+      (if (cols.nonEmpty) s", clustered by ${cols.mkString(",")}" else ""))
+    0
+  }
+
   private def rollback(repo: String, label: String, sha: String): Int = {
     val resolvable =
       try SnapshotStore.mountAt(repo, sha).nonEmpty

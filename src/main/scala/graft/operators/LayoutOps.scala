@@ -416,6 +416,25 @@ object LayoutOps {
       (pre.size, dataFiles(dst).size)
     }
 
+  /** Frame-level OPTIMIZE — the [[optimize]] sizing-and-layout rule for
+    * callers whose input is not a directory (SnapshotStore.optimizeTable
+    * reads a mounted snapshot's parquet blocks straight out of the CAS):
+    * file count from `totalBytes`, layout from `cols` (none = pure
+    * compaction, one = range clustering, two-plus = z-order). */
+  private[graft] def optimizeFrame(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, totalBytes: Long, dst: String,
+      targetBytes: Long, cols: Seq[String]): Unit = {
+    val n = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (cols.isEmpty)
+      df.coalesce(n).write.mode("overwrite").parquet(dst)
+    else if (cols.size == 1)
+      df.repartitionByRange(n, col(cols.head))
+        .sortWithinPartitions(col(cols.head))
+        .write.mode("overwrite").parquet(dst)
+    else zorderWrite(spark, df, dst, n, cols)
+  }
+
   /** N-dimensional z-order clustering (OPTIMIZE ZORDER BY c1, ..., cN):
     * each key rank-normalizes to ≤ min(16, 63/n)-bit bucket space via
     * approx-quantile range buckets (one pass — skew-robust, see

@@ -498,6 +498,99 @@ object SnapshotStore {
       }
   }
 
+  /** OPTIMIZE advances a label (VERDICT r16 #5) — the Delta
+    * OPTIMIZE-inside-the-table analog over write-once storage: rewrite
+    * ONE table subtree of a published snapshot through
+    * [[graft.operators.LayoutOps.optimizeFrame]] (compact / cluster /
+    * z-order by `cols`), upload the new blocks, splice them into a new
+    * manifest next to every untouched entry (byte-identical, same shas —
+    * no other table is read or written), refresh the zone-map sidecar,
+    * and ATOMICALLY repoint the label. The old manifest stays in the
+    * CAS, so readers mid-scan and time-travel (`mountAt`) keep serving
+    * the pre-OPTIMIZE snapshot; a crash anywhere before the final
+    * `setRoot` leaves the label untouched (new blocks are unreferenced
+    * garbage for [[gc]]).
+    *
+    * Zone-map story: the rewritten table gets FRESH stats over
+    * `statsCols ++ cols` (tight per-file boxes are the point of the
+    * rewrite); untouched files carry their old entries forward, so
+    * prune-after-optimize works across the whole snapshot through the
+    * label. New-block hashing is driver-side like the sequential publish
+    * path — the rewritten table's file count is post-compaction small;
+    * route trees past that through publish().
+    *
+    * The label's publish stat cache is NOT touched: a later `push` from
+    * the original source tree wins over the optimize (rebuilding the
+    * source layout), exactly like a table write after a Delta OPTIMIZE.
+    *
+    * Returns (new manifest sha, table files before, after). */
+  def optimizeTable(spark: SparkSession, repo: String, label: String,
+      table: String, targetBytes: Long, cols: Seq[String],
+      statsCols: Seq[String] = Nil): (String, Int, Int) = {
+    val sha0 = getRoot(repo, label).getOrElse(
+      throw new IllegalArgumentException(s"no such label: $label"))
+    val old = mountAt(repo, sha0)
+    val prefix = s"$table/"
+    // the WHOLE subtree is replaced: its parquet files feed the rewrite,
+    // and its writer debris (_SUCCESS, .crc) describes the old layout —
+    // carrying either forward would leave stale entries the zone-map
+    // pruner must conservatively keep forever
+    val (sub, kept) = old.partition(_.path.startsWith(prefix))
+    val tbl = sub.filter(_.path.endsWith(".parquet"))
+    require(tbl.nonEmpty, s"label $label has no parquet files under $prefix")
+    val staging = Files.createTempDirectory("graft-optlabel")
+    try {
+      val outDir = staging.resolve(table)
+      val df = spark.read.parquet(
+        tbl.map(e => casDir(repo).resolve(e.sha256).toString): _*)
+      graft.operators.LayoutOps.optimizeFrame(spark, df, tbl.map(_.size).sum,
+        outDir.toString, targetBytes, cols)
+      val newEntries = Option(outDir.toFile.listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map { f =>
+          val sha = PufsFileSystem.sha256File(f)
+          casPut(repo, sha, f.toPath)
+          ManifestEntry(s"$table/${f.getName}", f.length, sha)
+        }.toSeq
+      val entries = (kept ++ newEntries).sortBy(_.path)
+      val manifestBytes = entries
+        .map(e => s"${e.path}\t${e.size}\t${e.sha256}").mkString("\n")
+        .getBytes("UTF-8")
+      val manifestSha = PufsFileSystem.sha256Bytes(manifestBytes)
+      val mTmp = Files.createTempFile(casDir(repo), ".mf", ".part")
+      Files.write(mTmp, manifestBytes)
+      casPut(repo, manifestSha, mTmp)
+      Files.deleteIfExists(mTmp)
+      // stats sidecar BEFORE the pointer flip: fresh entries for the
+      // rewritten files, carried entries for everything untouched
+      val wantCols = (statsCols ++ cols).distinct
+      if (wantCols.nonEmpty)
+        publishStats(spark, staging.toString, repo, manifestSha, wantCols)
+      val keptPaths = kept.map(_.path).toSet
+      val carried = zoneMap(repo, sha0).filter(e => keptPaths(e.path))
+      if (carried.nonEmpty) {
+        val merged = (zoneMap(repo, manifestSha) ++ carried)
+          .sortBy(e => (e.path, e.column))
+        val bytes = merged
+          .map(e => s"${e.path}\t${e.column}\t${e.min}\t${e.max}")
+          .mkString("\n").getBytes("UTF-8")
+        val sTmp = Files.createTempFile(casDir(repo), ".zs", ".part")
+        Files.write(sTmp, bytes)
+        Files.move(sTmp, statsPath(repo, manifestSha),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      setRoot(repo, label, manifestSha)
+      renewLease(repo, label, manifestSha)
+      (manifestSha, tbl.size, newEntries.size)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
+      ()
+    }
+  }
+
   /** Manifest paths whose `[min, max]` for `column` intersects
     * `[lo, hi]` — plus every file the zone map has NO entry for
     * (non-parquet, all-null, or uncovered column: skipping is only ever

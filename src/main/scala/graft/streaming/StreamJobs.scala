@@ -417,6 +417,47 @@ object StreamJobs {
       ()
     }
 
+  /** Streaming parquet ingest with layout maintenance on a cadence
+    * (VERDICT r16 #7 — the build-once/maintain-incrementally seat for
+    * OPTIMIZE, like maintainAggEachBatch and dedupIngest): each
+    * micro-batch appends its rows to `sinkDir/data` (replay-safe via
+    * the per-batch commit marker), and every `everyBatches` batches the
+    * job runs [[graft.operators.LayoutOps.optimizeIncremental]] from
+    * the raw sink into `optDir` — clustering ONLY the part files added
+    * since the last pass (O(new bytes)), folding generations at
+    * `maxGenerations` (O(table), 1-in-maxGenerations amortized).
+    * Readers point at `optDir` for clustered, compacted, z-ordered
+    * generations; `sinkDir/data` stays the write-once ingest log the
+    * incremental manifest identities rely on. The maintenance pass runs
+    * INLINE in the trigger that hits the cadence — the repo's standing
+    * pattern for amortized maintenance; a latency-sensitive deployment
+    * lowers targetBytes/everyBatches or schedules a separate job over
+    * the same dirs (optimizeIncremental is crash-safe under SIGKILL, so
+    * an out-of-band runner needs no coordination beyond the manifest).
+    *
+    * Replay contract: a replayed batch re-appends nothing (marker), and
+    * a replayed maintenance pass is a no-op — already-represented files
+    * are skipped by manifest identity, a half-moved generation is
+    * cleared and re-moved, a committed fold completes from its intent
+    * marker. */
+  def optimizeIngest(rows: DataFrame, sinkDir: String, optDir: String,
+      targetBytes: Long, cols: Seq[String], everyBatches: Int = 4,
+      maxGenerations: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      if (!markerExists(s, sinkDir, batchId)) {
+        batch.write.mode("append").parquet(s"$sinkDir/data")
+        writeMarker(s, sinkDir, batchId)
+      }
+      if (everyBatches > 0 && batchId % everyBatches == (everyBatches - 1)) {
+        graft.operators.LayoutOps.optimizeIncremental(s, s"$sinkDir/data",
+          optDir, targetBytes, cols, maxGenerations)
+        ()
+      }
+      ()
+    }
+
   /** Build the standing DSIR model table — the train half of the
     * streaming quality gate: LlmOps.dsirModelOf over a labeled reference
     * corpus, written as a 256-row parquet under `modelDir/model`. Run

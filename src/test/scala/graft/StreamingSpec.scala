@@ -347,6 +347,48 @@ class StreamingSpec extends SparkSpec {
       s"accepted must hold each novel content once, min-id keeper: $accepted")
   }
 
+  test("streaming ingest with OPTIMIZE cadence: clustered generations, row-lossless") {
+    // VERDICT r16 #7: the per-trigger small-file debris a streaming sink
+    // drops is exactly what optimizeIncremental exists to kill — give it
+    // the standing maintenance seat under foreachBatch.
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-opt")
+    val (sink, opt) = (s"$root/sink", s"$root/opt")
+    val mem = MemoryStream[(Long, Long)]
+    val rows = mem.toDF().toDF("a", "b")
+    val q = StreamJobs.optimizeIngest(rows, sink, opt,
+      targetBytes = Long.MaxValue, cols = Seq("a", "b"), everyBatches = 2)
+      .start()
+    try {
+      for (batch <- 0 until 6) {
+        mem.addData((0 until 50).map(i =>
+          (batch * 100L + i, (i * 7L) % 100)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // cadence 2 over 6 batches → passes after batches 1, 3, 5 → every
+    // ingested row reached the optimized dir through some pass
+    val sunk = spark.read.parquet(s"$sink/data")
+    val clustered = spark.read.parquet(opt)
+    assert(sunk.count() == 300L)
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+    assert(key(clustered) == key(sunk),
+      "optimized dir must serve exactly the ingested rows")
+    // generations exist and carry the z-order layout (gen files only)
+    val gens = new java.io.File(opt).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(gens.nonEmpty && gens.forall(_.getName.startsWith("gen")),
+      s"readers must see clustered generations: ${gens.map(_.getName).toSeq}")
+    // a replayed maintenance pass is a no-op (manifest identity)
+    val (rw, seen) = graft.operators.LayoutOps.optimizeIncremental(spark,
+      s"$sink/data", opt, Long.MaxValue, Seq("a", "b"))
+    assert(rw == 0 && seen > 0, s"replayed pass must be a no-op: ($rw, $seen)")
+    assert(key(spark.read.parquet(opt)) == key(sunk))
+  }
+
   test("streaming ANN serving answers each probe batch from the standing index") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

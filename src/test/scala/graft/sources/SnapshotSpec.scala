@@ -229,6 +229,73 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("tab"))
   }
 
+  test("OPTIMIZE advances a label: one table rewrites, the rest byte-identical, pruning flows") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r16 #5: layout maintenance label-to-label. A fragmented
+    // 2-key table and a small side table publish under one label; the
+    // verb rewrites ONLY t/ (z-order compaction), splices the new blocks
+    // into a fresh manifest, refreshes the zone map, repoints the label.
+    val src = Files.createTempDirectory("snap-opt-src").toString
+    spark.range(0, 40000)
+      .select((col("id") % 200).as("a"), ((col("id") * 7) % 200).as("b"),
+        col("id").as("v"))
+      .repartition(16).write.parquet(s"$src/t")
+    spark.range(0, 100).select(col("id").as("k"))
+      .coalesce(1).write.parquet(s"$src/s")
+    val repo = Files.createTempDirectory("snap-opt-repo").toString
+    val st = SnapshotStore.publish(spark, src, repo, "main")
+    SnapshotStore.publishStats(spark, src, repo, st.manifestSha, Seq("a", "k"))
+    val sha0 = st.manifestSha
+    val before = SnapshotStore.mount(repo, "main")
+    val tBytes = before.filter(_.path.startsWith("t/")).map(_.size).sum
+
+    val (sha1, pre, post) = SnapshotStore.optimizeTable(spark, repo, "main",
+      "t", targetBytes = tBytes / 4 + 1, cols = Seq("a", "b"),
+      statsCols = Seq("v"))
+    assert(pre == 16 && post < 16 && post >= 2, s"($pre, $post)")
+    assert(SnapshotStore.getRoot(repo, "main").contains(sha1))
+    val after = SnapshotStore.mount(repo, "main")
+    // untouched subtree: same paths, sizes, SHAS — never read or written
+    assert(after.filter(_.path.startsWith("s/")) ==
+      before.filter(_.path.startsWith("s/")),
+      "untouched table entries must be byte-identical")
+    // row-exact through the new label (read straight from the CAS)
+    def tableSum(entries: Seq[SnapshotStore.ManifestEntry]): (Long, Long) = {
+      val fs = entries.filter(e => e.path.startsWith("t/") &&
+        e.path.endsWith(".parquet"))
+        .map(e => s"$repo/CAS/${e.sha256}")
+      val r = spark.read.parquet(fs: _*).agg(count(lit(1)), sum("v"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(tableSum(after) == tableSum(before), "OPTIMIZE must be row-exact")
+    // prune-after-optimize THROUGH THE LABEL: fresh per-file boxes on the
+    // cluster key prune a range query to a strict subset
+    val tFiles = after.map(_.path).filter(p => p.startsWith("t/") &&
+      p.endsWith(".parquet"))
+    val hit = SnapshotStore.prunedFiles(repo, "main", "a", 10.0, 40.0)
+      .filter(_.startsWith("t/"))
+    assert(hit.nonEmpty && hit.size < tFiles.size,
+      s"prune-after-optimize: ${hit.size} of ${tFiles.size}")
+    // untouched files CARRY their old zone entries (k over s/)
+    assert(SnapshotStore.zoneMap(repo, "main")
+      .exists(e => e.path.startsWith("s/") && e.column == "k"),
+      "untouched files must carry their zone-map entries forward")
+    // statsCols got fresh entries over the rewritten files too
+    assert(SnapshotStore.zoneMap(repo, "main")
+      .exists(e => e.path.startsWith("t/") && e.column == "v"))
+    // the superseded snapshot still serves: mount by sha, old zone map
+    assert(SnapshotStore.mountAt(repo, sha0).size == before.size)
+    assert(SnapshotStore.zoneMap(repo, sha0).nonEmpty)
+
+    // the CLI verb drives the same path label-to-label
+    val code = graft.Cli.run(List("optimize", repo, "main", "t",
+      (tBytes / 2 + 1).toString, "a,b", "v"))
+    assert(code == 0)
+    assert(!SnapshotStore.getRoot(repo, "main").contains(sha1),
+      "CLI optimize must advance the label again")
+  }
+
   test("zone-map sidecar prunes files by range; results never change") {
     import org.apache.spark.sql.functions._
     // a range-clustered table: 4 parquet files with disjoint key ranges
