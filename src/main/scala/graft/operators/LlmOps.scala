@@ -1912,6 +1912,40 @@ object LlmOps {
         .orderBy("vec_id", "i")
     }),
 
+    // L68: SQ8 dequantized cosine — the SERVING half of l67 and the
+    // oracle for the codegen'd cosine_i8 kernel (the SQ8 ANN arm's
+    // re-rank, AnnIndex.flatQueryProbes): float probes score 1-byte
+    // codes directly; the per-vector scale cancels in cosine, so the
+    // kernel never reads it. Every step is deterministic double
+    // arithmetic — codes are exact small integers, the probe's
+    // float→double casts are exact, and both engines accumulate
+    // ascending-index (the l3/dot_f32 discipline) — so the oracle
+    // replays the kernel bit-for-bit. MAP-ONLY against a broadcast
+    // probe set; at 100 TB this is the candidates join's scoring term
+    // reading 4× fewer corpus bytes.
+    "l68_sq8_cosine" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val codes = e.filter(col("vec_id") < 400)
+        .select(col("vec_id"),
+          (expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))") / 127.0)
+            .as("scale"),
+          col("embedding"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(least(127, greatest(-127, " +
+            "CASE WHEN scale = 0 THEN 0 ELSE " +
+            "floor(CAST(x AS DOUBLE) / scale + 0.5) END)) AS TINYINT))")
+            .as("q"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      codes.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id"),
+          expr("cosine_i8(pv, q)").as("sim"))
+        .orderBy("probe_id", "vec_id")
+    }),
+
     // L15: per-source corpus stats — the dashboard query of a dedup
     // pipeline: docs, distinct contents, dup rate, volume per source.
     "l15_source_stats" -> ((s, d) => {
@@ -2791,6 +2825,33 @@ object LlmOps {
         |    CASE WHEN scale = 0 THEN 0
         |         ELSE floor(v[i1] / scale + 0.5) END)) AS BIGINT) AS qv
         |FROM x ORDER BY vec_id, i""".stripMargin,
+
+    // the cosine_i8 replay: codes from the l67 arithmetic (exact small
+    // integers), dot/norms accumulated ascending like the kernel — the
+    // scale column is deliberately absent from the cosine (it cancels)
+    "l68_sq8_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e WHERE vec_id < 400),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(CAST(least(127, greatest(-127,
+        |      CASE WHEN scale = 0 THEN 0
+        |           ELSE floor(x / scale + 0.5) END)) AS BIGINT) AS DOUBLE)) AS q
+        |  FROM s),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
+        |SELECT p.probe_id, c.vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(p.pv)),
+        |    i -> p.pv[i] * c.q[i]), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(p.pv, x -> x * x), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(c.q, x -> x * x), (a, b) -> a + b)))
+        |    AS sim
+        |FROM c JOIN p ON p.probe_id <> c.vec_id
+        |ORDER BY probe_id, vec_id""".stripMargin,
 
     "l4_token_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -29,7 +29,8 @@ class PlanGuardSpec extends SparkSpec {
     "t5_watermark_ontime" -> "1-row watermark threshold joined to the stream frame",
     "l47_triangle_count"  -> "three 1-row summary aggregates cross-joined into the report row",
     "l50_rrf_hybrid"      -> "1-row probe vector broadcast against the corpus (vector side of RRF)",
-    "l51_tfidf_exact"     -> "1-row corpus-count aggregate broadcast (the idf denominator)"
+    "l51_tfidf_exact"     -> "1-row corpus-count aggregate broadcast (the idf denominator)",
+    "l68_sq8_cosine"      -> "5 broadcast probes scored against SQ8 codes (the l3 shape over 1-byte codes)"
   )
 
   /** Exchange SinglePartition is fine exactly when the single-partition
