@@ -108,6 +108,78 @@ class AnnCrashSpec extends SparkSpec {
     }
   }
 
+  /** The SQ8 arm's crash window, killed for real (r17 — the same
+    * discipline the two-arm ivfpq window got in r14): a SIGKILL between
+    * append's flat write and its SQ8 codes extension leaves the codes
+    * short, and a naive codes re-rank would silently drop the appended
+    * batch from every result. Pins: the window is real on disk, the
+    * count guard degrades serving to the complete float32 re-rank
+    * (appended rows found), and repairSidecar's anti-join code append
+    * restores SQ8 serving that finds the planted dup. */
+  test("SQ8 append: SIGKILL before the codes write degrades to float32 and repairs") {
+    val root = JF.createTempDirectory("ann-sq8-crash")
+    val key = graft.operators.AnnIndex.ServeSq8Key
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val idx = s"$root/idx"
+      graft.operators.AnnIndex.build(spark, sfDir, idx)
+      assert(graft.operators.AnnIndex.flatServeMode(spark, idx) == "sq8",
+        "precondition: SQ8 serving before the crash")
+      val batch = spark.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") < 20)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      val batchPq = s"$root/batch"
+      batch.write.parquet(batchPq)
+
+      val sentinel = root.resolve("kill-sq8")
+      val log1 = root.resolve("child1.log")
+      val child = ChildJvm.start("graft.AnnSq8Child",
+        Seq(idx, batchPq, "after_flat_write", sentinel.toString), log1)
+      try assert(ChildJvm.awaitFile(sentinel),
+        s"child never reached the crash point — log:\n${ChildJvm.logTail(log1)}")
+      finally {
+        child.destroyForcibly() // SIGKILL — no shutdown hooks, no finally
+        child.waitFor()
+        ()
+      }
+      // the window is real on disk: flat holds the batch, the codes don't
+      val nFlat = spark.read.parquet(s"$idx/vectors").count()
+      val nCodes = spark.read.parquet(s"$idx/sq8/codes").count()
+      assert(nFlat == nCodes + 20,
+        s"expected 20-row code divergence, got flat=$nFlat codes=$nCodes")
+      // a fresh-counting server degrades to the complete float32 re-rank
+      graft.operators.AnnIndex.refreshCounts(idx)
+      assert(graft.operators.AnnIndex.flatServeMode(spark, idx) == "float32",
+        "short codes must not serve")
+      val probes = spark.read.parquet(s"$idx/vectors")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val floatTop = graft.operators.AnnIndex
+        .queryProbes(spark, idx, probes, 1)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 5L).foreach(p => assert(floatTop(p) == p + 900000L,
+        s"float32 fallback missed appended dup of $p: got ${floatTop(p)}"))
+      // repair appends exactly the missing codes; SQ8 serving resumes
+      // and finds the planted dups
+      assert(graft.operators.AnnIndex.repairNeeded(spark, idx))
+      graft.operators.AnnIndex.repairSidecar(spark, idx)
+      graft.operators.AnnIndex.refreshCounts(idx)
+      assert(graft.operators.AnnIndex.flatServeMode(spark, idx) == "sq8",
+        "repair must restore SQ8 serving")
+      val sq8Top = graft.operators.AnnIndex
+        .queryProbes(spark, idx, probes, 1)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 5L).foreach(p => assert(sq8Top(p) == p + 900000L,
+        s"repaired SQ8 serve missed appended dup of $p: got ${sq8Top(p)}"))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** VERDICT r15 #1: the r15 divergence guard compares CACHED counts, and
     * a long-lived serving stream was the one caller with no refresh
     * cadence — a serving JVM outliving an external writer's crashed

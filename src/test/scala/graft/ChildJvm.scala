@@ -223,6 +223,29 @@ object AnnRefitChild {
   }
 }
 
+/** Child main for the SQ8-arm append crash e2e (AnnCrashSpec's seventh
+  * SIGKILL scenario): appends `batchParquet` with SQ8 serving opted in,
+  * so append extends the codes sidecar right after the flat write. With
+  * crashPoint "after_flat_write" it writes `sentinel` inside the
+  * flat-landed/codes-missed window and parks for the parent's SIGKILL. */
+object AnnSq8Child {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, batchParquet, crashPoint, sentinel) = args
+    val spark = ChildJvm.childSpark("ann-sq8-child")
+    spark.conf.set(graft.operators.AnnIndex.ServeSq8Key, "true")
+    if (crashPoint != "none")
+      graft.operators.AnnIndex.crashProbe = p =>
+        if (p == crashPoint) {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(sentinel), p)
+          Thread.sleep(600000) // park: the parent SIGKILLs this JVM here
+        }
+    graft.operators.AnnIndex.append(spark, indexDir,
+      spark.read.parquet(batchParquet))
+    spark.stop()
+  }
+}
+
 /** Child main for the two-process DedupIndex append hammer: waits on the
   * shared `goFile` rendezvous (so both processes enter the append window
   * together), then appends its batch in four sub-batches — eight
