@@ -55,15 +55,22 @@ object ZOrderProbe {
     val dims = Seq("l_orderkey", "l_partkey", "l_suppkey")
     val clusterDims = sys.env.get("SPARK_GRAFT_ZPROBE_CLUSTER")
       .map(_.split(",").toSeq).getOrElse(dims)
-    // the marker and the clustered dir key on the JOINED KEY NAMES, not
-    // just the count (advisor r16): rerunning with a different
-    // same-cardinality SPARK_GRAFT_ZPROBE_CLUSTER list must rebuild, not
-    // silently reuse the stale layout and report numbers for the wrong
-    // clustering
+    // the markers and table dirs key on the JOINED KEY NAMES (advisor
+    // r16: a different same-cardinality SPARK_GRAFT_ZPROBE_CLUSTER list
+    // must rebuild) AND on the source identity (r17: a probe dir
+    // surviving a regenerated source corpus otherwise times a fresh
+    // z-table against a stale flat one — caught when the row-count
+    // cross-check tripped on exactly that)
+    val srcId = {
+      val f = new java.io.File(src)
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$src|${f.length}|${f.lastModified}").toLong & 0xFFFFFFFFL)
+    }
     val clusterTag = clusterDims.mkString("_")
-    val zDir = s"$root/zorder_$clusterTag"
-    val flatDir = s"$root/flat"
-    val done = java.nio.file.Paths.get(root, s"_DONE_$clusterTag")
+    val zDir = s"$root/zorder_${clusterTag}_$srcId"
+    val flatDir = s"$root/flat_$srcId"
+    val done = java.nio.file.Paths.get(root, s"_DONE_${clusterTag}_$srcId")
     if (!java.nio.file.Files.exists(done)) {
       graft.operators.LayoutOps.clusterByZOrderN(spark, src, zDir, nFiles,
         clusterDims)
@@ -71,7 +78,7 @@ object ZOrderProbe {
       java.nio.file.Files.write(done, nFiles.toString.getBytes)
       ()
     }
-    val doneFlat = java.nio.file.Paths.get(root, "_DONE_FLAT")
+    val doneFlat = java.nio.file.Paths.get(root, s"_DONE_FLAT_$srcId")
     if (!java.nio.file.Files.exists(doneFlat)) {
       spark.read.parquet(src).repartition(nFiles)
         .write.mode("overwrite").parquet(flatDir)
