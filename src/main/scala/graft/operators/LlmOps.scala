@@ -1946,6 +1946,31 @@ object LlmOps {
         .orderBy("probe_id", "vec_id")
     }),
 
+    // L69: corpus-relative percentile quality gate — the standard
+    // pretraining filter that drops LENGTH OUTLIERS per language
+    // (absolute thresholds like l16's Gopher rules misfire across
+    // languages whose length distributions differ; the robust form
+    // gates on each language's own quantiles). 100 TB shape: the model
+    // is one row per language (exact percentile agg), broadcast back
+    // for a map-only verdict — the model-as-table join every gate lane
+    // here uses. Oracle: Spark `percentile` ≡ DuckDB `quantile_cont`
+    // (linear interpolation, the a11-proven pairing); the verdict is a
+    // CASE over exact comparisons.
+    "l69_quantile_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = docs.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.05)").as("p05"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+      docs.join(broadcast(model), "lang")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("p05"), col("p95"),
+          when(col("n_chars") < col("p05"), "too_short")
+            .when(col("n_chars") > col("p95"), "too_long")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // L15: per-source corpus stats — the dashboard query of a dedup
     // pipeline: docs, distinct contents, dup rate, volume per source.
     "l15_source_stats" -> ((s, d) => {
@@ -2852,6 +2877,20 @@ object LlmOps {
         |    AS sim
         |FROM c JOIN p ON p.probe_id <> c.vec_id
         |ORDER BY probe_id, vec_id""".stripMargin,
+
+    "l69_quantile_gate" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    quantile_cont(n_chars, 0.05) AS p05,
+        |    quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |  m.p05, m.p95,
+        |  CASE WHEN d.n_chars < m.p05 THEN 'too_short'
+        |       WHEN d.n_chars > m.p95 THEN 'too_long'
+        |       ELSE 'keep' END AS verdict
+        |FROM documents d JOIN m USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "l4_token_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
