@@ -220,11 +220,6 @@ object Cli {
     0
   }
 
-  /** Repoint a label at a historical manifest — the undo of a bad
-    * publish. The target must still be resolvable in the CAS (it is, as
-    * long as a label or unexpired lease kept it from gc); the swap is
-    * the same atomic setRoot a publish uses, and a fresh lease pins the
-    * restored snapshot from the moment it becomes current. */
   /** Label-to-label layout maintenance (SnapshotStore.optimizeTable):
     * rewrite one table subtree compacted/clustered/z-ordered, splice it
     * into a new manifest next to every untouched entry, refresh the
@@ -244,6 +239,11 @@ object Cli {
     0
   }
 
+  /** Repoint a label at a historical manifest — the undo of a bad
+    * publish. The target must still be resolvable in the CAS (it is, as
+    * long as a label or unexpired lease kept it from gc); the swap is
+    * the same atomic setRoot a publish uses, and a fresh lease pins the
+    * restored snapshot from the moment it becomes current. */
   private def rollback(repo: String, label: String, sha: String): Int = {
     val resolvable =
       try SnapshotStore.mountAt(repo, sha).nonEmpty

@@ -222,6 +222,7 @@ object AnnIndex {
     nCache.remove(dir)
     ivfNCache.remove(dir)
     sq8NCache.remove(dir)
+    sq8SetCache.remove(dir)
     writeIndex(spark, vecs, dir, mode = "overwrite")
     maintainSq8(spark, dir)
     maintainIvfSidecar(spark, dir)
@@ -364,6 +365,7 @@ object AnnIndex {
     nCache.remove(dir)
     ivfNCache.remove(dir)
     sq8NCache.remove(dir)
+    sq8SetCache.remove(dir)
     ()
   }
 
@@ -522,22 +524,57 @@ object AnnIndex {
         nprobe = routeNprobe(spark), excludeSelf = excludeSelf)
     else flatQueryProbes(spark, dir, probeVecs, k, excludeSelf)
 
+  /** Set-equality spot check BEHIND the count gate (advisor r17): equal
+    * row counts with divergent vec_id sets — two external writers'
+    * crossed appends — pass a count-only gate, and the codes inner join
+    * would then silently drop the un-coded vectors from the re-rank.
+    * One order-insensitive fingerprint per side (two independent 64-bit
+    * XOR-folds of hashed ids — ids are unique, so set equality is what
+    * XOR tests) catches that with probability ≈ 1−2⁻¹²⁸. Cached keyed
+    * by the (n, qn) the verdict was computed at: the warm serve path
+    * costs no job, and any append (which moves a cached count)
+    * re-checks exactly once. Crossed appends stay float32 even after
+    * repairSidecar (the repair append makes the counts diverge, which
+    * the count gate then holds) — degraded, never short answers. */
+  private val sq8SetCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Boolean)]()
+  private def idFingerprint(spark: SparkSession, path: String): (Long, Long) = {
+    val r = spark.read.parquet(path)
+      .select(xxhash64(col("vec_id")).as("h1"),
+        xxhash64(lit("g2"), col("vec_id")).as("h2"))
+      .agg(expr("coalesce(bit_xor(h1), 0L)"), expr("coalesce(bit_xor(h2), 0L)"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+  private def sq8SetMatches(spark: SparkSession, dir: String,
+      n: Long, qn: Long): Boolean =
+    sq8SetCache.compute(dir, (_, old) =>
+      if (old != null && old._1 == n && old._2 == qn) old
+      else (n, qn, idFingerprint(spark, s"$dir/vectors") ==
+        idFingerprint(spark, s"${sq8Dir(dir)}/codes")))._3
+
   /** Which representation the FLAT arm's exact re-rank will read —
     * "sq8" (1-byte codes, 4× fewer corpus bytes) or "float32". SQ8
-    * serves only when opted in ([[ServeSq8Key]]), the codes exist, AND
-    * the cached counts agree — the same divergence discipline as
+    * serves only when opted in ([[ServeSq8Key]]), the codes exist, the
+    * cached counts agree — the same divergence discipline as
     * [[chosenArm]]: a crashed append's missing codes degrade to the
-    * complete float32 re-rank, never to silently short answers. */
+    * complete float32 re-rank, never to silently short answers — AND
+    * the id-set fingerprints agree ([[sq8SetMatches]], advisor r17). */
   private[graft] def flatServeMode(spark: SparkSession, dir: String): String =
     if (serveSq8(spark) && hasSq8(spark, dir)) {
       val (n, qn) = (corpusRows(spark, dir), sq8Rows(spark, dir))
-      if (n == qn) "sq8"
-      else {
+      if (n != qn) {
         org.apache.log4j.Logger.getLogger(getClass).warn(
           s"ANN index $dir: flat arm holds $n vectors but the SQ8 codes " +
             s"hold $qn — serving float32 until repairSidecar runs")
         "float32"
-      }
+      } else if (!sq8SetMatches(spark, dir, n, qn)) {
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"ANN index $dir: flat arm and SQ8 codes both hold $n rows but " +
+            "their vec_id sets diverge (crossed external appends) — " +
+            "serving the complete float32 re-rank")
+        "float32"
+      } else "sq8"
     } else "float32"
 
   /** The flat sign-LSH serving arm (pre-r14 `queryProbes` body) — still

@@ -173,10 +173,12 @@ object LayoutOps {
     * file still covers a bounded box of key space, so footer pruning
     * holds.
     *
-    * FILE IDENTITY (advisor r16): a manifest entry is
+    * FILE IDENTITY (advisor r16, tightened r18): a manifest entry is
     * `relativePath \t size \t mtime` — the same (path, length, mtime)
     * identity PufsFileSystem uses for block identity — not a bare file
-    * name. A src file whose bytes were REPLACED under the same name
+    * name; mtime is recorded at NANOSECOND precision so a same-size
+    * in-place replacement within one millisecond tick still trips the
+    * guard (advisor r17). A src file whose bytes were REPLACED under the same name
     * (an upstream re-compaction, a non-write-once writer) fails the
     * pass LOUDLY instead of silently serving its stale rows: its OLD
     * rows already live in an earlier generation, so re-clustering the
@@ -234,10 +236,16 @@ object LayoutOps {
       case ManifestEntry(p, -1, -1) => p }.toSet
     current.foreach { case (rel, f) =>
       doneByPath.get(rel).filter(e => e.size >= 0).foreach { e =>
-        require(e.size == f.length && e.mtime == f.lastModified,
+        // nanosecond mtime (advisor r17): a same-size in-place byte
+        // replacement within one MILLISECOND tick passed the old guard —
+        // exactly the stale-rows hazard the check exists to catch. New
+        // entries store nanos; a pre-r18 entry (millis magnitude) still
+        // matches at its own recorded granularity.
+        val nowMt = if (e.mtime < MtimeNsFloor) f.lastModified else mtimeNs(f)
+        require(e.size == f.length && e.mtime == nowMt,
           s"write-once violation: $rel was optimized at (size=${e.size}, " +
             s"mtime=${e.mtime}) but now reads (size=${f.length}, " +
-            s"mtime=${f.lastModified}) — its old rows already live in an " +
+            s"mtime=$nowMt) — its old rows already live in an " +
             "earlier generation; rewrite dst via a full optimize()")
       }
     }
@@ -271,18 +279,29 @@ object LayoutOps {
     // manifest, and the next pass re-clusters the same fresh files into
     // a recomputed gen dir (REPLACE_EXISTING above), never losing rows
     writeManifest(dst, nextGen + 1, done ++ fresh.map { case (rel, f) =>
-      ManifestEntry(rel, f.length, f.lastModified) })
+      ManifestEntry(rel, f.length, mtimeNs(f)) })
     (fresh.size, done.size)
   }
 
   /** One `_OPTIMIZED` line: where the file sat under src, and the
     * (size, mtime) pair that detects a same-named byte replacement.
-    * (-1, -1) marks a pre-r17 name-only entry (matched by name,
-    * unverifiable — the identity gap this format closed). */
+    * mtime is NANOSECONDS since the epoch (advisor r17 — millisecond
+    * granularity let a same-size in-place replacement within one tick
+    * pass the guard); a pre-r18 entry holds millis and is compared at
+    * millis, told apart by magnitude ([[MtimeNsFloor]]). (-1, -1) marks
+    * a pre-r17 name-only entry (matched by name, unverifiable — the
+    * identity gap this format closed). */
   private[operators] case class ManifestEntry(path: String, size: Long,
       mtime: Long) {
     def line: String = s"$path\t$size\t$mtime"
   }
+
+  /** Any stored mtime at or above this is nanoseconds (≈ 1971 in ns,
+    * ≈ year 3739 in ms — no real file timestamp is ambiguous). */
+  private val MtimeNsFloor = 50_000_000_000_000_000L
+  private def mtimeNs(f: File): Long =
+    java.nio.file.Files.getLastModifiedTime(f.toPath)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
 
   private val FoldMarker = "_FOLD"
   private def foldTmp(dst: String) = s"$dst/.fold.tmp"
@@ -358,7 +377,7 @@ object LayoutOps {
     zorderWrite(spark, df, foldTmp(dst), n, cols)
     crashProbe("fold_staged") // tmp complete, no marker: debris, no fold
     val entries = done ++ fresh.map { case (rel, f) =>
-      ManifestEntry(rel, f.length, f.lastModified) }
+      ManifestEntry(rel, f.length, mtimeNs(f)) }
     val marker = (s"#fold-gen=$foldGen" + "\n" +
       manifestText(foldGen + 1, entries)).getBytes
     val mTmp = Paths.get(dst, s"$FoldMarker.tmp")

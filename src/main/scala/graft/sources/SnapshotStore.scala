@@ -433,8 +433,16 @@ object SnapshotStore {
     // the text-sidecar path collects O(files) rows to the driver — fine
     // for a human-sized tree, wrong at 1M files. Above the threshold,
     // route to the Spark-task writer so callers can't pick the
-    // driver-bound path by accident.
-    val nFiles = mountAt(repo, manifestSha).count(_.path.endsWith(".parquet"))
+    // driver-bound path by accident. Count the files that will actually
+    // be scanned (under srcDir) — not the manifest (advisor r17): a
+    // caller publishing stats for a SUBTREE of a big snapshot must not
+    // be routed by the untouched remainder's size.
+    val nFiles = {
+      val s = Files.walk(Paths.get(srcDir))
+      try s.filter(p => Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
     if (nFiles > distributedThreshold)
       return publishStatsDistributed(spark, srcDir, repo, manifestSha, cols).toInt
     // the staging tree nests tables under subdirs — walk it all, and
@@ -515,9 +523,16 @@ object SnapshotStore {
     * `statsCols ++ cols` (tight per-file boxes are the point of the
     * rewrite); untouched files carry their old entries forward, so
     * prune-after-optimize works across the whole snapshot through the
-    * label. New-block hashing is driver-side like the sequential publish
-    * path — the rewritten table's file count is post-compaction small;
-    * route trees past that through publish().
+    * label. Fresh and carried entries land in ONE sidecar format —
+    * parquet when the old sidecar was parquet or the snapshot is past
+    * `distributedThreshold` files, else text (advisor r17: the split
+    * formats made the two read paths disagree). A Hive-partitioned
+    * subtree keeps its partition-column VALUES: the k=v layout is
+    * reconstructed from the manifest paths before the rewrite, and the
+    * columns land physical in the new files (advisor r17). New-block
+    * hashing is driver-side like the sequential publish path — the
+    * rewritten table's file count is post-compaction small; route trees
+    * past that through publish().
     *
     * The label's publish stat cache is NOT touched: a later `push` from
     * the original source tree wins over the optimize (rebuilding the
@@ -526,7 +541,8 @@ object SnapshotStore {
     * Returns (new manifest sha, table files before, after). */
   def optimizeTable(spark: SparkSession, repo: String, label: String,
       table: String, targetBytes: Long, cols: Seq[String],
-      statsCols: Seq[String] = Nil): (String, Int, Int) = {
+      statsCols: Seq[String] = Nil,
+      distributedThreshold: Int = 10000): (String, Int, Int) = {
     val sha0 = getRoot(repo, label).getOrElse(
       throw new IllegalArgumentException(s"no such label: $label"))
     val old = mountAt(repo, sha0)
@@ -541,8 +557,33 @@ object SnapshotStore {
     val staging = Files.createTempDirectory("graft-optlabel")
     try {
       val outDir = staging.resolve(table)
-      val df = spark.read.parquet(
-        tbl.map(e => casDir(repo).resolve(e.sha256).toString): _*)
+      // Hive-partitioned subtree (advisor r17): manifest paths like
+      // `table/k=v/part.parquet` encode partition VALUES in the path.
+      // Reading the blocks straight from the CAS by sha would silently
+      // drop those columns from every rewritten row. Reconstruct the
+      // k=v layout with hard links into a read-staging dir (never
+      // hashed or stat'd — only `outDir` and explicit onlyPaths are) so
+      // Spark's partition inference restores the columns; they land in
+      // the rewritten files as ordinary physical columns, same rows.
+      val hasPartDirs = tbl.exists(e => e.path.stripPrefix(prefix)
+        .split('/').dropRight(1).exists(_.contains("=")))
+      val df =
+        if (!hasPartDirs) spark.read.parquet(
+          tbl.map(e => casDir(repo).resolve(e.sha256).toString): _*)
+        else {
+          val readRoot = staging.resolve("_read")
+          tbl.foreach { e =>
+            val t = readRoot.resolve(e.path)
+            Files.createDirectories(t.getParent)
+            try { Files.createLink(t, casDir(repo).resolve(e.sha256)); () }
+            catch { case _: UnsupportedOperationException |
+                         _: java.nio.file.FileSystemException =>
+              Files.copy(casDir(repo).resolve(e.sha256), t); ()
+            }
+          }
+          val tableRoot = readRoot.resolve(table).toString
+          spark.read.option("basePath", tableRoot).parquet(tableRoot)
+        }
       graft.operators.LayoutOps.optimizeFrame(spark, df, tbl.map(_.size).sum,
         outDir.toString, targetBytes, cols)
       val newEntries = Option(outDir.toFile.listFiles())
@@ -564,23 +605,42 @@ object SnapshotStore {
       casPut(repo, manifestSha, mTmp)
       Files.deleteIfExists(mTmp)
       // stats sidecar BEFORE the pointer flip: fresh entries for the
-      // rewritten files, carried entries for everything untouched
+      // rewritten files, carried entries for everything untouched — in
+      // ONE format (advisor r17). The old code routed fresh stats
+      // through publishStats, whose threshold counted the WHOLE
+      // manifest, so a big snapshot got its fresh entries as a parquet
+      // sidecar while the carried merge wrote text — and zoneMapDF
+      // (prefers parquet) silently lost the carried entries. Format
+      // decision: parquet if the old sidecar was parquet or the merged
+      // snapshot is past the driver-bound threshold, else text; fresh
+      // and carried both land in that one sidecar.
       val wantCols = (statsCols ++ cols).distinct
-      if (wantCols.nonEmpty)
-        publishStats(spark, staging.toString, repo, manifestSha, wantCols)
-      val keptPaths = kept.map(_.path).toSet
-      val carried = zoneMap(repo, sha0).filter(e => keptPaths(e.path))
-      if (carried.nonEmpty) {
-        val merged = (zoneMap(repo, manifestSha) ++ carried)
+      val carriedDF = zoneMapDF(spark, repo, sha0).filter(
+        !org.apache.spark.sql.functions.col("path").startsWith(prefix))
+      val freshDF =
+        if (wantCols.isEmpty) None
+        else Some(statsFrame(spark, staging.toString, wantCols,
+          Some(newEntries.map(_.path))))
+      val mergedDF = freshDF.map(_.unionByName(carriedDF)).getOrElse(carriedDF)
+      val usePq = Files.exists(statsPqDir(repo, sha0)) ||
+        entries.count(_.path.endsWith(".parquet")) > distributedThreshold
+      if (usePq)
+        mergedDF.write.mode("overwrite")
+          .parquet(statsPqDir(repo, manifestSha).toString)
+      else {
+        val merged = mergedDF.collect().map(r => ZoneEntry(r.getString(0),
+            r.getString(1), r.getDouble(2), r.getDouble(3)))
           .sortBy(e => (e.path, e.column))
-        val bytes = merged
-          .map(e => s"${e.path}\t${e.column}\t${e.min}\t${e.max}")
-          .mkString("\n").getBytes("UTF-8")
-        val sTmp = Files.createTempFile(casDir(repo), ".zs", ".part")
-        Files.write(sTmp, bytes)
-        Files.move(sTmp, statsPath(repo, manifestSha),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        ()
+        if (merged.nonEmpty) {
+          val bytes = merged
+            .map(e => s"${e.path}\t${e.column}\t${e.min}\t${e.max}")
+            .mkString("\n").getBytes("UTF-8")
+          val sTmp = Files.createTempFile(casDir(repo), ".zs", ".part")
+          Files.write(sTmp, bytes)
+          Files.move(sTmp, statsPath(repo, manifestSha),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
       }
       setRoot(repo, label, manifestSha)
       renewLease(repo, label, manifestSha)

@@ -258,6 +258,64 @@ class LayoutSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("write-once guard catches a same-size replacement within one millisecond tick") {
+    // advisor r17: identity compared mtime at MILLISECOND granularity,
+    // so a same-size in-place byte replacement landing in the same tick
+    // passed the guard and silently served stale rows. Entries now
+    // record nanoseconds; reproduce the exact failure by pinning the
+    // replacement's mtime into the original file's millisecond.
+    val src = java.nio.file.Files.createTempDirectory("graft-ns-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-ns-dst").toString
+    val li = Tables.t(spark, sfDir, "lineitem").limit(500)
+    li.coalesce(1).write.mode("append").parquet(src)
+    assert(operators.LayoutOps.optimizeIncremental(
+      spark, src, dst, Long.MaxValue, Seq("l_orderkey", "l_partkey"))._1 == 1)
+    val victim = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val t0 = java.nio.file.Files.getLastModifiedTime(victim)
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x1).toByte
+    java.nio.file.Files.write(victim, bytes) // same size, new content
+    // same millisecond as the original, different nanosecond remainder
+    val ns0 = t0.to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    val nsNew = (ns0 / 1000000L) * 1000000L + (ns0 % 1000000L + 1) % 1000000L
+    java.nio.file.Files.setLastModifiedTime(victim,
+      java.nio.file.attribute.FileTime.from(
+        nsNew, java.util.concurrent.TimeUnit.NANOSECONDS))
+    val back = java.nio.file.Files.getLastModifiedTime(victim)
+    assume(back.to(java.util.concurrent.TimeUnit.NANOSECONDS) == nsNew &&
+      back.toMillis == t0.toMillis,
+      "filesystem must store nanosecond mtimes for this reproduction")
+    val ex = intercept[IllegalArgumentException] {
+      operators.LayoutOps.optimizeIncremental(
+        spark, src, dst, Long.MaxValue, Seq("l_orderkey", "l_partkey"))
+    }
+    assert(ex.getMessage.contains("write-once violation"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("pre-r18 millisecond manifest entries still match unchanged files") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ms-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-ms-dst").toString
+    val li = Tables.t(spark, sfDir, "lineitem").limit(500)
+    li.repartition(2).write.mode("append").parquet(src)
+    assert(operators.LayoutOps.optimizeIncremental(
+      spark, src, dst, Long.MaxValue, Seq("l_orderkey", "l_partkey"))._1 == 2)
+    // rewrite the manifest with millisecond mtimes — a pre-r18 layout
+    val mf = java.nio.file.Paths.get(dst, "_OPTIMIZED")
+    val legacy = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .split("\n").map { l =>
+        val a = l.split("\t")
+        if (l.startsWith("#") || a.length != 3) l
+        else s"${a(0)}\t${a(1)}\t${a(2).toLong / 1000000L}"
+      }.mkString("\n")
+    java.nio.file.Files.write(mf, legacy.getBytes("UTF-8"))
+    // unchanged files must still match (at their recorded granularity)
+    assert(operators.LayoutOps.optimizeIncremental(
+      spark, src, dst, Long.MaxValue,
+      Seq("l_orderkey", "l_partkey")) == (0, 2))
+  }
+
   test("incremental OPTIMIZE sees Hive-partitioned sources, keeps partition values") {
     // the verb's own target use case — a partitioned streaming sink —
     // was invisible to the r16 non-recursive listing (advisor r16)

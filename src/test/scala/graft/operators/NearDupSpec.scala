@@ -330,6 +330,35 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 gate catches equal-count vec_id divergence (crossed appends)") {
+    // advisor r17: the serve gate compared row COUNTS only, so two
+    // external writers' crossed appends — a vector landing without its
+    // code next to a stray code without its vector — passed the gate
+    // with equal counts, and the codes inner join silently dropped the
+    // un-coded vector from every re-rank. The id-set fingerprint
+    // (order-insensitive XOR-fold) catches exactly this shape.
+    val dir = java.nio.file.Files.createTempDirectory("ann-crossed").toString
+    val key = AnnIndex.ServeSq8Key
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      AnnIndex.build(spark, sfDir, dir)
+      assert(AnnIndex.flatServeMode(spark, dir) == "sq8")
+      spark.read.parquet(s"$dir/vectors").limit(1)
+        .withColumn("vec_id", lit(900001L))
+        .write.mode("append").parquet(s"$dir/vectors")
+      spark.read.parquet(s"$dir/sq8/codes").limit(1)
+        .withColumn("vec_id", lit(900002L))
+        .write.mode("append").parquet(s"$dir/sq8/codes")
+      AnnIndex.refreshCounts(dir)
+      assert(AnnIndex.flatServeMode(spark, dir) == "float32",
+        "equal counts with divergent vec_id sets must not serve SQ8")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sidecarDiverged names the light repair class; repairNeeded covers both") {
     // advisor r16: sidecarDiverged's job is to DISCRIMINATE the two
     // repairNeeded states — diverged sidecar (light: anti-join append)

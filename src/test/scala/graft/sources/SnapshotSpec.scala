@@ -296,6 +296,72 @@ class SnapshotSpec extends SparkSpec {
       "CLI optimize must advance the label again")
   }
 
+  test("OPTIMIZE of a Hive-partitioned table preserves partition-column values") {
+    import org.apache.spark.sql.functions._
+    // advisor r17: optimizeTable read blocks straight from the CAS by
+    // sha, so partition VALUES encoded in manifest paths (t/p=2/...)
+    // silently vanished from every rewritten row. The k=v layout is now
+    // reconstructed before the rewrite and the columns land physical.
+    val src = Files.createTempDirectory("snap-part-src").toString
+    spark.range(0, 8000)
+      .select((col("id") % 4).cast("int").as("p"), col("id").as("v"),
+        (col("id") % 50).as("a"))
+      .repartition(4).write.partitionBy("p").parquet(s"$src/t")
+    val repo = Files.createTempDirectory("snap-part-repo").toString
+    val st = SnapshotStore.publish(spark, src, repo, "main")
+    assert(SnapshotStore.mount(repo, "main")
+      .exists(e => e.path.startsWith("t/p=")), "setup: k=v manifest paths")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("p").cast("int").as("p"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val before = agg(spark.read.parquet(s"$src/t"))
+    val (sha1, pre, post) = SnapshotStore.optimizeTable(spark, repo, "main",
+      "t", targetBytes = Long.MaxValue, cols = Seq("a", "v"))
+    assert(pre >= 4 && post >= 1, s"($pre, $post)")
+    val files = SnapshotStore.mount(repo, "main")
+      .filter(e => e.path.startsWith("t/") && e.path.endsWith(".parquet"))
+      .map(e => s"$repo/CAS/${e.sha256}")
+    val got = spark.read.parquet(files: _*)
+    assert(got.columns.contains("p"),
+      "partition column must land physical in the rewritten files")
+    assert(agg(got) == before,
+      "per-partition rows must be value-exact after OPTIMIZE")
+    assert(SnapshotStore.getRoot(repo, "main").contains(sha1))
+  }
+
+  test("OPTIMIZE writes ONE sidecar format: fresh and carried entries land together") {
+    import org.apache.spark.sql.functions._
+    // advisor r17: with a big manifest, fresh stats went to a parquet
+    // sidecar while the carried merge wrote text — zoneMapDF (prefers
+    // parquet) lost the carried entries and the two read paths
+    // disagreed. Force the parquet decision via the threshold and pin
+    // both entry classes in the ONE parquet sidecar.
+    val src = Files.createTempDirectory("snap-fmt-src").toString
+    spark.range(0, 4000)
+      .select((col("id") % 100).as("a"), col("id").as("v"))
+      .repartition(4).write.parquet(s"$src/t")
+    spark.range(0, 100).select(col("id").as("k"))
+      .coalesce(1).write.parquet(s"$src/s")
+    val repo = Files.createTempDirectory("snap-fmt-repo").toString
+    val st = SnapshotStore.publish(spark, src, repo, "main")
+    SnapshotStore.publishStats(spark, src, repo, st.manifestSha, Seq("a", "k"))
+    val (sha1, _, _) = SnapshotStore.optimizeTable(spark, repo, "main", "t",
+      targetBytes = Long.MaxValue, cols = Seq("a"), statsCols = Seq("v"),
+      distributedThreshold = 0)
+    assert(Files.exists(Paths.get(repo, "CAS", s"statspq-$sha1")),
+      "past the threshold the sidecar must be parquet")
+    assert(!Files.exists(Paths.get(repo, "CAS", s"stats-$sha1")),
+      "exactly ONE sidecar format per snapshot")
+    val zm = SnapshotStore.zoneMapDF(spark, repo, "main")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(zm.exists(e => e._1.startsWith("s/") && e._2 == "k"),
+      "carried entries must land in the parquet sidecar")
+    assert(zm.exists(e => e._1.startsWith("t/") && e._2 == "v"),
+      "fresh entries must land in the same sidecar")
+  }
+
   test("zone-map sidecar prunes files by range; results never change") {
     import org.apache.spark.sql.functions._
     // a range-clustered table: 4 parquet files with disjoint key ranges
