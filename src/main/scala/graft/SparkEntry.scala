@@ -55,5 +55,9 @@ object SparkEntry {
     "l20_ann_ivf" ->
       "oracle replays assignment+probe-cells+rerank from the frozen centroids",
     "l66_pca_project" ->
-      "oracle replays center+project from the frozen PCA axes+mean fixture")
+      "oracle replays center+project from the frozen PCA axes+mean fixture",
+    "l70_kmeans_cluster" ->
+      "oracle replays nearest-centroid assignment from the frozen k-means fixture",
+    "l71_cluster_coreset" ->
+      "oracle replays assignment + per-cluster nearest-5 from the k-means fixture")
 }

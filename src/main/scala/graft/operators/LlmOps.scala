@@ -360,6 +360,102 @@ object LlmOps {
       })).dir
   }
 
+  /** k-means parameters (l70): 8 centroids, 4 Lloyd iterations over the
+    * 64-dim embeddings — the corpus-clustering pre-pass of data-mixing /
+    * semantic-sharding pipelines. */
+  private[graft] val KmK = 8
+  private[graft] val KmIters = 4
+
+  /** l70's k-means fixture: the final centroids after [[KmIters]] Lloyd
+    * iterations, frozen as ONE parquet table (cid, cvec). The FIT is the
+    * only step DuckDB cannot replay (iterated distributed means);
+    * everything after — squared-L2 against each centroid in a pinned
+    * left-fold term order, argmin with (dist, cid) tie-break — is
+    * deterministic double arithmetic the generated SQL recomputes from
+    * `embeddings` + this fixture exactly. Init is the [[KmK]] smallest
+    * vec_ids (deterministic); an emptied cluster keeps its previous
+    * centroid. Fit cost per iteration: one MAP-ONLY assignment pass
+    * (centroids are a k·d literal in the plan — model, not data) plus
+    * one partial-agg mean over k·d groups; the k·d collect between
+    * iterations is 512 doubles, driver state like PCA's eigensolve. */
+  private[graft] object KmFix {
+    private final class Cell(mk: => String) { lazy val dir: String = mk }
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+    private[graft] def forOracle: Option[String] =
+      OracleDir.select(built).map(_.dir)
+
+    /** MAP-ONLY nearest-centroid assignment: per row, fold the squared
+      * distance to each centroid (ascending-index term order — the l66
+      * discipline) and take the array_min of (dist, cid) structs. */
+    private[operators] def assign(vecs: DataFrame,
+        cents: Seq[(Int, Seq[Double])]): DataFrame =
+      vecs.withColumn("cents", typedlit(cents))
+        .select(col("vec_id"), col("embedding"),
+          expr("array_min(transform(cents, c -> struct(" +
+            "aggregate(transform(sequence(0, size(c._2) - 1), " +
+            "i -> (CAST(embedding[i] AS DOUBLE) - c._2[i]) * " +
+            "(CAST(embedding[i] AS DOUBLE) - c._2[i])), 0D, " +
+            "(acc, x) -> acc + x) AS dist, c._1 AS cid)))").as("m"))
+        .select(col("vec_id"), col("embedding"),
+          col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+    def fixture(s: SparkSession, d: String): String =
+      built.computeIfAbsent(d, _ => new Cell({
+        val vecs = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding")).persist()
+        var cents: Seq[(Int, Seq[Double])] = vecs
+          .orderBy("vec_id").limit(KmK).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toSeq) }.toSeq
+        for (_ <- 0 until KmIters) {
+          val means = assign(vecs, cents)
+            .select(col("cid"), posexplode(col("embedding"))
+              .as(Seq("i", "x")))
+            .groupBy("cid", "i")
+            .agg(avg(col("x").cast("double")).as("mx"))
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+            .groupBy(_._1).map { case (cid, rows) =>
+              cid -> rows.sortBy(_._2).map(_._3).toSeq }
+          cents = cents.map { case (cid, old) =>
+            (cid, means.getOrElse(cid, old)) }
+        }
+        vecs.unpersist()
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-l70-km").toString
+        val fixDf = { import s.implicits._; cents.toDF("cid", "cvec") }
+        fixDf.write.mode("overwrite").parquet(dir)
+        dir
+      })).dir
+  }
+
+  /** k-means assignment from the frozen fixture (l70): every embedding
+    * labeled with its nearest centroid and the squared distance.
+    * Sort-free — lanes add their own output order. */
+  private def assignFrozen(s: SparkSession, d: String): DataFrame = {
+    val cents = s.read.parquet(KmFix.fixture(s, d)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    KmFix.assign(t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("cid"), col("dist"))
+  }
+
+  private[operators] def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    assignFrozen(s, d).orderBy("vec_id")
+
+  /** Cluster coreset (l71): the 5 embeddings nearest each centroid. */
+  private[operators] def kmeansCoreset(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    assignFrozen(s, d)
+      .groupBy("cid")
+      .agg(topk(negate(col("dist")), col("vec_id")).as("nb"))
+      .select(col("cid"), posexplode(col("nb")).as(Seq("pos", "hit")))
+      .select(col("cid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("hit.id").as("vec_id"), negate(col("hit.score")).as("dist"))
+      .orderBy("cid", "rnk")
+  }
+
   private[graft] object L54wSigs {
     private final class Cell(mk: => String) { lazy val dir: String = mk }
     private val built =
@@ -1971,6 +2067,32 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // L70: k-means corpus clustering — the semantic-sharding / data-
+    // mixing pre-pass (cluster-then-sample is the standard curation
+    // recipe for balancing a 100 TB corpus). The FIT (Lloyd iterations)
+    // freezes into the KmFix fixture; the lane is the SERVING half:
+    // nearest-centroid assignment of every embedding, MAP-ONLY — the
+    // k·d centroid table rides the plan as a literal (model, not
+    // data), each row folds k squared-distances in a pinned term order
+    // and takes the (dist, cid) array_min, no join and no shuffle
+    // except the output sort. The generated oracle replays assignment
+    // from the fixture term-for-term (the l66/l68 double discipline),
+    // so the hash match covers distance arithmetic, argmin, and
+    // tie-break. At 100 TB: assignment scales as pure map work;
+    // re-fit cadence is a policy knob, exactly like PCA/PQ codebooks.
+    "l70_kmeans_cluster" -> ((s, d) => kmeansAssign(s, d)),
+
+    // L71: cluster coreset — k-means' composition verb: the N
+    // representatives nearest each centroid (cluster-then-sample, the
+    // standard corpus-balancing / inspection recipe over l70's fit).
+    // Shares the MAP-ONLY frozen-fixture assignment; the per-cluster
+    // top-N runs as the bounded-heap TopK aggregator — partial agg,
+    // k·N rows shuffle — never a window sort over k ≪ cores partitions
+    // (the single-task killer at 100 TB; the l3/w6 argument). Negated
+    // distance rides TopK's score-DESC order; negation is exact, so the
+    // generated oracle's (dist, vec_id) replay matches bit-for-bit.
+    "l71_cluster_coreset" -> ((s, d) => kmeansCoreset(s, d)),
+
     // L15: per-source corpus stats — the dashboard query of a dedup
     // pipeline: docs, distinct contents, dup rate, volume per source.
     "l15_source_stats" -> ((s, d) => {
@@ -2772,6 +2894,59 @@ object LlmOps {
            |    i -> (v[i] - m.m[i]) * ax.c[i]), (x, y) -> x + y) AS pc
            |FROM e CROSS JOIN m CROSS JOIN ax
            |ORDER BY vec_id, j""".stripMargin
+    } ++
+    // l70 replay from the frozen k-means fixture: squared distance to
+    // each centroid in the lane's ascending-index term order (squares
+    // are never -0.0, so DuckDB's no-init fold is bitwise-identical to
+    // Spark's 0D-init fold), argmin via (dist, cid) ordering.
+    KmFix.forOracle.map { p =>
+      "l70_kmeans_cluster" ->
+        s"""WITH cf AS (SELECT cid, cvec FROM read_parquet('$p/*.parquet')),
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |dd AS (
+           |  SELECT e.vec_id, cf.cid,
+           |    list_reduce(list_transform(generate_series(1, len(v)),
+           |      i -> (v[i] - cvec[i]) * (v[i] - cvec[i])), (x, y) -> x + y)
+           |      AS dist
+           |  FROM e CROSS JOIN cf),
+           |r AS (
+           |  SELECT vec_id, cid, dist,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, cid) AS rn
+           |  FROM dd)
+           |SELECT vec_id, cid, dist FROM r WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin
+    } ++
+    // l71 replay: the same frozen-fixture assignment, then per-cluster
+    // nearest-5 via (dist, vec_id) ordering — TopK's (-score, id) order
+    // on negated distances, replayed as a plain window rank.
+    KmFix.forOracle.map { p =>
+      "l71_cluster_coreset" ->
+        s"""WITH cf AS (SELECT cid, cvec FROM read_parquet('$p/*.parquet')),
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |dd AS (
+           |  SELECT e.vec_id, cf.cid,
+           |    list_reduce(list_transform(generate_series(1, len(v)),
+           |      i -> (v[i] - cvec[i]) * (v[i] - cvec[i])), (x, y) -> x + y)
+           |      AS dist
+           |  FROM e CROSS JOIN cf),
+           |a AS (
+           |  SELECT vec_id, cid, dist FROM (
+           |    SELECT vec_id, cid, dist,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY dist, cid) AS rn
+           |    FROM dd) WHERE rn = 1),
+           |tk AS (
+           |  SELECT cid, vec_id, dist,
+           |    row_number() OVER (PARTITION BY cid
+           |      ORDER BY dist, vec_id) AS rnk
+           |  FROM a)
+           |SELECT cid, CAST(rnk AS INT) AS rnk, vec_id, dist
+           |FROM tk WHERE rnk <= 5 ORDER BY cid, rnk""".stripMargin
     }
 
   private val staticOracleSql: Map[String, String] = Map(

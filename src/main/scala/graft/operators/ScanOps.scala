@@ -621,8 +621,92 @@ object ScanOps {
           expr("range_bucket(CAST(l_quantity AS DOUBLE), " +
             "array(5.0D, 15.0D, 25.0D, 35.0D, 45.0D))").as("bkt"))
         .orderBy("l_orderkey", "l_linenumber")
-    })
+    }),
+
+    // O20: Merkle snapshot diff — change-data-feed between two PUBLISHED
+    // labels at O(changed blocks), not O(table). Version 1 of a bucketed
+    // orders table publishes under label v1; version 2 reuses v1's files
+    // byte-for-byte except the ONE bucket whose rows were repriced (the
+    // incremental-writer shape) and publishes under v2. The differ
+    // compares the two MANIFESTS (metadata: path, sha — no data read),
+    // opens ONLY the files that differ, and EXCEPTs them row-wise; the
+    // 7 untouched buckets are never opened (SnapDiffSpec pins the file
+    // counts). At 100 TB this is the Merkle contract: diff cost tracks
+    // the write set. The oracle recomputes the same changed rows from
+    // the base table, so a hash match proves the block-level shortcut
+    // loses nothing.
+    "o20_snapshot_diff" -> ((s, d) => SnapDiff.changedRows(s, d))
   )
+
+  /** o20's two-label fixture: a deterministic two-version publish into a
+    * scratch SnapshotStore repo, built once per (process, sf dir). v2's
+    // unchanged buckets are byte-copies of v1's files, so their CAS
+    * blocks dedup to the same shas and the manifest diff isolates the
+    * rewritten bucket. */
+  private[graft] object SnapDiff {
+    import graft.sources.SnapshotStore
+    private final class Cell(mk: => String) { lazy val repo: String = mk }
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+    private def repoFor(s: SparkSession, d: String): String =
+      built.computeIfAbsent(d, _ => new Cell({
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-o20").toString
+        val orders = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        // v1: 8 hash buckets, one file each, rows sorted within the file
+        orders
+          .withColumn("bucket", pmod(col("o_orderkey"), lit(8)).cast("int"))
+          .repartition(8, col("bucket"))
+          .sortWithinPartitions("o_orderkey")
+          .write.partitionBy("bucket").parquet(s"$work/v1/orders")
+        // v2: byte-copy every bucket except 3; rewrite bucket 3 with the
+        // %13 keys repriced — exactly what an incremental writer leaves
+        val v1Root = java.nio.file.Paths.get(s"$work/v1")
+        val stream = java.nio.file.Files.walk(v1Root)
+        try stream.filter(p => java.nio.file.Files.isRegularFile(p) &&
+            !p.toString.contains("bucket=3")).forEach { p =>
+          val dst = java.nio.file.Paths.get(s"$work/v2")
+            .resolve(v1Root.relativize(p))
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst)
+          ()
+        } finally stream.close()
+        orders.filter(pmod(col("o_orderkey"), lit(8)) === 3)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .coalesce(1).sortWithinPartitions("o_orderkey")
+          .write.parquet(s"$work/v2/orders/bucket=3")
+        val repo = java.nio.file.Files
+          .createTempDirectory("graft-o20-repo").toString
+        SnapshotStore.publish(s, s"$work/v1", repo, "v1")
+        SnapshotStore.publish(s, s"$work/v2", repo, "v2")
+        repo
+      })).repo
+
+    /** The (old entries, new entries) whose (path, sha) pairs differ
+      * between the labels — removed-or-rewritten on the left,
+      * added-or-rewritten on the right. Pure manifest metadata. */
+    private[operators] def changedEntries(s: SparkSession, d: String)
+        : (Seq[SnapshotStore.ManifestEntry], Seq[SnapshotStore.ManifestEntry]) = {
+      val repo = repoFor(s, d)
+      def pq(label: String) = SnapshotStore.mount(repo, label)
+        .filter(_.path.endsWith(".parquet"))
+      val (m1, m2) = (pq("v1"), pq("v2"))
+      val (k1, k2) = (m1.map(e => (e.path, e.sha256)).toSet,
+        m2.map(e => (e.path, e.sha256)).toSet)
+      (m1.filterNot(e => k2((e.path, e.sha256))),
+        m2.filterNot(e => k1((e.path, e.sha256))))
+    }
+
+    def changedRows(s: SparkSession, d: String): DataFrame = {
+      val repo = repoFor(s, d)
+      val (oldC, newC) = changedEntries(s, d)
+      def read(es: Seq[SnapshotStore.ManifestEntry]) =
+        s.read.parquet(es.map(e => s"$repo/CAS/${e.sha256}"): _*)
+      read(newC).except(read(oldC)).orderBy("o_orderkey")
+    }
+  }
 
   /** Unrolled 16-bit × n Morton interleave in portable SQL arithmetic:
     * bit i of column j lands at position n·i + j — DIV/%/× only, exact
@@ -949,6 +1033,13 @@ object ScanOps {
         |  + CAST(l_quantity >= 25.0 AS BIGINT) + CAST(l_quantity >= 35.0 AS BIGINT)
         |  + CAST(l_quantity >= 45.0 AS BIGINT) AS bkt
         |FROM lineitem WHERE l_orderkey < 300
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the repriced rows of the rewritten bucket — what the Merkle
+    // manifest diff must surface from the changed blocks alone
+    "o20_snapshot_diff" ->
+      """SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 8 = 3 AND o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -267,6 +267,33 @@ object StreamOps {
           (terms.reduceLeft(_ + _) / lit(2.0 - math.pow(2.0, -15)))
             .as("ewma"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // T13: stream-stream join — view→click attribution: every view by
+    // the same user within the 6 hours BEFORE a click. This is the
+    // batch frame of the watermarked stream-stream interval join
+    // (StreamJobs.clickViewJoin — same shape, 5-minute constant;
+    // StreamingSpec pins the streaming twin's results and its state
+    // bound). Scale shape: ONE hash shuffle of each side on user_id,
+    // the time-range predicate evaluated INSIDE the join (output is the
+    // true pair count, no blow-up); in streaming both sides' buffered
+    // state is reclaimable once the watermark passes the range. 100 TB:
+    // per-user fan-out is the true pair count — a skewed power user
+    // salts like any hot equi-key.
+    "t13_stream_stream_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 6 HOURS") &&
+          col("view_ts") <= col("click_ts"))
+        .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+        .orderBy("user_id", "click_id", "view_id")
     })
   )
 
@@ -408,6 +435,14 @@ object StreamOps {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, event_id""".stripMargin
-    }
+    },
+
+    "t13_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  v.event_id AS view_id, v.ts AS view_ts
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin
   )
 }
