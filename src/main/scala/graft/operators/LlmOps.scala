@@ -387,8 +387,9 @@ object LlmOps {
 
     /** MAP-ONLY nearest-centroid assignment: per row, fold the squared
       * distance to each centroid (ascending-index term order — the l66
-      * discipline) and take the array_min of (dist, cid) structs. */
-    private[operators] def assign(vecs: DataFrame,
+      * discipline) and take the array_min of (dist, cid) structs.
+      * private[graft]: the streaming serve arm (StreamJobs) shares it. */
+    private[graft] def assign(vecs: DataFrame,
         cents: Seq[(Int, Seq[Double])]): DataFrame =
       vecs.withColumn("cents", typedlit(cents))
         .select(col("vec_id"), col("embedding"),

@@ -294,6 +294,32 @@ object StreamOps {
           col("view_ts") <= col("click_ts"))
         .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
         .orderBy("user_id", "click_id", "view_id")
+    }),
+
+    // T14: stream-stream LEFT OUTER join — t13 with view-less clicks
+    // kept as null-padded rows (the attribution report wants "no view"
+    // as a fact, not an absence). Streaming twin:
+    // StreamJobs.clickViewJoinOuter, where the null row's emission is
+    // WATERMARK-DRIVEN (a click is only provably view-less once the
+    // watermark passes its join horizon — StreamingSpec pins that
+    // timeline). Same scale shape as t13; the outer side adds no state
+    // beyond the inner form's watermark-bounded buffers. Null view_ids
+    // sort NULLS FIRST on both engines (Spark asc default, mirrored
+    // explicitly in the oracle — DuckDB's asc default is NULLS LAST).
+    "t14_stream_outer_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 6 HOURS") &&
+          col("view_ts") <= col("click_ts"), "left_outer")
+        .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+        .orderBy(col("user_id"), col("click_id"), col("view_id").asc_nulls_first)
     })
   )
 
@@ -443,6 +469,15 @@ object StreamOps {
         |FROM events c JOIN events v ON c.user_id = v.user_id
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
-        |ORDER BY c.user_id, click_id, view_id""".stripMargin
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
+
+    "t14_stream_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  v.event_id AS view_id, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+        |ORDER BY c.user_id, click_id, view_id NULLS FIRST""".stripMargin
   )
 }

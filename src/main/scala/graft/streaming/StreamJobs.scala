@@ -114,6 +114,23 @@ object StreamJobs {
       .select(col("c_user").as("user_id"), col("cts"), col("vts"))
   }
 
+  /** [[clickViewJoin]]'s LEFT OUTER form — every click emits, view-less
+    * ones null-padded. The outer side's emission is WATERMARK-DRIVEN:
+    * an unmatched click can only be declared view-less once the global
+    * watermark has passed its join horizon (cts + watermark delay), so
+    * the null row appears in append output a watermark later — the
+    * structural difference from the inner form, pinned in
+    * StreamingSpec. Same state bound: both sides' buffers reclaim once
+    * the watermark passes the range. */
+  def clickViewJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("cts", "10 minutes")
+    val v = views.withWatermark("vts", "10 minutes")
+    c.join(v, expr(
+        "c_user = v_user AND vts BETWEEN cts - INTERVAL 5 MINUTES AND cts"),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("cts"), col("vts"))
+  }
+
   /** Streaming snapshot publish: each micro-batch appends parquet into the
     * staging tree, then commits the WHOLE tree as the labeled snapshot —
     * stream-to-table with the catalog pointer advancing batch-atomically
@@ -411,6 +428,40 @@ object StreamJobs {
           answers.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(s"$outDir/answers")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        writeMarker(s, outDir, batchId)
+      }
+      ()
+    }
+
+  /** Streaming k-means serving — the l70 assignment arm under
+    * foreachBatch: each arriving (vec_id, embedding) micro-batch is
+    * labeled with its nearest centroid from the FROZEN fixture
+    * (`fixtureDir`, the KmFix layout: cid, cvec). The centroid table is
+    * metadata (k·d doubles) read per batch and carried as a plan
+    * literal, so assignment is MAP-ONLY — no join, no shuffle, no
+    * cross-batch state (batch ≡ stream by construction; StreamingSpec
+    * pins parity). Serving mutates nothing; replay is idempotent via
+    * the same marker + dynamic-partition-overwrite contract as the
+    * other serve jobs. Re-fit cadence is the deployment's policy knob,
+    * exactly like the ANN/PQ codebooks. */
+  def kmeansServeEachBatch(vecs: DataFrame, fixtureDir: String,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      if (!markerExists(s, outDir, batchId)) {
+        val cents = s.read.parquet(fixtureDir).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+          .sortBy(_._1).toSeq
+        val answers = graft.operators.LlmOps.KmFix
+          .assign(batch.select(col("vec_id"), col("embedding")), cents)
+          .select(col("vec_id"), col("cid"), col("dist"))
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          answers.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$outDir/assignments")
         } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         writeMarker(s, outDir, batchId)
       }

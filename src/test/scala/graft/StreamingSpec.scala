@@ -421,6 +421,40 @@ class StreamingSpec extends SparkSpec {
     assert(served.map(_._1) == Set(3L, 7L, 11L))
   }
 
+  test("streaming k-means serving labels each batch from the frozen centroids") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixDir = graft.operators.LlmOps.KmFix.fixture(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("stream-km-out").toString
+    val rows = graft.Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isin(1L, 5L, 9L))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = StreamJobs.kmeansServeEachBatch(vecs, fixDir, outDir).start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(s"$outDir/assignments")
+      .select("vec_id", "cid", "dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    // parity: the streamed labels ARE the batch lane's labels
+    val cents = spark.read.parquet(fixDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val direct = graft.operators.LlmOps.KmFix.assign(
+        graft.Tables.t(spark, sfDir, "embeddings")
+          .filter(col("vec_id").isin(1L, 5L, 9L))
+          .select(col("vec_id"), col("embedding")), cents)
+      .select("vec_id", "cid", "dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(served == direct, s"served=$served direct=$direct")
+    assert(served.map(_._1) == Set(1L, 5L, 9L))
+  }
+
   test("streaming PQ serving answers probe batches from the compressed store") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -825,6 +859,38 @@ class StreamingSpec extends SparkSpec {
     // views at 6 and 7 fall in [5, 10]; the view at 2 is too old; user 9
     // never clicked
     assert(rows == Set((7L, ts(6)), (7L, ts(7))), s"got $rows")
+  }
+
+  test("stream-stream OUTER join emits view-less clicks once the watermark passes") {
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val joined = StreamJobs.clickViewJoinOuter(
+      clicks.toDF().toDF("cts", "c_user"),
+      views.toDF().toDF("vts", "v_user"))
+    val q = joined.writeStream.format("memory").queryName("ssjo")
+      .outputMode("append").start()
+    // user 7 clicks at t=10 with a view at t=6 (matched); user 9 clicks
+    // at t=10 with NO view in [5, 10]
+    views.addData(ts(6) -> 7L)
+    clicks.addData(ts(10) -> 7L, ts(10) -> 9L)
+    q.processAllAvailable()
+    val early = spark.table("ssjo").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSet
+    // the matched pair emits immediately; user 9 is NOT yet provably
+    // view-less — its null row must wait for the watermark
+    assert(early == Set((7L, Some(ts(6)))), s"got $early")
+    // advance the watermark far past the click's join horizon
+    // (cts + 10 min watermark) on BOTH sides (global watermark = min)
+    clicks.addData(ts(3600) -> 1L)
+    views.addData(ts(3600) -> 1L)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjo").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSet
+    assert(rows.contains((9L, None)),
+      s"watermark-driven null emission missing: $rows")
   }
 
   test("streaming parquet sink writes through pufs:// and reads back") {
