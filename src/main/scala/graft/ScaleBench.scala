@@ -124,7 +124,28 @@ object ScaleBench {
     // full-table (no oracle bound to strip) — per-row scale + rounding,
     // the 4× serving compression's cost measured against corpus growth
     "l67_quant_full" -> ((s: SparkSession, d: String) =>
-      graft.operators.LlmOps.queries("l67_int8_quant")(s, d)))
+      graft.operators.LlmOps.queries("l67_int8_quant")(s, d)),
+    // round 18: stream-stream interval join at K× — user_id keys shift
+    // per replica, so per-user pair counts stay constant and the join's
+    // output (and cost) must scale as the corpus, never as its square
+    "t13_stream_stream_join" -> ((s: SparkSession, d: String) =>
+      graft.operators.StreamOps.queries("t13_stream_stream_join")(s, d)),
+    // round 18: full-corpus k-means assignment — the l70 map-only plan;
+    // the Lloyd fit is paid once per dir by the warmup sweep (KmFix
+    // cache), timed sweeps measure the serving term (ratio/K ~1 = pure
+    // map survives scale)
+    "l70_kmeans_full" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l70_kmeans_cluster")(s, d)),
+    // round 18: cluster coreset — assignment + bounded-heap top-5 per
+    // centroid (k·N shuffle rows independent of corpus size)
+    "l71_cluster_coreset" -> ((s: SparkSession, d: String) =>
+      graft.operators.LlmOps.queries("l71_cluster_coreset")(s, d)),
+    // round 18: Merkle snapshot diff — the two-label publish is paid by
+    // the warmup sweep (SnapDiff cache); timed sweeps measure the diff
+    // itself: manifest compare (metadata) + the ONE rewritten bucket's
+    // blocks, whose size — not count — grows with K (O(changed bytes))
+    "o20_snapshot_diff" -> ((s: SparkSession, d: String) =>
+      graft.operators.ScanOps.queries("o20_snapshot_diff")(s, d)))
 
   def main(args: Array[String]): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
