@@ -452,6 +452,14 @@ object AnnIndex {
           .parquet(s"${sq8Dir(dir)}/codes")
         catch { case t: Throwable => sq8NCache.remove(dir); throw t }
         bump(sq8NCache, dir, batchN)
+        // the set-equality verdict CARRIES across this append: the same
+        // id batch landed on both sides, so the symmetric difference is
+        // unchanged — re-key the cached verdict instead of letting the
+        // next serve pay two corpus-linear fingerprint scans (the same
+        // incremental discipline as bump, VERDICT r14 #3)
+        sq8SetCache.computeIfPresent(dir,
+          (_, o) => (o._1 + batchN, o._2 + batchN, o._3))
+        ()
       } else maintainSq8(spark, dir)
       if (hasIvf(spark, dir)) {
         val f = refitFactor(spark)
@@ -532,8 +540,11 @@ object AnnIndex {
     * XOR-folds of hashed ids — ids are unique, so set equality is what
     * XOR tests) catches that with probability ≈ 1−2⁻¹²⁸. Cached keyed
     * by the (n, qn) the verdict was computed at: the warm serve path
-    * costs no job, and any append (which moves a cached count)
-    * re-checks exactly once. Crossed appends stay float32 even after
+    * costs no job, this JVM's own appends CARRY the verdict (the same
+    * id batch lands on both sides — symmetric difference unchanged, so
+    * append() just re-keys it), and only externally-moved counts
+    * (refreshCounts observing another process, a repair) re-check —
+    * exactly once per observation. Crossed appends stay float32 even after
     * repairSidecar (the repair append makes the counts diverge, which
     * the count gate then holds) — degraded, never short answers. */
   private val sq8SetCache = new java.util.concurrent.ConcurrentHashMap[
@@ -547,11 +558,20 @@ object AnnIndex {
     (r.getLong(0), r.getLong(1))
   }
   private def sq8SetMatches(spark: SparkSession, dir: String,
-      n: Long, qn: Long): Boolean =
-    sq8SetCache.compute(dir, (_, old) =>
-      if (old != null && old._1 == n && old._2 == qn) old
-      else (n, qn, idFingerprint(spark, s"$dir/vectors") ==
-        idFingerprint(spark, s"${sq8Dir(dir)}/codes")))._3
+      n: Long, qn: Long): Boolean = {
+    // plain get/put, NOT compute: the recompute runs two Spark jobs and
+    // must never run under the map's bin lock (a serve on another dir
+    // hashing to the same bin would stall behind them). The benign race
+    // — two threads recomputing the same dir — both reach one verdict.
+    val cached = sq8SetCache.get(dir)
+    if (cached != null && cached._1 == n && cached._2 == qn) cached._3
+    else {
+      val ok = idFingerprint(spark, s"$dir/vectors") ==
+        idFingerprint(spark, s"${sq8Dir(dir)}/codes")
+      sq8SetCache.put(dir, (n, qn, ok))
+      ok
+    }
+  }
 
   /** Which representation the FLAT arm's exact re-rank will read —
     * "sq8" (1-byte codes, 4× fewer corpus bytes) or "float32". SQ8

@@ -640,7 +640,7 @@ object ScanOps {
 
   /** o20's two-label fixture: a deterministic two-version publish into a
     * scratch SnapshotStore repo, built once per (process, sf dir). v2's
-    // unchanged buckets are byte-copies of v1's files, so their CAS
+    * unchanged buckets are byte-copies of v1's files, so their CAS
     * blocks dedup to the same shas and the manifest diff isolates the
     * rewritten bucket. */
   private[graft] object SnapDiff {

@@ -529,7 +529,11 @@ object SnapshotStore {
     * formats made the two read paths disagree). A Hive-partitioned
     * subtree keeps its partition-column VALUES: the k=v layout is
     * reconstructed from the manifest paths before the rewrite, and the
-    * columns land physical in the new files (advisor r17). New-block
+    * columns land physical in the new files (advisor r17) — losslessly:
+    * type inference is off (it would rewrite p=0001 to int 1); a column
+    * whose every path value round-trips as a LONG comes back as long,
+    * anything else as the raw string; flat files mixed into a
+    * partitioned subtree union in null-padded. New-block
     * hashing is driver-side like the sequential publish path — the
     * rewritten table's file count is post-compaction small; route trees
     * past that through publish().
@@ -554,7 +558,12 @@ object SnapshotStore {
     val (sub, kept) = old.partition(_.path.startsWith(prefix))
     val tbl = sub.filter(_.path.endsWith(".parquet"))
     require(tbl.nonEmpty, s"label $label has no parquet files under $prefix")
-    val staging = Files.createTempDirectory("graft-optlabel")
+    // staging lives INSIDE the repo root (dot-prefixed, deleted in the
+    // finally): same filesystem as the CAS, so the partition-relayout
+    // hard links below always succeed — a /tmp staging on another
+    // device would silently degrade to byte-copying the whole
+    // pre-rewrite table (and on a tmpfs /tmp, into RAM)
+    val staging = Files.createTempDirectory(Paths.get(repo), ".optstage-")
     try {
       val outDir = staging.resolve(table)
       // Hive-partitioned subtree (advisor r17): manifest paths like
@@ -563,16 +572,26 @@ object SnapshotStore {
       // drop those columns from every rewritten row. Reconstruct the
       // k=v layout with hard links into a read-staging dir (never
       // hashed or stat'd — only `outDir` and explicit onlyPaths are) so
-      // Spark's partition inference restores the columns; they land in
-      // the rewritten files as ordinary physical columns, same rows.
-      val hasPartDirs = tbl.exists(e => e.path.stripPrefix(prefix)
+      // partition discovery restores the columns; they land in the
+      // rewritten files as ordinary physical columns, same rows.
+      // LOSSLESS reconstruction: discovery runs with partition-type
+      // INFERENCE OFF — inference silently rewrites path-encoded values
+      // (p=0001 → int 1, the advisor-r17 corruption class in narrower
+      // form) — then a column whose every path value round-trips as a
+      // LONG is cast back; everything else stays the raw string. A
+      // MIXED subtree (flat files next to k=v dirs) reads each class
+      // its own way and unions, flat rows null-padded on the partition
+      // columns — never the partition-discovery AssertionError.
+      val (partTbl, flatTbl) = tbl.partition(e => e.path.stripPrefix(prefix)
         .split('/').dropRight(1).exists(_.contains("=")))
+      def bySha(es: Seq[ManifestEntry]) = spark.read.parquet(
+        es.map(e => casDir(repo).resolve(e.sha256).toString): _*)
       val df =
-        if (!hasPartDirs) spark.read.parquet(
-          tbl.map(e => casDir(repo).resolve(e.sha256).toString): _*)
+        if (partTbl.isEmpty) bySha(tbl)
         else {
+          import org.apache.spark.sql.functions.col
           val readRoot = staging.resolve("_read")
-          tbl.foreach { e =>
+          partTbl.foreach { e =>
             val t = readRoot.resolve(e.path)
             Files.createDirectories(t.getParent)
             try { Files.createLink(t, casDir(repo).resolve(e.sha256)); () }
@@ -582,7 +601,29 @@ object SnapshotStore {
             }
           }
           val tableRoot = readRoot.resolve(table).toString
-          spark.read.option("basePath", tableRoot).parquet(tableRoot)
+          val confKey =
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+          val saved = spark.conf.get(confKey)
+          val raw =
+            try {
+              spark.conf.set(confKey, "false") // discovery is eager here
+              spark.read.option("basePath", tableRoot).parquet(tableRoot)
+            } finally spark.conf.set(confKey, saved)
+          val rawVals: Map[String, Seq[String]] = partTbl
+            .flatMap(_.path.stripPrefix(prefix).split('/').dropRight(1)
+              .filter(_.contains("=")).map { seg =>
+                val i = seg.indexOf('=')
+                (seg.take(i), seg.drop(i + 1))
+              })
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+          val longCols = rawVals.collect { case (c, vs)
+              if vs.forall(v =>
+                scala.util.Try(v.toLong).toOption.exists(_.toString == v)) =>
+            c }.toSet
+          val typed = longCols.foldLeft(raw)((d, c) =>
+            d.withColumn(c, col(c).cast("long")))
+          if (flatTbl.isEmpty) typed
+          else typed.unionByName(bySha(flatTbl), allowMissingColumns = true)
         }
       graft.operators.LayoutOps.optimizeFrame(spark, df, tbl.map(_.size).sum,
         outDir.toString, targetBytes, cols)

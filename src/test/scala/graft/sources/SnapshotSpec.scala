@@ -331,6 +331,49 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.getRoot(repo, "main").contains(sha1))
   }
 
+  test("OPTIMIZE keeps string partition values lossless; mixed flat+k=v reads union") {
+    import org.apache.spark.sql.functions._
+    // reviewer r18: type inference would rewrite p=0001 to int 1 — the
+    // advisor-r17 silent-corruption class in narrower form — and one
+    // k=v entry next to a flat file crashed partition discovery.
+    val src = Files.createTempDirectory("snap-lz-src").toString
+    val base = spark.range(0, 600)
+      .select(col("id").as("v"), (col("id") % 20).as("a"))
+    base.filter(col("v") % 3 === 0)
+      .withColumn("p", format_string("%04d", col("v") % 2))
+      .repartition(2).write.partitionBy("p").parquet(s"$src/t")
+    // a flat file directly under the same table root (no k=v segment)
+    base.filter(col("v") % 3 =!= 0)
+      .coalesce(1).write.parquet(s"$src/t_flat")
+    Files.walk(Paths.get(s"$src/t_flat")).forEach { f =>
+      if (f.toString.endsWith(".parquet")) {
+        Files.move(f, Paths.get(s"$src/t", f.getFileName.toString)); ()
+      }
+    }
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$src/t_flat"))
+    val repo = Files.createTempDirectory("snap-lz-repo").toString
+    SnapshotStore.publish(spark, src, repo, "main")
+    val (sha1, pre, post) = SnapshotStore.optimizeTable(spark, repo, "main",
+      "t", targetBytes = Long.MaxValue, cols = Seq("a", "v"))
+    assert(pre >= 3 && post >= 1, s"($pre, $post)")
+    val files = SnapshotStore.mount(repo, "main")
+      .filter(e => e.path.startsWith("t/") && e.path.endsWith(".parquet"))
+      .map(e => s"$repo/CAS/${e.sha256}")
+    val got = spark.read.parquet(files: _*)
+    // leading-zero values survive byte-exact as STRINGS
+    assert(got.schema("p").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val ps = got.select("p").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(ps == Set(Some("0000"), Some("0001"), None),
+      s"partition values must be lossless, flat rows null-padded: $ps")
+    // row-complete across both classes
+    assert(got.agg(count(lit(1)), sum("v")).collect()(0) ==
+      base.agg(count(lit(1)), sum("v")).collect()(0))
+    assert(SnapshotStore.getRoot(repo, "main").contains(sha1))
+  }
+
   test("OPTIMIZE writes ONE sidecar format: fresh and carried entries land together") {
     import org.apache.spark.sql.functions._
     // advisor r17: with a big manifest, fresh stats went to a parquet
