@@ -302,7 +302,7 @@ object Bench {
       // fixed probes per replica slice, k=5)
       "idx_ann_probe" -> ((s: SparkSession, d: String) =>
         graft.operators.AnnIndex.queryProbes(s, ServeIndexes.ann(s, d),
-          probeBatch(s, d, 50), 5)),
+          probeBatch(s, d, 50), 5, probeCount = 50)),
 
       // ROUTED ANN probe batch (VERDICT r14 #6): the same probes served
       // through the router with the threshold forced past, over an index
@@ -318,7 +318,8 @@ object Bench {
         val saved = s.conf.getOption(key)
         s.conf.set(key, "0")
         try graft.operators.AnnIndex.queryProbes(s,
-          ServeIndexes.annRouted(s, d), probeBatch(s, d, 50), 5)
+          ServeIndexes.annRouted(s, d), probeBatch(s, d, 50), 5,
+          probeCount = 50)
         finally saved match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
@@ -337,7 +338,8 @@ object Bench {
         val saved = s.conf.getOption(key)
         s.conf.set(key, "true")
         try graft.operators.AnnIndex.queryProbes(s,
-          ServeIndexes.annSq8(s, d), probeBatch(s, d, 50), 5)
+          ServeIndexes.annSq8(s, d), probeBatch(s, d, 50), 5,
+          probeCount = 50)
         finally saved match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)

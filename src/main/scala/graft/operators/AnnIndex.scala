@@ -182,9 +182,36 @@ object AnnIndex {
     cache.computeIfPresent(dir, (_, old) => old + by); ()
   }
 
+  /** The probe-batch size the corpus-only routing threshold was
+    * MEASURED at (AnnRouteProbe, 500-probe batches — SCALE.md
+    * Round-14): [[chosenArm]]'s batch-aware rule preserves exactly the
+    * old decision at this batch size and scales with the actual batch
+    * either side of it. */
+  private[graft] val RouteRefProbes = 500L
+
   /** Which serving arm `queryProbes` will take for the stored index —
     * "flat" or "ivfpq". Exposed so specs pin the choice on both sides
     * of the threshold and ops can audit a deployment.
+    *
+    * BATCH-REGIME AWARE (VERDICT r17 #1 / r18 #1): the flat arm's
+    * dominant serve term is the candidate shuffle — probes ×
+    * avgBucketRows(n) rows through the bucket join — which is linear
+    * in BOTH the corpus and the batch, while the routed IVFPQ arm's
+    * candidates-per-probe FALL with corpus growth at a fixed nprobe.
+    * The measured batch axis (SCALE.md Round-17: at the 5,000-probe
+    * burst on a 4M corpus the flat arms took 167–204 s and converged —
+    * candidate volume, not re-rank byte width, dominates there) says
+    * the routing decision must scale with the batch, so the rule is a
+    * candidate-VOLUME threshold: route when
+    * `probes × avgBucketRows(n) > flatMaxBucketRows × RouteRefProbes`.
+    * At the 500-probe reference batch this is EXACTLY the old
+    * corpus-only rule (all prior thresholds/specs keep their meaning);
+    * a 10× burst routes at a 10×-smaller corpus, and a trickle of
+    * single probes stays on the exact-recall flat arm an order of
+    * magnitude longer — the regime where SQ8/flat is measured 2.8–5.3×
+    * faster. Routing still requires the sidecar to EXIST; a deployment
+    * expecting burst batches below the corpus threshold lowers
+    * [[FlatMaxBucketRowsKey]] so build/append fit the sidecar earlier.
     *
     * DIVERGENCE GUARD (VERDICT r14 #2 / advisor r14): `append` writes
     * the flat tables and the sidecar non-atomically, so a crash between
@@ -196,8 +223,17 @@ object AnnIndex {
     * to the exact-recall flat arm and logs the divergence. Recovery is
     * [[repairSidecar]] (appends exactly the missing rows under the
     * frozen quantizers). */
-  private[graft] def chosenArm(spark: SparkSession, dir: String): String =
-    if (avgBucketRows(corpusRows(spark, dir)) > flatMaxBucketRows(spark) &&
+  /** Saturating non-negative multiply: a Long.MaxValue threshold (the
+    * routing-off idiom specs use) must clamp, not wrap negative. */
+  private def satMul(a: Long, b: Long): Long = {
+    val r = a * b
+    if (a != 0 && (r / a != b || r < 0)) Long.MaxValue else r
+  }
+
+  private[graft] def chosenArm(spark: SparkSession, dir: String,
+      probeCount: Long = RouteRefProbes): String =
+    if (satMul(probeCount, avgBucketRows(corpusRows(spark, dir))) >
+        satMul(flatMaxBucketRows(spark), RouteRefProbes) &&
       hasIvf(spark, dir)) {
       val (n, sn) = (corpusRows(spark, dir), sidecarRows(spark, dir))
       if (n == sn) "ivfpq"
@@ -502,8 +538,11 @@ object AnnIndex {
     * from the stored index. */
   def query(spark: SparkSession, dir: String, nProbes: Int, k: Int): DataFrame = {
     val vecs = spark.read.parquet(s"$dir/vectors")
+    // nProbes is the router's batch-size hint too (an upper bound when
+    // ids are sparse — a cost-model input, not a correctness one)
     queryProbes(spark, dir, vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), k)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv")), k,
+      probeCount = nProbes)
   }
 
   /** Top-k neighbors for an ARBITRARY probe set `(probe_id, pv)`, served
@@ -519,26 +558,43 @@ object AnnIndex {
     * or a corpus vector that happens to carry a probe's number silently
     * vanishes from that probe's results.
     *
-    * ROUTED (round 14): past the [[FlatMaxBucketRows]] threshold — where
-    * the flat arm's exact re-rank term (probes × n/256 bucket rows)
-    * makes serving linear in the corpus — the batch serves from the
-    * IVFPQ sidecar instead (cells grow as √n; candidates per probe fall
-    * with corpus growth). Below it, the flat arm's exact-recall
-    * bucket-join serves as before. */
+    * ROUTED (round 14, batch-aware round 19): past [[chosenArm]]'s
+    * candidate-volume threshold — probes × avgBucketRows(n), the flat
+    * arm's dominant shuffle term — the batch serves from the IVFPQ
+    * sidecar instead (cells grow as √n; candidates per probe fall with
+    * corpus growth). Below it, the flat arm's exact-recall bucket-join
+    * serves as before. `probeCount` feeds the router: pass it when the
+    * caller knows the batch size (streaming micro-batches, fixed probe
+    * slices) — when negative it is COUNTED, one batch-sized job, which
+    * also means a non-deterministic probe frame should be persisted by
+    * the caller (the flat arm already broadcasts the probe frame
+    * twice, so that requirement is not new). */
   def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
-      k: Int, excludeSelf: Boolean = true): DataFrame =
-    if (chosenArm(spark, dir) == "ivfpq")
+      k: Int, excludeSelf: Boolean = true, probeCount: Long = -1L): DataFrame = {
+    val pn = if (probeCount >= 0) probeCount else probeVecs.count()
+    if (chosenArm(spark, dir, pn) == "ivfpq")
       IvfPqIndex.queryProbes(spark, ivfDir(dir), probeVecs, k,
         nprobe = routeNprobe(spark), excludeSelf = excludeSelf)
     else flatQueryProbes(spark, dir, probeVecs, k, excludeSelf)
+  }
 
   /** Set-equality spot check BEHIND the count gate (advisor r17): equal
     * row counts with divergent vec_id sets — two external writers'
     * crossed appends — pass a count-only gate, and the codes inner join
     * would then silently drop the un-coded vectors from the re-rank.
-    * One order-insensitive fingerprint per side (two independent 64-bit
-    * XOR-folds of hashed ids — ids are unique, so set equality is what
-    * XOR tests) catches that with probability ≈ 1−2⁻¹²⁸. Cached keyed
+    * One order-insensitive fingerprint per side — two independent
+    * 64-bit XOR-folds of hashed ids PLUS two SUM-folds of the hashes
+    * mod 31-bit primes (advisor r18: XOR alone tests multiset PARITY,
+    * so duplicate ids — the blind-re-run-append failure mode append()'s
+    * own doc names — cancel in pairs and equal-count sides with
+    * divergent sets could pass; a sum is cancellation-resistant, a
+    * duplicated id shifts it by its residue instead of erasing itself).
+    * The sums are modded below 2³¹ BEFORE summing because the session
+    * runs ANSI: a wrapping mod-2⁶⁴ sum of full-range hashes would
+    * overflow-throw on the second row; n·(2³¹) stays inside a long to
+    * n = 2³² rows per index dir. Combined catch probability for a
+    * duplicate-cancellation divergence ≈ 1−2⁻⁶² (the XOR pair already
+    * catches every non-cancelling set difference at ≈ 1−2⁻¹²⁸). Cached keyed
     * by the (n, qn) the verdict was computed at: the warm serve path
     * costs no job, this JVM's own appends CARRY the verdict (the same
     * id batch lands on both sides — symmetric difference unchanged, so
@@ -549,13 +605,17 @@ object AnnIndex {
     * the count gate then holds) — degraded, never short answers. */
   private val sq8SetCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Long, Boolean)]()
-  private def idFingerprint(spark: SparkSession, path: String): (Long, Long) = {
+  private[graft] def idFingerprint(spark: SparkSession,
+      path: String): (Long, Long, Long, Long) = {
     val r = spark.read.parquet(path)
       .select(xxhash64(col("vec_id")).as("h1"),
         xxhash64(lit("g2"), col("vec_id")).as("h2"))
-      .agg(expr("coalesce(bit_xor(h1), 0L)"), expr("coalesce(bit_xor(h2), 0L)"))
+      .agg(expr("coalesce(bit_xor(h1), 0L)"), expr("coalesce(bit_xor(h2), 0L)"),
+        // duplicate ids do NOT cancel in these
+        expr("coalesce(sum(pmod(h1, 2147483629L)), 0L)"),
+        expr("coalesce(sum(pmod(h2, 2147483587L)), 0L)"))
       .collect()(0)
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
   private def sq8SetMatches(spark: SparkSession, dir: String,
       n: Long, qn: Long): Boolean = {

@@ -195,24 +195,37 @@ object LayoutOps {
     * ordinary columns, so dst serves the same rows as src with the
     * partition columns physical.
     *
-    * GENERATION FOLD (`maxGenerations`): each pass adds a generation,
-    * and a per-trigger streaming ingest would accumulate exactly the
-    * small-generation debris OPTIMIZE exists to kill. Once `dst` holds
-    * `maxGenerations` live generations, the pass FOLDS: all prior
-    * generations plus the fresh rows rewrite through one full z-order
-    * into a single new generation — the periodic full [[optimize]],
-    * amortized into the same verb. The fold is crash-safe via a
-    * `_FOLD` intent marker written only after the folded bytes are
-    * fully staged: every step after the marker is idempotent, the next
-    * pass completes a crashed fold before doing its own work, and no
-    * already-committed row is ever lost (the recovery window shows
+    * GENERATION FOLD (`maxGenerations`, TIERED since r19): each pass
+    * adds a generation, and a per-trigger streaming ingest would
+    * accumulate exactly the small-generation debris OPTIMIZE exists to
+    * kill. Once `dst` holds `maxGenerations` live generations, the
+    * pass FOLDS — but SIZE-TIERED (LSM-style, VERDICT r17 #3 / r18
+    * #2), not all-at-once: the SMALLEST generations (always enough to
+    * bring the live count back under `maxGenerations`, then more while
+    * the folded bytes stay within [[FoldFraction]] of the live table)
+    * plus the fresh rows rewrite through one z-order into a single new
+    * generation; the big generations' bytes are NOT touched. The old
+    * full fold staged the ENTIRE table through one shuffle+sort with
+    * no intermediate commit — at 100 TB that is the single giant pass
+    * tiering exists to forbid. Any one pass now stages at most
+    * max(FoldFraction × live bytes, the k-smallest the count bound
+    * forces); a byte migrates into ever-larger generations and so
+    * rewrites O(log(table / trigger)) times over any ingest history —
+    * the LSM amortization — instead of every `maxGenerations` passes.
+    * The fold is crash-safe via a `_FOLD` intent marker written only
+    * after the folded bytes are fully staged: the marker names the
+    * folded source generations, every step after it is idempotent, the
+    * next pass completes a crashed fold before doing its own work, and
+    * no already-committed row is ever lost (the recovery window shows
     * readers DUPLICATED rows, never missing ones — resolved by the
-    * old-generation delete the recovery replays).
+    * folded-generation delete the recovery replays; surviving
+    * generations are never touched). A pre-r19 marker (no fold-src
+    * line) recovers with the old all-generations semantics.
     *
     * A streaming ingest dropping small files per trigger pays O(new
-    * bytes) per maintenance pass, O(table) only at the 1-in-
-    * `maxGenerations` fold. Returns (src files rewritten this pass,
-    * src files already represented). */
+    * bytes) per maintenance pass, O(FoldFraction × table) at a fold.
+    * Returns (src files rewritten this pass, src files already
+    * represented). */
   def optimizeIncremental(spark: SparkSession, src: String, dst: String,
       targetBytes: Long, cols: Seq[String],
       maxGenerations: Int = 8): (Int, Int) = {
@@ -254,7 +267,11 @@ object LayoutOps {
     }
     val liveGens = dataFiles(dst).flatMap(f => genOf(f.getName)).distinct
     if (liveGens.size >= maxGenerations && (fresh.nonEmpty || liveGens.size > 1)) {
-      foldAll(spark, srcRoot, dst, targetBytes, cols, nextGen, done, fresh)
+      val genBytes = dataFiles(dst)
+        .flatMap(f => genOf(f.getName).map(_ -> f.length))
+        .groupBy(_._1).map { case (g, fs) => g -> fs.map(_._2).sum }.toSeq
+      foldTier(spark, srcRoot, dst, targetBytes, cols, nextGen, done, fresh,
+        foldSelection(genBytes, maxGenerations).toSet)
       return (fresh.size, done.size)
     }
     if (fresh.isEmpty) return (0, done.size)
@@ -296,12 +313,50 @@ object LayoutOps {
     def line: String = s"$path\t$size\t$mtime"
   }
 
-  /** Any stored mtime at or above this is nanoseconds (≈ 1971 in ns,
-    * ≈ year 3739 in ms — no real file timestamp is ambiguous). */
+  /** Any stored mtime at or above this is nanoseconds: 5·10¹⁶ ns is
+    * mid-1971, while 5·10¹⁶ ms is ~1.58 million years after the epoch —
+    * no real file timestamp is ambiguous between the two readings. */
   private val MtimeNsFloor = 50_000_000_000_000_000L
   private def mtimeNs(f: File): Long =
     java.nio.file.Files.getLastModifiedTime(f.toPath)
       .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+
+  /** Per-pass fold budget: a tiered fold stages at most this fraction
+    * of the live generation bytes (plus whatever the count bound
+    * forces — see [[foldSelection]]). 1/2 keeps the LSM invariant (the
+    * folded output is comparable to the surviving big tier, so tiers
+    * keep roughly doubling) while capping any single shuffle+sort at
+    * half the table. */
+  private[graft] val FoldFraction = 0.5
+
+  /** Which generations a fold pass rewrites — the size-tiered rule:
+    * smallest-first, (a) ALWAYS enough that the post-fold live count
+    * (survivors + the one fold output) drops below `maxGenerations`,
+    * then (b) keep absorbing the next-smallest while the folded bytes
+    * stay within [[FoldFraction]] of the live total. Smallest-first is
+    * the LSM discipline that gives each byte O(log) total rewrites: a
+    * big generation only refolds once its smaller peers have
+    * accumulated comparable volume. Returns the fold's source gen ids
+    * (≥ 2 whenever more than one generation is live). */
+  private[graft] def foldSelection(genBytes: Seq[(Int, Long)],
+      maxGenerations: Int): Seq[Int] = {
+    val g = genBytes.size
+    if (g <= 1) return genBytes.map(_._1)
+    val kMin = math.min(g, math.max(2, g - maxGenerations + 2))
+    val total = genBytes.map(_._2).sum
+    val sorted = genBytes.sortBy { case (gen, b) => (b, gen) }
+    val picked = scala.collection.mutable.ArrayBuffer[Int]()
+    var cum = 0L
+    var stop = false
+    sorted.foreach { case (gen, b) =>
+      if (!stop) {
+        if (picked.size < kMin || cum + b <= total * FoldFraction) {
+          picked += gen; cum += b
+        } else stop = true // size-sorted: everything later is bigger
+      }
+    }
+    picked.toSeq
+  }
 
   private val FoldMarker = "_FOLD"
   private def foldTmp(dst: String) = s"$dst/.fold.tmp"
@@ -357,16 +412,20 @@ object LayoutOps {
     * discipline): labels fire between the fold protocol's steps. */
   private[graft] var crashProbe: String => Unit = _ => ()
 
-  /** The generation fold: stage ALL live generations + the fresh rows
-    * through one full z-order into `.fold.tmp`, then commit via the
-    * `_FOLD` intent marker. The marker is written only after the staged
-    * bytes are complete and carries the fold generation number AND the
-    * post-fold manifest text, so [[foldRecover]] — the only code that
-    * touches committed files — can replay from any crash point. */
-  private def foldAll(spark: SparkSession, srcRoot: java.nio.file.Path,
+  /** The tiered generation fold: stage the SELECTED generations + the
+    * fresh rows through one z-order into `.fold.tmp`, then commit via
+    * the `_FOLD` intent marker. The marker is written only after the
+    * staged bytes are complete and carries the fold generation number,
+    * the folded SOURCE generation ids, AND the post-fold manifest
+    * text, so [[foldRecover]] — the only code that touches committed
+    * files — can replay from any crash point without ever touching a
+    * surviving generation. */
+  private def foldTier(spark: SparkSession, srcRoot: java.nio.file.Path,
       dst: String, targetBytes: Long, cols: Seq[String], foldGen: Int,
-      done: Seq[ManifestEntry], fresh: Seq[(String, File)]): Unit = {
-    val genFiles = dataFiles(dst).filter(f => genOf(f.getName).isDefined)
+      done: Seq[ManifestEntry], fresh: Seq[(String, File)],
+      srcGens: Set[Int]): Unit = {
+    val genFiles = dataFiles(dst)
+      .filter(f => genOf(f.getName).exists(srcGens.contains))
     val prior = spark.read.parquet(genFiles.map(_.getAbsolutePath): _*)
     val df =
       if (fresh.isEmpty) prior
@@ -379,6 +438,7 @@ object LayoutOps {
     val entries = done ++ fresh.map { case (rel, f) =>
       ManifestEntry(rel, f.length, mtimeNs(f)) }
     val marker = (s"#fold-gen=$foldGen" + "\n" +
+      s"#fold-src=${srcGens.toSeq.sorted.mkString(",")}" + "\n" +
       manifestText(foldGen + 1, entries)).getBytes
     val mTmp = Paths.get(dst, s"$FoldMarker.tmp")
     Files.write(mTmp, marker)
@@ -391,15 +451,25 @@ object LayoutOps {
 
   /** Complete a committed fold from its `_FOLD` marker — every step
     * idempotent, rerunnable from any crash point: (re)copy the staged
-    * files in as the fold generation, delete the superseded
-    * generations, install the post-fold manifest, drop the marker, drop
-    * the staging dir. Until the old-generation delete lands, a reader
-    * sees DUPLICATED rows (never missing ones); after it, exactly the
-    * folded table. */
+    * files in as the fold generation, delete exactly the FOLDED source
+    * generations (a pre-r19 marker has no fold-src line and deletes
+    * every non-fold generation — the old full-fold semantics),
+    * install the post-fold manifest, drop the marker, drop the staging
+    * dir. Until the folded-generation delete lands, a reader sees
+    * DUPLICATED rows (never missing ones); after it, exactly the
+    * folded table. Surviving generations are never written, moved, or
+    * deleted. */
   private def foldRecover(dst: String): Unit = {
     val lines = Files.readAllLines(Paths.get(dst, FoldMarker)).asScala
     val g = lines.head.stripPrefix("#fold-gen=").toInt
-    val manifest = lines.tail.mkString("\n")
+    val srcGens: Option[Set[Int]] = lines.lift(1)
+      .filter(_.startsWith("#fold-src="))
+      .map(_.stripPrefix("#fold-src=").split(",").filter(_.nonEmpty)
+        .map(_.toInt).toSet)
+    val manifest = lines.tail
+      .dropWhile(_.startsWith("#fold-src=")).mkString("\n")
+    val folds: Int => Boolean =
+      gen => srcGens.fold(gen != g)(s => s.contains(gen))
     dataFiles(dst).filter(f => genOf(f.getName).contains(g))
       .foreach(f => java.nio.file.Files.delete(f.toPath))
     dataFiles(foldTmp(dst)).sortBy(_.getName).zipWithIndex.foreach {
@@ -409,8 +479,9 @@ object LayoutOps {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
     }
-    crashProbe("fold_copied") // duplicate window: old gens + fold gen
-    dataFiles(dst).filter(f => genOf(f.getName).exists(_ != g))
+    crashProbe("fold_copied") // duplicate window: folded gens + fold gen
+    dataFiles(dst).filter(f => genOf(f.getName).exists(gen =>
+        gen != g && folds(gen)))
       .foreach(f => java.nio.file.Files.delete(f.toPath))
     val mTmp = Paths.get(dst, "_OPTIMIZED.tmp")
     Files.write(mTmp, manifest.getBytes)

@@ -257,6 +257,58 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("ANN router is batch-regime aware: bursts route, trickles stay flat") {
+    // VERDICT r17 #1 / r18 #1: corpus-rows-only routing left a
+    // 5,000-probe burst on the flat arm, whose candidate shuffle
+    // (probes × bucket rows) dominates there (SCALE.md Round-17: both
+    // flat arms converge at 167–204 s at the burst while the routed
+    // IVF arm is the repo's own named answer). The rule is now a
+    // candidate-VOLUME threshold — probes × avgBucketRows >
+    // flatMaxBucketRows × 500 — which reduces EXACTLY to the old rule
+    // at the 500-probe reference batch the threshold was measured at.
+    val dir = java.nio.file.Files.createTempDirectory("ann-burst").toString
+    val key = AnnIndex.FlatMaxBucketRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0") // build past threshold: sidecar fitted
+      AnnIndex.build(spark, sfDir, dir)
+      // serve with the corpus AT the threshold (n=500 → avgBucketRows
+      // 1): the corpus-only rule says flat at the reference batch
+      spark.conf.set(key, "1")
+      AnnIndex.refreshCounts(dir)
+      assert(AnnIndex.chosenArm(spark, dir) == "flat",
+        "at the reference batch the old corpus rule must hold verbatim")
+      assert(AnnIndex.chosenArm(spark, dir, 50) == "flat",
+        "1× trickle batches stay on the exact-recall flat arm")
+      assert(AnnIndex.chosenArm(spark, dir, 500) == "flat",
+        "the measured break-even batch itself does not route")
+      assert(AnnIndex.chosenArm(spark, dir, 5000) == "ivfpq",
+        "a 10× burst must route: candidate volume, not corpus, decides")
+      assert(AnnIndex.chosenArm(spark, dir, 50000) == "ivfpq",
+        "100× burst routes a fortiori")
+      // a routed burst SERVES the sidecar's plan at the fixed
+      // production nprobe — the hint reaches the arm choice
+      val probes = graft.Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val burst = AnnIndex.queryProbes(spark, dir, probes, 5,
+        probeCount = 5000).collect().toSeq
+      val direct = IvfPqIndex.queryProbes(spark, s"$dir/ivfpq", probes, 5,
+        nprobe = AnnIndex.RouteNprobe).collect().toSeq
+      assert(burst == direct, "burst-routed serve must BE the sidecar's")
+      // the no-hint path COUNTS the probes (500 here → break-even →
+      // flat) — the router never routes blind
+      val counted = AnnIndex.queryProbes(spark, dir, probes, 5)
+        .collect().toSeq
+      val flat = AnnIndex.flatQueryProbes(spark, dir, probes, 5)
+        .collect().toSeq
+      assert(counted == flat,
+        "counted 500-probe batch serves the flat arm, as measured")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("SQ8 flat serving: codes re-rank matches float32 within quantization error") {
     // VERDICT r16 #4: the memory-budget middle arm — flat serving with
     // the exact re-rank reading 1-byte SQ8 codes (4× fewer corpus
@@ -353,6 +405,46 @@ class NearDupSpec extends SparkSpec {
       AnnIndex.refreshCounts(dir)
       assert(AnnIndex.flatServeMode(spark, dir) == "float32",
         "equal counts with divergent vec_id sets must not serve SQ8")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("SQ8 gate catches XOR-cancelling duplicate-id divergence") {
+    // advisor r18: the XOR fold alone tests multiset PARITY — a
+    // duplicated id cancels itself in pairs, so vectors {…,X,X} vs
+    // codes {…,Y,Y} have EQUAL counts and EQUAL XOR folds while the
+    // sets diverge (the codes lack X entirely), and the re-rank would
+    // silently drop X. Duplicate rows are exactly what a blindly
+    // re-run append produces. The prime-modded SUM folds are
+    // cancellation-resistant and must catch this.
+    val dir = java.nio.file.Files.createTempDirectory("ann-dupcancel").toString
+    val key = AnnIndex.ServeSq8Key
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      AnnIndex.build(spark, sfDir, dir)
+      assert(AnnIndex.flatServeMode(spark, dir) == "sq8")
+      // the same new id TWICE per side — XOR folds stay at the base
+      // value on both sides, counts stay equal
+      for (_ <- 0 until 2)
+        spark.read.parquet(s"$dir/vectors").limit(1)
+          .withColumn("vec_id", lit(910001L))
+          .write.mode("append").parquet(s"$dir/vectors")
+      for (_ <- 0 until 2)
+        spark.read.parquet(s"$dir/sq8/codes").limit(1)
+          .withColumn("vec_id", lit(910002L))
+          .write.mode("append").parquet(s"$dir/sq8/codes")
+      val fv = AnnIndex.idFingerprint(spark, s"$dir/vectors")
+      val fq = AnnIndex.idFingerprint(spark, s"$dir/sq8/codes")
+      assert(fv._1 == fq._1 && fv._2 == fq._2,
+        "setup must reproduce the XOR-cancellation (else this test " +
+          "stopped exercising the sum fold)")
+      assert(fv != fq, "sum folds must separate the divergent sets")
+      AnnIndex.refreshCounts(dir)
+      assert(AnnIndex.flatServeMode(spark, dir) == "float32",
+        "duplicate-cancelled divergence must not serve SQ8")
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

@@ -326,6 +326,13 @@ class SnapshotSpec extends SparkSpec {
     val got = spark.read.parquet(files: _*)
     assert(got.columns.contains("p"),
       "partition column must land physical in the rewritten files")
+    // advisor r18: the NARROWEST lossless integer type — Spark's own
+    // partition inference reads p=2 as INT, so the rewritten physical
+    // column must be int too, not a silently widened bigint
+    assert(got.schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"int-ranged partition values must come back as int, " +
+        s"got ${got.schema("p").dataType}")
     assert(agg(got) == before,
       "per-partition rows must be value-exact after OPTIMIZE")
     assert(SnapshotStore.getRoot(repo, "main").contains(sha1))
@@ -403,6 +410,51 @@ class SnapshotSpec extends SparkSpec {
       "carried entries must land in the parquet sidecar")
     assert(zm.exists(e => e._1.startsWith("t/") && e._2 == "v"),
       "fresh entries must land in the same sidecar")
+  }
+
+  test("optimizeTable hashes executor-side above the byte threshold; identical entries either route") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r17 #4 / r18 #3: the rewritten blocks' sha256 + CAS put
+    // ran in a sequential driver loop; above distributedHashBytes they
+    // now fan out over Spark tasks (the publishIncremental pattern).
+    // Same staged bytes through both routes must yield identical
+    // manifest entries — hence the identical manifest sha.
+    val staged = Files.createTempDirectory("snap-hash-staged")
+    spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
+      .repartition(4).write.parquet(staged.resolve("t").toString)
+    val repoA = Files.createTempDirectory("snap-hash-a").toString
+    val repoB = Files.createTempDirectory("snap-hash-b").toString
+    Files.createDirectories(Paths.get(repoA, "CAS"))
+    Files.createDirectories(Paths.get(repoB, "CAS"))
+    val eA = SnapshotStore.hashStagedEntries(spark, repoA, "t",
+      staged.resolve("t"), Long.MaxValue) // driver route
+    val eB = SnapshotStore.hashStagedEntries(spark, repoB, "t",
+      staged.resolve("t"), 0L) // forced task route
+    assert(eA.nonEmpty && eA == eB,
+      s"hash routes must agree entry-for-entry: ${eA.take(2)} vs ${eB.take(2)}")
+    eB.foreach(e => assert(Files.exists(Paths.get(repoB, "CAS", e.sha256)),
+      s"task route must CAS-place ${e.path}"))
+    // end-to-end: a forced-distributed OPTIMIZE round-trips row-exact
+    // and advances the label like the driver route
+    val src = Files.createTempDirectory("snap-hash-src").toString
+    spark.range(0, 4000)
+      .selectExpr("id AS key", "cast(id * 7 AS double) AS v")
+      .repartition(5).write.parquet(s"$src/t")
+    val repo = Files.createTempDirectory("snap-hash-repo").toString
+    SnapshotStore.publish(spark, src, repo, "main")
+    val (sha1, pre, post) = SnapshotStore.optimizeTable(spark, repo, "main",
+      "t", targetBytes = Long.MaxValue, cols = Seq("key", "v"),
+      distributedHashBytes = 0L)
+    assert(pre == 5 && post >= 1)
+    val files = SnapshotStore.mount(repo, "main")
+      .filter(e => e.path.startsWith("t/") && e.path.endsWith(".parquet"))
+      .map(e => s"$repo/CAS/${e.sha256}")
+    val got = spark.read.parquet(files: _*)
+      .agg(count(lit(1)), sum("key"), sum("v")).collect()(0)
+    val want = spark.read.parquet(s"$src/t")
+      .agg(count(lit(1)), sum("key"), sum("v")).collect()(0)
+    assert(got == want, "distributed-hash OPTIMIZE must stay row-exact")
+    assert(SnapshotStore.getRoot(repo, "main").contains(sha1))
   }
 
   test("zone-map sidecar prunes files by range; results never change") {
@@ -484,9 +536,15 @@ class SnapshotSpec extends SparkSpec {
     val pqEntries = SnapshotStore.zoneMapDF(spark, repo, "main")
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getDouble(2), r.getDouble(3))).toSet
-    SnapshotStore.publishStats(spark, src, repo, stats.manifestSha,
+    // the text route runs in a SECOND repo of the same content (same
+    // manifestSha — Merkle): advisor r18 made publishStats refuse to
+    // put a text sidecar next to an existing parquet one
+    val repoTxt = Files.createTempDirectory("snap-dm-txt").toString
+    val statsTxt = SnapshotStore.publish(spark, src, repoTxt, "main")
+    assert(statsTxt.manifestSha == stats.manifestSha, "Merkle setup")
+    SnapshotStore.publishStats(spark, src, repoTxt, statsTxt.manifestSha,
       Seq("key", "v"))
-    val txtEntries = SnapshotStore.zoneMap(repo, "main")
+    val txtEntries = SnapshotStore.zoneMap(repoTxt, "main")
       .map(e => (e.path, e.column, e.min, e.max)).toSet
     assert(pqEntries == txtEntries,
       s"distributed stats diverged: ${(pqEntries -- txtEntries).take(3)} / " +
@@ -496,10 +554,12 @@ class SnapshotSpec extends SparkSpec {
     def dfPrune(c: String, lo: Double, hi: Double) =
       SnapshotStore.prunedFilesDF(spark, repo, "main", c, lo, hi)
         .collect().map(_.getString(0)).toSet
+    // driver prunedFiles reads the TEXT sidecar — compare against the
+    // text repo (identical entries, asserted above)
     for ((c, lo, hi) <- Seq(("key", 100.0, 900.0), ("key", 1e9, 2e9),
         ("v", 0.0, 10.0), ("nope", 0.0, 1.0)))
       assert(dfPrune(c, lo, hi) ==
-        SnapshotStore.prunedFiles(repo, "main", c, lo, hi).toSet,
+        SnapshotStore.prunedFiles(repoTxt, "main", c, lo, hi).toSet,
         s"prune mismatch for $c [$lo,$hi]")
 
     // gc keeps both sidecars while the label lives; collects them (and
@@ -607,6 +667,38 @@ class SnapshotSpec extends SparkSpec {
     val eB = entries(repoB, sB.manifestSha)
     assert(eA == eB, s"routes diverged: ${(eA -- eB).take(3)} / ${(eB -- eA).take(3)}")
     assert(nA == nB && nA == eA.size)
+    // advisor r18: a later small-tree call on a snapshot that already
+    // HAS a parquet sidecar must stay parquet — a text sidecar here
+    // would be shadowed by the parquet one at read time (zoneMapDF
+    // prefers parquet) and the new stats would silently not take effect
+    SnapshotStore.publishStats(spark, src, repoA, sA.manifestSha, Seq("v"))
+    assert(SnapshotStore.zoneMap(repoA, sA.manifestSha).isEmpty,
+      "pq-sidecar snapshot must not gain a text sidecar from a small call")
+    assert(entries(repoA, sA.manifestSha).nonEmpty &&
+      entries(repoA, sA.manifestSha).forall(_._2 == "v"),
+      "the small re-publish must take effect in the parquet sidecar")
+  }
+
+  test("stale .optstage-* staging debris sweeps; a live staging survives") {
+    // advisor r18: staging moved inside the repo root (same-fs hard
+    // links), so a hard-killed optimize leaves a permanent .optstage-*
+    // holding a full rewritten-table copy. gc and the next optimize
+    // sweep it — but only past the lease horizon of idleness, so an
+    // in-flight optimize is never clobbered.
+    val repo = Files.createTempDirectory("snap-sweep").toString
+    val dead = Files.createDirectory(Paths.get(repo, ".optstage-dead"))
+    Files.write(dead.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val live = Files.createDirectory(Paths.get(repo, ".optstage-live"))
+    Files.write(live.resolve("busy.parquet"), Array[Byte](4))
+    val old = java.nio.file.attribute.FileTime.from(
+      java.time.Instant.now().minus(SnapshotStore.LeaseDuration)
+        .minusSeconds(3600))
+    Files.setLastModifiedTime(dead.resolve("junk.parquet"), old)
+    Files.setLastModifiedTime(dead, old)
+    assert(SnapshotStore.sweepStaleStaging(repo) == 1,
+      "exactly the idle-past-horizon staging dir sweeps")
+    assert(!Files.exists(dead) && Files.exists(live),
+      "dead staging gone, live staging untouched")
   }
 
   test("incremental zone-map: a newly requested column is scanned everywhere") {
