@@ -330,7 +330,7 @@ object Bench {
       // idx_ann_probe, re-ranked from 1-byte SQ8 codes instead of float
       // vectors (cosine_i8 — scale cancels; 4× fewer corpus bytes
       // through the candidates join). The conf is pinned only around
-      // DataFrame CONSTRUCTION (flatServeMode resolves eagerly, the
+      // DataFrame CONSTRUCTION (serveMode resolves eagerly, the
       // idx_ann_routed discipline); contrast with idx_ann_probe is the
       // measured float-vs-SQ8 serve cost at this corpus size.
       "idx_sq8_probe" -> ((s: SparkSession, d: String) => {
@@ -344,6 +344,29 @@ object Bench {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
         }
+      }),
+
+      // ROUTED + SQ8 (VERDICT r17 #5 / r18 #4): the routed IVFPQ arm
+      // with its bounded exact re-rank reading the 1-byte SQ8 codes
+      // (cosine_i8) instead of float vectors — contrast with
+      // idx_ann_routed is the re-rank byte-width delta on the routed
+      // path, like idx_sq8_probe vs idx_ann_probe on the flat path.
+      // Confs pinned only around DataFrame CONSTRUCTION.
+      "idx_routed_sq8" -> ((s: SparkSession, d: String) => {
+        val tKey = graft.operators.AnnIndex.FlatMaxBucketRowsKey
+        val sKey = graft.operators.AnnIndex.ServeSq8Key
+        val savedT = s.conf.getOption(tKey)
+        val savedS = s.conf.getOption(sKey)
+        s.conf.set(tKey, "0")
+        s.conf.set(sKey, "true")
+        def restore(k: String, v: Option[String]): Unit = v match {
+          case Some(x) => s.conf.set(k, x)
+          case None => s.conf.unset(k)
+        }
+        try graft.operators.AnnIndex.queryProbes(s,
+          ServeIndexes.annRoutedSq8(s, d), probeBatch(s, d, 50), 5,
+          probeCount = 50)
+        finally { restore(tKey, savedT); restore(sKey, savedS) }
       }),
 
       // exact-Jaccard screen: one-sided prefix probe against the stored
@@ -451,6 +474,24 @@ object Bench {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
         }
+      }
+    def annRoutedSq8(s: SparkSession, d: String): String =
+      cached("annroutedsq8idx", d) { dir =>
+        // both sidecars materialize at BUILD time: threshold forced
+        // past (IVFPQ) and SQ8 opted in; the idx_routed_sq8 lane
+        // re-pins both at serve time
+        val tKey = graft.operators.AnnIndex.FlatMaxBucketRowsKey
+        val sKey = graft.operators.AnnIndex.ServeSq8Key
+        val savedT = s.conf.getOption(tKey)
+        val savedS = s.conf.getOption(sKey)
+        s.conf.set(tKey, "0")
+        s.conf.set(sKey, "true")
+        def restore(k: String, v: Option[String]): Unit = v match {
+          case Some(x) => s.conf.set(k, x)
+          case None => s.conf.unset(k)
+        }
+        try graft.operators.AnnIndex.build(s, d, dir)
+        finally { restore(tKey, savedT); restore(sKey, savedS) }
       }
     def jaccard(s: SparkSession, d: String): String =
       cached("jacidx", d) { dir =>

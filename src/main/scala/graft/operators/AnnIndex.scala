@@ -572,10 +572,20 @@ object AnnIndex {
   def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
       k: Int, excludeSelf: Boolean = true, probeCount: Long = -1L): DataFrame = {
     val pn = if (probeCount >= 0) probeCount else probeVecs.count()
-    if (chosenArm(spark, dir, pn) == "ivfpq")
+    if (chosenArm(spark, dir, pn) == "ivfpq") {
+      // the routed arm honors serveSq8 too (VERDICT r17 #5 / r18 #4):
+      // behind the SAME gates as the flat arm — opt-in conf, codes
+      // exist, counts agree, id-set fingerprints agree — its bounded
+      // exact re-rank reads the 1-byte codes; any gate failure serves
+      // the complete float32 re-rank, never short answers
+      val sq8 =
+        if (serveMode(spark, dir) == "sq8")
+          Some(spark.read.parquet(s"${sq8Dir(dir)}/codes"))
+        else None
       IvfPqIndex.queryProbes(spark, ivfDir(dir), probeVecs, k,
-        nprobe = routeNprobe(spark), excludeSelf = excludeSelf)
-    else flatQueryProbes(spark, dir, probeVecs, k, excludeSelf)
+        nprobe = routeNprobe(spark), excludeSelf = excludeSelf,
+        sq8Codes = sq8)
+    } else flatQueryProbes(spark, dir, probeVecs, k, excludeSelf)
   }
 
   /** Set-equality spot check BEHIND the count gate (advisor r17): equal
@@ -633,14 +643,17 @@ object AnnIndex {
     }
   }
 
-  /** Which representation the FLAT arm's exact re-rank will read —
-    * "sq8" (1-byte codes, 4× fewer corpus bytes) or "float32". SQ8
-    * serves only when opted in ([[ServeSq8Key]]), the codes exist, the
-    * cached counts agree — the same divergence discipline as
-    * [[chosenArm]]: a crashed append's missing codes degrade to the
-    * complete float32 re-rank, never to silently short answers — AND
-    * the id-set fingerprints agree ([[sq8SetMatches]], advisor r17). */
-  private[graft] def flatServeMode(spark: SparkSession, dir: String): String =
+  /** Which representation the exact re-rank will read — "sq8" (1-byte
+    * codes, 4× fewer corpus bytes) or "float32" — for EITHER serving
+    * arm (r19: the routed IVFPQ arm's bounded re-rank honors the same
+    * decision; until then it was the last float32 reader under
+    * serveSq8). SQ8 serves only when opted in ([[ServeSq8Key]]), the
+    * codes exist, the cached counts agree — the same divergence
+    * discipline as [[chosenArm]]: a crashed append's missing codes
+    * degrade to the complete float32 re-rank, never to silently short
+    * answers — AND the id-set fingerprints agree ([[sq8SetMatches]],
+    * advisor r17/r18). */
+  private[graft] def serveMode(spark: SparkSession, dir: String): String =
     if (serveSq8(spark) && hasSq8(spark, dir)) {
       val (n, qn) = (corpusRows(spark, dir), sq8Rows(spark, dir))
       if (n != qn) {
@@ -680,7 +693,7 @@ object AnnIndex {
     // the re-rank reads SQ8 codes when the mode allows (4× fewer corpus
     // bytes through the candidates join; scale cancels in cosine_i8)
     val scored =
-      if (flatServeMode(spark, dir) == "sq8")
+      if (serveMode(spark, dir) == "sq8")
         cands
           .join(spark.read.parquet(s"${sq8Dir(dir)}/codes")
             .select("vec_id", "q"), "vec_id")

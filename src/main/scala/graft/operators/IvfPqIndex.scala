@@ -173,7 +173,8 @@ object IvfPqIndex {
     * multi-assigned vector would otherwise sum its distance table
     * twice), cell-restricted ADC over codes/, bounded exact re-rank. */
   def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
-      k: Int, nprobe: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, nprobe: Int = 0, excludeSelf: Boolean = true,
+      sq8Codes: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val centers = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebooks")
@@ -213,6 +214,9 @@ object IvfPqIndex {
       .select("probe_id", "vec_id").distinct()
     val scored = PqIndex.adcKernel(cands.join(codesWide, "vec_id"),
       bcTabs, PqRerank, excludeSelf = false) // self-pairs already filtered
-    PqIndex.rerankTopK(scored, vecs, probeVecs, k, PqRerank)
+    // sq8Codes: the exact re-rank reads 1-byte codes (cosine_i8)
+    // instead of vectors/ — the AnnIndex router passes its gated SQ8
+    // sidecar through here so BOTH serving arms honor serveSq8
+    PqIndex.rerankTopK(scored, vecs, probeVecs, k, PqRerank, sq8Codes)
   }
 }

@@ -372,8 +372,23 @@ object LlmOps {
     * everything after — squared-L2 against each centroid in a pinned
     * left-fold term order, argmin with (dist, cid) tie-break — is
     * deterministic double arithmetic the generated SQL recomputes from
-    * `embeddings` + this fixture exactly. Init is the [[KmK]] smallest
-    * vec_ids (deterministic); an emptied cluster keeps its previous
+    * `embeddings` + this fixture exactly.
+    *
+    * SAMPLE-FIT (VERDICT r18 #6, the l20/l37 discipline): past
+    * [[FitSampleCap]] corpus rows the Lloyd iterations run over a
+    * DETERMINISTIC id-hash sample (`xxhash64(vec_id) % stride == 0`,
+    * stride = ceil(n/cap)) instead of the full corpus — k-means
+    * centroids are a density summary, and K·d centroids fitted on a
+    * content-stable few-thousand-row sample serve the same clustering
+    * role while the fit cost goes FLAT in the corpus (one footer count
+    * + KmIters passes over ≤~cap rows; the full-corpus version was
+    * KmIters × O(n), the exact full-pass habit the repo's own IVF
+    * quantizer fit already avoids). The frozen-fixture SERVE half is
+    * untouched: assignment of EVERY row stays map-only against the
+    * dumped centroid literal, and the generated oracle replays from
+    * the fixture, so the lane's hash discipline is independent of how
+    * the fit sampled. Init is the [[KmK]] smallest vec_ids OF THE
+    * SAMPLE (deterministic); an emptied cluster keeps its previous
     * centroid. Fit cost per iteration: one MAP-ONLY assignment pass
     * (centroids are a k·d literal in the plan — model, not data) plus
     * one partial-agg mean over k·d groups; the k·d collect between
@@ -384,6 +399,16 @@ object LlmOps {
       new java.util.concurrent.ConcurrentHashMap[String, Cell]()
     private[graft] def forOracle: Option[String] =
       OracleDir.select(built).map(_.dir)
+
+    /** Fit-sample ceiling (rows). Conf-tunable so specs exercise the
+      * sampling on test-sized corpora; the default keeps the fit input
+      * a driver-friendly few thousand rows at ANY corpus size. */
+    private[graft] val FitSampleCapKey = "spark.graft.kmeans.fitSampleCap"
+    private[graft] val FitSampleCap = 4096L
+    /** Observed fit-input rows of the LAST fixture build (test
+      * instrumentation — KmeansSpec pins it under the ceiling). */
+    private[graft] val lastFitN =
+      new java.util.concurrent.atomic.AtomicLong(-1L)
 
     /** MAP-ONLY nearest-centroid assignment: per row, fold the squared
       * distance to each centroid (ascending-index term order — the l66
@@ -403,8 +428,21 @@ object LlmOps {
 
     def fixture(s: SparkSession, d: String): String =
       built.computeIfAbsent(d, _ => new Cell({
-        val vecs = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding")).persist()
+        val all = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val n = all.count()
+        val cap = s.conf.getOption(FitSampleCapKey).map(_.toLong)
+          .getOrElse(FitSampleCap)
+        val stride = math.max(1L, (n + cap - 1) / cap)
+        val sampled = (if (stride == 1L) all
+          else all.filter(
+            pmod(xxhash64(col("vec_id")), lit(stride)) === 0)).persist()
+        val sn = sampled.count()
+        // a pathological cap/hash draw short of K seeds falls back to
+        // the full corpus — a fixture must always carry KmK centroids
+        val vecs = if (sn >= KmK) sampled
+          else { sampled.unpersist(); all.persist() }
+        lastFitN.set(if (sn >= KmK) sn else n)
         var cents: Seq[(Int, Seq[Double])] = vecs
           .orderBy("vec_id").limit(KmK).collect().zipWithIndex
           .map { case (r, i) =>

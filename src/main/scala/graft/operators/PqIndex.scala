@@ -227,9 +227,18 @@ object PqIndex {
 
   /** Global top-C over the kernel's heap survivors, then the bounded
     * exact re-rank: top-C candidate vectors re-scored by exact cosine,
-    * top-k kept — the serve tail both PQ families share. */
+    * top-k kept — the serve tail both PQ families share. With
+    * `sq8Codes` (vec_id, q — symmetric int8, the AnnIndex SQ8 sidecar)
+    * the re-rank reads the 1-byte codes through `cosine_i8` instead of
+    * the float vectors (VERDICT r17 #5 / r18 #4: the routed arm's
+    * re-rank was the last float32 reader; 4× fewer candidate bytes,
+    * scale cancels in cosine, ranking differs only by
+    * sub-quantization-error swaps). The CALLER owns the divergence
+    * gates (count + id-set fingerprint) — this just reads what it is
+    * handed. */
   private[operators] def rerankTopK(scored: DataFrame, vecs: DataFrame,
-      probeVecs: DataFrame, k: Int, C: Int): DataFrame = {
+      probeVecs: DataFrame, k: Int, C: Int,
+      sq8Codes: Option[DataFrame] = None): DataFrame = {
     val topC = udaf(new graft.functions.TopK(C),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val cands = scored.groupBy("probe_id")
@@ -237,9 +246,14 @@ object PqIndex {
       .select(col("probe_id"), explode(col("nb.id")).as("vec_id"))
     val topk = udaf(new graft.functions.TopK(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    cands.join(vecs, "vec_id")
-      .join(broadcast(probeVecs), "probe_id")
-      .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+    (sq8Codes match {
+      case Some(q) => cands.join(q.select("vec_id", "q"), "vec_id")
+        .join(broadcast(probeVecs), "probe_id")
+        .withColumn("cos", expr("cosine_i8(pv, q)"))
+      case None => cands.join(vecs, "vec_id")
+        .join(broadcast(probeVecs), "probe_id")
+        .withColumn("cos", expr("cosine_f32(pv, embedding)"))
+    })
       .groupBy("probe_id")
       .agg(topk(col("cos"), col("vec_id")).as("nb"))
       .select(col("probe_id"), posexplode(col("nb")).as(Seq("pos", "hit")))

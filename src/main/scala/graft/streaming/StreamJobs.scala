@@ -438,21 +438,48 @@ object StreamJobs {
     * foreachBatch: each arriving (vec_id, embedding) micro-batch is
     * labeled with its nearest centroid from the FROZEN fixture
     * (`fixtureDir`, the KmFix layout: cid, cvec). The centroid table is
-    * metadata (k·d doubles) read per batch and carried as a plan
-    * literal, so assignment is MAP-ONLY — no join, no shuffle, no
-    * cross-batch state (batch ≡ stream by construction; StreamingSpec
-    * pins parity). Serving mutates nothing; replay is idempotent via
+    * metadata (k·d doubles), CACHED per fixture file-identity
+    * (r19 — one fixture-read job per re-fit, not per micro-batch) and
+    * carried as a plan literal, so assignment is MAP-ONLY — no join,
+    * no shuffle, no cross-batch state (batch ≡ stream by construction;
+    * StreamingSpec pins parity). Serving mutates nothing; replay is idempotent via
     * the same marker + dynamic-partition-overwrite contract as the
     * other serve jobs. Re-fit cadence is the deployment's policy knob,
     * exactly like the ANN/PQ codebooks. */
+  /** Collected centroid fixtures, cached per (dir, file-identity
+    * fingerprint) — VERDICT r18 review: re-reading + re-collecting the
+    * K·d fixture was one needless Spark job per micro-batch. The
+    * fingerprint is the fixture dir's (name, length, mtime) listing —
+    * pure metadata, no job — so a RE-FIT (new parquet files) is picked
+    * up on the next batch while the steady state costs nothing. */
+  private val kmFixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Int, Seq[Double])])]()
+
+  private def kmCentroids(s: org.apache.spark.sql.SparkSession,
+      fixtureDir: String): Seq[(Int, Seq[Double])] = {
+    val (fs, p) = hadoopFs(s, fixtureDir)
+    val fp = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val cached = kmFixtureCache.get(fixtureDir)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      // plain get/put, not compute: the read runs a Spark job and must
+      // not run under the map's bin lock (the sq8SetCache discipline)
+      val cents = s.read.parquet(fixtureDir).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      kmFixtureCache.put(fixtureDir, (fp, cents))
+      cents
+    }
+  }
+
   def kmeansServeEachBatch(vecs: DataFrame, fixtureDir: String,
       outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       if (!markerExists(s, outDir, batchId)) {
-        val cents = s.read.parquet(fixtureDir).collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
-          .sortBy(_._1).toSeq
+        val cents = kmCentroids(s, fixtureDir)
         val answers = graft.operators.LlmOps.KmFix
           .assign(batch.select(col("vec_id"), col("embedding")), cents)
           .select(col("vec_id"), col("cid"), col("dist"))
@@ -556,6 +583,76 @@ object StreamJobs {
         kept.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
           .parquet(s"$outDir/accepted")
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      writeMarker(s, outDir, batchId)
+    }
+  }
+
+  /** Build the standing per-language quantile model — the train half of
+    * the l69 corpus-relative quality gate (VERDICT r17 #6 / r18 #5):
+    * one row per language with its own p05/p95 length quantiles over a
+    * reference corpus (exact percentile agg — absolute thresholds
+    * misfire across languages whose length distributions differ). Run
+    * once or on a retrain cadence, the buildDsirModel discipline; the
+    * gate below never re-reads the reference corpus. */
+  def buildQuantileGateModel(docs: DataFrame, modelDir: String): Unit = {
+    docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05)").as("p05"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/model")
+    ()
+  }
+
+  /** Streaming corpus-relative quality gate — the serve half of the l69
+    * lane under a stream: each arriving (doc_id, lang, n_chars, …)
+    * micro-batch joins the STANDING per-language model (a
+    * languages-sized broadcast — model-as-a-table, never driver or
+    * executor state) for a MAP-ONLY verdict; keepers land in
+    * `outDir/accepted`, outliers in `outDir/rejected` with their
+    * verdict ("too_short"/"too_long") and the model bounds they
+    * tripped. Cost per batch is O(batch); the reference corpus is never
+    * rescanned — the same shape as every gate lane here
+    * (dsirGateEachBatch, the decontam screens). Retraining is a
+    * re-run of [[buildQuantileGateModel]]; in-flight batches see the
+    * OLD model until the overwrite lands (parquet dir swap), the
+    * standard model-rollover story.
+    *
+    * at-least-once replay safety: committed-batch marker + per-batch
+    * dynamic partition overwrite on BOTH dirs (the gate mutates no
+    * state, so a replay is a byte-stable rewrite of the batch's own
+    * partitions). StreamingSpec pins streamed accepted ∪ rejected
+    * row-exact against the l69 batch lane over the same frame. */
+  def quantileGateEachBatch(docs: DataFrame, modelDir: String,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyQuantileGateBatch(batch, batchId, modelDir, outDir)
+    }
+
+  private[graft] def applyQuantileGateBatch(batch: DataFrame, batchId: Long,
+      modelDir: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    if (!markerExists(s, outDir, batchId)) {
+      val model = s.read.parquet(s"$modelDir/model")
+      // the l69 verdict expression, verbatim — lane and stream must
+      // agree row-for-row on the same model
+      val scored = batch.join(broadcast(model), "lang")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("p05"), col("p95"),
+          when(col("n_chars") < col("p05"), "too_short")
+            .when(col("n_chars") > col("p95"), "too_long")
+            .otherwise("keep").as("verdict"))
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        scored.filter(col("verdict") === "keep")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$outDir/accepted")
+        scored.filter(col("verdict") =!= "keep")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$outDir/rejected")
       } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
       writeMarker(s, outDir, batchId)
     }

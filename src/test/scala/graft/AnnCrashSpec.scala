@@ -124,7 +124,7 @@ class AnnCrashSpec extends SparkSpec {
       spark.conf.set(key, "true")
       val idx = s"$root/idx"
       graft.operators.AnnIndex.build(spark, sfDir, idx)
-      assert(graft.operators.AnnIndex.flatServeMode(spark, idx) == "sq8",
+      assert(graft.operators.AnnIndex.serveMode(spark, idx) == "sq8",
         "precondition: SQ8 serving before the crash")
       val batch = spark.read.parquet(s"$idx/vectors")
         .filter(col("vec_id") < 20)
@@ -150,7 +150,7 @@ class AnnCrashSpec extends SparkSpec {
         s"expected 20-row code divergence, got flat=$nFlat codes=$nCodes")
       // a fresh-counting server degrades to the complete float32 re-rank
       graft.operators.AnnIndex.refreshCounts(idx)
-      assert(graft.operators.AnnIndex.flatServeMode(spark, idx) == "float32",
+      assert(graft.operators.AnnIndex.serveMode(spark, idx) == "float32",
         "short codes must not serve")
       val probes = spark.read.parquet(s"$idx/vectors")
         .filter(col("vec_id") < 5)
@@ -166,7 +166,7 @@ class AnnCrashSpec extends SparkSpec {
       assert(graft.operators.AnnIndex.repairNeeded(spark, idx))
       graft.operators.AnnIndex.repairSidecar(spark, idx)
       graft.operators.AnnIndex.refreshCounts(idx)
-      assert(graft.operators.AnnIndex.flatServeMode(spark, idx) == "sq8",
+      assert(graft.operators.AnnIndex.serveMode(spark, idx) == "sq8",
         "repair must restore SQ8 serving")
       val sq8Top = graft.operators.AnnIndex
         .queryProbes(spark, idx, probes, 1)

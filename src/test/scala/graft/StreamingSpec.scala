@@ -453,6 +453,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(served == direct, s"served=$served direct=$direct")
     assert(served.map(_._1) == Set(1L, 5L, 9L))
+
+    // refit pickup (r19: the fixture is CACHED per file identity, not
+    // re-read per batch): overwriting the fixture between batches must
+    // be served on the very next batch — the cache keys on the dir's
+    // (name, len, mtime) listing, which an overwrite always changes
+    val fix2 = java.nio.file.Files.createTempDirectory("stream-km-fix2").toString
+    spark.read.parquet(fixDir).write.mode("overwrite").parquet(fix2)
+    val out2 = java.nio.file.Files.createTempDirectory("stream-km-out2").toString
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val vecs2 = mem2.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q2 = StreamJobs.kmeansServeEachBatch(vecs2, fix2, out2).start()
+    mem2.addData(rows(0)); q2.processAllAvailable() // warm the cache
+    val shifted = cents.map { case (cid, v) => (cid, v.map(_ + 10.0)) }
+    shifted.toDF("cid", "cvec").write.mode("overwrite").parquet(fix2)
+    mem2.addData(rows(1)); q2.processAllAvailable()
+    q2.stop()
+    val batch1 = spark.read.parquet(s"$out2/assignments")
+      .filter(col("batch_id") === 1L).select("vec_id", "cid", "dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val wantShifted = graft.operators.LlmOps.KmFix.assign(
+        graft.Tables.t(spark, sfDir, "embeddings")
+          .filter(col("vec_id") === rows(1)._1)
+          .select(col("vec_id"), col("embedding")), shifted)
+      .select("vec_id", "cid", "dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(batch1 == wantShifted,
+      "a re-fit fixture must be served on the next batch, not the cached one")
   }
 
   test("streaming PQ serving answers probe batches from the compressed store") {
@@ -536,6 +564,60 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay.length == afterReplay.distinct.length,
       "replay must not duplicate accepted rows")
     assert(afterReplay.toSet == direct)
+  }
+
+  test("streaming quantile gate: per-language model gates batches, batch ≡ stream") {
+    // VERDICT r17 #6 / r18 #5: the l69 corpus-relative quality gate's
+    // streaming seat — build the per-language p05/p95 model ONCE from a
+    // reference corpus, gate arriving micro-batches map-only against
+    // the broadcast model, accepted/rejected split row-exact vs the
+    // l69 batch lane over the same frame.
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val modelDir = java.nio.file.Files.createTempDirectory("qgate-model").toString
+    val outDir = java.nio.file.Files.createTempDirectory("qgate-out").toString
+    val corpus = graft.Tables.t(spark, sfDir, "documents")
+    StreamJobs.buildQuantileGateModel(corpus, modelDir)
+    val nLangs = corpus.select("lang").distinct().count()
+    assert(spark.read.parquet(s"$modelDir/model").count() == nLangs,
+      "one model row per language")
+    val rows = corpus.select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "lang", "n_chars")
+    val q = StreamJobs.quantileGateEachBatch(docs, modelDir, outDir).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    type V = (Long, String, Long, Double, Double, String)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[V] =
+      df.select("doc_id", "lang", "n_chars", "p05", "p95", "verdict")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getString(5))).toSet
+    val accepted = rowsOf(spark.read.parquet(s"$outDir/accepted"))
+    val rejected = rowsOf(spark.read.parquet(s"$outDir/rejected"))
+    assert(accepted.forall(_._6 == "keep") &&
+      rejected.forall(v => v._6 == "too_short" || v._6 == "too_long"))
+    assert(accepted.nonEmpty && rejected.nonEmpty,
+      "a p05/p95 gate over its own corpus cuts both tails")
+    // row-exact vs the l69 batch lane on the same frame + same model
+    val lane = rowsOf(graft.SparkEntry.queries("l69_quantile_gate")(spark, sfDir))
+    assert((accepted ++ rejected) == lane,
+      "streamed gate must equal the l69 batch lane row-for-row")
+    // replay: marker short-circuits; lost marker → byte-stable rewrite
+    val replay = b1.toSeq.toDF("doc_id", "lang", "n_chars")
+    StreamJobs.applyQuantileGateBatch(replay, 0L, modelDir, outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/commits/0"), false)
+    StreamJobs.applyQuantileGateBatch(replay, 0L, modelDir, outDir)
+    val after = spark.read.parquet(s"$outDir/accepted").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(after.length == after.distinct.length,
+      "replay must not duplicate accepted rows")
+    assert(rowsOf(spark.read.parquet(s"$outDir/accepted")) ++
+      rowsOf(spark.read.parquet(s"$outDir/rejected")) == lane)
   }
 
   test("streaming exact-Jaccard ingestion: true near-dups can never slip past") {

@@ -309,6 +309,72 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("routed arm honors serveSq8: IVFPQ exact re-rank reads 1-byte codes, gates hold") {
+    // VERDICT r17 #5 / r18 #4: the routed IVFPQ arm's bounded exact
+    // re-rank was the last float32 reader under serveSq8. Same gates,
+    // same quantization bound, same degrade-to-float discipline as the
+    // flat arm.
+    val dir = java.nio.file.Files.createTempDirectory("ann-routed-sq8").toString
+    val tKey = AnnIndex.FlatMaxBucketRowsKey
+    val sKey = AnnIndex.ServeSq8Key
+    val savedT = spark.conf.getOption(tKey)
+    val savedS = spark.conf.getOption(sKey)
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(k, x)
+      case None => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set(tKey, "0")
+      spark.conf.set(sKey, "true")
+      AnnIndex.build(spark, sfDir, dir) // both sidecars materialize
+      assert(AnnIndex.chosenArm(spark, dir) == "ivfpq", "setup: routed")
+      assert(AnnIndex.serveMode(spark, dir) == "sq8", "setup: SQ8 gated in")
+      val probes = graft.Tables.t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.select("probe_id", "rnk", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (p, rows) =>
+            p -> rows.sortBy(_._2).map(_._3).toSeq }
+      val sq8Df = AnnIndex.queryProbes(spark, dir, probes, 5)
+      // every routed-SQ8 sim within int8 quantization error of the
+      // exact float cosine of the same pair
+      val vecs = spark.read.parquet(s"$dir/vectors")
+        .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      val maxErr = sq8Df.join(vecs, "neighbor_id")
+        .join(probes, "probe_id")
+        .select(abs(col("sim") - expr("cosine_f32(pv, embedding)")).as("e"))
+        .agg(max("e")).collect()(0).getDouble(0)
+      assert(maxErr <= 0.02,
+        s"routed SQ8 sim error $maxErr exceeds the int8 bound")
+      val sq8 = topSets(sq8Df)
+      spark.conf.unset(sKey)
+      val f32 = topSets(AnnIndex.queryProbes(spark, dir, probes, 5))
+      assert(sq8.keySet == f32.keySet)
+      // recall floor on the routed path: top-1 parity + containment
+      val top1 = sq8.keys.count(p => sq8(p).headOption == f32(p).headOption)
+      assert(top1 >= (0.9 * sq8.size).toInt,
+        s"routed top-1 parity: $top1/${sq8.size}")
+      val contained = f32.keys.count(p =>
+        f32(p).headOption.forall(sq8(p).contains))
+      assert(contained >= (0.95 * f32.size).toInt,
+        s"routed float top-1 must stay in SQ8 top-5: $contained/${f32.size}")
+      // the divergence gate guards the routed re-rank too: a stray
+      // code row (counts diverge) degrades to the complete float32
+      // re-rank — identical answers to float routed serving
+      spark.conf.set(sKey, "true")
+      spark.read.parquet(s"$dir/sq8/codes").limit(1)
+        .withColumn("vec_id", lit(920001L))
+        .write.mode("append").parquet(s"$dir/sq8/codes")
+      AnnIndex.refreshCounts(dir)
+      assert(AnnIndex.serveMode(spark, dir) == "float32",
+        "diverged codes must not serve SQ8 on the routed path")
+      assert(topSets(AnnIndex.queryProbes(spark, dir, probes, 5)) == f32,
+        "degraded routed serve must BE the float32 routed serve")
+    } finally { restore(tKey, savedT); restore(sKey, savedS) }
+  }
+
   test("SQ8 flat serving: codes re-rank matches float32 within quantization error") {
     // VERDICT r16 #4: the memory-budget middle arm — flat serving with
     // the exact re-rank reading 1-byte SQ8 codes (4× fewer corpus
@@ -322,7 +388,7 @@ class NearDupSpec extends SparkSpec {
       AnnIndex.build(spark, sfDir, dir)
       assert(new java.io.File(s"$dir/sq8/codes").exists,
         "opt-in build must materialize the SQ8 codes sidecar")
-      assert(AnnIndex.flatServeMode(spark, dir) == "sq8")
+      assert(AnnIndex.serveMode(spark, dir) == "sq8")
       val probes = graft.Tables.t(spark, sfDir, "embeddings")
         .filter(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
@@ -344,7 +410,7 @@ class NearDupSpec extends SparkSpec {
         .agg(max("e")).collect()(0).getDouble(0)
       assert(maxErr <= 0.02, s"SQ8 sim error $maxErr exceeds the int8 bound")
       spark.conf.unset(key)
-      assert(AnnIndex.flatServeMode(spark, dir) == "float32",
+      assert(AnnIndex.serveMode(spark, dir) == "float32",
         "SQ8 serving is opt-in")
       val f32 = topSets(AnnIndex.queryProbes(spark, dir, probes, 5)
         .select("probe_id", "rnk", "neighbor_id"))
@@ -368,12 +434,12 @@ class NearDupSpec extends SparkSpec {
         .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
         .write.mode("append").parquet(s"$dir/vectors")
       AnnIndex.refreshCounts(dir)
-      assert(AnnIndex.flatServeMode(spark, dir) == "float32",
+      assert(AnnIndex.serveMode(spark, dir) == "float32",
         "short codes must degrade to the complete float32 re-rank")
       assert(AnnIndex.repairNeeded(spark, dir))
       AnnIndex.repairSidecar(spark, dir)
       AnnIndex.refreshCounts(dir)
-      assert(AnnIndex.flatServeMode(spark, dir) == "sq8",
+      assert(AnnIndex.serveMode(spark, dir) == "sq8",
         "repair must reconverge the codes and restore SQ8 serving")
       assert(!AnnIndex.repairNeeded(spark, dir))
     } finally saved match {
@@ -395,7 +461,7 @@ class NearDupSpec extends SparkSpec {
     try {
       spark.conf.set(key, "true")
       AnnIndex.build(spark, sfDir, dir)
-      assert(AnnIndex.flatServeMode(spark, dir) == "sq8")
+      assert(AnnIndex.serveMode(spark, dir) == "sq8")
       spark.read.parquet(s"$dir/vectors").limit(1)
         .withColumn("vec_id", lit(900001L))
         .write.mode("append").parquet(s"$dir/vectors")
@@ -403,7 +469,7 @@ class NearDupSpec extends SparkSpec {
         .withColumn("vec_id", lit(900002L))
         .write.mode("append").parquet(s"$dir/sq8/codes")
       AnnIndex.refreshCounts(dir)
-      assert(AnnIndex.flatServeMode(spark, dir) == "float32",
+      assert(AnnIndex.serveMode(spark, dir) == "float32",
         "equal counts with divergent vec_id sets must not serve SQ8")
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
@@ -425,7 +491,7 @@ class NearDupSpec extends SparkSpec {
     try {
       spark.conf.set(key, "true")
       AnnIndex.build(spark, sfDir, dir)
-      assert(AnnIndex.flatServeMode(spark, dir) == "sq8")
+      assert(AnnIndex.serveMode(spark, dir) == "sq8")
       // the same new id TWICE per side — XOR folds stay at the base
       // value on both sides, counts stay equal
       for (_ <- 0 until 2)
@@ -443,7 +509,7 @@ class NearDupSpec extends SparkSpec {
           "stopped exercising the sum fold)")
       assert(fv != fq, "sum folds must separate the divergent sets")
       AnnIndex.refreshCounts(dir)
-      assert(AnnIndex.flatServeMode(spark, dir) == "float32",
+      assert(AnnIndex.serveMode(spark, dir) == "float32",
         "duplicate-cancelled divergence must not serve SQ8")
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
