@@ -302,7 +302,7 @@ object Bench {
       // fixed probes per replica slice, k=5)
       "idx_ann_probe" -> ((s: SparkSession, d: String) =>
         graft.operators.AnnIndex.queryProbes(s, ServeIndexes.ann(s, d),
-          probeBatch(s, d, 50), 5, probeCount = 50)),
+          probeBatch(s, d, 50), 5, probeCount = 50L * batchX)),
 
       // ROUTED ANN probe batch (VERDICT r14 #6): the same probes served
       // through the router with the threshold forced past, over an index
@@ -319,7 +319,7 @@ object Bench {
         s.conf.set(key, "0")
         try graft.operators.AnnIndex.queryProbes(s,
           ServeIndexes.annRouted(s, d), probeBatch(s, d, 50), 5,
-          probeCount = 50)
+          probeCount = 50L * batchX)
         finally saved match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
@@ -339,7 +339,7 @@ object Bench {
         s.conf.set(key, "true")
         try graft.operators.AnnIndex.queryProbes(s,
           ServeIndexes.annSq8(s, d), probeBatch(s, d, 50), 5,
-          probeCount = 50)
+          probeCount = 50L * batchX)
         finally saved match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
@@ -365,7 +365,7 @@ object Bench {
         }
         try graft.operators.AnnIndex.queryProbes(s,
           ServeIndexes.annRoutedSq8(s, d), probeBatch(s, d, 50), 5,
-          probeCount = 50)
+          probeCount = 50L * batchX)
         finally { restore(tKey, savedT); restore(sKey, savedS) }
       }),
 

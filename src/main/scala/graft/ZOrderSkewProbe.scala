@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_ZSKEW_DIR    work dir (default /tmp/graft_zskew;
   *                            corpus + layouts are marker-gated)
   *
+  * A third leg (r19) routes the SAME corpus through the CLI's
+  * label-to-label OPTIMIZE (publish → `Cli optimize` z-order →
+  * zone-map sidecar → mounted label) and reports the pruned-file count
+  * through SnapshotStore.prunedFiles — proving prune-after-optimize
+  * arrives through the snapshot surface, not just raw footers.
+  *
   * Prints ONE JSON line:
-  *   {"metric":"zorder_skew_probe","rows":N,"files":F,
-  *    "queries":{q:{"hit_rank":h,"hit_minmax":m,"rows":r}}}
+  *   {"metric":"zorder_skew_probe","rows":N,"files":F,"label_files":L,
+  *    "queries":{q:{"hit_rank":h,"hit_minmax":m,"hit_label":l,"rows":r}}}
   */
 object ZOrderSkewProbe {
 
@@ -91,6 +97,40 @@ object ZOrderSkewProbe {
     def files(dir: String): Seq[java.io.File] =
       Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+
+    // LABEL PATH (VERDICT r17 #7 / r18 #8): the same zipf corpus
+    // through the CLI's label-to-label OPTIMIZE — publish src as table
+    // t/, `Cli optimize` with z-order a,b + zone-map stats on both keys,
+    // then count PRUNED files through the mounted label's zone-map
+    // sidecar for the same queries. The dir-to-dir probe above measures
+    // the layout machinery; this leg proves the SAME pruning arrives
+    // through the snapshot surface a reader actually mounts (manifest +
+    // stats sidecar + label pointer), not just through raw footers.
+    val repo = s"$root/repo_${n}_$nFiles"
+    gated(s"label_${n}_$nFiles") {
+      val stage = s"$root/stage_$n"
+      val t = java.nio.file.Paths.get(stage, "t")
+      java.nio.file.Files.createDirectories(t)
+      files(src).foreach { f =>
+        val dst = t.resolve(f.getName)
+        if (!java.nio.file.Files.exists(dst)) {
+          try { java.nio.file.Files.createLink(dst, f.toPath); () }
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(f.toPath, dst); () }
+        }
+      }
+      graft.sources.SnapshotStore.publish(spark, stage, repo, "main")
+      val totalBytes = files(src).map(_.length).sum
+      val rc = graft.Cli.run(List("optimize", repo, "main", "t",
+        math.max(1L, totalBytes / nFiles).toString, "a,b", "a,b"))
+      require(rc == 0, s"Cli optimize failed: $rc")
+    }
+    def labelHits(lo: Long, hi: Long): Int =
+      graft.sources.SnapshotStore.prunedFiles(repo, "main", "a",
+        lo.toDouble, if (hi == Long.MaxValue) Double.MaxValue else hi.toDouble)
+        .count(p => p.startsWith("t/") && p.endsWith(".parquet"))
+    val labelFiles = graft.sources.SnapshotStore.mount(repo, "main")
+      .count(p => p.path.startsWith("t/") && p.path.endsWith(".parquet"))
     def extents(dir: String): Seq[(Long, Long)] = files(dir).map { f =>
       val r = spark.read.parquet(f.getAbsolutePath)
         .agg(min(col("a")), max(col("a"))).collect()(0)
@@ -111,11 +151,27 @@ object ZOrderSkewProbe {
       val rowsMm = spark.read.parquet(mmDir)
         .filter(col("a") >= lo && col("a") <= hi).count()
       require(rows == rowsMm, s"layout changed the answer for $name")
+      // the label leg must ANSWER identically too: read exactly the
+      // pruned files out of the CAS and count
+      val pruned = graft.sources.SnapshotStore.prunedFiles(repo, "main",
+        "a", lo.toDouble,
+        if (hi == Long.MaxValue) Double.MaxValue else hi.toDouble)
+        .filter(p => p.startsWith("t/") && p.endsWith(".parquet"))
+      val byPath = graft.sources.SnapshotStore.mount(repo, "main")
+        .map(e => e.path -> e.sha256).toMap
+      val rowsLabel =
+        if (pruned.isEmpty) 0L
+        else spark.read.parquet(pruned.map(p =>
+            s"$repo/CAS/${byPath(p)}"): _*)
+          .filter(col("a") >= lo && col("a") <= hi).count()
+      require(rows == rowsLabel,
+        s"label-path pruning changed the answer for $name")
       s""""$name":{"hit_rank":${hits(extRank, lo, hi)},""" +
-        s""""hit_minmax":${hits(extMm, lo, hi)},"rows":$rows}"""
+        s""""hit_minmax":${hits(extMm, lo, hi)},""" +
+        s""""hit_label":${labelHits(lo, hi)},"rows":$rows}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"zorder_skew_probe","rows":$n,""" +
-      s""""files":$nFiles,"queries":$out}""")
+      s""""files":$nFiles,"label_files":$labelFiles,"queries":$out}""")
     spark.stop()
   }
 }

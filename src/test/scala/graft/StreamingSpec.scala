@@ -943,6 +943,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((7L, ts(6)), (7L, ts(7))), s"got $rows")
   }
 
+  test("salted stream-stream join is row-identical on a zipf user distribution") {
+    // VERDICT r18 #8: t13's scaladoc names the hot-user salting remedy;
+    // this pins the implementation. One power user (id 1) holds ~60% of
+    // both streams — the zipf head — plus a uniform tail. The salted
+    // join (clicks pick one salt, views replicate to all) must emit
+    // EXACTLY the unsalted join's pairs: every (click, view) pair meets
+    // in precisely the click's salt partition.
+    import graft.SparkSpec.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    def user(i: Int): Long = if (rnd.nextDouble() < 0.6) 1L else 2L + i % 7
+    val clickRows = (0 until 120).map(i => ts(60 + i * 7) -> user(i))
+    val viewRows = (0 until 400).map(i => ts(i * 3) -> user(i + 1000))
+    def run(salted: Boolean, name: String): Set[(Long, Timestamp, Timestamp)] = {
+      val clicks = MemoryStream[(Timestamp, Long)]
+      val views = MemoryStream[(Timestamp, Long)]
+      val cdf = clicks.toDF().toDF("cts", "c_user")
+      val vdf = views.toDF().toDF("vts", "v_user")
+      val joined =
+        if (salted) StreamJobs.clickViewJoinSalted(cdf, vdf, salts = 8)
+        else StreamJobs.clickViewJoin(cdf, vdf)
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      views.addData(viewRows); clicks.addData(clickRows)
+      q.processAllAvailable(); q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      spark.sql(s"DROP TABLE IF EXISTS $name"); got
+    }
+    val plain = run(salted = false, "ssj_plain")
+    val salted = run(salted = true, "ssj_salted")
+    assert(plain.nonEmpty, "setup must produce matches")
+    assert(salted == plain,
+      s"salting changed the answer: ${(salted -- plain).take(3)} / " +
+        s"${(plain -- salted).take(3)}")
+    // the hot user actually dominates — the skew premise holds
+    assert(plain.count(_._1 == 1L) * 2 > plain.size,
+      "zipf head must dominate the matched pairs")
+  }
+
   test("stream-stream OUTER join emits view-less clicks once the watermark passes") {
     import graft.SparkSpec.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
