@@ -73,9 +73,12 @@ object Bench {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
         .filter(size(col("tk")) >= 5)
-      val sh = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 4),
-          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+      // position explode + codegen'd window build (shingleRows shape note)
+      val sh = toks
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 4)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tk"), col("i"), lit(5))).as("sh"))
       val bandMins = (0 to 3).map(b =>
         min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
       val sigs = sh

@@ -176,28 +176,55 @@ object IvfPqIndex {
       k: Int, nprobe: Int = 0, excludeSelf: Boolean = true,
       sq8Codes: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val centers = spark.read.parquet(s"$dir/centroids")
-    val cb = spark.read.parquet(s"$dir/codebooks")
-    val cells = spark.read.parquet(s"$dir/cells")
+    // the two MODEL tables are collected once per dir and held resident
+    // (ServeModelCache, file-signature guarded): the pre-r19 serve paid
+    // a centroid-count job, a subDim job, and a distance-table
+    // crossJoin-collect job per probe batch — driver-blocking scheduling
+    // latency, not compute, at any batch size
+    val centersArr = ServeModelCache.cached(spark, s"$dir/centroids") {
+      spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    }
+    val cbArr = ServeModelCache.cached(spark, s"$dir/codebooks") {
+      PqIndex.collectCodebooks(spark.read.parquet(s"$dir/codebooks"))
+    }
+    val subDim = cbArr.head._3.length
+    val cells = spark.read.schema("vec_id BIGINT, cell BIGINT")
+      .parquet(s"$dir/cells")
     val codes = spark.read.parquet(s"$dir/codes")
-    val vecs = spark.read.parquet(s"$dir/vectors")
-    // the centroid count costs a (tiny) job — pay it only when the
-    // caller didn't pin nprobe
-    val np = if (nprobe > 0) nprobe else defaultNprobe(centers.count().toInt)
-    // probe cells: window over |probes| × k rows — broadcast-sized
-    val probeCells = broadcast(probeVecs).crossJoin(broadcast(centers))
-      .withColumn("csim", expr("cosine_f32(pv, cvec)"))
-      .withColumn("crnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
-          .orderBy(col("csim").desc, col("cell"))))
-      .filter(col("crnk") <= np)
-      .select("probe_id", "cell")
-    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    val vecs = spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(s"$dir/vectors")
+    val np = if (nprobe > 0) nprobe else defaultNprobe(centersArr.length)
+    val (probeArr, probeLocal) = PqIndex.collectProbes(spark, probeVecs)
+    // probe cells ON THE DRIVER — |probes| × k cosines against the
+    // resident centroids, replicating the former crossJoin + row_number
+    // plan exactly: cosine via the bit-identical driver twin, ordering
+    // (csim DESC with NaN largest-first — Spark's double ordering —
+    // then cell ASC), top-np per probe
+    val cellOrd = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val pcRows: Seq[org.apache.spark.sql.Row] = probeArr.toSeq.flatMap {
+      case (pid, pv) =>
+        centersArr
+          .map { case (cell, cv) => (cell, PqIndex.cosineF32(pv, cv)) }
+          .sorted(cellOrd).take(np)
+          .map { case (cell, _) => org.apache.spark.sql.Row(pid, cell) }
+    }
+    val probeCells = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.Arrays.asList(pcRows: _*),
+        StructType(Seq(StructField("probe_id", LongType),
+          StructField("cell", LongType))))
+    }
     // per-probe distance tables + ADC scoring + re-rank are the SHARED
     // PqIndex kernel pieces (round 14, VERDICT r13 #3: the interim
     // per-row Scala UDF boxed a Seq[Int] and probed a Map per candidate
     // row — one ADC implementation now serves both families)
-    val bcTabs = PqIndex.distTables(spark, cb, probeVecs, subDim)
+    val bcTabs = PqIndex.distTablesLocal(spark, cbArr, probeArr, subDim)
     // accept both code layouts: wide (r13 builds) and pre-r13 long dirs
     val codesWide =
       if (codes.schema.fieldNames.contains("sub")) PqIndex.widen(codes)
@@ -217,6 +244,6 @@ object IvfPqIndex {
     // sq8Codes: the exact re-rank reads 1-byte codes (cosine_i8)
     // instead of vectors/ — the AnnIndex router passes its gated SQ8
     // sidecar through here so BOTH serving arms honor serveSq8
-    PqIndex.rerankTopK(scored, vecs, probeVecs, k, PqRerank, sq8Codes)
+    PqIndex.rerankTopK(scored, vecs, probeLocal, k, PqRerank, sq8Codes)
   }
 }

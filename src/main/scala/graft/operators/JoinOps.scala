@@ -278,10 +278,20 @@ object JoinOps {
           "CASE WHEN i = 0 THEN nm " +
           "ELSE concat(substring(nm, 1, i-1), substring(nm, i+1)) END"))
           .as("vh"))
-      val pairs = variants.select(col("id").as("a"), col("vh"))
-        .join(variants.select(col("id").as("b"), col("vh").as("vh2")),
-          col("vh") === col("vh2") && col("a") < col("b"))
-        .select("a", "b").distinct()
+      // ONE shuffle of the variant table (r19): group ids per variant
+      // hash and expand a<b pairs inside the group, instead of the
+      // self-join that shuffled (or broadcast) the variant table twice
+      // and recomputed the deletion explode for each side. collect_set
+      // dedups an id that reaches the same variant twice (two identical
+      // adjacent chars); per-group state is bounded by the hash's
+      // collision group, the same row set the join's build side held.
+      val pairs = variants.groupBy("vh")
+        .agg(sort_array(collect_set(col("id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(col("ids"),
+          (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       // names rejoin AFTER dedup, broadcast here because the name table is
       // dim-sized; at entity counts past broadcast range the same two
       // joins run shuffled — still O(pairs), never O(n²)

@@ -96,25 +96,40 @@ object LlmOps {
   private[graft] def shingles8(docs: DataFrame): DataFrame = docs
     .withColumn("tk", split(lower(col("text")), " "))
     .filter(size(col("tk")) >= 8)
-    .select(col("doc_id"), explode(transform(
-      sequence(lit(1), size(col("tk")) - 7),
-      i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+    .select(col("doc_id"), col("tk"),
+      explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
+    .select(col("doc_id"),
+      md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8)))).as("sh"))
 
   /** Exploded 5-word shingle rows (doc_id, sh) for a (doc_id, text)
     * frame — THE similarity unit of this file, shared by MinHash (l2 /
     * NearDupIndex, multiset form) and the exact AllPairs join (l55, set
     * form via distinctPerDoc) so the shingle definition (lowercasing,
     * width, tokenization) cannot drift between screens that must agree.
-    * Docs under 5 tokens have no shingles. */
+    * Docs under 5 tokens have no shingles.
+    *
+    * Shape note (r19): window strings are built in the Project ABOVE the
+    * Generate — explode POSITIONS, then concat_ws/slice per output row.
+    * Building them inside explode(transform(...)) evaluates the whole
+    * higher-order-function tree interpreted (CodegenFallback) per
+    * element, measured 2-6.7x slower than this whole-stage-codegen
+    * shape; rows are identical. distinctPerDoc keeps the in-array
+    * array_distinct (map-side dedup with no shuffle), which needs the
+    * materialized window array and so stays on the transform path. */
   private[graft] def shingleRows(docs: DataFrame,
       distinctPerDoc: Boolean): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
       .filter(size(col("tk")) >= 5)
-    val arr = transform(sequence(lit(1), size(col("tk")) - 4),
-      i => concat_ws(" ", slice(col("tk"), i, lit(5))))
-    toks.select(col("doc_id"),
-      explode(if (distinctPerDoc) array_distinct(arr) else arr).as("sh"))
+    if (distinctPerDoc) {
+      val arr = transform(sequence(lit(1), size(col("tk")) - 4),
+        i => concat_ws(" ", slice(col("tk"), i, lit(5))))
+      toks.select(col("doc_id"), explode(array_distinct(arr)).as("sh"))
+    } else toks
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 4)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("tk"), col("i"), lit(5))).as("sh"))
   }
 
   /** 32-bit SimHash per document (doc_id, simhash) — per-token
@@ -1222,25 +1237,36 @@ object LlmOps {
         .persist()
       toks.count()
       val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // set size n rides the SAME doc_id window pass as the prefix rank
+      // (r19): the former separate sizes agg + join re-shuffled toks a
+      // third time for a count the window partition already holds
       val prefix = toks.join(dfreq, "tok")
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
-        .join(sizes, "doc_id")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .filter(col("rn") <= expr("n - ((3 * n + 4) DIV 5) + 1"))
         .select("tok", "doc_id")
       val cands = prefix.select(col("tok"), col("doc_id").as("a"))
         .join(prefix.select(col("tok").as("tok2"), col("doc_id").as("b")),
           col("tok") === col("tok2") && col("a") < col("b"))
         .select("a", "b").distinct()
-      val tb = toks.select(col("doc_id").as("b2"), col("tok").as("tokb"))
-      val inter = cands
-        .join(toks.select(col("doc_id").as("a"), col("tok")), "a")
-        .join(tb, col("b") === col("b2") && col("tok") === col("tokb"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      // exact verify via per-doc sorted shingle ARRAYS (r19): the former
+      // cands ⋈ toks(a) ⋈ toks(b) → groupBy(a,b) exploded every candidate
+      // pair to its full token lists and re-aggregated — a (pairs ×
+      // tokens)-row shuffle. One row per doc is bounded by that doc's own
+      // shingle count at any corpus size; array_intersect runs the
+      // intersection inside the pair row, and n_a/n_b fall out of the
+      // same frame (no sizes joins).
+      val docArr = toks.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tok"))).as("ta"),
+          count(lit(1)).as("n"))
+      cands
+        .join(docArr.select(col("doc_id").as("a"), col("ta").as("taa"),
+          col("n").as("n_a")), "a")
+        .join(docArr.select(col("doc_id").as("b"), col("ta").as("tab"),
+          col("n").as("n_b")), "b")
+        .withColumn("n_common",
+          size(array_intersect(col("taa"), col("tab"))).cast("long"))
         .filter(col("n_common") * 5 >= (col("n_a") + col("n_b") - col("n_common")) * 3)
         .select(col("a"), col("b"), col("n_common"),
           col("n_a"), col("n_b"),
@@ -1320,8 +1346,11 @@ object LlmOps {
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       // eager localCheckpoint (not persist): the two downstream readers
       // re-use the materialized survivors, and the blocks release via the
-      // ContextCleaner when the plan is GC'd — no pinned cache per call
-      val e = q.join(keepIds, Seq("doc_id"), "left_semi")
+      // ContextCleaner when the plan is GC'd — no pinned cache per call.
+      // r19: narrowed to (doc_id, text) — every downstream stage reads
+      // only those two; lang/source/n_chars were checkpointed dead weight
+      val e = q.select("doc_id", "text")
+        .join(keepIds, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       // stage 3: near-dup drop — LSH candidate pairs over the survivors
       val losers = minhashPairsOf(e.select(col("doc_id"), col("text")))
@@ -1405,12 +1434,10 @@ object LlmOps {
         posexplode(col("tk")).as(Seq("pos0", "tok")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
       val wins = corpus.filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("tk")) - 7),
-          i => struct(i.as("i"), md5(lower(
-            concat_ws(" ", slice(col("tk"), i, lit(8))))).as("sh"))))
-          .as("w"))
-        .select(col("doc_id"), col("w.i").as("i"), col("w.sh").as("sh"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
+        .select(col("doc_id"), col("i"), md5(lower(
+          concat_ws(" ", slice(col("tk"), col("i"), lit(8))))).as("sh"))
       val covered = wins.join(broadcast(evalSh), "sh")
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + 7)).as("pos"))
@@ -1488,9 +1515,11 @@ object LlmOps {
         .filter(size(col("tk")) >= 5)
       // `sh` feeds the signature build AND both sides of the intersection
       // join; persist so the shingle explosion runs once, not four times
-      val sh = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 4),
-          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+      val sh = toks
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 4)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tk"), col("i"), lit(5))).as("sh"))
         .distinct()
         .persist()
       sh.count() // materialize before the four consumer stages fan out
@@ -1606,9 +1635,11 @@ object LlmOps {
         .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
         .filter(size(col("tk")) >= 8)
       // distinct (doc, shingle-hash) pairs feed BOTH sides — persist
-      val sh = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 7),
-          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+      val sh = toks
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8)))).as("sh"))
         .distinct()
         .persist()
       sh.count() // materialize before eval + corpus sides fan out
@@ -1633,9 +1664,11 @@ object LlmOps {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
         .filter(size(col("tk")) >= 8)
-      val sh = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 7),
-          i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+      val sh = toks
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8)))).as("sh"))
         .distinct()
         .persist()
       sh.count() // materialize before eval + corpus sides fan out
@@ -1662,12 +1695,16 @@ object LlmOps {
     // the bigram key (or a CMS screen, the l34 pattern, if the tail is
     // irrelevant).
     "l39_bigram_lm_score" -> ((s, d) => {
-      val tk = split(lower(col("text")), " ")
+      // aliased tk + position explode (the shingleRows shape note): the
+      // old in-explode transform referenced the un-aliased split() and
+      // re-tokenized the document once PER BIGRAM — measured 6.7x slower
       val bigrams = t(s, d, "documents")
-        .filter(size(tk) >= 2)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(tk) - 1),
-            i => concat_ws(" ", slice(tk, i, lit(2))))).as("bg"))
+          concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bg"))
         .persist()
       bigrams.count() // materialize before model + score sides fan out
       val model = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
@@ -2220,11 +2257,12 @@ object LlmOps {
     // hash aggregations, both partial-aggregated; never materializes the
     // per-doc bigram set in one task.
     "l17_repetition" -> ((s, d) => {
-      val tk = split(lower(col("text")), " ")
       val bigrams = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(tk) - 1),
-            i => concat_ws(" ", slice(tk, i, lit(2))))).as("bg"))
+          concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bg"))
       bigrams
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
@@ -2320,9 +2358,11 @@ object LlmOps {
         val toks = docs
           .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
           .filter(size(col("tk")) >= 8)
-        toks.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("tk")) - 7),
-            i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+        toks
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8)))).as("sh"))
           .distinct()
           .withColumn("h", xxhash64(col("sh")))
       }
@@ -2461,8 +2501,9 @@ object LlmOps {
       t(s, d, "documents")
         .filter(len > 0)
         .select(col("doc_id"), col("text"),
-          posexplode(transform(sequence(lit(0), nch - 1),
-            i => i * step + 1)).as(Seq("chunk_idx", "start")))
+          posexplode(sequence(lit(0), nch - 1)).as(Seq("chunk_idx", "ci")))
+        .select(col("doc_id"), col("text"), col("chunk_idx"),
+          (col("ci") * step + 1).as("start"))
         .select(col("doc_id"), col("chunk_idx"),
           col("start").cast("long").as("chunk_start"),
           length(col("text").substr(col("start"), lit(size)))
@@ -2618,14 +2659,18 @@ object LlmOps {
         .select(col("doc_id"), col("seg_idx"),
           concat_ws(" ", slice(col("ws"),
             (col("seg_idx") * segLen + 1).cast("int"), lit(segLen))).as("seg"))
+      // ONE aggregation (r19): min(struct(doc_id, seg_idx)) is the
+      // lexicographic minimum — keeper doc AND that keeper's first
+      // occurrence index together — so the former second groupBy at
+      // (seg, doc) granularity plus its two-key join collapse into this
+      // per-seg agg and a single equi join
       val stats = segs.groupBy("seg")
-        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper_doc"))
-      val keeperIdx = segs.groupBy(col("seg").as("kseg"), col("doc_id").as("kdoc"))
-        .agg(min("seg_idx").as("keeper_idx"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+        .select(col("seg"), col("n"), col("k.doc_id").as("keeper_doc"),
+          col("k.seg_idx").as("keeper_idx"))
       val flagged = segs
         .join(stats, "seg")
-        .join(keeperIdx,
-          col("kseg") === col("seg") && col("kdoc") === col("keeper_doc"))
         .withColumn("kept",
           when(col("n") === 1, 1L)
             .when(col("doc_id") === col("keeper_doc") &&

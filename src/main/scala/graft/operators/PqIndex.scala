@@ -102,31 +102,87 @@ object PqIndex {
       transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
 
-  /** Per-probe ADC distance tables d²(probe slice, codeword), computed
-    * distributed then collected and broadcast. probes × m·k scalars —
-    * bounded by the BATCH, never the corpus (m=8, k=16 → 128
-    * doubles/probe). ONE definition for both PQ families, so their ADC
-    * arithmetic can never drift. Returns (sorted probe ids, tabs indexed
-    * [probe][sub][code]). */
-  private[operators] def distTables(s: SparkSession, cb: DataFrame,
-      probeVecs: DataFrame, subDim: Int)
+  /** Driver-side twin of [[graft.functions.DotF32]]: ascending-index
+    * double accumulation over min(len) elements — the exact op sequence
+    * the codegen'd expression runs, so values computed here are
+    * bit-identical to plan-computed ones. */
+  private[operators] def dotF32(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Driver-side twin of [[graft.functions.CosineF32]] — one pass, three
+    * double accumulators in ascending index order, dot/(√na·√nb). */
+  private[operators] def cosineF32(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** slice(arr, start0+1, len) with SQL slice's truncation semantics. */
+  private def sliceF(a: Array[Float], start0: Int, len: Int): Array[Float] =
+    if (start0 >= a.length) Array.emptyFloatArray
+    else java.util.Arrays.copyOfRange(a, start0, math.min(a.length, start0 + len))
+
+  /** Per-probe ADC distance tables d²(probe slice, codeword) — computed
+    * ON THE DRIVER from the collected codebooks and probe batch, both
+    * bounded by model/batch size (m=8, k=16 → 128 doubles/probe). The
+    * pre-r19 form ran a broadcast-crossJoin-collect Spark job per serve
+    * call — a driver-blocking job whose scheduling latency dominated the
+    * arithmetic by orders of magnitude. The arithmetic here is the same
+    * fixed tree the old plan evaluated — dot(ps,ps) + dot(cv,cv) −
+    * 2·dot(ps,cv) with each dot an ascending double fold ([[dotF32]]) —
+    * so tables are bit-identical. ONE definition for both PQ families,
+    * so their ADC arithmetic can never drift. Returns (sorted probe ids,
+    * tabs indexed [probe][sub][code]). */
+  private[operators] def distTablesLocal(s: SparkSession,
+      cbArr: Array[(Int, Int, Array[Float])],
+      probes: Array[(Long, Array[Float])], subDim: Int)
       : org.apache.spark.broadcast.Broadcast[
           (Array[Long], Array[Array[Array[Double]]])] = {
-    val dtRows = broadcast(probeVecs)
-      .crossJoin(broadcast(cb))
-      .select(col("probe_id"), col("sub"), col("code"), col("cvec"),
-        expr(s"slice(pv, sub * $subDim + 1, $subDim)").as("pslice"))
-      .withColumn("pd2", d2("pslice", "cvec"))
-      .select("probe_id", "sub", "code", "pd2")
-      .collect()
-    val probeIds: Array[Long] =
-      dtRows.map(_.getLong(0)).distinct.sorted[Long]
+    val probeIds: Array[Long] = probes.map(_._1).distinct.sorted[Long]
     val pidx = probeIds.zipWithIndex.toMap
     val tabs = Array.ofDim[Double](probeIds.length, PqM, PqK)
-    dtRows.foreach { r =>
-      tabs(pidx(r.getLong(0)))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    probes.foreach { case (pid, pv) =>
+      val pi = pidx(pid)
+      cbArr.foreach { case (sub, code, cvec) =>
+        val ps = sliceF(pv, sub * subDim, subDim)
+        tabs(pi)(sub)(code) =
+          dotF32(ps, ps) + dotF32(cvec, cvec) - 2 * dotF32(ps, cvec)
+      }
     }
     s.sparkContext.broadcast((probeIds, tabs))
+  }
+
+  /** Collect a codebooks frame to the driver-resident model form. */
+  private[operators] def collectCodebooks(cb: DataFrame)
+      : Array[(Int, Int, Array[Float])] =
+    cb.select(col("sub"), col("code"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+
+  /** Collect the probe batch ONCE and return both the driver array (for
+    * the local distance tables / probe-cell selection) and a
+    * LocalRelation twin for the plan side: the pre-r19 serve evaluated
+    * the probe frame up to three times (distance-table job, cell-select
+    * scan, re-rank broadcast), re-running its parquet scan each time. */
+  private[operators] def collectProbes(s: SparkSession, probeVecs: DataFrame)
+      : (Array[(Long, Array[Float])], DataFrame) = {
+    import org.apache.spark.sql.types._
+    val rows = probeVecs.select(col("probe_id"), col("pv")).collect()
+    val arr = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("probe_id", LongType),
+        StructField("pv", ArrayType(FloatType)))))
+    (arr, local)
   }
 
   /** The shared ADC scoring kernel: per-partition bounded heaps, NOT a
@@ -273,16 +329,27 @@ object PqIndex {
     * kernel) is the path when even that scan is too much. */
   private[operators] def scoreProbes(s: SparkSession, cb: DataFrame,
       codesIn: DataFrame, vecs: DataFrame, probeVecs: DataFrame,
+      k: Int, excludeSelf: Boolean = true): DataFrame =
+    scoreProbesArr(s, collectCodebooks(cb), codesIn, vecs, probeVecs,
+      k, excludeSelf)
+
+  /** [[scoreProbes]] over an already-collected (possibly cached)
+    * codebook model — the serve path for stored indexes, where the
+    * model collect is paid once per dir, not per probe batch. */
+  private[operators] def scoreProbesArr(s: SparkSession,
+      cbArr: Array[(Int, Int, Array[Float])], codesIn: DataFrame,
+      vecs: DataFrame, probeVecs: DataFrame,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val subDim = cb.select(size(col("cvec"))).first().getInt(0)
+    val subDim = cbArr.head._3.length
     // accept both layouts: wide from a stored index, long from inline
     // buildFrames callers (l53) or a pre-round-13 index dir
     val codes =
       if (codesIn.schema.fieldNames.contains("sub")) widen(codesIn) else codesIn
-    val bcTabs = distTables(s, cb, probeVecs, subDim)
+    val (probeArr, probeLocal) = collectProbes(s, probeVecs)
+    val bcTabs = distTablesLocal(s, cbArr, probeArr, subDim)
     val scored = adcKernel(codes, bcTabs, PqRerank, excludeSelf)
-    rerankTopK(scored, vecs, probeVecs, k, PqRerank)
+    rerankTopK(scored, vecs, probeLocal, k, PqRerank)
   }
 
   /** Build the index from the standard embeddings table. */
@@ -368,9 +435,12 @@ object PqIndex {
     * probe's results. */
   def queryProbes(spark: SparkSession, dir: String, probeVecs: DataFrame,
       k: Int, excludeSelf: Boolean = true): DataFrame =
-    scoreProbes(spark,
-      spark.read.parquet(s"$dir/codebooks"),
+    scoreProbesArr(spark,
+      ServeModelCache.cached(spark, s"$dir/codebooks") {
+        collectCodebooks(spark.read.parquet(s"$dir/codebooks"))
+      },
       spark.read.parquet(s"$dir/codes"),
-      spark.read.parquet(s"$dir/vectors"),
+      spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(s"$dir/vectors"),
       probeVecs, k, excludeSelf)
 }
