@@ -79,9 +79,11 @@ object Bench {
           explode(sequence(lit(1), size(col("tk")) - 4)).as("i"))
         .select(col("doc_id"),
           concat_ws(" ", slice(col("tk"), col("i"), lit(5))).as("sh"))
+      // md5 hoisted out of the band mins (minhashSigs r19 note)
       val bandMins = (0 to 3).map(b =>
-        min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
+        min(substring(col("m"), b * 8 + 1, 8)).as(s"sig$b"))
       val sigs = sh
+        .select(col("doc_id"), md5(col("sh")).as("m"))
         .groupBy("doc_id")
         .agg(bandMins.head, bandMins.tail: _*)
         .select(col("doc_id"), posexplode(

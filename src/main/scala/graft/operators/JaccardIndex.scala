@@ -75,11 +75,15 @@ object JaccardIndex {
     * (sh, b) rows, one per prefix shingle per doc. */
   private def probePrefix(sh: DataFrame, dfreq: DataFrame,
       sizes: DataFrame): DataFrame =
+    // set size n rides the SAME doc_id window pass as the prefix rank
+    // (the l55 r19 change): `sizes` is still what verify consumes, but
+    // re-joining it here re-shuffled the probe shingles a second time
+    // for a count the window partition already holds
     sh.join(dfreq, Seq("sh"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-      .join(sizes, "doc_id")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rn") <= expr(PrefixLenExpr))
       .select(col("sh"), col("doc_id").as("b"))
 

@@ -79,9 +79,14 @@ object LlmOps {
     * frame — the l2 signature scheme factored out so the standing
     * NearDupIndex indexes bit-identical signatures to the inline lane. */
   private[operators] def minhashSigs(docs: DataFrame): DataFrame = {
+    // md5 hoisted into the pre-agg projection (r19): as four
+    // min(substring(md5(sh))) aggregates it was evaluated once per BAND
+    // per row; here once per row, with only the cheap substrings in the
+    // partial-agg expressions
     val bandMins = (0 to 3).map(b =>
-      min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
+      min(substring(col("m"), b * 8 + 1, 8)).as(s"sig$b"))
     shingleRows(docs, distinctPerDoc = false)
+      .select(col("doc_id"), md5(col("sh")).as("m"))
       .groupBy("doc_id")
       .agg(bandMins.head, bandMins.tail: _*)
       .select(col("doc_id"), posexplode(
@@ -1246,10 +1251,20 @@ object LlmOps {
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .filter(col("rn") <= expr("n - ((3 * n + 4) DIV 5) + 1"))
         .select("tok", "doc_id")
-      val cands = prefix.select(col("tok"), col("doc_id").as("a"))
-        .join(prefix.select(col("tok").as("tok2"), col("doc_id").as("b")),
-          col("tok") === col("tok2") && col("a") < col("b"))
-        .select("a", "b").distinct()
+      // candidate pairs from ONE shuffle of the prefix rows (r19, the
+      // j13 discipline): group posting ids per prefix token and expand
+      // a<b pairs in-group — the former self-join evaluated the whole
+      // dfreq-join + window prefix pipeline once PER SIDE. Per-group
+      // state is the token's posting list: prefix tokens are
+      // rarest-first by construction, so postings stay short — and the
+      // self-join emitted the same |posting|² rows per token anyway.
+      val cands = prefix.groupBy("tok")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(col("ids"),
+          (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       // exact verify via per-doc sorted shingle ARRAYS (r19): the former
       // cands ⋈ toks(a) ⋈ toks(b) → groupBy(a,b) exploded every candidate
       // pair to its full token lists and re-aggregated — a (pairs ×
@@ -1524,9 +1539,11 @@ object LlmOps {
         .persist()
       sh.count() // materialize before the four consumer stages fan out
       val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      // md5 hoisted out of the band mins (minhashSigs r19 note)
       val bandMins = (0 to 3).map(b =>
-        min(substring(md5(col("sh")), b * 8 + 1, 8)).as(s"sig$b"))
+        min(substring(col("m"), b * 8 + 1, 8)).as(s"sig$b"))
       val sigs = sh
+        .select(col("doc_id"), md5(col("sh")).as("m"))
         .groupBy("doc_id")
         .agg(bandMins.head, bandMins.tail: _*)
         .select(col("doc_id"), posexplode(
