@@ -676,9 +676,15 @@ object AnnIndex {
   private[graft] def flatQueryProbes(spark: SparkSession, dir: String,
       probeVecs: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val sigs = spark.read.parquet(s"$dir/signatures")
-    val vecs = spark.read.parquet(s"$dir/vectors")
-    val probeSigs = probeVecs.select(col("probe_id"), col("pv"), posexplode(
+    val sigs = spark.read.schema("vec_id BIGINT, band INT, sig BIGINT")
+      .parquet(s"$dir/signatures")
+    val vecs = spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(s"$dir/vectors")
+    // the probe batch is collected ONCE and reused as a LocalRelation:
+    // the pre-r19 plan evaluated probeVecs twice (bucket-probe broadcast
+    // + re-rank broadcast), re-running its scan each time
+    val (_, probeLocal) = PqIndex.collectProbes(spark, probeVecs)
+    val probeSigs = probeLocal.select(col("probe_id"), col("pv"), posexplode(
         expr(s"sign_lsh(pv, $Tables, $Bits)")).as(Seq("pband", "psig")))
     val probeBuckets = probeSigs.withColumn("bsig",
       explode(array(col("psig") +: (0 until Bits).map(b =>
@@ -697,12 +703,12 @@ object AnnIndex {
         cands
           .join(spark.read.parquet(s"${sq8Dir(dir)}/codes")
             .select("vec_id", "q"), "vec_id")
-          .join(broadcast(probeVecs), "probe_id")
+          .join(broadcast(probeLocal), "probe_id")
           .withColumn("cos", expr("cosine_i8(pv, q)"))
       else
         cands
           .join(vecs, "vec_id")
-          .join(broadcast(probeVecs), "probe_id")
+          .join(broadcast(probeLocal), "probe_id")
           .withColumn("cos", expr("cosine_f32(pv, embedding)"))
     scored
       .groupBy("probe_id")

@@ -1370,16 +1370,23 @@ object LlmOps {
       // stage 3: near-dup drop — LSH candidate pairs over the survivors
       val losers = minhashPairsOf(e.select(col("doc_id"), col("text")))
         .select(col("b").as("doc_id")).distinct()
-      val nd = e.join(losers, Seq("doc_id"), "left_anti")
       // stage 4: decontamination — drop docs sharing any 8-gram shingle
       // with the eval set (exact equi-join on hashed shingles; the eval
       // side is tiny and broadcast — l29's bloom screen is the drop-in
-      // when even the eval shingle set outgrows a broadcast)
+      // when even the eval shingle set outgrows a broadcast).
+      // r19: contamination is computed over the SURVIVORS e, not the
+      // intermediate nd = e∖losers, and both drop sets anti-join e in
+      // ONE union — e∖losers∖contam(e∖losers) ≡ e∖(losers ∪ contam(e))
+      // because extra contamination checks on loser docs can only name
+      // docs already dropped. The former nd frame sat under BOTH the
+      // shingle pass and the final anti join, so its whole subplan —
+      // including the minhash self-join behind `losers` — evaluated
+      // twice inside one action.
       val evalSh = shingles8(docs.filter(col("doc_id") < 50))
         .select("sh").distinct()
-      val contaminated = shingles8(nd.select("doc_id", "text"))
+      val contaminated = shingles8(e)
         .join(broadcast(evalSh), "sh").select("doc_id").distinct()
-      val dc = nd.join(contaminated, Seq("doc_id"), "left_anti")
+      val dc = e.join(losers.union(contaminated), Seq("doc_id"), "left_anti")
       // stage 5: stratified split (l48's content-hash rule)
       val b2 = substring(md5(col("text")), 1, 2)
       val sp = dc.select(col("doc_id"),
