@@ -93,10 +93,14 @@ object Bench {
       // computation of the same cached partitions under a full task-slot
       // pool occasionally starves into 10-50x latency spikes
       sigs.count()
-      val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
-      val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
-      x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
-        .select(col("a"), col("bid").as("b")).distinct()
+      // one-shuffle in-bucket pair expansion (minhashPairsOf r19 note)
+      sigs.groupBy("b", "sig")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(col("ids"),
+          (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     }),
 
     // brute-force cosine kNN, broadcast probes, windowed top-k

@@ -636,10 +636,20 @@ object LlmOps {
     // blocked-on-block-lock tasks can starve the computing ones (observed
     // as rare 10-50x latency spikes in the bench)
     sigs.count()
-    val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
-    val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid"))
-    x.join(y, col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
-      .select(col("a"), col("bid").as("b"))
+    // candidate pairs from ONE shuffle of the signature rows (r19, the
+    // l55/j13 discipline): group doc ids per (band, sig) bucket and
+    // expand a<b pairs in-group — the self-join shuffled the signature
+    // table twice and built join hash tables for the same bucket rows.
+    // Per-group state is the LSH bucket's membership list, exactly the
+    // row set one join key held; the join emitted |bucket|² rows per
+    // bucket too.
+    sigs.groupBy("b", "sig")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"),
+        (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
@@ -1545,7 +1555,6 @@ object LlmOps {
         .distinct()
         .persist()
       sh.count() // materialize before the four consumer stages fan out
-      val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       // md5 hoisted out of the band mins (minhashSigs r19 note)
       val bandMins = (0 to 3).map(b =>
         min(substring(col("m"), b * 8 + 1, 8)).as(s"sig$b"))
@@ -1555,18 +1564,30 @@ object LlmOps {
         .agg(bandMins.head, bandMins.tail: _*)
         .select(col("doc_id"), posexplode(
           array((0 to 3).map(b => col(s"sig$b")): _*)).as(Seq("b", "sig")))
-      val cands = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
-        .join(sigs.select(col("b").as("b2"), col("sig").as("sig2"), col("doc_id").as("bid")),
-          col("b") === col("b2") && col("sig") === col("sig2") && col("a") < col("bid"))
-        .select(col("a"), col("bid").as("b")).distinct()
-      val inter = cands
-        .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .filter(col("sha") === col("shb"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(nsh.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
-        .join(nsh.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+      // one-shuffle in-bucket pair expansion (minhashPairsOf r19 note);
+      // the former self-join also re-evaluated the unpersisted sigs agg
+      // once per side
+      val cands = sigs.groupBy("b", "sig")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(col("ids"),
+          (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      // exact intersection via per-doc sorted arrays (the l55 r19
+      // shape): the former cands ⋈ sh(a) ⋈ sh(b) + filter(sha=shb)
+      // materialized the FULL n_a × n_b shingle cross product per
+      // candidate pair before filtering
+      val docArr = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("ta"),
+          count(lit(1)).as("nsh"))
+      cands
+        .join(docArr.select(col("doc_id").as("a"), col("ta").as("taa"),
+          col("nsh").as("na")), "a")
+        .join(docArr.select(col("doc_id").as("b"), col("ta").as("tab"),
+          col("nsh").as("nb")), "b")
+        .withColumn("inter",
+          size(array_intersect(col("taa"), col("tab"))).cast("long"))
         .withColumn("jac",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("jac") >= 0.2)
