@@ -16,12 +16,17 @@ object LaneProbe {
     val lanes = args(1).split(",").toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // mirror Bench.main's scan-split methodology (r20) so probe numbers
+    // compare to bench numbers; SPARK_GRAFT_SPLIT_READS=1 opts both in
+    val splitScans =
+      if (sys.env.get("SPARK_GRAFT_SPLIT_READS").contains("1")) cpus else "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.Tables.SplitScansKey, splitScans)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val all = Bench.headline.toMap

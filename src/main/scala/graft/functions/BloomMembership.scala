@@ -50,6 +50,41 @@ object BloomMembership {
     lit(bos.toByteArray)
   }
 
+  /** One-pass variant (r20): builds the filter AND counts the keys in a
+    * single treeAggregate job, so callers that previously paid a count()
+    * just to size the filter (l29's eval side) pay one distributed pass,
+    * not two. `capacityHint` sizes the filter up front; when the true
+    * count exceeds the hint the filter is REBUILT at the exact count
+    * (one extra pass over the — typically persisted — frame), so the
+    * fpp guarantee never silently degrades. The filter's bit pattern is
+    * an implementation detail: callers re-verify survivors exactly, so
+    * any capacity yields identical results. */
+  def buildBloomLiteralCounting(df: DataFrame, hashCol: String,
+      capacityHint: Long, fpp: Double = 0.01): (Column, Long) = {
+    val cap = math.max(capacityHint, 1L)
+    val (bf0, n) = df.select(col(hashCol)).rdd
+      .treeAggregate((null: BloomFilter, 0L))(
+        (acc, row) => {
+          val b = if (acc._1 == null) BloomFilter.create(cap, fpp) else acc._1
+          b.putLong(row.getLong(0))
+          (b, acc._2 + 1)
+        },
+        (a, b) => {
+          val bf =
+            if (a._1 == null) b._1
+            else if (b._1 == null) a._1
+            else { a._1.mergeInPlace(b._1); a._1 }
+          (bf, a._2 + b._2)
+        })
+    val bf =
+      if (n > cap || bf0 == null) // under-hinted (or empty): exact resize
+        df.stat.bloomFilter(hashCol, math.max(n, 1L), fpp)
+      else bf0
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    (lit(bos.toByteArray), n)
+  }
+
   /** `graft_might_contain(bloom, h)` as a Column (registers on the way). */
   def mightContain(spark: SparkSession, bloom: Column, h: Column): Column = {
     register(spark)

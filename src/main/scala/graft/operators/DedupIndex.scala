@@ -273,11 +273,21 @@ object DedupIndex {
     // JaccardIndex.pairsAgainst has the same contract.
     if (!fs0.exists(p0)) return docs
     val hashed = withSha(docs).withColumn("shard", shardExpr)
-    val touched = hashed.select("shard").distinct()
-      .collect().map(_.getInt(0)).sorted // ≤16 rows
-    if (touched.isEmpty) return docs // empty batch: nothing to screen
-    val bcBlooms = spark.sparkContext.broadcast(
-      touched.map(i => i -> readBloom(spark, indexDir, i)).toMap)
+    // Resident shard blooms (r20, the ANN serve-model discipline): the
+    // blooms ARE this index's bounded model (Shards × fixed bloom size,
+    // never corpus-proportional), so the serving process keeps the
+    // DESERIALIZED map broadcast-resident instead of re-reading and
+    // re-broadcasting ~Shards × 1.2 MB per screen. The entry is guarded
+    // by ServeModelCache's content fingerprint (an append/rebuild — even
+    // same-length within one mtime granule — invalidates on the next
+    // screen), and keyed by applicationId because a Broadcast dies with
+    // its context. This also deletes the former per-screen `touched`
+    // collect job: with all shards resident there is nothing to prune.
+    val bcBlooms = ServeModelCache.cachedKeyed(spark, s"$indexDir/blooms",
+      spark.sparkContext.applicationId) {
+      spark.sparkContext.broadcast(
+        (0 until Shards).map(i => i -> readBloom(spark, indexDir, i)).toMap)
+    }
     // coalesce(..., true): shard/h are non-null by construction (sha is
     // computed over coalesce(text, '')), but a primitive-arg UDF yields
     // NULL without being called if an input were ever null — and a NULL
@@ -298,11 +308,28 @@ object DedupIndex {
     // directly would throw and crash-loop the replay instead.
     val hashesPath = new org.apache.hadoop.fs.Path(indexDir, "hashes")
     val bloomHits = hashed.filter(maybeSeen)
+    // Confirm WITHOUT ever shuffling the standing table (r20, guide §3):
+    // the former anti-join against the full hashes/ scan shuffles (or
+    // auto-broadcasts) the CORPUS side per screen once it outgrows the
+    // broadcast threshold. Instead the batch's candidate shas broadcast
+    // into a semi-join that prunes hashes/ down to the ≤|batch| rows it
+    // actually contains ("seen"), and the anti-join then runs against
+    // broadcast(seen) — the standing side streams scan→BHJ with zero
+    // exchange at any corpus size. Explicit read schema: no per-screen
+    // parquet footer inference on the standing side.
+    val hashesSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sha",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("keeper_id",
+        org.apache.spark.sql.types.LongType)))
     val confirmed =
       if (!fs0.exists(hashesPath)) bloomHits
-      else bloomHits
-        .join(spark.read.parquet(s"$indexDir/hashes").select("sha"),
-          Seq("sha"), "left_anti")
+      else {
+        val seen = spark.read.schema(hashesSchema)
+          .parquet(s"$indexDir/hashes").select("sha")
+          .join(broadcast(bloomHits.select("sha")), Seq("sha"), "left_semi")
+        bloomHits.join(broadcast(seen), Seq("sha"), "left_anti")
+      }
     // drop ALL internal columns — leaking sha would pollute the
     // documented rows-of-docs output schema (append recomputes it)
     definitelyNew.unionByName(confirmed).drop("h", "sha", "shard")

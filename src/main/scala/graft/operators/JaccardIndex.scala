@@ -44,6 +44,19 @@ object JaccardIndex {
     * final test 5·∩ ≥ 3·(|A|+|B|−∩). No float ever decides membership. */
   private val PrefixLenExpr = "n - ((3 * n + 4) DIV 5) + 1"
 
+  /** Pinned physical layouts of the stored tables (index contract since
+    * r20; the build writes exactly these types). */
+  private val ShinglesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sh",
+      org.apache.spark.sql.types.StringType)))
+  private val SizesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType)))
+
   private def shingleSets(docs: DataFrame): DataFrame =
     LlmOps.shingleRows(docs.select("doc_id", "text"), distinctPerDoc = true)
 
@@ -73,12 +86,12 @@ object JaccardIndex {
 
   /** Rarest-first probe prefixes of `sh` under the given df table:
     * (sh, b) rows, one per prefix shingle per doc. */
-  private def probePrefix(sh: DataFrame, dfreq: DataFrame,
-      sizes: DataFrame): DataFrame =
+  private def probePrefix(sh: DataFrame, dfreq: DataFrame): DataFrame =
     // set size n rides the SAME doc_id window pass as the prefix rank
-    // (the l55 r19 change): `sizes` is still what verify consumes, but
-    // re-joining it here re-shuffled the probe shingles a second time
-    // for a count the window partition already holds
+    // (the l55 r19 change; the former `sizes` parameter was dead —
+    // verify consumes sizes, this pass never did): re-joining sizes
+    // here re-shuffled the probe shingles a second time for a count the
+    // window partition already holds
     sh.join(dfreq, Seq("sh"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(
@@ -163,10 +176,15 @@ object JaccardIndex {
       return verify(bsh.select(col("doc_id").as("a"),
           col("doc_id").as("b")).limit(0),
         bsh, bsizes, bsh, bsizes)
-    val stored = spark.read.parquet(s"$indexDir/shingles")
-    val storedSizes = spark.read.parquet(s"$indexDir/sizes")
+    // pinned physical layout (r20): explicit read schemas skip the
+    // per-screen parquet footer inference on the standing side — the
+    // build writes exactly these types
+    val stored = spark.read.schema(ShinglesSchema)
+      .parquet(s"$indexDir/shingles")
+    val storedSizes = spark.read.schema(SizesSchema)
+      .parquet(s"$indexDir/sizes")
     val dfreq = bsh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val cands = probePrefix(bsh, dfreq, bsizes)
+    val cands = probePrefix(bsh, dfreq)
       .join(stored.select(col("sh"), col("doc_id").as("a")), "sh")
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
@@ -181,7 +199,7 @@ object JaccardIndex {
     val sh = shingleSets(docs).localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val cands = probePrefix(sh, dfreq, sizes)
+    val cands = probePrefix(sh, dfreq)
       .join(sh.select(col("sh"), col("doc_id").as("a")), "sh")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()

@@ -285,13 +285,13 @@ object JoinOps {
       // dedups an id that reaches the same variant twice (two identical
       // adjacent chars); per-group state is bounded by the hash's
       // collision group, the same row set the join's build side held.
-      val pairs = variants.groupBy("vh")
+      // two stacked Generates, not flatten(transform(transform)) (r20):
+      // per-row state stays O(|group|), never the materialized
+      // |group|² pair array — see LlmOps.pairsInBucket's shape note
+      val pairs = LlmOps.pairsInBucket(variants.groupBy("vh")
         .agg(sort_array(collect_set(col("id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(flatten(transform(col("ids"),
-          (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .filter(size(col("ids")) >= 2))
+        .distinct()
       // names rejoin AFTER dedup, broadcast here because the name table is
       // dim-sized; at entity counts past broadcast range the same two
       // joins run shuffled — still O(pairs), never O(n²)

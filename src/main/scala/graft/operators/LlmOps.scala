@@ -232,10 +232,14 @@ object LlmOps {
           col("doc_id").as("b"), col("simhash").as("hb")),
         col("band") === col("band2") && col("bv") === col("bv2") &&
           col("a") < col("b"))
-      .select("a", "b", "ha", "hb").distinct()
+      // hamming computed + filtered BEFORE the pair dedup (r20): it is a
+      // pure function of the pair's signatures, so the filter commutes
+      // with distinct — and the distinct's exchange then carries only
+      // true near-dup rows (3 narrow columns) instead of every band
+      // collision with both 8-byte signatures attached
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= 3)
-      .select("a", "b", "hamming")
+      .select("a", "b", "hamming").distinct()
   }
 
   /** Engine-emitted signature fixture backing the l54w oracle. JVM
@@ -628,28 +632,42 @@ object LlmOps {
   /** MinHash-LSH candidate pairs (a < b) over an arbitrary (doc_id,
     * text) frame — l2's screen as a reusable stage (the l57 pipeline
     * runs it over dedup survivors, not the raw table). */
+  /** a<b pair rows from a grouped frame holding a sorted `ids` array per
+    * bucket — the shared in-bucket expansion of every one-shuffle
+    * candidate generator (minhashPairsOf, l55 prefix postings, l12's
+    * inline twin, j13's deletion variants; r19 discipline).
+    *
+    * Shape (r20): TWO stacked Generates — posexplode the bucket's ids,
+    * then explode each id's tail slice. Per-row state is O(|bucket|)
+    * (the ids array itself), where the r19 flatten(transform(transform))
+    * form materialized the ENTIRE |bucket|²/2 pair array as one value
+    * before the Generate could stream it: a duplicate-heavy bucket (the
+    * 100 TB hot-key case) hit task OOM / the JVM array cap there, while
+    * this shape streams pairs row-by-row exactly as the old self-join
+    * did (HotBucketSpec pins a 2·10⁸-pair bucket completing). A
+    * degenerate bucket still COSTS |bucket|² output rows in one task —
+    * that is the operator's exact semantics; capping or salting away
+    * cross-chunk pairs would change the declared result. */
+  private[graft] def pairsInBucket(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
+
   private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val sigs = minhashSigs(docs).persist()
-    // materialize the cache BEFORE the self-join fans out: without this,
-    // both join sides' shuffle-map stages run concurrently, each computing
-    // the not-yet-cached partitions — under a full task-slot pool the
-    // blocked-on-block-lock tasks can starve the computing ones (observed
-    // as rare 10-50x latency spikes in the bench)
-    sigs.count()
     // candidate pairs from ONE shuffle of the signature rows (r19, the
     // l55/j13 discipline): group doc ids per (band, sig) bucket and
     // expand a<b pairs in-group — the self-join shuffled the signature
     // table twice and built join hash tables for the same bucket rows.
     // Per-group state is the LSH bucket's membership list, exactly the
     // row set one join key held; the join emitted |bucket|² rows per
-    // bucket too.
-    sigs.groupBy("b", "sig")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"),
-        (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // bucket too. (r20: the pair stage has ONE consumer of sigs now, so
+    // the r19 persist+count barrier that guarded the self-join's two
+    // concurrent map stages is gone — one fewer blocking job per call.)
+    pairsInBucket(
+      minhashSigs(docs).groupBy("b", "sig")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2))
       .distinct()
   }
 
@@ -1202,13 +1220,16 @@ object LlmOps {
             col("doc_id").as("b"), col("simhash").as("hb")),
           col("band") === col("band2") && col("bv") === col("bv2") &&
             col("a") < col("b"))
-        // a pair may agree on several bands — dedup the id pair (the
-        // carried 8-byte signatures are functions of the ids)
-        .select("a", "b", "ha", "hb").distinct()
+      // a pair may agree on several bands — dedup the id pair. hamming
+      // is computed + filtered BEFORE the dedup (r20): it is a pure
+      // function of the pair's signatures, so the filter commutes with
+      // distinct — and the distinct's exchange carries only true
+      // near-dup rows (3 narrow columns) instead of every band
+      // collision with both signatures attached
       pairs
         .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
         .filter(col("hamming") <= 3)
-        .select("a", "b", "hamming")
+        .select("a", "b", "hamming").distinct()
         .orderBy("a", "b")
     }),
 
@@ -1268,13 +1289,13 @@ object LlmOps {
       // state is the token's posting list: prefix tokens are
       // rarest-first by construction, so postings stay short — and the
       // self-join emitted the same |posting|² rows per token anyway.
-      val cands = prefix.groupBy("tok")
+      // two stacked Generates, not flatten(transform(transform)) (r20):
+      // per-row state stays O(|posting|), never the materialized
+      // |posting|² pair array — see pairsInBucket's shape note
+      val cands = pairsInBucket(prefix.groupBy("tok")
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(flatten(transform(col("ids"),
-          (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .filter(size(col("ids")) >= 2))
+        .distinct()
       // exact verify via per-doc sorted shingle ARRAYS (r19): the former
       // cands ⋈ toks(a) ⋈ toks(b) → groupBy(a,b) exploded every candidate
       // pair to its full token lists and re-aggregated — a (pairs ×
@@ -1397,12 +1418,19 @@ object LlmOps {
       val contaminated = shingles8(e)
         .join(broadcast(evalSh), "sh").select("doc_id").distinct()
       val dc = e.join(losers.union(contaminated), Seq("doc_id"), "left_anti")
-      // stage 5: stratified split (l48's content-hash rule)
+      // stage 5: stratified split (l48's content-hash rule).
+      // r20: the packing stage's max-train-doc_id scalar rides the SAME
+      // checkpoint action as sp's materialization via observe() — the
+      // former separate train.agg(max).head() job is gone, trimming the
+      // lane to 2 blocking pre-actions (e, sp) + the final action.
       val b2 = substring(md5(col("text")), 1, 2)
+      val obs = new org.apache.spark.sql.Observation()
       val sp = dc.select(col("doc_id"),
         when(b2 < "cd", "train").when(b2 < "e6", "val")
           .otherwise("test").as("split"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .observe(obs,
+          max(when(col("split") === "train", col("doc_id"))).as("max_id"))
         .localCheckpoint(true)
       // stage 6: pack the train split (l27's bucketed global cumsum —
       // per-bucket offsets broadcast, never a single-partition window)
@@ -1410,13 +1438,13 @@ object LlmOps {
       val nb = 32
       val train = sp.filter(col("split") === "train")
         .select("doc_id", "n_tok")
-      val maxIdRow = train.agg(max("doc_id")).head()
+      val maxIdObs = obs.get("max_id") // checkpoint already ran: no wait
       val packed =
-        if (maxIdRow.isNullAt(0)) // no train docs: nothing to pack
+        if (maxIdObs == null) // no train docs: nothing to pack
           train.select(col("doc_id"), col("n_tok").as("start_tok"))
             .limit(0).withColumn("bin", lit(0L))
         else {
-          val maxId = maxIdRow.getLong(0)
+          val maxId = maxIdObs.asInstanceOf[Long]
           val pid = least(floor(col("doc_id") * nb / (maxId + 1)),
             lit(nb - 1)).cast("int")
           val parted = train.withColumn("pid", pid)
@@ -1567,13 +1595,13 @@ object LlmOps {
       // one-shuffle in-bucket pair expansion (minhashPairsOf r19 note);
       // the former self-join also re-evaluated the unpersisted sigs agg
       // once per side
-      val cands = sigs.groupBy("b", "sig")
+      // two stacked Generates, not flatten(transform(transform)) (r20):
+      // per-row state stays O(|bucket|), never the materialized
+      // |bucket|² pair array — see pairsInBucket's shape note
+      val cands = pairsInBucket(sigs.groupBy("b", "sig")
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(flatten(transform(col("ids"),
-          (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .filter(size(col("ids")) >= 2))
+        .distinct()
       // exact intersection via per-doc sorted arrays (the l55 r19
       // shape): the former cands ⋈ sh(a) ⋈ sh(b) + filter(sha=shb)
       // materialized the FULL n_a × n_b shingle cross product per
@@ -2414,9 +2442,15 @@ object LlmOps {
       val docs = t(s, d, "documents")
       val evalSh = shinglesOf(docs.filter(col("doc_id") < 50))
         .select("sh", "h").distinct().persist()
-      // treeAggregate over the eval side: the driver holds only the filter
-      val nEval = evalSh.count()
-      val bloom = BloomMembership.buildBloomLiteral(evalSh, "h", nEval)
+      // ONE treeAggregate builds the filter AND counts the keys (r20:
+      // the former separate count() job existed only to size the
+      // filter); the pass also materializes the persist for the confirm
+      // join. The capacity hint over-sizes at test SFs (bit pattern is
+      // a prefilter detail — the exact confirm keeps results identical)
+      // and auto-resizes in a second pass only if the eval set outgrows
+      // it. The driver holds only the filter, never the rows.
+      val (bloom, _) =
+        BloomMembership.buildBloomLiteralCounting(evalSh, "h", 1L << 18)
       val screened = shinglesOf(docs.filter(col("doc_id") >= 50))
         .filter(BloomMembership.mightContain(s, bloom, col("h")))
       val hits = screened

@@ -54,33 +54,36 @@ object NearDupIndex {
     val fs = sigsPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(sigsPath))
       return batch.select(col("new_id"), col("new_id").as("index_id")).limit(0)
-    val stored = spark.read.parquet(s"$indexDir/sigs")
+    // pinned physical layout (r20): explicit read schema skips the
+    // per-screen parquet footer inference on the standing side
+    val sigsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.StringType)))
+    val stored = spark.read.schema(sigsSchema).parquet(s"$indexDir/sigs")
       .select(col("b").as("b2"), col("sig").as("sig2"),
         col("doc_id").as("index_id"))
-    batch.join(stored,
+    // broadcast the BATCH side (r20, the SimHashIndex serve discipline):
+    // the standing signature table must never shuffle — it streams
+    // scan→BHJ→partial-agg, so screen cost tracks the corpus scan, not
+    // a corpus-wide exchange the planner might otherwise pick once the
+    // stored side outgrows the auto-broadcast estimate
+    broadcast(batch).join(stored,
         col("b") === col("b2") && col("sig") === col("sig2") &&
           col("new_id") =!= col("index_id"))
       .select(col("new_id"), col("index_id")).distinct()
   }
 
-  /** Near-dup candidate pairs WITHIN a frame (a < b), deduped — the l2
-    * self-join over freshly computed signatures. */
-  def pairsWithin(docs: DataFrame): DataFrame = {
-    // eager localCheckpoint: materializes BEFORE the self-join's two
-    // stages fan out (the l2 concurrent-materialization starvation
-    // guard), and — unlike persist(), whose CacheManager entry pins the
-    // blocks until an explicit unpersist — is released by the
-    // ContextCleaner once unreferenced, so per-batch streaming callers
-    // (nearDedupIngest) don't accumulate one cached RDD per micro-batch
-    val sigs = LlmOps.minhashSigs(docs).localCheckpoint(true)
-    val x = sigs.select(col("b"), col("sig"), col("doc_id").as("a"))
-    val y = sigs.select(col("b").as("b2"), col("sig").as("sig2"),
-      col("doc_id").as("bid"))
-    val out = x.join(y, col("b") === col("b2") && col("sig") === col("sig2") &&
-        col("a") < col("bid"))
-      .select(col("a"), col("bid").as("b")).distinct()
-    out
-  }
+  /** Near-dup candidate pairs WITHIN a frame (a < b), deduped — exactly
+    * the l2 screen, so it delegates to LlmOps.minhashPairsOf (r20): the
+    * one-shuffle in-bucket expansion replaces the former signature
+    * self-join here too, which also retires this path's eager
+    * localCheckpoint job (the pair stage consumes the signatures once). */
+  def pairsWithin(docs: DataFrame): DataFrame =
+    LlmOps.minhashPairsOf(docs.select(col("doc_id"), col("text")))
 
   /** Add a batch's signatures to the index (signature-append only; the
     * caller decides which batch docs survive its dedup policy first).

@@ -182,63 +182,97 @@ object SimHashIndex {
     * nothing (streaming bootstrap; existence probed through the Hadoop
     * FS so hdfs://pufs:// index dirs resolve correctly). */
   def neighborsAgainst(spark: SparkSession, indexDir: String,
-      docs: DataFrame): DataFrame = {
-    // eager localCheckpoint: the batch signatures feed the driver-side
-    // prefix collect AND the join probe — one computation, and blocks
-    // release via the ContextCleaner when the plan is GC'd
-    val batchSigs = LlmOps.simhash64Of(
-      docs.select(col("doc_id"), col("text"))).localCheckpoint(true)
-    neighborsAgainstSigs(spark, indexDir, batchSigs)
-  }
+      docs: DataFrame): DataFrame =
+    // no eager checkpoint here (r20): on the plain arm the batch
+    // signatures have exactly ONE consumer (the broadcast probe), so the
+    // former caller-side localCheckpoint was a whole extra blocking job
+    // per serve; the pruned arm — the only path that reads the batch
+    // twice — materializes internally (see neighborsAgainstSigs)
+    neighborsAgainstSigs(spark, indexDir,
+      LlmOps.simhash64Of(docs.select(col("doc_id"), col("text"))))
+
+  /** Pinned physical layout of sigs/ (part of the index contract since
+    * r20): explicit read schemas skip per-serve parquet footer
+    * inference on the standing side. The build writes exactly these
+    * types; an externally-built dir must match them. */
+  private val SigsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("simhash",
+      org.apache.spark.sql.types.LongType)))
+
+  /** bands/ data columns; band/pb are hive partition dirs. */
+  private val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bv",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("simhash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("pb",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Same screen from pre-computed batch signatures (doc_id, simhash) —
     * for callers that already hold signatures (re-screens, the
-    * crossover probe's synthetic corpora). `batchSigs` should be
-    * materialized (localCheckpoint/cached): it feeds both the driver
-    * prefix collect and the join probe. */
+    * crossover probe's synthetic corpora). `batchSigs` may be lazy: the
+    * plain arm consumes it once (the broadcast probe) and the pruned
+    * arm — which also feeds the driver prefix collect — materializes it
+    * internally via localCheckpoint. */
   private[graft] def neighborsAgainstSigs(spark: SparkSession,
       indexDir: String, batchSigs: DataFrame): DataFrame = {
-    val batch = bandRows(batchSigs)
+    def batchOf(sigs: DataFrame) = bandRows(sigs)
       .select(col("doc_id").as("new_id"), col("simhash").as("hn"),
         col("band"), col("bv"), col("pb"))
     val (hfs, sigsPath) = fs(spark, s"$indexDir/sigs")
     if (!hfs.exists(sigsPath))
-      return batch.select(col("new_id"), col("new_id").as("index_id"),
-        lit(0L).as("hamming")).limit(0)
+      return batchOf(batchSigs).select(col("new_id"),
+        col("new_id").as("index_id"), lit(0L).as("hamming")).limit(0)
     val (_, bandsPath) = fs(spark, s"$indexDir/bands")
     // in-plan fallback: full sigs scan, bands derived narrow (also the
     // legacy-index path and the big-batch arm of the cost rule)
     def fromSigs =
-      bandRows(spark.read.parquet(s"$indexDir/sigs"))
+      bandRows(spark.read.schema(SigsSchema).parquet(s"$indexDir/sigs"))
         .select(col("band").as("band2"), col("bv").as("bv2"),
           col("doc_id").as("index_id"), col("simhash").as("hi"))
+    // broadcast the BATCH side: the standing table must never shuffle —
+    // it streams scan→BHJ→partial-agg in one codegen stage, so serve
+    // cost tracks the (pruned) scan, not a corpus-wide exchange.
+    // hamming is computed and filtered BEFORE the pair distinct (r20):
+    // it is a pure function of the pair's two signatures, so the filter
+    // commutes with the dedup — and the distinct's exchange then
+    // carries only true near-dup rows (3 narrow columns) instead of
+    // every band collision with both 8-byte signatures attached.
+    def screen(batch: DataFrame, stored: DataFrame) =
+      broadcast(batch.select("new_id", "hn", "band", "bv"))
+        .join(stored,
+          col("band") === col("band2") && col("bv") === col("bv2") &&
+            col("new_id") =!= col("index_id"))
+        .withColumn("hamming", expr("bit_count(hn ^ hi)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("new_id", "index_id", "hamming").distinct()
     val minSigs = spark.conf.getOption(PrunedMinSigsBytesKey)
       .map(_.toLong).getOrElse(PrunedMinSigsBytes)
-    val stored =
-      if (!hfs.exists(bandsPath)) fromSigs
-      // corpus floor first: when sigs/ is small the plain scan wins on
-      // fixed costs alone, and skipping collectPrefixes also saves the
-      // screen its one extra driver-side job
-      else if (hfs.getContentSummary(sigsPath).getLength < minSigs) fromSigs
-      else {
-        val pbs = collectPrefixes(batch)
+    // corpus floor first: when sigs/ is small the plain scan wins on
+    // fixed costs alone, and skipping collectPrefixes also saves the
+    // screen its one extra driver-side job
+    if (!hfs.exists(bandsPath) ||
+        hfs.getContentSummary(sigsPath).getLength < minSigs)
+      screen(batchOf(batchSigs), fromSigs)
+    else {
+      // the pruned arm reads the batch twice (prefix collect + probe):
+      // materialize once; blocks release via the ContextCleaner
+      val batch = batchOf(batchSigs.localCheckpoint(true))
+      val pbs = collectPrefixes(batch)
+      val stored =
         if (!preferPruned(pbs.valuesIterator.map(_.size).sum)) fromSigs
-        else spark.read.parquet(s"$indexDir/bands")
+        else spark.read.schema(BandsSchema).parquet(s"$indexDir/bands")
           .filter(predicateOf(pbs))
           .select(col("band").as("band2"), col("bv").as("bv2"),
             col("doc_id").as("index_id"), col("simhash").as("hi"))
-      }
-    // broadcast the BATCH side: the standing table must never shuffle —
-    // it streams scan→BHJ→partial-agg in one codegen stage, so serve
-    // cost tracks the (pruned) scan, not a corpus-wide exchange
-    broadcast(batch.select("new_id", "hn", "band", "bv"))
-      .join(stored,
-        col("band") === col("band2") && col("bv") === col("bv2") &&
-          col("new_id") =!= col("index_id"))
-      .select("new_id", "index_id", "hn", "hi").distinct()
-      .withColumn("hamming", expr("bit_count(hn ^ hi)").cast("long"))
-      .filter(col("hamming") <= 3)
-      .select("new_id", "index_id", "hamming")
+      screen(batch, stored)
+    }
   }
 
   /** Verified pairs WITHIN a frame (a < b) — the l54w screen over fresh
