@@ -47,6 +47,31 @@ object LaneProbe {
           spark.catalog.clearCache()
           println(s"wrote $outDir/$name$suffix.txt")
         }
+      case "jobs" =>
+        // per-lane Spark JOB count for one evaluation (serve-path
+        // decomposition evidence): warmup first (index builds, JIT),
+        // then count jobs during a single timed evaluation
+        chosen.foreach { case (name, fn) =>
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable => println(s"WARMUP FAIL $name: ${e.getMessage}") }
+          spark.catalog.clearCache()
+          val jobs = new java.util.concurrent.atomic.AtomicInteger()
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(); ()
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Thread.sleep(300) // listener bus is async; jobs started by now
+          } finally spark.sparkContext.removeSparkListener(listener)
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          println(f"$name%-24s jobs=${jobs.get()}%d  sec=$sec%.3f")
+        }
       case "time" =>
         val iters = if (args.length > 2) args(2).toInt else 5
         def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

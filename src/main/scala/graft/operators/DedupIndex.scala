@@ -53,9 +53,13 @@ object DedupIndex {
     conv(substring(col("sha"), 1, 1), 16, 10).cast("int")
 
   /** All shard blooms in ONE distributed pass (lazy per-partition arrays;
-    * only non-empty shards materialize before the final fill). */
-  private def bloomsOf(df: DataFrame): Array[BloomFilter] = {
-    val agg = df.select(shardExpr.as("shard"), col("h"))
+    * only non-empty shards materialize). A shard the frame never touched
+    * stays null — append derives its touched-shard set from exactly
+    * that (r20: the former separate `touched` distinct+collect job per
+    * batch re-ran the batch's sha pass for a fact this aggregate already
+    * knows); use [[fillEmpty]] where a full array is needed. */
+  private def bloomsOf(df: DataFrame): Array[BloomFilter] =
+    df.select(shardExpr.as("shard"), col("h"))
       .rdd.treeAggregate(new Array[BloomFilter](Shards))(
         (acc, row) => {
           val s = row.getInt(0)
@@ -72,9 +76,10 @@ object DedupIndex {
           }
           a
         })
-    agg.map(bf =>
+
+  private def fillEmpty(blooms: Array[BloomFilter]): Array[BloomFilter] =
+    blooms.map(bf =>
       if (bf == null) BloomFilter.create(ShardCapacity, Fpp) else bf)
-  }
 
   // Bloom I/O rides the Hadoop FileSystem of the indexDir's scheme so a
   // non-local index (hdfs://, pufs://) works end-to-end — java.nio would
@@ -199,7 +204,7 @@ object DedupIndex {
     try {
       hashes.select("sha", "keeper_id")
         .write.mode("overwrite").parquet(s"$indexDir/hashes")
-      publishBlooms(spark, indexDir, bloomsOf(hashes))
+      publishBlooms(spark, indexDir, fillEmpty(bloomsOf(hashes)))
       hashes.count()
     } finally { hashes.unpersist(); () }
   }
@@ -233,7 +238,7 @@ object DedupIndex {
       return // never-built index: the first build/append publishes blooms
     val hashes = spark.read.parquet(s"$indexDir/hashes")
       .withColumn("h", xxhash64(col("sha")))
-    publishBlooms(spark, indexDir, bloomsOf(hashes))
+    publishBlooms(spark, indexDir, fillEmpty(bloomsOf(hashes)))
   }
 
   /** Rows of `docs` whose content is NOT in the index. Bloom misses are
@@ -355,8 +360,10 @@ object DedupIndex {
         first(col("h")).as("h"))
       .persist()
     val batchBlooms = bloomsOf(hashes)
-    val touched = hashes.select(shardExpr.as("shard")).distinct()
-      .collect().map(_.getInt(0)).toSet // ≤16 rows
+    // touched shards fall out of the bloom aggregate itself (r20): the
+    // former separate distinct+collect job re-ran the batch's sha pass
+    // once per append for a fact the nulls in batchBlooms already carry
+    val touched = batchBlooms.indices.filter(batchBlooms(_) != null).toSet
     withAppendLock(spark, indexDir) {
       ensureShardedLayout(spark, indexDir)
       val (fs0, p0) = fsFor(spark, indexDir, 0)
@@ -364,7 +371,7 @@ object DedupIndex {
         // never-built index: this append IS the build's bloom
         // publication — all 16 shards (empties included) land with
         // shard 0 last, establishing the sentinel invariant
-        publishBlooms(spark, indexDir, batchBlooms)
+        publishBlooms(spark, indexDir, fillEmpty(batchBlooms))
       else
         touched.foreach { i =>
           val merged = readBloom(spark, indexDir, i)

@@ -66,16 +66,46 @@ object NearDupIndex {
     val stored = spark.read.schema(sigsSchema).parquet(s"$indexDir/sigs")
       .select(col("b").as("b2"), col("sig").as("sig2"),
         col("doc_id").as("index_id"))
-    // broadcast the BATCH side (r20, the SimHashIndex serve discipline):
-    // the standing signature table must never shuffle — it streams
-    // scan→BHJ→partial-agg, so screen cost tracks the corpus scan, not
-    // a corpus-wide exchange the planner might otherwise pick once the
-    // stored side outgrows the auto-broadcast estimate
-    broadcast(batch).join(stored,
-        col("b") === col("b2") && col("sig") === col("sig2") &&
-          col("new_id") =!= col("index_id"))
-      .select(col("new_id"), col("index_id")).distinct()
+    // Join-side choice by COST (r20, the SimHashIndex corpus-floor
+    // discipline). Past the floor, broadcast the BATCH side: the
+    // standing signature table must never shuffle or broadcast — it
+    // streams scan→BHJ→partial-agg, so screen cost tracks the corpus
+    // scan, not a corpus-wide exchange the planner would otherwise pick
+    // once the stored side outgrows the auto-broadcast estimate. Below
+    // the floor the OPPOSITE shape is measurably cheaper: broadcasting
+    // the tiny stored table lets the batch subtree (shingle explode +
+    // signature agg) pipeline straight into the join stage AND leaves
+    // the join output partitioned by the batch's own exchange, which
+    // the candidate distinct then reuses (hash(new_id) co-locates every
+    // (new_id, index_id) group) — broadcasting the batch instead costs
+    // a separate broadcast-build job on the expensive subtree plus a
+    // fresh exchange for the distinct (measured +0.2 s per screen at
+    // sf0.1, plans/r20/idx_neardup_screen_*.txt).
+    val minBytes = spark.conf.getOption(BatchBcastMinSigsBytesKey)
+      .map(_.toLong).getOrElse(BatchBcastMinSigsBytes)
+    val storedLen =
+      try fs.getContentSummary(sigsPath).getLength
+      catch { case _: Throwable => Long.MaxValue }
+    val joined =
+      if (storedLen < minBytes)
+        batch.join(broadcast(stored),
+          col("b") === col("b2") && col("sig") === col("sig2") &&
+            col("new_id") =!= col("index_id"))
+      else
+        broadcast(batch).join(stored,
+          col("b") === col("b2") && col("sig") === col("sig2") &&
+            col("new_id") =!= col("index_id"))
+    joined.select(col("new_id"), col("index_id")).distinct()
   }
+
+  /** Corpus floor for batch-broadcast serving: below this sigs/ size
+    * the stored table broadcasts (pipelined batch, reused exchange —
+    * see candidatesAgainst); above it the batch broadcasts and the
+    * corpus streams. 32 MiB of sigs ≈ 10⁶ docs — far below any corpus
+    * whose screen cost could matter, far above every test fixture. */
+  private[graft] val BatchBcastMinSigsBytes: Long = 32L << 20
+  private[graft] val BatchBcastMinSigsBytesKey =
+    "spark.graft.neardup.batchBcastMinSigsBytes"
 
   /** Near-dup candidate pairs WITHIN a frame (a < b), deduped — exactly
     * the l2 screen, so it delegates to LlmOps.minhashPairsOf (r20): the
