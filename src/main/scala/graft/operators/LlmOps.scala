@@ -208,39 +208,48 @@ object LlmOps {
     * pigeonhole as l54). The sign bit rides along: band values mask
     * with & 65535 (an arithmetic shiftright alone would sign-extend
     * band 3 negative), and bit_count(xor) is sign-agnostic. */
-  private[graft] def simhash64NearDup(s: SparkSession, d: String): DataFrame = {
-    // eager localCheckpoint, not persist(): blocks release via the
-    // ContextCleaner when the plan is GC'd, so repeat callers (specs,
-    // streaming reuse) don't accumulate pinned cache entries — the same
-    // discipline as JaccardIndex.pairsAgainst.
-    val sh = simhash64Of(t(s, d, "documents")
-      .select(col("doc_id"), col("text"))).localCheckpoint(true)
-    simhash64BandScreen(sh)
-  }
+  private[graft] def simhash64NearDup(s: SparkSession, d: String): DataFrame =
+    // no checkpoint (r20): the one-shuffle band screen consumes the
+    // signature frame exactly once, so the former eager localCheckpoint
+    // (which guarded the self-join's two concurrent reads) was a whole
+    // extra blocking job per call
+    simhash64BandScreen(simhash64Of(t(s, d, "documents")
+      .select(col("doc_id"), col("text"))))
 
   /** The 4×16-bit band screen + exact Hamming verify over ANY 64-bit
     * signature table (doc_id, simhash) — shared by simhash64NearDup
     * (computes signatures in-plan) and the l54w lane (reads them from
-    * the engine-emitted fixture that also backs the DuckDB oracle). */
-  private[graft] def simhash64BandScreen(sh: DataFrame): DataFrame = {
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    * the engine-emitted fixture that also backs the DuckDB oracle).
+    *
+    * One-shuffle shape (r20, the minhashPairsOf discipline): group
+    * (doc_id, simhash) structs per (band, bv) bucket and expand a<b
+    * pairs in-group through two stacked Generates — the former banded
+    * self-join exchanged the 4n band rows once per side and built join
+    * hash tables for the same bucket rows. sort_array orders the
+    * structs by doc_id (unique per frame), so x precedes y ⟺
+    * x.doc_id < y.doc_id — exactly the old a < b predicate. hamming is
+    * computed + filtered BEFORE the pair dedup (a pure function of the
+    * pair's signatures, so it commutes with distinct), leaving only
+    * true near-dup rows in the distinct's exchange. Per-row state is
+    * the O(|bucket|) struct array, never the |bucket|² pair array
+    * (pairsInBucket's shape note). */
+  private[graft] def simhash64BandScreen(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("shiftright(simhash, band * 16) & 65535"))
-    bands.select(col("band"), col("bv"),
-        col("doc_id").as("a"), col("simhash").as("ha"))
-      .join(bands.select(col("band").as("band2"), col("bv").as("bv2"),
-          col("doc_id").as("b"), col("simhash").as("hb")),
-        col("band") === col("band2") && col("bv") === col("bv2") &&
-          col("a") < col("b"))
-      // hamming computed + filtered BEFORE the pair dedup (r20): it is a
-      // pure function of the pair's signatures, so the filter commutes
-      // with distinct — and the distinct's exchange then carries only
-      // true near-dup rows (3 narrow columns) instead of every band
-      // collision with both 8-byte signatures attached
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .groupBy("band", "bv")
+      .agg(sort_array(collect_set(
+        struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(col("x"), explode(
+        slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("y"))
+      .withColumn("hamming",
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long"))
       .filter(col("hamming") <= 3)
-      .select("a", "b", "hamming").distinct()
-  }
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("hamming"))
+      .distinct()
 
   /** Engine-emitted signature fixture backing the l54w oracle. JVM
     * xxhash64 has no DuckDB twin, so the lane's oracle is GENERATED from
@@ -1207,29 +1216,32 @@ object LlmOps {
     // Hamming answers weighted-feature similarity with a 4-byte signature —
     // the cheapest standing near-dup key a 100 TB crawl can keep per doc.
     "l54_simhash_neardup" -> ((s, d) => {
-      // both sides of the candidate self-join read the signatures: compute
-      // the corpus pass once, persist the tiny (doc_id, simhash) table
-      val sh = simhashDf(s, d).persist()
-      sh.count()
-      val bands = sh.select(col("doc_id"), col("simhash"),
+      // one-shuffle in-bucket pair expansion (r20, the minhashPairsOf /
+      // simhash64BandScreen discipline): group (doc_id, simhash)
+      // structs per (band, bv) bucket and expand a<b pairs in-group —
+      // the former self-join exchanged the band rows once per side and
+      // needed a persist+count barrier; single consumer now, so the
+      // signatures compute exactly once in-plan. hamming is computed +
+      // filtered BEFORE the pair dedup (pure function of the pair's
+      // signatures, commutes with distinct), so the distinct's exchange
+      // carries only true near-dup rows.
+      simhashDf(s, d)
+        .select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bv", expr("shiftright(simhash, band * 8) % 256"))
-      val pairs = bands.select(col("band"), col("bv"),
-          col("doc_id").as("a"), col("simhash").as("ha"))
-        .join(bands.select(col("band").as("band2"), col("bv").as("bv2"),
-            col("doc_id").as("b"), col("simhash").as("hb")),
-          col("band") === col("band2") && col("bv") === col("bv2") &&
-            col("a") < col("b"))
-      // a pair may agree on several bands — dedup the id pair. hamming
-      // is computed + filtered BEFORE the dedup (r20): it is a pure
-      // function of the pair's signatures, so the filter commutes with
-      // distinct — and the distinct's exchange carries only true
-      // near-dup rows (3 narrow columns) instead of every band
-      // collision with both signatures attached
-      pairs
-        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .groupBy("band", "bv")
+        .agg(sort_array(collect_set(
+          struct(col("doc_id"), col("simhash")))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+        .select(col("x"), explode(
+          slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("y"))
+        .withColumn("hamming",
+          expr("bit_count(x.simhash ^ y.simhash)").cast("long"))
         .filter(col("hamming") <= 3)
-        .select("a", "b", "hamming").distinct()
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("hamming"))
+        .distinct()
         .orderBy("a", "b")
     }),
 

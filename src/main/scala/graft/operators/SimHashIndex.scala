@@ -277,11 +277,11 @@ object SimHashIndex {
 
   /** Verified pairs WITHIN a frame (a < b) — the l54w screen over fresh
     * signatures (shared simhash64BandScreen, so in-index and in-batch
-    * semantics cannot drift). */
+    * semantics cannot drift). No checkpoint (r20): the one-shuffle band
+    * screen consumes the signature frame exactly once. */
   def pairsWithin(docs: DataFrame): DataFrame =
     LlmOps.simhash64BandScreen(
-      LlmOps.simhash64Of(docs.select(col("doc_id"), col("text")))
-        .localCheckpoint(true))
+      LlmOps.simhash64Of(docs.select(col("doc_id"), col("text"))))
 
   /** Add a batch's signatures (the caller applies its dedup policy
     * first, as with NearDupIndex.append). Serialized under the shared
